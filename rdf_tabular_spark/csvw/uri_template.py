@@ -1,0 +1,153 @@
+"""RFC 6570 URI-template expansion (levels 1-3 + explode/prefix modifiers).
+
+Pure Python, dependency-free, picklable — designed to run inside Arrow-batched
+pandas UDFs on executors. Mirrors the expansion behavior the reference gets from
+Addressable::Template (reference: lib/rdf/tabular/metadata.rb:1576-1586,
+Cell#set_urls), restricted to the operators CSVW metadata actually uses
+({x}, {+x}, {#x}, {?x}, {&x}, {.x}, {/x}).
+
+Templates are compiled once on the driver into a list of tokens; expansion on
+executors is string concatenation + percent-encoding only.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# RFC 3986 character classes
+_UNRESERVED = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+_RESERVED = ":/?#[]@!$&'()*+,;="
+
+_SAFE_U = frozenset(_UNRESERVED)
+_SAFE_UR = frozenset(_UNRESERVED + _RESERVED + "%")
+
+
+def _pct_encode(value: str, allow_reserved: bool) -> str:
+    safe = _SAFE_UR if allow_reserved else _SAFE_U
+    out = []
+    for ch in value:
+        if ch in safe:
+            out.append(ch)
+        else:
+            out.append("".join(f"%{b:02X}" for b in ch.encode("utf-8")))
+    return "".join(out)
+
+
+@dataclass(frozen=True)
+class _VarSpec:
+    name: str
+    explode: bool = False
+    prefix: int | None = None
+
+
+@dataclass(frozen=True)
+class _Expr:
+    operator: str  # one of '', '+', '#', '.', '/', ';', '?', '&'
+    varspecs: tuple[_VarSpec, ...]
+
+
+# operator → (first-prefix, separator, named, ifemp, allow-reserved)
+_OP_TABLE = {
+    "": ("", ",", False, "", False),
+    "+": ("", ",", False, "", True),
+    "#": ("#", ",", False, "", True),
+    ".": (".", ".", False, "", False),
+    "/": ("/", "/", False, "", False),
+    ";": (";", ";", True, "", False),
+    "?": ("?", "&", True, "=", False),
+    "&": ("&", "&", True, "=", False),
+}
+
+_EXPR_RE = re.compile(r"\{([+#./;?&]?)((?:[A-Za-z0-9_%.]|%[0-9A-Fa-f]{2})+(?:(?::\d+)|\*)?(?:,(?:[A-Za-z0-9_%.]|%[0-9A-Fa-f]{2})+(?:(?::\d+)|\*)?)*)\}")
+
+
+class URITemplate:
+    """A compiled RFC 6570 template. ``expand(bindings)`` → str."""
+
+    __slots__ = ("template", "tokens", "variables")
+
+    def __init__(self, template: str):
+        self.template = template
+        self.tokens: list[object] = []  # str literals or _Expr
+        self.variables: list[str] = []
+        pos = 0
+        for m in _EXPR_RE.finditer(template):
+            if m.start() > pos:
+                self.tokens.append(template[pos : m.start()])
+            op = m.group(1)
+            specs = []
+            for raw in m.group(2).split(","):
+                explode, prefix = False, None
+                if raw.endswith("*"):
+                    explode, raw = True, raw[:-1]
+                elif ":" in raw:
+                    raw, _, plen = raw.partition(":")
+                    prefix = int(plen)
+                specs.append(_VarSpec(raw, explode, prefix))
+                if raw not in self.variables:
+                    self.variables.append(raw)
+            self.tokens.append(_Expr(op, tuple(specs)))
+            pos = m.end()
+        if pos < len(template):
+            self.tokens.append(template[pos:])
+
+    def expand(self, bindings: dict) -> str:
+        out: list[str] = []
+        for tok in self.tokens:
+            if isinstance(tok, str):
+                out.append(tok)
+                continue
+            first, sep, named, ifemp, allow_r = _OP_TABLE[tok.operator]
+            parts: list[str] = []
+            for spec in tok.varspecs:
+                if spec.name not in bindings:
+                    continue
+                value = bindings[spec.name]
+                if value is None:
+                    continue
+                parts.extend(self._expand_one(spec, value, named, ifemp, allow_r, sep))
+            if parts:
+                out.append(first + sep.join(parts))
+        return "".join(out)
+
+    @staticmethod
+    def _expand_one(spec, value, named, ifemp, allow_r, sep):
+        enc = lambda s: _pct_encode(s, allow_r)  # noqa: E731
+        if isinstance(value, (list, tuple)):
+            items = [str(v) for v in value if v is not None]
+            if not items:
+                return []
+            if spec.explode:
+                if named:
+                    return [f"{spec.name}={enc(i)}" if i else f"{spec.name}{ifemp}" for i in items]
+                return [enc(i) for i in items]
+            joined = ",".join(enc(i) for i in items)
+            if named:
+                return [f"{spec.name}={joined}"]
+            return [joined]
+        if isinstance(value, bool):
+            s = "true" if value else "false"
+        else:
+            s = str(value)
+        if spec.prefix is not None:
+            s = s[: spec.prefix]
+        if named:
+            if s == "":
+                return [spec.name + ifemp]
+            return [f"{spec.name}={enc(s)}"]
+        return [enc(s)]
+
+
+_CACHE: dict[str, URITemplate] = {}
+
+
+def compile_template(template: str) -> URITemplate:
+    t = _CACHE.get(template)
+    if t is None:
+        t = _CACHE[template] = URITemplate(template)
+    return t
+
+
+def expand(template: str, bindings: dict) -> str:
+    return compile_template(template).expand(bindings)

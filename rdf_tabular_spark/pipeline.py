@@ -1,0 +1,192 @@
+"""End-to-end CSVW → triples pipelines.
+
+Mirrors the reference's three entry points (reference: reader.rb:86-221
+each_statement; :93-134 metadata-first TableGroup recursion) as Spark jobs:
+per-table triple DataFrames built by one Arrow-batched kernel each, unioned
+with small driver-built metadata triple sets (table-level, common properties,
+provenance — O(metadata), not O(data)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .csvw.context import CSVW, DCAT, PROV, RDF, XSD, Context
+from .csvw.model import (Column, Dialect, Resolver, Table, TableGroup,
+                         default_resolver, load_metadata)
+from .operators.triples import (TableMapping, compile_mapping, local_triples_df,
+                                rows_to_triples, table_hash)
+from .sources.csv_source import read_header, read_rows
+
+RDF_TYPE = RDF + "type"
+
+
+class _BNodeGen:
+    """Deterministic bnode labels for driver-side metadata triples."""
+
+    def __init__(self, seed: str):
+        self.prefix = "_:m" + hashlib.sha1(seed.encode()).hexdigest()[:10]
+        self.counter = itertools.count()
+
+    def __call__(self) -> str:
+        return f"{self.prefix}-{next(self.counter)}"
+
+
+def _literal(value, ctx: Context) -> tuple[str, bool, Optional[str], Optional[str]]:
+    """JSON primitive → (lexical, is_iri=False, datatype, lang)
+    (reference: metadata.rb:806-839 common_properties leaf case, after
+    normalize_jsonld applied default language to bare strings)."""
+    if isinstance(value, bool):
+        return ("true" if value else "false", False, XSD + "boolean", None)
+    if isinstance(value, int):
+        return (str(value), False, XSD + "integer", None)
+    if isinstance(value, float):
+        return (repr(value), False, XSD + "double", None)
+    return (str(value), False, None, ctx.default_language)
+
+
+def common_property_triples(subject: str, prop: str, value, ctx: Context, bnode: _BNodeGen,
+                            out: list[tuple]) -> None:
+    """Recursive JSON-LD-ish common-property expansion
+    (reference: metadata.rb:806-839)."""
+    pred = prop if prop.startswith("http") else ctx.expand_iri(prop, vocab=True)
+    if isinstance(value, list):
+        for v in value:
+            common_property_triples(subject, pred, v, ctx, bnode, out)
+        return
+    if isinstance(value, dict):
+        if "@value" in value:
+            # NB: explicit @value objects do NOT inherit the default language
+            # (reference: normalize_jsonld only wraps bare strings, metadata.rb:1138-1141)
+            lang = value.get("@language")
+            dt = ctx.expand_iri(value["@type"], vocab=True) if value.get("@type") else None
+            out.append((subject, pred, str(value["@value"]), False, dt, None if dt else lang))
+            return
+        s2 = ctx.expand_iri(value["@id"], document_relative=True) if "@id" in value else bnode()
+        out.append((subject, pred, s2, True, None, None))
+        for t in value.get("@type", []) if isinstance(value.get("@type"), list) else \
+                ([value["@type"]] if value.get("@type") else []):
+            out.append((s2, RDF_TYPE, ctx.expand_iri(t, vocab=True), True, None, None))
+        for k, v in value.items():
+            if str(k).startswith("@"):
+                continue
+            common_property_triples(s2, k, v, ctx, bnode, out)
+        return
+    lex, is_iri, dt, lang = _literal(value, ctx)
+    out.append((subject, pred, lex, is_iri, dt, lang))
+
+
+def merge_embedded_titles(table: Table, titles: list[str]) -> None:
+    """Merge embedded-header titles into the user schema: existing columns by
+    index (user wins), extra columns appended
+    (reference: metadata.rb:901-1042 merge! column rules; Metadata.for_input)."""
+    schema = table.schema
+    raw_cols = schema.raw.setdefault("columns", [])
+    n_virtual_prefix = len([c for c in schema.columns if c.virtual])
+    for i, t in enumerate(titles):
+        if i < len(schema.columns):
+            c = schema.columns[i]
+            if "title" not in c.raw and "name" not in c.raw:
+                c.raw["title"] = {"und": [t]}
+        else:
+            raw = {"title": {"und": [t]}}
+            raw_cols.append(raw)
+            schema.columns.append(Column(raw, number=i + 1, parent=schema, context=schema.context))
+    # keep virtual columns at the end (reference: virtual columns follow real ones)
+    schema.columns.sort(key=lambda c: c.virtual)
+    for i, c in enumerate(schema.columns):
+        c.number = i + 1
+
+
+def table_level_triples(table: Table, table_resource: str, minimal: bool) -> list[tuple]:
+    out: list[tuple] = []
+    if minimal:
+        return out
+    ctx = table.context
+    bnode = _BNodeGen("cp:" + table.url)
+    out.append((table_resource, RDF_TYPE, CSVW + "Table", True, None, None))
+    out.append((table_resource, CSVW + "url", table.url, True, None, None))
+    for key, value in table.common_properties():
+        common_property_triples(table_resource, key, value, ctx, bnode, out)
+    if table.notes is not None:
+        common_property_triples(table_resource, "notes", table.notes, ctx, bnode, out)
+    return out
+
+
+def table_to_triples(spark: SparkSession, table: Table, resolver: Resolver,
+                     minimal: bool = False,
+                     table_resource: Optional[str] = None) -> DataFrame:
+    """One CSVW table → triples DataFrame (entry point 1,
+    reference: reader.rb:136-183)."""
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    path = resolver(table.url)
+    titles, _notes = read_header(path, table.dialect)
+    if titles:
+        merge_embedded_titles(table, titles)
+    mapping = compile_mapping(table, minimal=minimal)
+    if table_resource:
+        mapping.table_resource = table_resource
+    rows = read_rows(spark, path, table.dialect)
+    data_triples = rows_to_triples(rows, mapping)
+    meta = table_level_triples(table, mapping.table_resource, minimal)
+    if not meta:
+        return data_triples
+    meta_df = local_triples_df(
+        spark, [t + (table.url, 0) for t in meta])
+    return data_triples.unionByName(meta_df)
+
+
+def group_to_triples(spark: SparkSession, group: TableGroup, resolver: Resolver,
+                     minimal: bool = False) -> DataFrame:
+    """TableGroup → union of per-table triple DataFrames + group-level triples
+    (reference: reader.rb:93-124). Tables are independent — embarrassingly
+    parallel, the union is a no-shuffle plan concatenation."""
+    ghash = table_hash(group.raw.get("@id") or "group:" + (group.context.base or ""))
+    group_resource = group.id or f"_:g{ghash}"
+    dfs: list[DataFrame] = []
+    meta: list[tuple] = []
+    if not minimal:
+        meta.append((group_resource, RDF_TYPE, CSVW + "TableGroup", True, None, None, None, 0))
+        bnode = _BNodeGen("cpg:" + (group.context.base or ""))
+        cp: list[tuple] = []
+        for key, value in group.common_properties():
+            common_property_triples(group_resource, key, value, group.context, bnode, cp)
+        meta.extend(t + (None, 0) for t in cp)
+    for table in group.tables:
+        if table.suppress_output:
+            continue
+        t_resource = table.id or f"_:t{table_hash(table.url)}"
+        if not minimal:
+            meta.append((group_resource, CSVW + "resources", t_resource, True, None, None, None, 0))
+        dfs.append(table_to_triples(spark, table, resolver, minimal=minimal,
+                                    table_resource=t_resource))
+    if meta:
+        dfs.append(local_triples_df(spark, meta))
+    return reduce(DataFrame.unionByName, dfs)
+
+
+def csvw_to_triples(spark: SparkSession, source, base: str = "",
+                    resolver: Resolver = default_resolver,
+                    minimal: bool = False) -> DataFrame:
+    """Main entry: ``source`` is metadata (dict or .json path) or a CSV path.
+
+    Returns the flat triples DataFrame (schema: operators.triples.TRIPLE_SCHEMA).
+    """
+    if isinstance(source, dict) or (isinstance(source, str) and source.endswith((".json", ".jsonld"))):
+        meta = load_metadata(source, base=base, resolver=resolver)
+    else:
+        # metadata-less CSV: embedded header only (reference: Metadata.for_input)
+        url = base or source
+        from .csvw.model import embedded_table_from_header
+        dialect = Dialect()
+        titles, _ = read_header(resolver(url) if base else source, dialect)
+        meta = embedded_table_from_header(titles, url, dialect)
+    if isinstance(meta, TableGroup):
+        return group_to_triples(spark, meta, resolver, minimal=minimal)
+    return table_to_triples(spark, meta, resolver, minimal=minimal)

@@ -1,0 +1,135 @@
+"""Datatype coercion matrix (reference: spec/metadata_spec.rb:755-1004)."""
+
+import pytest
+
+from rdf_tabular_spark.csvw.coerce import value_matching_datatype
+from rdf_tabular_spark.csvw.context import CSVW, RDF, XSD
+
+
+def run(value, dt, lang=None):
+    cv, errors = value_matching_datatype(value, dt, lang)
+    return cv, errors
+
+
+# (base, facets, lexical) → (expected lexical | None, expected datatype suffix | None)
+CASES = [
+    # strings
+    ("string", {}, "foo", "foo", None),
+    # booleans (reference: metadata.rb:1802-1821)
+    ("boolean", {}, "true", "true", "boolean"),
+    ("boolean", {}, "1", "true", "boolean"),
+    ("boolean", {}, "false", "false", "boolean"),
+    ("boolean", {}, "0", "false", "boolean"),
+    ("boolean", {"format": "Y|N"}, "Y", "true", "boolean"),
+    ("boolean", {"format": "Y|N"}, "N", "false", "boolean"),
+    ("boolean", {"format": "YES|NO"}, "YES", "true", "boolean"),
+    ("boolean", {"format": "YES|NO"}, "NO", "false", "boolean"),
+    # integers
+    ("integer", {}, "1234", "1234", "integer"),
+    ("integer", {}, "-12", "-12", "integer"),
+    ("byte", {}, "127", "127", "byte"),
+    ("unsignedByte", {}, "255", "255", "unsignedByte"),
+    ("nonNegativeInteger", {}, "0", "0", "nonNegativeInteger"),
+    # numeric normalization (reference: metadata.rb:1766-1801)
+    ("decimal", {"groupChar": ","}, "1,234,456.789", "1234456.789", "decimal"),
+    ("decimal", {"groupChar": ".", "decimalChar": ","}, "1.234.456,789", "1234456.789", "decimal"),
+    ("double", {}, "1234.456E7", "1234.456E7", "double"),
+    ("double", {}, "NaN", "NaN", "double"),
+    ("double", {}, "INF", "INF", "double"),
+    ("double", {}, "-INF", "-INF", "double"),
+    # dates (reference: metadata.rb:1822-1893)
+    ("date", {"format": "M/d/yyyy"}, "10/18/2010", "2010-10-18", "date"),
+    ("date", {"format": "M/d/yyyy"}, "6/2/2010", "2010-06-02", "date"),
+    ("date", {"format": "yyyy-MM-dd"}, "2015-03-22", "2015-03-22", "date"),
+    ("date", {"format": "dd.MM.yyyy"}, "22.03.2015", "2015-03-22", "date"),
+    ("date", {"format": "yyyy-MM-ddX"}, "2015-03-22Z", "2015-03-22Z", "date"),
+    ("time", {"format": "HH:mm:ss"}, "15:02:37", "15:02:37", "time"),
+    ("time", {"format": "HHmm"}, "1502", "15:02:00", "time"),
+    ("dateTime", {"format": "yyyy-MM-dd HH:mm:ss"}, "2015-03-15 15:02:37", "2015-03-15T15:02:37", "dateTime"),
+    ("dateTime", {"format": "M/d/yyyy HHmm"}, "3/15/2015 1502", "2015-03-15T15:02:00", "dateTime"),
+    ("dateTime", {"format": "yyyy-MM-ddTHH:mm:ss"}, "2015-03-15T15:02:37", "2015-03-15T15:02:37", "dateTime"),
+    ("dateTime", {"format": "yyyy-MM-dd HH:mm:ss X"}, "2015-03-15 15:02:37 Z", "2015-03-15T15:02:37Z", "dateTime"),
+    ("date", {}, "2015-03-22", "2015-03-22", "date"),
+    # durations (reference: metadata.rb:1894-1896)
+    ("duration", {}, "P1Y2M3DT4H5M6S", "P1Y2M3DT4H5M6S", "duration"),
+    ("dayTimeDuration", {}, "P1DT2H", "P1DT2H", "dayTimeDuration"),
+    ("yearMonthDuration", {}, "P1Y2M", "P1Y2M", "yearMonthDuration"),
+]
+
+
+@pytest.mark.parametrize("base,facets,lexical,expected,dt_suffix", CASES)
+def test_matrix(base, facets, lexical, expected, dt_suffix):
+    cv, errors = run(lexical, {"base": base, **facets})
+    assert cv is not None, f"unexpected errors: {errors}"
+    assert cv.lexical == expected
+    if dt_suffix is None:
+        assert cv.datatype is None
+    else:
+        assert cv.datatype == XSD + dt_suffix
+
+
+INVALID = [
+    ("integer", {}, "1234.456"),
+    ("integer", {}, "123xyz"),
+    ("byte", {}, "1234"),
+    ("unsignedByte", {}, "-1"),
+    ("nonNegativeInteger", {}, "-1"),
+    ("positiveInteger", {}, "0"),
+    ("negativeInteger", {}, "1"),
+    ("boolean", {}, "yes"),
+    ("date", {"format": "M/d/yyyy"}, "foo"),
+    ("date", {}, "2015-13-40"),
+    ("duration", {}, "foo"),
+    ("decimal", {"groupChar": ","}, "1,,234"),
+    ("anyType", {}, "foo"),
+    ("ID", {}, "foo"),
+]
+
+
+@pytest.mark.parametrize("base,facets,lexical", INVALID)
+def test_invalid(base, facets, lexical):
+    cv, errors = run(lexical, {"base": base, **facets})
+    assert cv is None
+    assert errors
+
+
+def test_percent():
+    cv, _ = run("50%", {"base": "double"})
+    assert cv.lexical == "0.5"
+    assert cv.datatype == XSD + "double"
+
+
+def test_permille_decimal():
+    cv, _ = run("500‰", {"base": "decimal"})
+    assert float(cv.lexical) == 0.5
+
+
+def test_length_facets():
+    cv, errors = run("ab", {"base": "string", "minLength": 3})
+    assert cv is None and errors
+
+
+def test_format_regex_on_string():
+    cv, errors = run("abc", {"base": "string", "format": "^a.*c$"})
+    assert cv is not None
+    cv, errors = run("xbc", {"base": "string", "format": "^a.*c$"})
+    assert cv is None
+
+
+def test_lang_string():
+    cv, _ = run("hello", {"base": "string"}, lang="en")
+    assert cv.lang == "en" and cv.datatype is None
+
+
+def test_xml_html_json_aliases():
+    cv, _ = run("<p/>", {"base": "xml"})
+    assert cv.datatype == RDF + "XMLLiteral"
+    cv, _ = run("<p/>", {"base": "html"})
+    assert cv.datatype == RDF + "HTML"
+    cv, _ = run('{"a":1}', {"base": "json"})
+    assert cv.datatype == CSVW + "JSON"
+
+
+def test_gyear():
+    cv, _ = run("1960", {"base": "gYear"})
+    assert cv.lexical == "1960" and cv.datatype == XSD + "gYear"
