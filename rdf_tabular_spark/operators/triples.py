@@ -79,6 +79,7 @@ class TableMapping:
     columns: list[ColumnPlan] = field(default_factory=list)
     minimal: bool = False
     thash: str = ""
+    row_about_template: Optional[str] = None  # schema/table-inherited aboutUrl
 
     def __post_init__(self):
         if not self.thash:
@@ -95,6 +96,7 @@ def compile_mapping(table: Table, minimal: bool = False) -> TableMapping:
         trim=table.dialect.effective_trim,
         minimal=minimal,
         thash=thash,
+        row_about_template=table.schema.inherited("aboutUrl"),
     )
     for col in table.schema.columns:
         dt = col.inherited("datatype")

@@ -1,0 +1,141 @@
+"""JSON row serialization (reference: reader.rb:260-270 to_json, :276-382
+to_hash).
+
+Two shapes:
+- ``rows_to_json``: distributed JSON-lines DataFrame (one JSON object per CSV
+  row) — the scale path (write.text gives sharded JSON-lines output).
+- ``table_to_json_dict`` / ``group_to_json_dict``: driver-assembled single
+  document matching the reference's ``to_json`` byte-for-byte structure (test
+  oracle; metadata-sized gather, never used on the data path).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..csvw.model import Resolver, Table, TableGroup
+from ..csvw.uri_template import URITemplate
+from ..operators.triples import TableMapping, TripleKernel, compile_mapping
+from ..sources.csv_source import read_header, read_rows
+
+JSON_ROWS_SCHEMA = StructType([
+    StructField("rownum", LongType(), False),
+    StructField("row_json", StringType(), False),
+])
+
+
+class JsonRowKernel(TripleKernel):
+    """Row → JSON object (reference: reader.rb:354-369)."""
+
+    def __init__(self, mapping: TableMapping):
+        super().__init__(mapping)
+        # row-level resource: the schema/table-inherited aboutUrl — the
+        # subject cells use unless overridden; exposed as the row "url"
+        self.row_about: Optional[URITemplate] = (
+            URITemplate(mapping.row_about_template) if mapping.row_about_template else None)
+
+    def row_json(self, values: list[Optional[str]], row_num: int, source_num: int) -> dict:
+        values = list(values) + [None] * (len(self.cols) - len(values))
+        bindings: dict = {"_row": row_num, "_sourceRow": source_num}
+        cell_vals = []
+        for cc, raw in zip(self.cols, values):
+            vals, binding = self._coerce_cell(raw, cc.plan)
+            cell_vals.append(vals)
+            bindings[cc.plan.name] = binding
+
+        r: dict = {}
+        if self.row_about is not None:
+            url = self.ctx.expand_iri(self.row_about.expand(
+                {**bindings, "_name": "", "_column": 0, "_sourceColumn": 0}), document_relative=True)
+            if not url.startswith("_:"):
+                r["url"] = url
+        r["rownum"] = row_num
+
+        for cc, vals in zip(self.cols, cell_vals):
+            cp = cc.plan
+            if cp.virtual:  # reference: reader.rb:364 — virtual excluded from JSON
+                continue
+            b = dict(bindings)
+            b["_name"] = cc.name_decoded
+            b["_column"] = cp.number
+            b["_sourceColumn"] = cp.source_number
+            if cc.value_t is not None:
+                r[cp.name] = self.ctx.expand_iri(cc.value_t.expand(b), document_relative=True)
+            elif cp.separator:
+                r[cp.name] = [cv.lexical for cv in vals]
+            else:
+                r[cp.name] = vals[0].lexical if vals else None
+        return r
+
+
+def rows_to_json(rows_df: DataFrame, mapping: TableMapping) -> DataFrame:
+    """Distributed JSON-lines: one JSON object per row (narrow, no shuffle)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = JsonRowKernel(mapping)
+        for pdf in batches:
+            out_rows = []
+            nums = []
+            for values, row_num, source_num in zip(pdf["values"], pdf["row_num"], pdf["source_num"]):
+                obj = k.row_json(list(values), int(row_num), int(source_num))
+                out_rows.append(json.dumps(obj, ensure_ascii=False))
+                nums.append(int(row_num))
+            yield pd.DataFrame({"rownum": pd.Series(nums, dtype="int64"),
+                                "row_json": out_rows})
+    return rows_df.mapInPandas(kernel, schema=JSON_ROWS_SCHEMA)
+
+
+def _flatten_common_value(v):
+    if isinstance(v, dict) and ("@id" in v or "@value" in v):
+        return v.get("@value") or v.get("@id")
+    return v
+
+
+def table_to_json_dict(spark: SparkSession, table: Table, resolver: Resolver) -> dict:
+    """Reference-shaped table document (reader.rb:338-369)."""
+    from ..pipeline import merge_embedded_titles
+    path = resolver(table.url)
+    titles, _ = read_header(path, table.dialect)
+    if titles:
+        merge_embedded_titles(table, titles)
+    mapping = compile_mapping(table)
+    doc: dict = {"url": table.url}
+    for prop, value in table.common_properties():
+        vals = value if isinstance(value, list) else [value]
+        vals = [_flatten_common_value(v) for v in vals]
+        doc[prop] = vals[0] if len(vals) == 1 else vals
+    rows_df = rows_to_json(read_rows(spark, path, table.dialect), mapping)
+    collected = sorted(rows_df.collect(), key=lambda r: r["rownum"])
+    doc["row"] = [json.loads(r["row_json"]) for r in collected]
+    return doc
+
+
+def group_to_json_dict(spark: SparkSession, group: TableGroup, resolver: Resolver) -> dict:
+    tables = []
+    doc = {"tables": tables}
+    for prop, value in group.common_properties():
+        vals = value if isinstance(value, list) else [value]
+        vals = [_flatten_common_value(v) for v in vals]
+        doc[prop] = vals[0] if len(vals) == 1 else vals
+    for t in group.tables:
+        tables.append(table_to_json_dict(spark, t, resolver))
+    return doc
+
+
+def csvw_to_json(spark: SparkSession, source, base: str = "",
+                 resolver: Resolver = lambda u: u) -> dict:
+    from ..csvw.model import Dialect, embedded_table_from_header, load_metadata
+    if isinstance(source, dict) or (isinstance(source, str) and source.endswith((".json", ".jsonld"))):
+        meta = load_metadata(source, base=base, resolver=resolver)
+    else:
+        url = base or source
+        dialect = Dialect()
+        titles, _ = read_header(resolver(url) if base else source, dialect)
+        meta = embedded_table_from_header(titles, url, dialect)
+    if isinstance(meta, TableGroup):
+        return group_to_json_dict(spark, meta, resolver)
+    return table_to_json_dict(spark, meta, resolver)
