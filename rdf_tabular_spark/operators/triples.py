@@ -148,6 +148,8 @@ class TripleKernel:
         self.cols = [_CompiledColumn(c) for c in mapping.columns]
         self.ctx = Context(base=mapping.url)
         self.row_url_prefix = mapping.url + "#row="
+        self._thash_cache: dict[str, str] = {}
+        self._cur_thash = mapping.thash
 
     def _coerce_cell(self, raw: Optional[str], cp: ColumnPlan) -> tuple[list[coerce.CellValue], object]:
         """Mirror of Row#initialize cell logic → (typed values, binding)."""
@@ -184,9 +186,22 @@ class TripleKernel:
             binding = out[0].lexical if out else ""
         return out, binding
 
-    def row_triples(self, values: list[Optional[str]], row_num: int, source_num: int):
-        """→ list of (subj, pred, obj, obj_is_iri, obj_datatype, obj_lang)."""
+    def row_triples(self, values: list[Optional[str]], row_num: int, source_num: int,
+                    url: Optional[str] = None):
+        """→ list of (subj, pred, obj, obj_is_iri, obj_datatype, obj_lang).
+
+        ``url`` rebinds the table base per call (web path: one compiled kernel
+        per metadata document, reused across millions of page URLs)."""
         m = self.m
+        if url is not None and url != self.ctx.base:
+            self.ctx = Context(base=url)
+            self.row_url_prefix = url + "#row="
+            thash = self._thash_cache.get(url)
+            if thash is None:
+                thash = self._thash_cache[url] = table_hash(url)
+            self._cur_thash = thash
+        elif url is None:
+            self._cur_thash = m.thash
         triples: list[tuple] = []
         add = triples.append
 
@@ -200,8 +215,9 @@ class TripleKernel:
             cell_values.append(vals)
             bindings[cc.plan.name] = binding
 
-        row_resource = f"_:r{m.thash}-{source_num}"
-        default_subject = f"_:d{m.thash}-{source_num}"
+        thash = self._cur_thash
+        row_resource = f"_:r{thash}-{source_num}"
+        default_subject = f"_:d{thash}-{source_num}"
         if not m.minimal:
             add((m.table_resource, CSVW + "row", row_resource, True, None, None))
             add((row_resource, CSVW + "rownum", str(row_num), False, XSD_INTEGER, None))
@@ -236,12 +252,12 @@ class TripleKernel:
                 if not vals:
                     add((subject, pred, RDF_NIL, True, None, None))
                 else:
-                    head = f"_:l{m.thash}-{source_num}-{cp.number}-0"
+                    head = f"_:l{thash}-{source_num}-{cp.number}-0"
                     add((subject, pred, head, True, None, None))
                     for i, cv in enumerate(vals):
-                        node = f"_:l{m.thash}-{source_num}-{cp.number}-{i}"
+                        node = f"_:l{thash}-{source_num}-{cp.number}-{i}"
                         add((node, RDF_FIRST, cv.lexical, False, cv.datatype, cv.lang))
-                        nxt = (f"_:l{m.thash}-{source_num}-{cp.number}-{i+1}"
+                        nxt = (f"_:l{thash}-{source_num}-{cp.number}-{i+1}"
                                if i + 1 < len(vals) else RDF_NIL)
                         add((node, RDF_REST, nxt, True, None, None))
             else:

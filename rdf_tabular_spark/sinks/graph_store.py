@@ -1,0 +1,120 @@
+"""Stage 4: partitioned graph materialization + checkpoint/lineage manifests.
+
+north_rule: "materializes deduplicated (subj, pred, obj) triples into
+partitioned Iceberg graph tables ... resumable from checkpoint with
+per-partition lineage + metrics". No Iceberg runtime jar ships in this
+container, so the store is parquet-dir + JSON manifest with Iceberg-like
+semantics (atomic snapshot commit via manifest rename, partition pruning via
+pred_bucket/subj_bucket columns); swapping ``format("parquet")`` for
+``format("iceberg")`` is the only change needed on a cluster with the runtime.
+
+Layout:
+  <root>/data/batch=<batch_id>/pred_bucket=*/...parquet
+  <root>/_manifests/<batch_id>.json   (counts, lineage, config, status)
+
+Resume: ``processed_batches(root)`` → skip inputs already committed; a batch
+manifest is written only after its parquet write succeeds (write-then-commit,
+idempotent re-runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_PRED_BUCKETS = 64
+DEFAULT_SALT = 16
+
+
+def with_buckets(triples: DataFrame, pred_buckets: int = DEFAULT_PRED_BUCKETS) -> DataFrame:
+    """Add pred_bucket + subj_bucket partition columns. Hot predicates
+    (rdf:type-like) are spread by salting the pred bucket with the subject
+    hash (north_rule: explicit skew handling)."""
+    return (triples
+            .withColumn("pred_bucket",
+                        F.pmod(F.xxhash64("pred") + F.pmod(F.xxhash64("subj"), F.lit(DEFAULT_SALT)),
+                               F.lit(pred_buckets)).cast("int"))
+            .withColumn("subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(pred_buckets)).cast("int")))
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """Set semantics over (subj, pred, obj, obj_datatype, obj_lang) — the ONE
+    intentional full shuffle of the pipeline. AQE coalesces post-shuffle
+    partitions; lineage columns are aggregated, not dropped."""
+    return triples.groupBy("subj", "pred", "obj", "obj_is_iri", "obj_datatype", "obj_lang").agg(
+        F.min("table_url").alias("table_url"),
+        F.min("source_num").alias("source_num"),
+        F.count("*").alias("support"),
+    )
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "_manifests")
+
+
+def processed_batches(root: str) -> set[str]:
+    mdir = _manifest_dir(root)
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for fn in os.listdir(mdir):
+        if fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                m = json.load(f)
+            if m.get("status") == "committed":
+                out.add(m["batch_id"])
+    return out
+
+
+def materialize(triples: DataFrame, root: str, batch_id: str,
+                lineage: Optional[dict] = None,
+                pred_buckets: int = DEFAULT_PRED_BUCKETS,
+                dedup: bool = True) -> dict:
+    """Write one batch of triples; returns the committed manifest.
+
+    Idempotent: if ``batch_id`` is already committed the write is skipped
+    (checkpoint/resume per north_rule). Metrics (triple count, per-bucket
+    rows, wall time) land in the manifest.
+    """
+    if batch_id in processed_batches(root):
+        with open(os.path.join(_manifest_dir(root), f"{batch_id}.json")) as f:
+            return json.load(f)
+
+    t0 = time.time()
+    df = dedup_triples(triples) if dedup else triples
+    df = with_buckets(df, pred_buckets)
+    out_path = os.path.join(root, "data", f"batch={batch_id}")
+    df.write.mode("overwrite").partitionBy("pred_bucket").parquet(out_path)
+
+    spark = triples.sparkSession
+    written = spark.read.parquet(out_path)
+    bucket_counts = {str(r["pred_bucket"]): r["n"] for r in
+                     written.groupBy("pred_bucket").agg(F.count("*").alias("n")).collect()}
+    manifest = {
+        "batch_id": batch_id,
+        "status": "committed",
+        "path": out_path,
+        "n_triples": int(sum(bucket_counts.values())),
+        "pred_buckets": pred_buckets,
+        "bucket_counts": bucket_counts,
+        "lineage": lineage or {},
+        "wall_seconds": round(time.time() - t0, 3),
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    mdir = _manifest_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".{batch_id}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, os.path.join(mdir, f"{batch_id}.json"))  # atomic commit
+    return manifest
+
+
+def read_graph(spark: SparkSession, root: str) -> DataFrame:
+    """Load all committed batches (partition-pruned scans via pred_bucket)."""
+    return spark.read.parquet(os.path.join(root, "data"))

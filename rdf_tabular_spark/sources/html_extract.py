@@ -1,0 +1,227 @@
+"""Stage 1: HTML → tables + microdata + text (pure Python kernel, stdlib only).
+
+Web-scale generalization of the reference's CSV parsing (north rule: "stage 1
+parses HTML tables and microdata into virtual rows via vectorized Arrow
+UDFs"). The parser is dependency-free (this container has no lxml/bs4) and
+deterministic: ``extract_page`` is the single source of truth for text
+extraction, shared by the synthetic-page generator and the pipeline, so the
+byte-identical-text-per-url invariant is checkable end-to-end.
+
+Executed via ``mapInPandas`` over the pages table (url, warc_ts, html:binary,
+text, lang) — one Arrow batch in, exploded virtual rows out; no per-row Python
+UDF calls, no shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+_SKIP_TEXT = {"script", "style", "head", "title"}
+_VOID = {"br", "hr", "img", "meta", "link", "input"}
+
+
+@dataclass
+class HtmlTable:
+    index: int
+    rows: list[list[str]] = field(default_factory=list)
+
+
+@dataclass
+class MicroItem:
+    item_id: str
+    itemtype: str
+    props: list[tuple[str, str]] = field(default_factory=list)
+
+
+@dataclass
+class PageContent:
+    tables: list[HtmlTable] = field(default_factory=list)
+    csvw_meta: Optional[str] = None
+    text: str = ""
+    microdata: list[MicroItem] = field(default_factory=list)
+
+
+class _PageParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.tables: list[HtmlTable] = []
+        self.micro: list[MicroItem] = []
+        self.text_parts: list[str] = []
+        self.csvw_meta: Optional[str] = None
+        self._in_skip = 0
+        self._in_csvw_script = False
+        self._table_stack: list[HtmlTable] = []
+        self._row: Optional[list[str]] = None
+        self._cell: Optional[list[str]] = None
+        self._item_stack: list[MicroItem] = []
+        self._prop_stack: list[tuple[str, list[str]]] = []
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag in _SKIP_TEXT:
+            if tag == "script" and a.get("type") == "application/csvw+json":
+                self._in_csvw_script = True
+            self._in_skip += 1
+            return
+        if tag == "table":
+            t = HtmlTable(index=len(self.tables))
+            self.tables.append(t)
+            self._table_stack.append(t)
+        elif tag == "tr" and self._table_stack:
+            self._row = []
+        elif tag in ("td", "th") and self._row is not None:
+            self._cell = []
+        if "itemscope" in a:
+            item = MicroItem(item_id=a.get("itemid", f"_:item{len(self.micro)}"),
+                             itemtype=a.get("itemtype", ""))
+            self.micro.append(item)
+            self._item_stack.append(item)
+        elif "itemprop" in a and self._item_stack:
+            href = a.get("href") or a.get("content") or a.get("src")
+            if href is not None:
+                self._item_stack[-1].props.append((a["itemprop"], href))
+            else:
+                self._prop_stack.append((a["itemprop"], []))
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TEXT:
+            self._in_skip = max(0, self._in_skip - 1)
+            self._in_csvw_script = False
+            return
+        if tag in ("td", "th") and self._cell is not None:
+            cell_text = "".join(self._cell).strip()
+            if self._row is not None:
+                self._row.append(cell_text)
+            self._cell = None
+        elif tag == "tr" and self._row is not None:
+            if self._table_stack:
+                self._table_stack[-1].rows.append(self._row)
+            self._row = None
+        elif tag == "table" and self._table_stack:
+            self._table_stack.pop()
+        if self._prop_stack:
+            prop, parts = self._prop_stack.pop()
+            if self._item_stack:
+                self._item_stack[-1].props.append((prop, "".join(parts).strip()))
+
+    def handle_data(self, data):
+        if self._in_csvw_script:
+            self.csvw_meta = (self.csvw_meta or "") + data
+            return
+        if self._in_skip:
+            return
+        if self._cell is not None:
+            self._cell.append(data)
+        if self._prop_stack:
+            self._prop_stack[-1][1].append(data)
+        stripped = data.strip()
+        if stripped:
+            self.text_parts.append(stripped)
+
+
+def extract_page(html: str) -> PageContent:
+    """Parse one HTML document. Deterministic text rule: visible text nodes
+    (outside script/style/head), stripped, joined with '\\n'."""
+    p = _PageParser()
+    p.feed(html)
+    p.close()
+    return PageContent(
+        tables=p.tables,
+        csvw_meta=p.csvw_meta.strip() if p.csvw_meta else None,
+        text="\n".join(p.text_parts),
+        microdata=p.micro,
+    )
+
+
+# virtual-row output of stage 1: one row per HTML-table data row
+VIRTUAL_ROWS_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("table_index", IntegerType(), False),
+    StructField("values", ArrayType(StringType()), False),
+    StructField("row_num", LongType(), False),      # 1-based, per (page, table), after header
+    StructField("source_num", LongType(), False),   # 1-based physical row within table
+    StructField("csvw_meta", StringType(), True),
+    StructField("lang", StringType(), True),
+])
+
+MICRODATA_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("item_id", StringType(), False),
+    StructField("itemtype", StringType(), True),
+    StructField("prop", StringType(), False),
+    StructField("value", StringType(), True),
+])
+
+EXTRACTED_TEXT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("extracted_text", StringType(), False),
+])
+
+
+def _decode(html) -> str:
+    if isinstance(html, (bytes, bytearray)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return str(html)
+
+
+def pages_to_virtual_rows(pages: DataFrame, header_rows: int = 1) -> DataFrame:
+    """pages(url, html, ...) → virtual rows. Narrow Arrow stage, no shuffle;
+    row numbering is page-local (no global ordering needed at 10^12 docs)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                                    ("url", "table_index", "values", "row_num", "source_num",
+                                     "csvw_meta", "lang")}
+            for url, html, lang in zip(pdf["url"], pdf["html"], pdf.get("lang", [None] * len(pdf))):
+                page = extract_page(_decode(html))
+                for t in page.tables:
+                    for i, row in enumerate(t.rows):
+                        if i < header_rows:
+                            continue
+                        out["url"].append(url)
+                        out["table_index"].append(t.index)
+                        out["values"].append(row)
+                        out["row_num"].append(i - header_rows + 1)
+                        out["source_num"].append(i + 1)
+                        out["csvw_meta"].append(page.csvw_meta)
+                        out["lang"].append(lang)
+            yield pd.DataFrame(out)
+    return pages.mapInPandas(kernel, schema=VIRTUAL_ROWS_SCHEMA)
+
+
+def pages_to_microdata(pages: DataFrame) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                page = extract_page(_decode(html))
+                for item in page.microdata:
+                    iid = item.item_id
+                    if iid.startswith("_:"):
+                        # deterministic skolem (process-hash is randomized)
+                        import hashlib
+                        uh = hashlib.sha1(url.encode()).hexdigest()[:10]
+                        iid = f"_:md-{uh}-{item.item_id[2:]}"
+                    for prop, value in item.props:
+                        rows.append((url, iid, item.itemtype, prop, value))
+            yield pd.DataFrame(rows, columns=["url", "item_id", "itemtype", "prop", "value"])
+    return pages.mapInPandas(kernel, schema=MICRODATA_SCHEMA)
+
+
+def pages_to_text(pages: DataFrame) -> DataFrame:
+    """Re-extract text per url (for the byte-identical invariant check)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "extracted_text": [extract_page(_decode(h)).text for h in pdf["html"]],
+            })
+    return pages.mapInPandas(kernel, schema=EXTRACTED_TEXT_SCHEMA)

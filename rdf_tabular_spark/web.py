@@ -1,0 +1,205 @@
+"""Web-scale KG-construction pipeline over Common-Crawl-style pages.
+
+north_rule stages:
+  1. pages(url, warc_ts, html, text, lang) → virtual rows (sources/html_extract)
+  2. CSVW mapping rules → triples (this module) + mention detection /
+     entity-link scoring against a broadcast entity dictionary
+  3. canonicalization: MinHash-LSH blocking + connected components
+     (operators/minhash.py, operators/components.py)
+  4. materialize deduplicated triples into partitioned graph tables
+     (sinks/graph_store.py)
+
+All per-row logic runs inside Arrow-batched mapInPandas kernels; stages 1+2
+fuse into ONE narrow pass over the pages table (no shuffle until the
+canonicalization groupBy), which is what survives a 10^12-document scan:
+the cost is a single read of the html column + CPU, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .csvw.model import load_metadata
+from .operators.triples import (TRIPLE_SCHEMA, TableMapping, TripleKernel,
+                                compile_mapping)
+from .session import ensure_package_on_executors
+
+KG_MENTIONS = "https://kg.example.org/ontology#mentions"
+
+# executor-global cache: metadata JSON string → compiled TripleKernel
+_KERNEL_CACHE: dict[str, TripleKernel] = {}
+
+
+def _kernel_for_meta(meta_json: str, minimal: bool) -> TripleKernel:
+    key = f"{minimal}:{meta_json}"
+    k = _KERNEL_CACHE.get(key)
+    if k is None:
+        raw = json.loads(meta_json)
+        table = load_metadata(raw, base=raw.get("url") or "http://page.invalid/")
+        mapping = compile_mapping(table, minimal=minimal)
+        k = _KERNEL_CACHE[key] = TripleKernel(mapping)
+    return k
+
+
+def pages_to_triples(pages: DataFrame, minimal: bool = True,
+                     default_meta: Optional[dict] = None,
+                     header_rows: int = 1) -> DataFrame:
+    """Stages 1+2 fused: html → virtual rows → triples, one Arrow pass.
+
+    Per-page CSVW metadata comes from the embedded
+    ``<script type="application/csvw+json">`` block (falling back to
+    ``default_meta``); kernels are compiled once per distinct metadata
+    document and reused across pages (cache hit ≈ always at web scale).
+    """
+    spark = pages.sparkSession
+    ensure_package_on_executors(spark)
+    default_meta_json = json.dumps(default_meta) if default_meta else None
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .sources.html_extract import extract_page, _decode
+        cols = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype", "obj_lang"]
+        for pdf in batches:
+            out: list[tuple] = []
+            urls: list[str] = []
+            srcs: list[int] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                page = extract_page(_decode(html))
+                meta_json = page.csvw_meta or default_meta_json
+                if meta_json is None:
+                    continue
+                tk = _kernel_for_meta(meta_json, minimal)
+                for t in page.tables:
+                    for i, row in enumerate(t.rows):
+                        if i < header_rows:
+                            continue
+                        ts = tk.row_triples(row, i - header_rows + 1, i + 1, url=url)
+                        out.extend(ts)
+                        urls.extend([url] * len(ts))
+                        srcs.extend([i + 1] * len(ts))
+            res = pd.DataFrame(out, columns=cols)
+            res["table_url"] = pd.Series(urls, dtype="object")
+            res["source_num"] = pd.Series(srcs, dtype="int64")
+            yield res
+
+    return pages.mapInPandas(kernel, schema=TRIPLE_SCHEMA)
+
+
+def link_entities(triples: DataFrame, entity_dict: dict[str, str],
+                  min_score: float = 0.5) -> DataFrame:
+    """Stage 2b: mention detection + link scoring against a broadcast
+    entity dictionary → (subj, kg:mentions, entity_iri) triples.
+
+    The dictionary ships once per executor via broadcast (north_rule:
+    "batched mention detection and entity-link scoring against a broadcast
+    entity dictionary"); scoring is token-set Jaccard with an exact-match
+    fast path, vectorized over Arrow batches. Narrow — no shuffle.
+    """
+    spark = triples.sparkSession
+    ensure_package_on_executors(spark)
+    bc = spark.sparkContext.broadcast(entity_dict)
+
+    literals = triples.filter(~F.col("obj_is_iri") & F.col("obj").isNotNull())
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ents: dict[str, str] = bc.value
+        # token inverted index for fuzzy candidates, built once per task
+        inv: dict[str, list[str]] = {}
+        tokset: dict[str, frozenset] = {}
+        for surface in ents:
+            toks = frozenset(surface.lower().split())
+            tokset[surface] = toks
+            for t in toks:
+                inv.setdefault(t, []).append(surface)
+        cols = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype", "obj_lang",
+                "table_url", "source_num"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for subj, obj, turl, snum in zip(pdf["subj"], pdf["obj"],
+                                             pdf["table_url"], pdf["source_num"]):
+                iri = ents.get(obj)
+                score = 1.0 if iri is not None else 0.0
+                if iri is None:
+                    otoks = frozenset(str(obj).lower().split())
+                    cands: set[str] = set()
+                    for t in otoks:
+                        cands.update(inv.get(t, ()))
+                    best, best_s = None, 0.0
+                    for c in cands:
+                        ct = tokset[c]
+                        s = len(otoks & ct) / len(otoks | ct)
+                        if s > best_s:
+                            best, best_s = c, s
+                    if best is not None and best_s >= min_score:
+                        iri, score = ents[best], best_s
+                if iri is not None:
+                    out.append((subj, KG_MENTIONS, iri, True, None, None, turl, int(snum)))
+            yield pd.DataFrame(out, columns=cols)
+
+    # NB: no dropDuplicates here — dedup happens once, at materialization
+    # (stage 4), so the only shuffles in the whole pipeline are the
+    # canonicalization groupBys and the final dedup.
+    return literals.mapInPandas(kernel, schema=TRIPLE_SCHEMA)
+
+
+def _local_name(col):
+    """IRI → page-agnostic local name (after last '#' or '/')."""
+    return F.element_at(F.split(F.element_at(F.split(col, "#"), -1), "/"), -1)
+
+
+def subject_profiles(triples: DataFrame) -> DataFrame:
+    """Stage 3a: per-subject content profile for similarity blocking.
+
+    Tokens are local-name(pred)=obj so that the same logical record extracted
+    from two different page URLs (different absolute pred/subj IRIs) yields
+    near-identical profiles. One groupBy shuffle on subj.
+    """
+    toks = (triples
+            .filter(~F.col("obj_is_iri"))
+            .select("subj", F.concat_ws("=", _local_name(F.col("pred")), F.col("obj")).alias("tok")))
+    return (toks.groupBy("subj")
+            .agg(F.concat_ws("|", F.array_sort(F.collect_list("tok"))).alias("profile")))
+
+
+def canonicalize_subjects(triples: DataFrame, num_perm: int = 64,
+                          num_bands: int = 16, threshold: float = 0.9,
+                          max_bucket: int = 1000):
+    """Stage 3: MinHash-LSH blocking + connected components → canonical ids.
+
+    → (rewritten_triples, mapping(id, canonical_id)). Canonical id = lexical
+    min of the cluster (deterministic). Only clustered subjects enter the
+    mapping, so the rewrite is a broadcast join against the full stream.
+    """
+    from .operators.components import canonical_mapping, rewrite_triples
+    from .operators.minhash import minhash_signatures, signature_similarity_edges
+
+    profiles = subject_profiles(triples)
+    sigs = minhash_signatures(profiles, "subj", "profile", num_perm=num_perm)
+    edges = signature_similarity_edges(sigs, num_bands=num_bands,
+                                       threshold=threshold, max_bucket=max_bucket)
+    mapping = canonical_mapping(edges).filter(F.col("id") != F.col("canonical_id"))
+    return rewrite_triples(triples, mapping), mapping
+
+
+def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
+                 batch_id: str, entity_dict: Optional[dict[str, str]] = None,
+                 canonicalize: bool = True, default_meta: Optional[dict] = None) -> dict:
+    """Full stage 1→4 run over a pages batch; returns the commit manifest."""
+    from .sinks.graph_store import materialize, processed_batches
+    if batch_id in processed_batches(out_root):
+        return materialize(pages.limit(0).sparkSession.createDataFrame([], TRIPLE_SCHEMA),
+                           out_root, batch_id)  # no-op resume hit
+    triples = pages_to_triples(pages, default_meta=default_meta)
+    if entity_dict:
+        mentions = link_entities(triples, entity_dict)
+        triples = triples.unionByName(mentions)
+    if canonicalize:
+        triples, _mapping = canonicalize_subjects(triples)
+    lineage = {"source": "pages", "n_pages": None, "batch_id": batch_id,
+               "stages": ["extract+map", "link" if entity_dict else None,
+                          "canonicalize" if canonicalize else None, "materialize"]}
+    return materialize(triples, out_root, batch_id, lineage=lineage)
