@@ -1,0 +1,141 @@
+"""Text-analysis operators for training-data pipelines over a ``documents``
+table (doc_id, text, lang, source, n_chars).
+
+Everything here is pure Column expressions (JVM-side, whole-stage codegen) —
+no Python UDFs, no shuffle: each operator is a narrow per-row projection that
+scales linearly with executors. The only hash primitive is ``md5`` because it
+is bit-identical across Spark and DuckDB, which makes every operator
+oracle-checkable (the driver's DuckDB cross-check) — at production scale you
+would swap ``xxhash64`` in for a ~3× cheaper hash with the same plan shape.
+
+These ops have no counterpart in the reference (rdf-tabular is a CSVW→RDF
+mapper, SURVEY.md §2.9); they are the training-data extensions required for
+the 100 TB web-corpus use-case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+
+# Stopword marker sets per language for the n-gram/marker heuristic language
+# identifier. Deliberately tiny: language ID at corpus scale is a pre-filter,
+# not a classifier — precision comes from the downstream quality gates.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to", "in"),
+    "de": ("der", "die", "und", "ist", "das", "nicht"),
+    "fr": ("le", "la", "et", "est", "les", "des"),
+    "es": ("el", "los", "y", "es", "una", "que"),
+    "it": ("il", "di", "e", "che", "per", "con"),
+}
+LANG_ORDER = ("en", "de", "fr", "es", "it")  # deterministic tie-break
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ("a", "it", "for", "on", "with", "as")
+
+# BPE-ish token regex: words, numbers, or single punctuation marks — the
+# cheap stand-in for a real tokenizer's pre-tokenization split.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of a trimmed string → array<string>."""
+    return F.split(F.trim(col), WS)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letters runs + digit runs + punct marks).
+
+    ``regexp_count`` keeps this JVM-side; a real BPE would be a Pandas UDF
+    over the same partitioning.
+    """
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.size(toks)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation characters / total characters."""
+    n = F.length(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]-]", "")) / n)
+
+
+def avg_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    return F.aggregate(toks, F.lit(0).cast("double"),
+                       lambda acc, t: acc + F.length(t)) / F.size(toks)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence −
+    punctuation excess. Mirrors Gopher/C4-style filters in spirit; every term
+    is a Column expression so the score compiles into one codegen stage.
+    """
+    n_toks = token_count(col).cast("double")
+    len_term = F.least(n_toks / F.lit(20.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    punct_term = F.greatest(F.lit(1.0) - punct_ratio(col) * 5, F.lit(0.0))
+    return F.round((len_term + stop_term + punct_term) / 3, 4)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = tokens(col)
+    return {lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+            for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language ID → 2-letter code or 'und'.
+
+    argmax over LANG_ORDER with first-wins tie-break, expressed as a chained
+    CASE so Spark and the SQL oracle evaluate identically.
+    """
+    scores = lang_scores(col)
+    expr = F.lit("und")
+    # build CASE from lowest priority upward so earlier langs win ties
+    for lang in reversed(LANG_ORDER):
+        s = scores[lang]
+        cond = (s > 0)
+        for other in LANG_ORDER:
+            if other == lang:
+                break  # only langs EARLIER in order must be strictly beaten
+            cond = cond & (s > scores[other])
+        for other in LANG_ORDER[LANG_ORDER.index(lang) + 1:]:
+            cond = cond & (s >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set. Two docs with the same bag-of-words collide — the cheap
+    canonical form used for fuzzy-then-exact dedup cascades.
+    """
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (distinct). Built with
+    transform over an index sequence -- stays inside codegen, no explode.
+
+    Short docs (< n tokens) yield an empty array; the index sequence is
+    guarded because both engines must agree exactly (SQL ``||`` nulls out
+    on out-of-range element access while Spark ``concat_ws`` skips nulls).
+    """
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams)
+        .otherwise(F.array().cast("array<string>")))

@@ -1,0 +1,730 @@
+"""Query registry for the driver contract (``__spark_entry__.py``).
+
+Each entry couples a Spark DataFrame program with an ANSI-SQL oracle that
+DuckDB runs over the same parquet tables; the driver hash-compares values, so
+every computed column is built from operations whose results are
+**bit-identical** across both engines (md5, IEEE double arithmetic folded in
+the same order, decimal-exact aggregation). Where an expression family is
+delicate (language-ID CASE, SimHash bit terms, MinHash permutations, cosine
+sums), the SQL is *generated from the same Python loops* that build the
+Column expressions — one source of truth, two engines.
+
+Coverage map (SURVEY.md §2):
+  csvw_*   — the reference's operator families re-expressed relationally:
+             U1-U5 triple melt, C3-C6 coercion, C1 list split, C5 boolean,
+             P5/P9/P10 trim/null/default, S7 JSON rows, U2 templates.
+  agg_/join_/window_/fk_ — relational substrate (Catalyst-native; scan
+             pushdown, broadcast joins, partial aggregation).
+  text_/dedup_/ann_/multimodal_ — training-data extensions (§2.9).
+  kg_*     — the web pipeline end-to-end (HTML → virtual rows → CSVW kernel
+             → triples → entity links → canonicalization).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as T
+
+EMB_DIM = 64
+MENTIONS_PRED = "https://kg.example.org/ontology#mentions"
+SOURCE_ENT_PREFIX = "https://kg.example.org/entity/source/"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (one source of truth with the Column builders)
+# ---------------------------------------------------------------------------
+
+TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+
+def _grams_sql(t: str, n: int = 3) -> str:
+    cat = " || ' ' || ".join(f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n))
+    return (f"case when len({t}) >= {n} then "
+            f"list_distinct(list_transform(range(1, len({t}) - {n - 2}), i -> {cat})) "
+            f"else [] end")
+
+
+def _minhash_sig_sql(g: str, num_perm: int = 8) -> str:
+    return (f"list_transform(range(0, {num_perm}), "
+            f"i -> list_min(list_transform({g}, x -> md5(i || ':' || x))))")
+
+
+def _langid_case_sql(toks: str) -> str:
+    score = {lang: f"len(list_filter({toks}, x -> x in "
+                   f"({', '.join(repr(m) for m in markers)})))"
+             for lang, markers in T.LANG_MARKERS.items()}
+    whens = []
+    for idx, lang in enumerate(T.LANG_ORDER):
+        s = score[lang]
+        conds = [f"{s} > 0"]
+        conds += [f"{s} > {score[o]}" for o in T.LANG_ORDER[:idx]]
+        conds += [f"{s} >= {score[o]}" for o in T.LANG_ORDER[idx + 1:]]
+        whens.append(f"when {' and '.join(conds)} then '{lang}'")
+    return "case " + " ".join(whens) + " else 'und' end"
+
+
+def _simhash_sql(toks: str) -> str:
+    tv = (f"list_transform({toks}, x -> "
+          f"('0x' || substring(md5(x), 1, 4))::bigint)")
+    terms = []
+    for b in range(D.SIMHASH_BITS):
+        ones = f"len(list_filter({tv}, v -> (v & {1 << b}) <> 0))"
+        terms.append(f"(case when {ones} * 2 > len({tv}) then 1 else 0 end) "
+                     f"* {1 << b}")
+    return " + ".join(terms)
+
+
+def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return " + ".join(f"{a}[{i}]::double * {b}[{i}]::double"
+                      for i in range(1, dim + 1))
+
+
+def _cos_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (f"({_dot_sql(a, b, dim)}) / "
+            f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)}))")
+
+
+def _hyperplane_sig_sql(vec: str, dim: int = EMB_DIM, n_planes: int = 8) -> str:
+    plane_terms = []
+    for p in range(n_planes):
+        terms = []
+        for i in range(dim):
+            w = float(((p * dim + i) * 2654435761) % (1 << 32)) / float(1 << 31) - 1.0
+            terms.append(f"{vec}[{i + 1}]::double * {w!r}")
+        plane_terms.append(f"(case when ({' + '.join(terms)}) >= 0 "
+                           f"then 1 else 0 end) * {1 << p}")
+    return " + ".join(plane_terms)
+
+
+STOPS_SQL = ", ".join(repr(s) for s in T.ENGLISH_STOPWORDS)
+PUNCT_CLASS = "[^.,;:!?''\"()\\[\\]-]"  # SQL-quoted form of text.punct class
+BPE_SQL = r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'"
+DOC_URL_SQL = "'http://pages.example.org/doc/' || doc_id"
+
+
+# ---------------------------------------------------------------------------
+# Spark query programs
+# ---------------------------------------------------------------------------
+
+def _csvw_triples_nation(spark, sf_dir):
+    """U1-U5: URI-template expansion + cell-triple melt over a relational
+    table (reference: reader.rb:154-183 re-expressed as explode of structs)."""
+    nation = _t(spark, sf_dir, "nation")
+    subj = F.concat(F.lit("http://example.org/nation/"),
+                    F.col("n_nationkey").cast("string"))
+    triples = F.array(
+        F.struct(F.lit("http://example.org/def#name").alias("pred"),
+                 F.col("n_name").alias("obj"), F.lit(False).alias("obj_is_iri")),
+        F.struct(F.lit("http://example.org/def#region").alias("pred"),
+                 F.concat(F.lit("http://example.org/region/"),
+                          F.col("n_regionkey").cast("string")).alias("obj"),
+                 F.lit(True).alias("obj_is_iri")),
+        F.struct(F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("pred"),
+                 F.lit("http://example.org/def#Nation").alias("obj"),
+                 F.lit(True).alias("obj_is_iri")),
+    )
+    return (nation.select(subj.alias("subj"), F.explode(triples).alias("t"))
+            .select("subj", F.col("t.pred").alias("pred"),
+                    F.col("t.obj").alias("obj"),
+                    F.col("t.obj_is_iri").alias("obj_is_iri")))
+
+
+_CSVW_TRIPLES_NATION_SQL = """
+select 'http://example.org/nation/' || n_nationkey as subj,
+       'http://example.org/def#name' as pred, n_name as obj, false as obj_is_iri
+from nation
+union all
+select 'http://example.org/nation/' || n_nationkey,
+       'http://example.org/def#region',
+       'http://example.org/region/' || n_regionkey, true
+from nation
+union all
+select 'http://example.org/nation/' || n_nationkey,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'http://example.org/def#Nation', true
+from nation
+"""
+
+
+def _csvw_coerce_numeric(spark, sf_dir):
+    """C3/C4: groupChar-formatted lexical built by exact integer surgery, then
+    normalized (strip ',') and cast — byte-identical with the oracle
+    (reference: metadata.rb:1766-1801)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dollars = F.floor(cents / 100).cast("long")
+    frac = (cents % 100).cast("long")
+    thousands = F.floor(dollars / 1000).cast("long")
+    rem = (dollars % 1000).cast("long")
+    grouped = F.when(dollars >= 1000,
+                     F.concat(thousands.cast("string"), F.lit(","),
+                              F.lpad(rem.cast("string"), 3, "0"))) \
+        .otherwise(dollars.cast("string"))
+    lexical = F.concat(grouped, F.lit("."), F.lpad(frac.cast("string"), 2, "0"))
+    parsed = F.regexp_replace(lexical, ",", "").cast("double")
+    return li.select("l_orderkey", "l_linenumber", lexical.alias("lexical"),
+                     parsed.alias("parsed"))
+
+
+_CSVW_COERCE_NUMERIC_SQL = """
+with c as (
+  select l_orderkey, l_linenumber,
+         cast(round(l_extendedprice * 100) as bigint) as cents
+  from lineitem),
+p as (
+  select l_orderkey, l_linenumber, cents // 100 as dollars, cents % 100 as frac
+  from c),
+l as (
+  select l_orderkey, l_linenumber,
+         (case when dollars >= 1000
+               then (dollars // 1000)::varchar || ',' ||
+                    lpad((dollars % 1000)::varchar, 3, '0')
+               else dollars::varchar end)
+         || '.' || lpad(frac::varchar, 2, '0') as lexical
+  from p)
+select l_orderkey, l_linenumber, lexical,
+       cast(replace(lexical, ',', '') as double) as parsed
+from l
+"""
+
+
+def _csvw_date_format(spark, sf_dir):
+    """C6: picture-string date round-trip (reference: metadata.rb:1822-1893,
+    'd/M/yyyy' from the supported pattern set)."""
+    li = _t(spark, sf_dir, "lineitem")
+    lex = F.date_format("l_shipdate", "d/M/yyyy")
+    iso = F.to_date(lex, "d/M/yyyy").cast("string")
+    return li.select("l_orderkey", "l_linenumber", lex.alias("lex"),
+                     iso.alias("iso"))
+
+
+_CSVW_DATE_FORMAT_SQL = """
+select l_orderkey, l_linenumber,
+       strftime(l_shipdate, '%-d/%-m/%Y') as lex,
+       strptime(strftime(l_shipdate, '%-d/%-m/%Y'), '%-d/%-m/%Y')::date::varchar as iso
+from lineitem
+"""
+
+
+def _csvw_null_default_trim(spark, sf_dir):
+    """P5/P9/P10: null-list match → NULL, empty→default, trim
+    (reference: metadata.rb:1672-1695)."""
+    docs = _t(spark, sf_dir, "documents")
+    src_null = F.when(F.col("source") == "src0", F.lit(None)).otherwise(F.col("source"))
+    return docs.select(
+        "doc_id", src_null.alias("src_null"),
+        F.coalesce(src_null, F.lit("unknown")).alias("src_default"),
+        F.substring(F.trim(F.col("text")), 1, 20).alias("t20"))
+
+
+_CSVW_NULL_DEFAULT_TRIM_SQL = """
+select doc_id, nullif(source, 'src0') as src_null,
+       coalesce(nullif(source, 'src0'), 'unknown') as src_default,
+       substring(trim(text), 1, 20) as t20
+from documents
+"""
+
+
+def _csvw_json_rows(spark, sf_dir):
+    """S7: JSON row serialization (reference: reader.rb:276-382) via
+    to_json(struct(...)) — pure codegen, no Python."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.to_json(F.struct("n_nationkey", "n_name")).alias("json"))
+
+
+_CSVW_JSON_ROWS_SQL = """
+select n_nationkey,
+       to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name)) as json
+from nation
+"""
+
+
+def _csvw_list_split(spark, sf_dir):
+    """C1: separator split → one row per element (reference:
+    metadata.rb:1674,1711; rdf:List linearization is the ordered variant)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select("p_partkey",
+                       F.explode(F.split("p_name", " ")).alias("word"))
+
+
+_CSVW_LIST_SPLIT_SQL = """
+select p_partkey, unnest(string_split(p_name, ' ')) as word from part
+"""
+
+
+def _csvw_boolean_format(spark, sf_dir):
+    """C5: custom boolean format 'Y|N' parse (reference: metadata.rb:1802-1821)."""
+    ev = _t(spark, sf_dir, "events")
+    lex = F.when(F.col("event_id") % 2 == 0, F.lit("Y")).otherwise(F.lit("N"))
+    return ev.select("event_id", lex.alias("lex"),
+                     (lex == "Y").alias("parsed"))
+
+
+_CSVW_BOOLEAN_FORMAT_SQL = """
+select event_id, case when event_id % 2 = 0 then 'Y' else 'N' end as lex,
+       case when event_id % 2 = 0 then 'Y' else 'N' end = 'Y' as parsed
+from events
+"""
+
+
+def _csvw_uri_template(spark, sf_dir):
+    """U2: template expansion with percent-encoding of the bound value
+    (simple-expansion subset; full RFC 6570 lives in csvw/uri_template.py)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat(F.lit("http://example.org/part/"),
+                 F.regexp_replace("p_name", " ", "%20")).alias("iri"))
+
+
+_CSVW_URI_TEMPLATE_SQL = """
+select p_partkey,
+       'http://example.org/part/' || replace(p_name, ' ', '%20') as iri
+from part
+"""
+
+
+# --- relational substrate ---------------------------------------------------
+
+def _agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan → partial agg → final agg. Decimal-exact sums so
+    the result is order-independent (double sums are not associative)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(38,4)")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
+                 F.count("*").alias("count_order")))
+
+
+_AGG_PRICING_SUMMARY_SQL = """
+select l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(38,4))) as decimal(38,4)) as sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(38,4))) as decimal(38,4)) as sum_base_price,
+       count(*) as count_order
+from lineitem
+group by l_returnflag, l_linestatus
+"""
+
+
+def _join_order_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter broadcast through a fact join;
+    revenue summed decimal-exact; top-10 via TakeOrdered."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) \
+        .cast("decimal(38,4)")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+_JOIN_ORDER_REVENUE_SQL = """
+select o_orderkey, o_orderdate,
+       cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(38,4)))
+            as decimal(38,4)) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+group by o_orderkey, o_orderdate
+order by revenue desc, o_orderkey
+limit 10
+"""
+
+
+def _window_top_events(spark, sf_dir):
+    """Window top-k per key (row numbering, SURVEY §2.7)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id"))
+    return (ev.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 2)
+            .select("user_id", "event_id", "rnk"))
+
+
+_WINDOW_TOP_EVENTS_SQL = """
+select user_id, event_id, rnk from (
+  select user_id, event_id,
+         row_number() over (partition by user_id order by ts desc, event_id) as rnk
+  from events) where rnk <= 2
+"""
+
+
+def _agg_events_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(38,4)"))
+                 .cast("decimal(38,4)").alias("sum_value")))
+
+
+_AGG_EVENTS_DAILY_SQL = """
+select ts::date as day, event_type, count(*) as n,
+       cast(sum(cast(value as decimal(38,4))) as decimal(38,4)) as sum_value
+from events
+group by ts::date, event_type
+"""
+
+
+def _fk_orders_customer(spark, sf_dir):
+    """M6/§2.6: data-level FK integrity check the reference only declares
+    (metadata.rb:517-541 FIXME) — left-anti join, broadcast parent."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    orphans = orders.join(F.broadcast(cust),
+                          orders.o_custkey == cust.c_custkey, "left_anti")
+    return orphans.agg(F.count("*").alias("n_orphans"))
+
+
+_FK_ORDERS_CUSTOMER_SQL = """
+select count(*) as n_orphans from orders o
+where not exists (select 1 from customer c where c.c_custkey = o.o_custkey)
+"""
+
+
+# --- text analysis ----------------------------------------------------------
+
+def _text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(text).cast("long").alias("n_tokens"),
+        T.bpe_token_count(text).cast("long").alias("n_bpe"),
+        F.round(T.stopword_ratio(text), 4).alias("stop_ratio"),
+        T.quality_score(text).alias("quality"))
+
+
+_TEXT_QUALITY_SQL = f"""
+select doc_id,
+       len({TOKS_SQL}) as n_tokens,
+       len(regexp_extract_all(text, {BPE_SQL})) as n_bpe,
+       round(len(list_filter({TOKS_SQL}, x -> x in ({STOPS_SQL})))
+             / len({TOKS_SQL}), 4) as stop_ratio,
+       round((least(len({TOKS_SQL})::double / 20.0, 1.0)
+              + least(len(list_filter({TOKS_SQL}, x -> x in ({STOPS_SQL})))
+                      / len({TOKS_SQL}) * 4, 1.0)
+              + greatest(1.0 - (case when length(text) = 0 then 0.0
+                  else length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))
+                       / length(text) end) * 5, 0.0)) / 3, 4) as quality
+from documents
+"""
+
+
+def _text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang"))
+
+
+_TEXT_LANGID_SQL = f"""
+select doc_id, {_langid_case_sql(TOKS_SQL)} as pred_lang from documents
+"""
+
+
+def _text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+_TEXT_FINGERPRINT_SQL = f"""
+select doc_id,
+       md5(array_to_string(list_sort(list_distinct({TOKS_SQL})), ' ')) as fp
+from documents
+"""
+
+
+# --- dedup ------------------------------------------------------------------
+
+def _dedup_exact(spark, sf_dir):
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+select md5(text) as dup_key, min(doc_id) as keep_id, count(*) as n_docs
+from documents group by md5(text)
+"""
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+_DEDUP_NGRAM_JACCARD_SQL = f"""
+with sh as (select doc_id as id, {_grams_sql(TOKS_SQL)} as s from documents)
+select a.id as a, b.id as b,
+       round(len(list_intersect(a.s, b.s))::double /
+             len(list_distinct(list_concat(a.s, b.s))), 4) as jac
+from sh a join sh b on a.id < b.id
+where round(len(list_intersect(a.s, b.s))::double /
+            len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.2
+"""
+
+
+def _dedup_minhash_sig(spark, sf_dir):
+    return D.minhash_md5_signatures(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_MINHASH_SIG_SQL = f"""
+with g as (select doc_id as id, {_grams_sql(TOKS_SQL)} as g from documents)
+select id, array_to_string({_minhash_sig_sql('g')}, '|') as sig from g
+"""
+
+
+def _dedup_minhash_pairs(spark, sf_dir):
+    return D.minhash_md5_pairs(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_MINHASH_PAIRS_SQL = f"""
+with g as (select doc_id as id, {_grams_sql(TOKS_SQL)} as g from documents),
+sigs as (select id, {_minhash_sig_sql('g')} as sig from g),
+bands as (
+  select id, b.b as band,
+         md5(sig[2 * b.b + 1] || ',' || sig[2 * b.b + 2]) as band_key
+  from sigs cross join (values (0), (1), (2), (3)) as b(b))
+select distinct l.id as a, r.id as b
+from bands l join bands r
+  on l.band = r.band and l.band_key = r.band_key and l.id < r.id
+"""
+
+
+def _dedup_simhash(spark, sf_dir):
+    return D.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_SIMHASH_SQL = f"""
+select doc_id as id, {_simhash_sql(TOKS_SQL)} as simhash from documents
+"""
+
+
+def _dedup_embedding_cosine(spark, sf_dir):
+    return D.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"),
+                                    threshold=0.4)
+
+
+_DEDUP_EMBEDDING_COSINE_SQL = f"""
+select a.vec_id as a, b.vec_id as b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 4) as sim
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.4
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+def _ann_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+_ANN_COSINE_TOPK_SQL = f"""
+with q as (select embedding as qv from embeddings where vec_id = 0)
+select vec_id, label,
+       round({_cos_sql('embedding', 'qv')}, 4) as sim
+from embeddings, q where vec_id <> 0
+order by sim desc, vec_id limit 10
+"""
+
+
+def _ann_ivf_topk(spark, sf_dir):
+    return S.ivf_topk_per_cell(_t(spark, sf_dir, "embeddings"), query_id=0, k=3)
+
+
+_ANN_IVF_TOPK_SQL = f"""
+with q as (select embedding as qv from embeddings where vec_id = 0),
+scored as (
+  select vec_id, label, round({_cos_sql('embedding', 'qv')}, 4) as sim
+  from embeddings, q where vec_id <> 0)
+select vec_id, label, sim, rank from (
+  select vec_id, label, sim,
+         row_number() over (partition by label order by sim desc, vec_id) as rank
+  from scored) where rank <= 3
+"""
+
+
+def _ann_lsh_signatures(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return v.select("vec_id",
+                    S.hyperplane_signs(F.col("v"), EMB_DIM, 8).alias("sig"))
+
+
+_ANN_LSH_SIGNATURES_SQL = f"""
+select vec_id, {_hyperplane_sig_sql('embedding')} as sig from embeddings
+"""
+
+
+def _ann_lsh_bucket_topk(spark, sf_dir):
+    """Rows-only (bucket membership vs the query's signature — the signature
+    math itself is oracle-checked by ann_lsh_signatures)."""
+    return S.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), query_id=0,
+                             dim=EMB_DIM, k=10, n_planes=8)
+
+
+# --- multimodal -------------------------------------------------------------
+
+def _multimodal_features(spark, sf_dir):
+    from .operators.multimodal import extract_features, media_from_documents
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return extract_features(media).select("media_id", "n_bytes", "digest",
+                                          "feat16")
+
+
+_MULTIMODAL_FEATURES_SQL = """
+select doc_id as media_id, octet_length(encode(text)) as n_bytes,
+       md5(text) as digest,
+       ('0x' || substring(md5(text), 1, 4))::bigint as feat16
+from documents
+"""
+
+
+# --- KG pipeline (web path) -------------------------------------------------
+
+def _kg_pages(spark, sf_dir):
+    from .sources.pages import pages_from_documents
+    return pages_from_documents(_t(spark, sf_dir, "documents"))
+
+
+def _kg_pages_triples(spark, sf_dir):
+    """Flagship: HTML build → stage-1 extraction → stage-2 CSVW triple kernel,
+    all inside Arrow batches; the oracle recomputes the expected triples
+    relationally from the documents table."""
+    from .sources.pages import DOC_PAGE_META
+    from .web import pages_to_triples
+    triples = pages_to_triples(_kg_pages(spark, sf_dir), minimal=True,
+                               default_meta=DOC_PAGE_META)
+    return triples.select("subj", "pred", "obj")
+
+
+_KG_PAGES_TRIPLES_SQL = " union all ".join(
+    f"select {DOC_URL_SQL} || '#doc-' || doc_id as subj, "
+    f"{DOC_URL_SQL} || '#{col}' as pred, "
+    f"cast({col} as varchar) as obj from documents"
+    for col in ("doc_id", "lang", "source", "n_chars"))
+
+
+def _kg_entity_mentions(spark, sf_dir):
+    """Stage 2b: broadcast-dictionary mention detection (exact tier; the
+    fuzzy Jaccard tier is gated off by min_score > 1 so the oracle is exact)."""
+    from .sources.pages import DOC_PAGE_META
+    from .web import link_entities, pages_to_triples
+    docs = _t(spark, sf_dir, "documents")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    ents = {s: SOURCE_ENT_PREFIX + s for s in sources}
+    triples = pages_to_triples(_kg_pages(spark, sf_dir), minimal=True,
+                               default_meta=DOC_PAGE_META)
+    mentions = link_entities(triples, ents, min_score=1.1)
+    return mentions.select("subj", "pred", "obj")
+
+
+_KG_ENTITY_MENTIONS_SQL = f"""
+select {DOC_URL_SQL} || '#doc-' || doc_id as subj,
+       '{MENTIONS_PRED}' as pred,
+       '{SOURCE_ENT_PREFIX}' || source as obj
+from documents
+"""
+
+
+def _kg_canonicalized_triples(spark, sf_dir):
+    """Stage 3 end-to-end (rows-only: LSH blocking + connected components is
+    iterative, not SQL-expressible; correctness is pytest-covered)."""
+    from .sources.pages import DOC_PAGE_META
+    from .web import canonicalize_subjects, pages_to_triples
+    triples = pages_to_triples(_kg_pages(spark, sf_dir), minimal=True,
+                               default_meta=DOC_PAGE_META)
+    rewritten, _mapping = canonicalize_subjects(triples)
+    return rewritten.select("subj", "pred", "obj")
+
+
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "csvw_triples_nation": _csvw_triples_nation,
+    "csvw_coerce_numeric": _csvw_coerce_numeric,
+    "csvw_date_format": _csvw_date_format,
+    "csvw_null_default_trim": _csvw_null_default_trim,
+    "csvw_json_rows": _csvw_json_rows,
+    "csvw_list_split": _csvw_list_split,
+    "csvw_boolean_format": _csvw_boolean_format,
+    "csvw_uri_template": _csvw_uri_template,
+    "agg_pricing_summary": _agg_pricing_summary,
+    "join_order_revenue": _join_order_revenue,
+    "window_top_events": _window_top_events,
+    "agg_events_daily": _agg_events_daily,
+    "fk_orders_customer": _fk_orders_customer,
+    "text_quality": _text_quality,
+    "text_langid": _text_langid,
+    "text_fingerprint": _text_fingerprint,
+    "dedup_exact": _dedup_exact,
+    "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+    "dedup_minhash_sig": _dedup_minhash_sig,
+    "dedup_minhash_pairs": _dedup_minhash_pairs,
+    "dedup_simhash": _dedup_simhash,
+    "dedup_embedding_cosine": _dedup_embedding_cosine,
+    "ann_cosine_topk": _ann_cosine_topk,
+    "ann_ivf_topk": _ann_ivf_topk,
+    "ann_lsh_signatures": _ann_lsh_signatures,
+    "ann_lsh_bucket_topk": _ann_lsh_bucket_topk,
+    "multimodal_features": _multimodal_features,
+    "kg_pages_triples": _kg_pages_triples,
+    "kg_entity_mentions": _kg_entity_mentions,
+    "kg_canonicalized_triples": _kg_canonicalized_triples,
+}
+
+_ORACLES: dict[str, str] = {
+    "csvw_triples_nation": _CSVW_TRIPLES_NATION_SQL,
+    "csvw_coerce_numeric": _CSVW_COERCE_NUMERIC_SQL,
+    "csvw_date_format": _CSVW_DATE_FORMAT_SQL,
+    "csvw_null_default_trim": _CSVW_NULL_DEFAULT_TRIM_SQL,
+    "csvw_json_rows": _CSVW_JSON_ROWS_SQL,
+    "csvw_list_split": _CSVW_LIST_SPLIT_SQL,
+    "csvw_boolean_format": _CSVW_BOOLEAN_FORMAT_SQL,
+    "csvw_uri_template": _CSVW_URI_TEMPLATE_SQL,
+    "agg_pricing_summary": _AGG_PRICING_SUMMARY_SQL,
+    "join_order_revenue": _JOIN_ORDER_REVENUE_SQL,
+    "window_top_events": _WINDOW_TOP_EVENTS_SQL,
+    "agg_events_daily": _AGG_EVENTS_DAILY_SQL,
+    "fk_orders_customer": _FK_ORDERS_CUSTOMER_SQL,
+    "text_quality": _TEXT_QUALITY_SQL,
+    "text_langid": _TEXT_LANGID_SQL,
+    "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_sig": _DEDUP_MINHASH_SIG_SQL,
+    "dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
+    "dedup_simhash": _DEDUP_SIMHASH_SQL,
+    "dedup_embedding_cosine": _DEDUP_EMBEDDING_COSINE_SQL,
+    "ann_cosine_topk": _ANN_COSINE_TOPK_SQL,
+    "ann_ivf_topk": _ANN_IVF_TOPK_SQL,
+    "ann_lsh_signatures": _ANN_LSH_SIGNATURES_SQL,
+    "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+    "kg_pages_triples": _KG_PAGES_TRIPLES_SQL,
+    "kg_entity_mentions": _KG_ENTITY_MENTIONS_SQL,
+    # rows-only (non-SQL-expressible): ann_lsh_bucket_topk,
+    # kg_canonicalized_triples
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -19,10 +19,18 @@ _SHIPPED: set[int] = set()
 
 
 def package_zip_path() -> str:
-    """Build (once per process) a zip of this package for --py-files/addPyFile."""
+    """Build a zip of this package for --py-files/addPyFile.
+
+    Rebuilt whenever any source file is newer than the cached zip —
+    a stale cache across sessions would ship old code to executors.
+    """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "rdf_tabular_spark_pkg.zip")
-    if not os.path.exists(out):
+    src_mtime = max(
+        os.path.getmtime(os.path.join(root, fn))
+        for root, _dirs, files in os.walk(pkg_dir)
+        for fn in files if fn.endswith(".py"))
+    if not os.path.exists(out) or os.path.getmtime(out) < src_mtime:
         tmp = out + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):

@@ -166,6 +166,59 @@ def synth_pages(spark: SparkSession, n_pages: int, seed: int = 42,
     return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+DOC_PAGE_META = {
+    "url": "http://pages.example.org/",
+    "tableSchema": {
+        "columns": [
+            {"name": "doc_id", "title": "doc_id"},
+            {"name": "lang", "title": "lang"},
+            {"name": "source", "title": "source"},
+            {"name": "n_chars", "title": "n_chars"},
+        ],
+        "aboutUrl": "#doc-{doc_id}",
+    },
+}
+
+
+def doc_page_url(doc_id: int) -> str:
+    return f"http://pages.example.org/doc/{doc_id}"
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) → pages table whose HTML
+    embeds one single-row data table per document.
+
+    This is the oracle-checkable web fixture: the expected triples of
+    ``pages_to_triples`` over these pages are computable in plain SQL from
+    the documents table (see queries.kg_pages_triples), so the whole
+    HTML-build → extract → CSVW-kernel path is verified end-to-end by the
+    DuckDB cross-check. Narrow Arrow stage, deterministic, no external data.
+    """
+    base_ts = datetime.datetime(2024, 1, 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+            for did, text, lang, source, n_chars in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"], pdf["n_chars"]):
+                did = int(did)
+                html = (
+                    "<html><head><title>Doc {d}</title></head><body>"
+                    "<h1>Document {d}</h1>"
+                    "<table><tr><th>doc_id</th><th>lang</th><th>source</th><th>n_chars</th></tr>"
+                    "<tr><td>{d}</td><td>{l}</td><td>{s}</td><td>{n}</td></tr></table>"
+                    "<p>{t}</p></body></html>"
+                ).format(d=did, l=lang, s=source, n=int(n_chars), t=text)
+                out["url"].append(doc_page_url(did))
+                out["warc_ts"].append(base_ts + datetime.timedelta(seconds=did % 86400))
+                out["html"].append(html.encode("utf-8"))
+                out["text"].append(extract_page(html).text)
+                out["lang"].append(str(lang))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
 def entity_dictionary() -> dict[str, str]:
     """Deterministic broadcast entity dictionary: surface form → canonical IRI
     (species + streets) for stage-2 mention detection / link scoring."""
