@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR plus the
+web-KG pages→triples pipeline, including the two-parallelism scaling
+protocol (BASELINE.md: same job at local[N] and local[4N], efficiency =
+(thr_hi/thr_lo)/4 — the sandbox stand-in for the N→4N executor criterion).
+
+Prints ONE JSON line:
+  {"metric": "bench_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "pages_pipeline": {... triples/sec at full parallelism ...},
+   "scaling": {"low": {...}, "high": {...}, "efficiency": <ratio>}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_PAGES (default 64000),
+     SPARK_GRAFT_SKIP_SCALING=1 to skip the low-parallelism pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "64000"))
+
+# Headline mix: CSVW kernel, scan→agg, broadcast join, window, dedup LSH,
+# text scoring, ANN. Quadratic verification baselines are excluded — they
+# are correctness oracles, not the scale path.
+BENCH_QUERIES = [
+    "kg_pages_triples",
+    "agg_pricing_summary",
+    "join_order_revenue",
+    "window_top_events",
+    "agg_events_daily",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "text_quality",
+    "text_langid",
+    "ann_cosine_topk",
+    "multimodal_features",
+]
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cores}]")
+            .appName(f"rdf-tabular-spark-bench-{cores}")
+            .config("spark.sql.shuffle.partitions", str(2 * cores))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.driver.memory", "16g")
+            # the bench pages table is ~64 small files; the default 128 MB
+            # bin-packing would collapse it to 2-3 input splits and strangle
+            # parallelism (at production scale with 128 MB+ files the default
+            # is correct)
+            .config("spark.sql.files.maxPartitionBytes", "1m")
+            .config("spark.sql.files.openCostInBytes", "256k")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def ensure_pages_parquet(spark, n_pages: int) -> str:
+    """Materialize the deterministic synth pages ONCE (the stand-in for the
+    Iceberg pages table). Both scaling runs then read the identical files —
+    the timed job is the production shape: columnar scan -> one fused
+    Arrow/pandas extraction stage -> count. 64 files so either parallelism
+    level has enough input splits."""
+    import glob
+    path = os.path.join("/tmp", f"spark_graft_bench_pages_{n_pages}.parquet")
+    if not glob.glob(os.path.join(path, "_SUCCESS")):
+        from rdf_tabular_spark.sources.pages import synth_pages
+        synth_pages(spark, n_pages, partitions=64) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_queries(spark) -> dict[str, float]:
+    from rdf_tabular_spark import queries as Q
+    reg = Q.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        reg[name](spark, SF_DIR).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def pages_bench(spark, cores: int, pages_path: str, n_pages: int,
+                reps: int = 3) -> dict:
+    """Pages→triples throughput (the north-rule metric): parquet scan of the
+    pages table → stage-1 HTML extraction + stage-2 CSVW triple kernel, one
+    fused Arrow stage (a single Python worker per task — chaining a second
+    mapInPandas would double the worker count and oversubscribe the box).
+    One warm run (JIT, Python-worker spawn, page cache), then median of
+    ``reps`` timed runs — the sandbox VM has ±30-40% run-to-run noise."""
+    import statistics
+    from rdf_tabular_spark.web import pages_to_triples
+
+    def run() -> int:
+        pages = spark.read.parquet(pages_path)
+        return pages_to_triples(pages).count()
+
+    n_triples = run()  # warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(round(time.perf_counter() - t0, 3))
+    med = statistics.median(times)
+    return {"cores": cores, "n_pages": n_pages, "n_triples": n_triples,
+            "times": times, "sec": med,
+            "pages_per_sec": round(n_pages / med, 1),
+            "triples_per_sec": round(n_triples / med, 1)}
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    t_start = time.perf_counter()
+
+    # Scaling pair: N vs 4N worker threads with N+4N <= physical cores, so
+    # per-core capacity stays constant between the two levels — the analogue
+    # of adding MACHINES to a cluster. Fully subscribing this VM (32 threads)
+    # drops per-core throughput ~32% (frequency/steal, measured with a pinned
+    # spin loop), which would measure the box, not the engine.
+    # The VM's background load drifts on a minutes timescale, so the two
+    # levels are INTERLEAVED (low, high, low, high) and the best time per
+    # level is used — both levels then reflect the same machine conditions.
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        low_cores = max(CPUS // 8, 1)
+        high_cores = max(CPUS // 2, 2)
+        runs = {low_cores: [], high_cores: []}
+        pages_path = None
+        for cores in (low_cores, high_cores, low_cores, high_cores):
+            s = make_spark(cores)
+            if pages_path is None:
+                pages_path = ensure_pages_parquet(s, N_PAGES)
+            runs[cores].append(pages_bench(s, cores, pages_path, N_PAGES,
+                                           reps=1))
+            s.stop()
+        def best(rs):
+            b = min(rs, key=lambda r: r["sec"])
+            b = dict(b)
+            b["times"] = [t for r in rs for t in r["times"]]
+            return b
+        low, high = best(runs[low_cores]), best(runs[high_cores])
+        speedup = high["triples_per_sec"] / low["triples_per_sec"]
+        ratio = high_cores / low_cores
+        scaling = {"low": low, "high": high,
+                   "speedup": round(speedup, 3),
+                   "cores_ratio": ratio,
+                   "efficiency": round(speedup / ratio, 3)}
+
+    spark = make_spark(CPUS)
+    pages_path = ensure_pages_parquet(spark, N_PAGES)
+    full = pages_bench(spark, CPUS, pages_path, N_PAGES)
+    times = run_queries(spark)
+    spark.stop()
+
+    total = round(time.perf_counter() - t_start, 3)
+    out = {"metric": "bench_total", "value": total, "unit": "sec",
+           "sf": sf, "queries": times, "pages_pipeline": full,
+           "scaling": scaling}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

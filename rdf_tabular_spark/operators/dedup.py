@@ -68,33 +68,65 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("jac") >= threshold))
 
 
-def minhash_md5_signature(text_col: Column, num_perm: int = 8,
-                          n: int = 3) -> Column:
-    """Oracle-parity MinHash: sig_i = lexical min over word-n-gram shingles of
-    md5(i || ':' || shingle) → array<string> of hex digests.
+def _md5_minhash_rows(ids, texts, num_perm: int, n: int):
+    """Executor-side md5-MinHash: sig_i = lexical min over word-n-gram
+    shingles of md5(i || ':' || shingle). Bit-identical to the SQL oracle
+    (same md5, same shingling) but ~100× cheaper than interpreted
+    higher-order Column eval — hashlib inside an Arrow batch."""
+    import hashlib
+    import re
+    out_ids, out_sigs = [], []
+    ws = re.compile(r"\s+")
+    for rid, text in zip(ids, texts):
+        toks = ws.split(str(text or "").strip())
+        grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)} \
+            if len(toks) >= n else set()
+        sig = []
+        for p in range(num_perm):
+            prefix = f"{p}:".encode()
+            sig.append(min(
+                (hashlib.md5(prefix + g.encode()).hexdigest() for g in grams),
+                default=None))
+        out_ids.append(int(rid))
+        out_sigs.append(sig)
+    return out_ids, out_sigs
 
-    md5-as-permutation is the textbook construction with a cross-engine
-    reproducible hash; the production path swaps in numpy xxhash signatures
-    (operators/minhash.py) with the identical plan shape.
+
+def minhash_md5_sig_df(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_perm: int = 8,
+                       n: int = 3) -> DataFrame:
+    """→ (id: long, sig: array<string>) via one Arrow-batched kernel.
+
+    Narrow, no shuffle. The Column-expression construction of the same
+    signature (transform/array_min/md5) is oracle-equivalent but runs in
+    Catalyst's interpreted HOF evaluator at ~17µs/hash — the kernel form is
+    the one that survives a 100 TB corpus.
     """
-    grams = word_ngrams(text_col, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform(
-            grams, lambda g: F.md5(F.concat(i.cast("string"), F.lit(":"), g)))))
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+    import pandas as pd
+
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(df.sparkSession)
+
+    schema = StructType([StructField("id", LongType(), False),
+                         StructField("sig", ArrayType(StringType()), True)])
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, sigs = _md5_minhash_rows(pdf[id_col], pdf[text_col],
+                                          num_perm, n)
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return df.mapInPandas(kernel, schema=schema)
 
 
 def minhash_md5_signatures(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_perm: int = 8,
                            n: int = 3) -> DataFrame:
-    """→ (id, sig_0..sig_{k-1} flattened to one '|'-joined string).
-
-    Narrow projection, no shuffle; the flat string form keeps the driver's
-    hash-compare schema simple.
-    """
-    sig = minhash_md5_signature(F.col(text_col), num_perm, n)
-    return df.select(F.col(id_col).cast("long").alias("id"),
-                     F.concat_ws("|", sig).alias("sig"))
+    """→ (id, sig flattened to one '|'-joined string) for the hash-compare."""
+    sigs = minhash_md5_sig_df(df, id_col, text_col, num_perm, n)
+    return sigs.select("id", F.concat_ws("|", "sig").alias("sig"))
 
 
 def minhash_md5_bands(df: DataFrame, id_col: str = "doc_id",
@@ -102,20 +134,25 @@ def minhash_md5_bands(df: DataFrame, id_col: str = "doc_id",
                       rows_per_band: int = 2, n: int = 3) -> DataFrame:
     """→ thin (id, band, band_key) rows: md5 of each signature band.
 
+    The signature array is **persisted** before banding: every downstream
+    branch (self-join sides, distinct) would otherwise re-evaluate the full
+    shingle+md5 expression tree per branch — the classic recompute trap with
+    DAG reuse. The persisted projection is tiny (id + k hex strings ≈ 300 B
+    per doc, ~0.03% of corpus bytes at web scale).
+
     The explode inflates rows num_bands× but each row is ~50 bytes — the
     shuffle that follows (band-key self-join) moves O(corpus × bands) tiny
     rows, not documents.
     """
     num_bands = num_perm // rows_per_band
-    sig = minhash_md5_signature(F.col(text_col), num_perm, n)
+    sigs = minhash_md5_sig_df(df, id_col, text_col, num_perm, n).persist()
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda b: F.struct(
             b.alias("band"),
-            F.md5(F.concat_ws(",", F.slice(sig, b * rows_per_band + 1,
+            F.md5(F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1,
                                            rows_per_band))).alias("band_key")))
-    return (df.select(F.col(id_col).cast("long").alias("id"),
-                      F.explode(bands).alias("bk"))
+    return (sigs.select("id", F.explode(bands).alias("bk"))
             .select("id", F.col("bk.band").alias("band"),
                     F.col("bk.band_key").alias("band_key")))
 
@@ -126,9 +163,12 @@ def minhash_md5_pairs(df: DataFrame, id_col: str = "doc_id",
     """LSH candidate pairs: ids sharing any signature band → (a, b) distinct.
 
     ONE shuffle (self-join on (band, band_key)); candidates are verified by
-    exact Jaccard downstream, so false positives only cost a lookup.
+    exact Jaccard downstream, so false positives only cost a lookup. The
+    band table is persisted so the self-join's two sides scan it instead of
+    recomputing the signature lineage twice.
     """
-    bands = minhash_md5_bands(df, id_col, text_col, num_perm, rows_per_band, n)
+    bands = minhash_md5_bands(df, id_col, text_col, num_perm,
+                              rows_per_band, n).persist()
     l, r = bands.alias("l"), bands.alias("r")
     return (l.join(r, ["band", "band_key"])
             .filter(F.col("l.id") < F.col("r.id"))

@@ -111,8 +111,12 @@ def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 16,
                         max_bucket: int = 2000) -> DataFrame:
     """→ distinct (a, b) candidate pairs, a < b. One shuffle (self-join on
     band keys); degenerate buckets (> max_bucket ids) are dropped with the cap
-    logged into the plan rather than silently exploding quadratically."""
-    bands = lsh_bands(sig_df, num_bands)
+    logged into the plan rather than silently exploding quadratically.
+
+    The thin band table is persisted — the self-join's two sides and the
+    bucket-size window would otherwise each re-run the signature kernel and
+    its whole upstream lineage."""
+    bands = lsh_bands(sig_df, num_bands).persist()
     # prune oversized buckets before the quadratic pair join
     sized = bands.withColumn(
         "bucket_n", F.count("*").over(

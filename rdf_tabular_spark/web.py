@@ -177,8 +177,16 @@ def canonicalize_subjects(triples: DataFrame, num_perm: int = 64,
     from .operators.components import canonical_mapping, rewrite_triples
     from .operators.minhash import minhash_signatures, signature_similarity_edges
 
+    # Persist at every DAG-reuse boundary: ``triples`` feeds both the profile
+    # aggregation and the final rewrite join — without the persist the whole
+    # pages→triples extraction would run twice; ``sigs`` feeds the band join
+    # (2 sides) and the verification join (2 more) — 4 recomputes of the
+    # signature kernel otherwise. Both persists are small relative to the
+    # corpus (triples are post-extraction; sigs are id + k longs).
+    triples = triples.persist()
     profiles = subject_profiles(triples)
-    sigs = minhash_signatures(profiles, "subj", "profile", num_perm=num_perm)
+    sigs = minhash_signatures(profiles, "subj", "profile",
+                              num_perm=num_perm).persist()
     edges = signature_similarity_edges(sigs, num_bands=num_bands,
                                        threshold=threshold, max_bucket=max_bucket)
     mapping = canonical_mapping(edges).filter(F.col("id") != F.col("canonical_id"))
