@@ -171,22 +171,71 @@ def group_to_triples(spark: SparkSession, group: TableGroup, resolver: Resolver,
     return reduce(DataFrame.unionByName, dfs)
 
 
+def discover_metadata(url: str, resolver: Resolver) -> list[tuple[dict, str]]:
+    """S3 metadata discovery for a CSV url → [(raw_doc, metadata_url)] in
+    precedence order: ``{url}-metadata.json``, then sibling ``metadata.json``
+    (reference: Metadata.for_input, metadata.rb:139-194; the HTTP
+    ``Link rel=describedby`` tier applies only to live HTTP fetches)."""
+    import os
+    from urllib.parse import urljoin
+    from .csvw.model import load_json
+    out: list[tuple[dict, str]] = []
+    sibling = urljoin(url, "metadata.json") if "://" in url else \
+        os.path.join(os.path.dirname(url), "metadata.json")
+    candidates = [url + "-metadata.json", sibling]
+    for cand in candidates:
+        try:
+            path = resolver(cand)
+            if os.path.exists(path):
+                out.append((load_json(cand, resolver), cand))
+        except OSError:
+            continue
+    return out
+
+
 def csvw_to_triples(spark: SparkSession, source, base: str = "",
                     resolver: Resolver = default_resolver,
+                    user_metadata: Optional[dict] = None,
                     minimal: bool = False) -> DataFrame:
     """Main entry: ``source`` is metadata (dict or .json path) or a CSV path.
 
-    Returns the flat triples DataFrame (schema: operators.triples.TRIPLE_SCHEMA).
+    For a CSV source the reference's ``for_input`` resolution applies:
+    user metadata ▷ discovered ``{url}-metadata.json`` / ``metadata.json``
+    (merged via csvw.merge, M2/M3) ▷ embedded header. Returns the flat
+    triples DataFrame (schema: operators.triples.TRIPLE_SCHEMA).
     """
+    from .csvw.merge import merge_metadata
     if isinstance(source, dict) or (isinstance(source, str) and source.endswith((".json", ".jsonld"))):
-        meta = load_metadata(source, base=base, resolver=resolver)
+        if user_metadata is not None:
+            raw = source if isinstance(source, dict) else \
+                __import__("json").load(open(resolver(source) if base else source))
+            merged = merge_metadata(user_metadata, raw)
+            meta = load_metadata(merged, base=base or (source if isinstance(source, str) else ""),
+                                 resolver=resolver)
+        else:
+            meta = load_metadata(source, base=base, resolver=resolver)
     else:
-        # metadata-less CSV: embedded header only (reference: Metadata.for_input)
         url = base or source
-        from .csvw.model import embedded_table_from_header
-        dialect = Dialect()
-        titles, _ = read_header(resolver(url) if base else source, dialect)
-        meta = embedded_table_from_header(titles, url, dialect)
+        found = discover_metadata(url, resolver)
+        docs = ([user_metadata] if user_metadata else []) + [d for d, _ in found]
+        if docs:
+            merged = merge_metadata(*docs)
+            meta_base = found[0][1] if found else url
+            meta = load_metadata(merged, base=meta_base, resolver=resolver)
+            # direct-CSV entry: narrow the merged group to this table
+            # (reference: reader.rb:68 for_table — no group-level triples)
+            if isinstance(meta, TableGroup):
+                table = meta.for_table(url)
+                if table is None and len(meta.tables) == 1:
+                    table = meta.tables[0]
+                if table is not None:
+                    meta = table
+        else:
+            # metadata-less CSV: embedded header only
+            from .csvw.model import embedded_table_from_header
+            dialect = Dialect()
+            titles, _ = read_header(resolver(url) if base else source, dialect)
+            meta = embedded_table_from_header(titles, url, dialect)
     if isinstance(meta, TableGroup):
         return group_to_triples(spark, meta, resolver, minimal=minimal)
     return table_to_triples(spark, meta, resolver, minimal=minimal)

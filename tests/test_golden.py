@@ -75,3 +75,10 @@ def test_country_codes_standard(spark):
     run_fixture(spark, os.path.join(DATA, "country-codes-and-names.csv"),
                 "country-codes-and-names-standard.ttl",
                 base=BASE + "country-codes-and-names.csv")
+
+
+def test_tree_ops_discovered_metadata(spark):
+    """S3 discovery: opening the CSV finds {url}-metadata.json and produces
+    the standard output (reference: Metadata.for_input, metadata.rb:139-194)."""
+    run_fixture(spark, os.path.join(DATA, "tree-ops.csv"),
+                "tree-ops-standard.ttl", base=BASE + "tree-ops.csv")
