@@ -76,6 +76,9 @@ def extract_features(media: DataFrame) -> DataFrame:
     A real pipeline swaps :func:`fake_features` for decode+CNN inside this
     same kernel; the plan does not change.
     """
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(media.sparkSession)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "n_bytes": [], "digest": [], "feat16": [],

@@ -162,6 +162,8 @@ def synth_pages(spark: SparkSession, n_pages: int, seed: int = 42,
                 out["lang"].append(lang)
             yield pd.DataFrame(out)
 
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
     rng = spark.range(0, n_pages, numPartitions=partitions or max(8, n_pages // 20000))
     return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
 
@@ -216,6 +218,8 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
                 out["lang"].append(str(lang))
             yield pd.DataFrame(out)
 
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(docs.sparkSession)
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 

@@ -1,0 +1,128 @@
+"""Structured Streaming ingest: incremental pages → triples.
+
+The reference is strictly batch (SURVEY.md §2.7: no streaming anywhere in
+lib/); this is the Spark-native generalization for a continuously-crawled
+corpus: new page files land in the input directory (the streaming face of
+an Iceberg append), each micro-batch runs the SAME stage-1+2 Arrow kernel
+as the batch path (``web.pages_to_triples`` — mapInPandas is streaming-
+compatible because it is stateless per batch), and the sink checkpoints
+progress so a crashed or re-run job resumes exactly where it left off
+without reprocessing (file-source + checkpoint = exactly-once file
+accounting; complements the batch layer's per-batch manifests in
+sinks/graph_store.py).
+
+``Trigger.AvailableNow`` drains everything pending then stops — the
+cron-style incremental-batch mode a 10^12-doc pipeline actually runs
+(continuous triggers hold executors hostage between crawl drops).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.pages import PAGES_SCHEMA
+
+
+def read_page_stream(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    """File-source stream over a pages directory (url, warc_ts, html, text,
+    lang). ``maxFilesPerTrigger`` bounds micro-batch size so one giant crawl
+    drop cannot blow executor memory."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_pages_to_triples(spark: SparkSession, input_dir: str, out_dir: str,
+                            checkpoint_dir: str,
+                            default_meta: Optional[dict] = None,
+                            available_now: bool = True,
+                            max_files_per_trigger: Optional[int] = None):
+    """pages stream → triples parquet, checkpointed. Returns the query.
+
+    The transformation is identical to the batch path (one narrow Arrow
+    stage, no shuffle), so the streaming plan is just: file scan →
+    mapInPandas → file sink. Resume = re-run with the same checkpoint dir.
+    """
+    from ..web import pages_to_triples
+    pages = read_page_stream(spark, input_dir, max_files_per_trigger)
+    triples = pages_to_triples(pages, default_meta=default_meta)
+    writer = (triples.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def triples_rate_per_host(spark: SparkSession, input_dir: str, out_dir: str,
+                          checkpoint_dir: str,
+                          default_meta: Optional[dict] = None,
+                          window: str = "1 minute",
+                          watermark: str = "10 minutes",
+                          available_now: bool = True):
+    """Watermarked windowed aggregation: triples/min per host keyed on the
+    page's WARC capture time — the late-data-tolerant ops metric stream.
+
+    One shuffle on (window, host); state is bounded by the watermark, so
+    this runs indefinitely at constant memory per key — the Structured
+    Streaming answer to the north rule's per-partition metrics requirement.
+    """
+    import json as _json
+    from typing import Iterator
+    import pandas as pd
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, TimestampType)
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    pages = read_page_stream(spark, input_dir)
+    meta_json = _json.dumps(default_meta) if default_meta else None
+
+    counts_schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("n_triples", LongType(), False),
+    ])
+
+    def count_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-page triple counts computed in-kernel: no stream-stream join,
+        # no triple rows shuffled — only (url, ts, count) reaches the agg
+        from ..sources.html_extract import _decode, extract_page
+        from ..web import _kernel_for_meta
+        for pdf in batches:
+            urls, tss, ns = [], [], []
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                page = extract_page(_decode(html))
+                mj = page.csvw_meta or meta_json
+                n = 0
+                if mj is not None:
+                    tk = _kernel_for_meta(mj, True)
+                    for t in page.tables:
+                        for i, row in enumerate(t.rows):
+                            if i >= 1:
+                                n += len(tk.row_triples(row, i, i + 1, url=url))
+                urls.append(url); tss.append(ts); ns.append(n)
+            yield pd.DataFrame({"url": urls, "warc_ts": tss, "n_triples": ns})
+
+    counts = pages.mapInPandas(count_kernel, schema=counts_schema)
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    agg = (counts.withColumn("host", host)
+           .withWatermark("warc_ts", watermark)
+           .groupBy(F.window("warc_ts", window), F.col("host"))
+           .agg(F.sum("n_triples").alias("n_triples"))
+           .select(F.col("window.start").alias("window_start"),
+                   "host", "n_triples"))
+    writer = (agg.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

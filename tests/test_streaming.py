@@ -1,0 +1,71 @@
+"""Structured Streaming ingest tests: incremental pages → triples with
+checkpoint resume, and the watermarked per-host rate aggregation."""
+
+import os
+
+import pytest
+
+from rdf_tabular_spark.sources.pages import DOC_PAGE_META, pages_from_documents
+from rdf_tabular_spark.streaming.ingest import (stream_pages_to_triples,
+                                                triples_rate_per_host)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_batch(spark, tmp, name, lo, hi):
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(f"doc_id >= {lo} and doc_id < {hi}"))
+    pages_from_documents(docs).write.mode("append") \
+        .parquet(os.path.join(tmp, "pages_in"))
+
+
+def test_stream_ingest_and_resume(spark, tmp_path):
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "pages_in")
+    out_dir = os.path.join(tmp, "triples_out")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    _write_batch(spark, tmp, "b1", 0, 40)
+    q = stream_pages_to_triples(spark, in_dir, out_dir, ckpt,
+                                default_meta=DOC_PAGE_META)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 40 * 4  # 4 cell triples per single-row page
+
+    # append a second batch; re-running with the same checkpoint processes
+    # ONLY the new files (exactly-once file accounting)
+    _write_batch(spark, tmp, "b2", 40, 100)
+    q = stream_pages_to_triples(spark, in_dir, out_dir, ckpt,
+                                default_meta=DOC_PAGE_META)
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 100 * 4
+    # no duplicates: every (subj, pred) pair appears exactly once
+    assert out.select("subj", "pred").distinct().count() == 100 * 4
+
+
+def test_stream_rate_per_host(spark, tmp_path):
+    """Append-mode windowed aggregation emits a window only once the
+    watermark passes its end — the second batch (later event times)
+    finalizes the first 1-minute window."""
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "pages_in")
+    out = os.path.join(tmp, "rates")
+    ckpt = os.path.join(tmp, "rates_ckpt")
+
+    _write_batch(spark, tmp, "b1", 0, 50)  # warc_ts = 00:00:00 .. 00:00:49
+    q = triples_rate_per_host(spark, in_dir, out, ckpt,
+                              default_meta=DOC_PAGE_META,
+                              watermark="0 seconds")
+    q.awaitTermination(120)
+
+    _write_batch(spark, tmp, "b2", 50, 100)  # event time advances to 00:01:39
+    q = triples_rate_per_host(spark, in_dir, out, ckpt,
+                              default_meta=DOC_PAGE_META,
+                              watermark="0 seconds")
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    # window [00:00, 00:01) closed: docs 0-59, 4 triples each
+    assert [(r["host"], r["n_triples"]) for r in rows] == \
+        [("pages.example.org", 60 * 4)]
