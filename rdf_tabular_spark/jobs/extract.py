@@ -1,0 +1,63 @@
+"""spark-submit entry point: pages table → partitioned triple store.
+
+Cluster invocation (north_rule: "run via spark-submit --py-files"):
+
+    ZIP=$(python -c "from rdf_tabular_spark.session import package_zip_path;
+                     print(package_zip_path())")
+    spark-submit --master <cluster> --py-files "$ZIP" \\
+        rdf_tabular_spark/jobs/extract.py \\
+        --pages s3://crawl/pages/ --out s3://kg/graph --batch-id 2024-06-01 \\
+        [--entity-dict] [--no-canonicalize] [--synth N]
+
+Re-running with the same --batch-id is a no-op once the batch manifest is
+committed (resume semantics live in sinks/graph_store.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="pages -> triples -> graph store")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="parquet dir of pages (url, warc_ts, html, text, lang)")
+    src.add_argument("--synth", type=int, help="generate N deterministic synthetic pages instead")
+    p.add_argument("--out", required=True, help="graph-store root directory")
+    p.add_argument("--batch-id", required=True)
+    p.add_argument("--entity-dict", action="store_true",
+                   help="run stage-2b mention linking with the built-in entity dictionary")
+    p.add_argument("--no-canonicalize", action="store_true",
+                   help="skip stage-3 MinHash-LSH canonicalization")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    b = (SparkSession.builder.appName(f"kg-extract-{args.batch_id}")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true"))
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = b.getOrCreate()
+
+    from rdf_tabular_spark.sources.pages import entity_dictionary, synth_pages
+    from rdf_tabular_spark.web import web_pipeline
+
+    pages = (synth_pages(spark, args.synth) if args.synth
+             else spark.read.parquet(args.pages))
+    manifest = web_pipeline(
+        spark, pages, args.out, args.batch_id,
+        entity_dict=entity_dictionary() if args.entity_dict else None,
+        canonicalize=not args.no_canonicalize)
+    print(json.dumps(manifest))
+    return manifest
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -22,7 +22,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     """
     sym = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
            .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-           .distinct())
+           .distinct()
+           # cut the upstream lineage ONCE: the edge list is joined every
+           # iteration — without this the whole LSH/blocking pipeline would
+           # re-execute per iteration (and once more per convergence check)
+           .localCheckpoint(eager=True))
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("component", F.col("id")))
 

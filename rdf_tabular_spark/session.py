@@ -45,6 +45,10 @@ def package_zip_path() -> str:
 
 
 def ensure_package_on_executors(spark: SparkSession) -> None:
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if ".zip" in pkg_dir:
+        # already running FROM a --py-files zip: spark-submit distributed it
+        return
     sc = spark.sparkContext
     key = id(sc)
     if key in _SHIPPED:

@@ -1,0 +1,72 @@
+"""Physical-plan audits: lock in the plan properties that matter at 100 TB
+(predicate pushdown, column pruning, broadcast joins, shuffle-free narrow
+stages). A regression here costs more at scale than any logic bug."""
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from rdf_tabular_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_join_order_revenue_broadcasts_and_pushes_filter(spark):
+    p = plan_of(Q.queries()["join_order_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in p, "dim join must broadcast, not shuffle"
+    assert "EqualTo(c_mktsegment,BUILDING)" in p, \
+        "segment filter must reach the parquet scan (PushedFilters)"
+
+
+def test_agg_pricing_summary_prunes_columns(spark):
+    p = plan_of(Q.queries()["agg_pricing_summary"](spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_returnflag",
+                    "l_linestatus"}, f"scan reads too much: {cols}"
+    assert p.count("HashAggregate") >= 2, "partial (map-side) agg missing"
+
+
+def test_text_quality_prunes_columns(spark):
+    p = plan_of(Q.queries()["text_quality"](spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_pages_to_triples_is_shuffle_free(spark):
+    """Stages 1+2 must stay narrow — one Arrow pass over the pages table;
+    any Exchange here would shuffle the whole corpus at 10^12 docs."""
+    from rdf_tabular_spark.sources.pages import DOC_PAGE_META, pages_from_documents
+    from rdf_tabular_spark.web import pages_to_triples
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    triples = pages_to_triples(pages_from_documents(docs), minimal=True,
+                               default_meta=DOC_PAGE_META)
+    p = plan_of(triples)
+    assert "Exchange" not in p, "pages->triples must not shuffle"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .filter(F.col("l_quantity") > 45).select("l_orderkey"))
+    p = plan_of(df)
+    assert "GreaterThan(l_quantity,45" in p
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from rdf_tabular_spark.operators.dedup import exact_dedup_groups
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(exact_dedup_groups(docs))
+    # one Exchange node (the groupBy); partial aggregation before it
+    # (formatted mode prints each node twice: tree + detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2

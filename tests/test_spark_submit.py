@@ -1,0 +1,44 @@
+"""End-to-end spark-submit packaging test: the cluster invocation path
+(--py-files zip + jobs/extract.py) must work from a clean cwd with no
+repo on sys.path — exactly how a real cluster launches it."""
+
+import json
+import os
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_extract_job(tmp_path):
+    import sys
+    sys.path.insert(0, REPO)
+    from rdf_tabular_spark.session import package_zip_path
+    zip_path = package_zip_path()
+
+    out_root = str(tmp_path / "graph")
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--conf", "spark.ui.enabled=false",
+           "--py-files", zip_path,
+           os.path.join(REPO, "rdf_tabular_spark", "jobs", "extract.py"),
+           "--synth", "120", "--out", out_root, "--batch-id", "t1",
+           "--entity-dict", "--no-canonicalize", "--shuffle-partitions", "8"]
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    res = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                         capture_output=True, text=True, timeout=420)
+    assert res.returncode == 0, res.stderr[-3000:]
+    manifest = json.loads(res.stdout.strip().splitlines()[-1])
+    assert manifest["status"] == "committed"
+    assert manifest["n_triples"] > 0
+    assert os.path.exists(os.path.join(out_root, "_manifests", "t1.json"))
+
+    # resume: second run with the same batch-id must be a committed no-op
+    res2 = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                          capture_output=True, text=True, timeout=420)
+    assert res2.returncode == 0, res2.stderr[-3000:]
+    manifest2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert manifest2["n_triples"] == manifest["n_triples"]
