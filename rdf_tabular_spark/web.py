@@ -89,6 +89,45 @@ def pages_to_triples(pages: DataFrame, minimal: bool = True,
     return pages.mapInPandas(kernel, schema=TRIPLE_SCHEMA)
 
 
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def microdata_to_triples(pages: DataFrame) -> DataFrame:
+    """Stage 1b: schema.org microdata items → triples.
+
+    Property IRIs resolve against the item's vocabulary (itemtype base, e.g.
+    http://schema.org/), itemtype becomes an rdf:type triple, and values that
+    look like IRIs stay IRIs. Narrow: extraction is the same Arrow kernel as
+    the table path (sources/html_extract.pages_to_microdata), this is a pure
+    projection on top.
+    """
+    from .sources.html_extract import pages_to_microdata
+    md = pages_to_microdata(pages)
+    vocab = F.regexp_extract("itemtype", r"^(.*/)[^/]*$", 1)
+    pred = F.when(F.col("prop").rlike("^https?://"), F.col("prop")) \
+        .otherwise(F.concat(F.when(vocab == "", F.concat(F.col("url"), F.lit("#")))
+                            .otherwise(vocab), F.col("prop")))
+    obj_is_iri = F.col("value").rlike("^https?://")
+    props = md.select(
+        F.col("item_id").alias("subj"), pred.alias("pred"),
+        F.col("value").alias("obj"), obj_is_iri.alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.col("url").alias("table_url"),
+        F.lit(0).cast("long").alias("source_num"))
+    types = (md.filter(F.col("itemtype") != "")
+             .select("item_id", "itemtype", "url").distinct()
+             .select(F.col("item_id").alias("subj"),
+                     F.lit(RDF_TYPE).alias("pred"),
+                     F.col("itemtype").alias("obj"),
+                     F.lit(True).alias("obj_is_iri"),
+                     F.lit(None).cast("string").alias("obj_datatype"),
+                     F.lit(None).cast("string").alias("obj_lang"),
+                     F.col("url").alias("table_url"),
+                     F.lit(0).cast("long").alias("source_num")))
+    return props.unionByName(types)
+
+
 def link_entities(triples: DataFrame, entity_dict: dict[str, str],
                   min_score: float = 0.5) -> DataFrame:
     """Stage 2b: mention detection + link scoring against a broadcast
@@ -195,13 +234,16 @@ def canonicalize_subjects(triples: DataFrame, num_perm: int = 64,
 
 def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
                  batch_id: str, entity_dict: Optional[dict[str, str]] = None,
-                 canonicalize: bool = True, default_meta: Optional[dict] = None) -> dict:
+                 canonicalize: bool = True, default_meta: Optional[dict] = None,
+                 include_microdata: bool = True) -> dict:
     """Full stage 1→4 run over a pages batch; returns the commit manifest."""
     from .sinks.graph_store import materialize, processed_batches
     if batch_id in processed_batches(out_root):
         return materialize(pages.limit(0).sparkSession.createDataFrame([], TRIPLE_SCHEMA),
                            out_root, batch_id)  # no-op resume hit
     triples = pages_to_triples(pages, default_meta=default_meta)
+    if include_microdata:
+        triples = triples.unionByName(microdata_to_triples(pages))
     if entity_dict:
         mentions = link_entities(triples, entity_dict)
         triples = triples.unionByName(mentions)

@@ -141,3 +141,21 @@ def test_web_pipeline_end_to_end(spark, pages, tmp_path):
     assert manifest["status"] == "committed"
     assert manifest["n_triples"] > 0
     assert os.path.exists(os.path.join(root, "_manifests", "r1.json"))
+
+
+def test_microdata_to_triples(spark):
+    """Stage 1b: schema.org items become rdf:type + property triples with
+    vocabulary-resolved predicate IRIs."""
+    from rdf_tabular_spark.sources.pages import synth_pages
+    from rdf_tabular_spark.web import microdata_to_triples
+    pages = synth_pages(spark, 30)  # every pid % 3 == 0 page embeds microdata
+    md = microdata_to_triples(pages)
+    rows = md.collect()
+    assert rows, "microdata pages must yield triples"
+    preds = {r["pred"] for r in rows}
+    assert "http://schema.org/name" in preds
+    assert "http://schema.org/containsPlace" in preds
+    types = [r for r in rows if r["pred"].endswith("#type")]
+    assert types and all(r["obj"] == "http://schema.org/Place" for r in types)
+    # deterministic skolem subjects, page-scoped
+    assert all(r["subj"].startswith("_:md-") for r in rows)
