@@ -118,11 +118,48 @@ def table_level_triples(table: Table, table_resource: str, minimal: bool) -> lis
     return out
 
 
+def provenance_triples(table_resource: str, table_url: str,
+                       csv_path: Optional[str], metadata_files: list[str],
+                       started: str, ended: str, seed: str) -> list[tuple]:
+    """U9 PROV block (reference: reader.rb:186-218): dcat:Distribution +
+    prov:Activity with qualifiedUsage of the CSV and each metadata file.
+    Deterministic skolem bnodes; timestamps are caller-supplied ISO-8601
+    lexicals so output stays reproducible."""
+    bnode = _BNodeGen("prov:" + seed)
+    DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+    dist, act = bnode(), bnode()
+    out = [
+        (table_resource, DCAT + "distribution", dist, True, None, None),
+        (dist, RDF_TYPE, DCAT + "Distribution", True, None, None),
+        (dist, DCAT + "downloadURL", table_url, True, None, None),
+        (table_resource, PROV + "activity", act, True, None, None),
+        (act, RDF_TYPE, PROV + "Activity", True, None, None),
+        (act, PROV + "startedAtTime", started, False, DT, None),
+        (act, PROV + "endedAtTime", ended, False, DT, None),
+    ]
+    roles = ([(csv_path, CSVW + "csvEncodedTabularData")] if csv_path else []) + \
+        [(fn, CSVW + "tabularMetadata") for fn in metadata_files]
+    for entity, role in roles:
+        usage = bnode()
+        out += [
+            (act, PROV + "qualifiedUsage", usage, True, None, None),
+            (usage, RDF_TYPE, PROV + "Usage", True, None, None),
+            (usage, PROV + "Entity", entity, True, None, None),
+            (usage, PROV + "hadRole", role, True, None, None),
+        ]
+    return out
+
+
 def table_to_triples(spark: SparkSession, table: Table, resolver: Resolver,
                      minimal: bool = False,
-                     table_resource: Optional[str] = None) -> DataFrame:
+                     table_resource: Optional[str] = None,
+                     prov_times: Optional[tuple[str, str]] = None,
+                     metadata_files: Optional[list[str]] = None) -> DataFrame:
     """One CSVW table → triples DataFrame (entry point 1,
-    reference: reader.rb:136-183)."""
+    reference: reader.rb:136-183). ``prov_times=(started, ended)`` enables
+    the U9 PROV block (reference emits it unless noProv; off by default here
+    because the goldens are noProv and web-scale lineage lives in the graph
+    store's manifests)."""
     from .session import ensure_package_on_executors
     ensure_package_on_executors(spark)
     path = resolver(table.url)
@@ -135,6 +172,11 @@ def table_to_triples(spark: SparkSession, table: Table, resolver: Resolver,
     rows = read_rows(spark, path, table.dialect)
     data_triples = rows_to_triples(rows, mapping)
     meta = table_level_triples(table, mapping.table_resource, minimal)
+    if prov_times is not None and not minimal:
+        started, ended = prov_times
+        meta += provenance_triples(mapping.table_resource, table.url,
+                                   table.url, metadata_files or [],
+                                   started, ended, seed=table.url)
     if not meta:
         return data_triples
     meta_df = local_triples_df(

@@ -133,3 +133,80 @@ def test_xml_html_json_aliases():
 def test_gyear():
     cv, _ = run("1960", {"base": "gYear"})
     assert cv.lexical == "1960" and cv.datatype == XSD + "gYear"
+
+
+# Exact-error-string tranche ported from the reference matrix
+# (reference: spec/metadata_spec.rb:755-1004). ``None`` expected result means
+# no datatype match — the kernel falls back to a plain literal, matching the
+# reference's keep-lexical-with-errors semantics.
+REF_CASES = [
+    ({"base": "string", "length": 3}, "foo", "foo", []),
+    ({"base": "string", "length": 4}, "foo", None, ["foo does not have length 4"]),
+    ({"base": "string", "maxLength": 2}, "foo", None, ["foo does not have length <= 2"]),
+    ({"base": "string", "minLength": 4}, "foo", None, ["foo does not have length >= 4"]),
+    ({"base": "decimal"}, "4", "4", []),
+    ({"base": "decimal", "pattern": r"\d{3}"}, "123", "123", []),
+    ({"base": "decimal"}, "123,456.789", "123456.789", []),
+    ({"base": "decimal", "groupChar": ";"}, "123;456.789", "123456.789", []),
+    ({"base": "decimal", "decimalChar": ";"}, "123456;789", "123456.789", []),
+    ({"base": "decimal"}, "123456.789e10", None, ["123456.789e10 is not a valid decimal"]),
+    ({"base": "integer"}, "1234", "1234", []),
+    ({"base": "integer"}, "1234.56", None, ["1234.56 is not a valid integer"]),
+    ({"base": "long"}, "1234", "1234", []),
+    ({"base": "long"}, "1234.56", None, ["1234.56 is not a valid long"]),
+    ({"base": "short"}, "1234", "1234", []),
+    ({"base": "short"}, "1234.56", None, ["1234.56 is not a valid short"]),
+    ({"base": "byte"}, "123", "123", []),
+    ({"base": "byte"}, "1234", None, ["1234 is not a valid byte"]),
+    ({"base": "unsignedLong"}, "1234", "1234", []),
+    ({"base": "unsignedLong"}, "-1234", None, ["-1234 is not a valid unsignedLong"]),
+    ({"base": "unsignedShort"}, "1234", "1234", []),
+    ({"base": "unsignedShort"}, "-1234", None, ["-1234 is not a valid unsignedShort"]),
+    ({"base": "unsignedByte"}, "123", "123", []),
+    ({"base": "unsignedByte"}, "-123", None, ["-123 is not a valid unsignedByte"]),
+    ({"base": "positiveInteger"}, "123", "123", []),
+    ({"base": "positiveInteger"}, "-123", None, ["-123 is not a valid positiveInteger"]),
+    ({"base": "negativeInteger"}, "-123", "-123", []),
+    ({"base": "negativeInteger"}, "123", None, ["123 is not a valid negativeInteger"]),
+    ({"base": "nonPositiveInteger"}, "0", "0", []),
+    ({"base": "nonPositiveInteger"}, "1", None, ["1 is not a valid nonPositiveInteger"]),
+    ({"base": "nonNegativeInteger"}, "0", "0", []),
+    ({"base": "nonNegativeInteger"}, "-1", None, ["-1 is not a valid nonNegativeInteger"]),
+    ({"base": "double"}, "1234.456E789", "1234.456E789", []),
+    ({"base": "double"}, "1z", None, ["1z is not a valid double"]),
+    ({"base": "float"}, "1234.456E789", "1234.456E789", []),
+    ({"base": "float"}, "1z", None, ["1z is not a valid float"]),
+    ({"base": "float"}, "NaN", "NaN", []),
+    ({"base": "float"}, "-INF", "-INF", []),
+    ({"base": "date", "format": "yyyyMMdd"}, "20150322", "2015-03-22", []),
+    ({"base": "date", "format": "dd-MM-yyyy"}, "22-03-2015", "2015-03-22", []),
+    ({"base": "date", "format": "d-M-yyyy"}, "22-3-2015", "2015-03-22", []),
+    ({"base": "date", "format": "MM-dd-yyyy"}, "03-22-2015", "2015-03-22", []),
+    ({"base": "date", "format": "M-d-yyyy"}, "3-22-2015", "2015-03-22", []),
+    ({"base": "date", "format": "MM/dd/yyyy"}, "03/22/2015", "2015-03-22", []),
+]
+
+
+@pytest.mark.parametrize("dt,value,expected,errors", REF_CASES)
+def test_reference_matrix(dt, value, expected, errors):
+    cv, errs = run(value, dt)
+    if expected is None:
+        assert cv is None
+        assert errs == errors
+    else:
+        assert cv is not None, f"unexpected errors: {errs}"
+        assert cv.lexical == expected
+        assert errs == []
+
+
+def test_repeating_group_char_keeps_lexical_with_error():
+    """Reference: value kept (plain literal fallback) + repeating-group error."""
+    cv, errs = run("123;;456.789", {"base": "decimal", "groupChar": ";"})
+    assert cv is None
+    assert any("has repeating" in e for e in errs)
+
+
+def test_pattern_mismatch_error():
+    cv, errs = run("123", {"base": "decimal", "pattern": r"\d{4}"})
+    assert cv is None
+    assert any("does not match pattern" in e for e in errs)

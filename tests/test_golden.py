@@ -82,3 +82,33 @@ def test_tree_ops_discovered_metadata(spark):
     the standard output (reference: Metadata.for_input, metadata.rb:139-194)."""
     run_fixture(spark, os.path.join(DATA, "tree-ops.csv"),
                 "tree-ops-standard.ttl", base=BASE + "tree-ops.csv")
+
+
+def test_prov_block(spark):
+    """U9 provenance (reference: reader.rb:186-218; SPARQL ASK checks in
+    spec/reader_spec.rb:125-158): activity with start/end times and
+    qualified usages of the CSV and metadata files."""
+    from rdf_tabular_spark.csvw.model import load_metadata
+    from rdf_tabular_spark.pipeline import table_to_triples
+
+    meta = load_metadata(os.path.join(DATA, "tree-ops.csv-metadata.json"),
+                         base=BASE + "tree-ops.csv-metadata.json",
+                         resolver=resolver)
+    df = table_to_triples(
+        spark, meta, resolver,
+        prov_times=("2024-01-01T00:00:00Z", "2024-01-01T00:00:05Z"),
+        metadata_files=[BASE + "tree-ops.csv-metadata.json"])
+    rows = [tuple(r) for r in df.collect()]
+    preds = {r[1] for r in rows}
+    PROV = "http://www.w3.org/ns/prov#"
+    DCAT = "http://www.w3.org/ns/dcat#"
+    assert PROV + "activity" in preds
+    assert DCAT + "downloadURL" in preds
+    starts = [r for r in rows if r[1] == PROV + "startedAtTime"]
+    assert starts[0][2] == "2024-01-01T00:00:00Z"
+    assert starts[0][4] == "http://www.w3.org/2001/XMLSchema#dateTime"
+    usages = [r for r in rows if r[1] == PROV + "qualifiedUsage"]
+    assert len(usages) == 2  # csv + metadata file
+    roles = {r[2] for r in rows if r[1] == PROV + "hadRole"}
+    assert roles == {"http://www.w3.org/ns/csvw#csvEncodedTabularData",
+                     "http://www.w3.org/ns/csvw#tabularMetadata"}

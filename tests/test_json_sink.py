@@ -65,3 +65,23 @@ def test_ntriples_roundtrip(spark):
     reparsed = parse_turtle("\n".join(lines))
     pr = triple_pr(reparsed, df_to_terms(df.collect()))
     assert pr.precision == 1.0 and pr.recall == 1.0
+
+
+def test_atd_sink_structure(spark):
+    """S8 ATD serialization (reference: reader.rb:387-448; the repo's
+    tree-ops-atd.json golden is an empty placeholder, so the shape is
+    asserted structurally against the to_atd contracts)."""
+    from rdf_tabular_spark.sinks.atd import csvw_to_atd
+    atd = csvw_to_atd(spark, os.path.join(DATA, "tree-ops.csv-metadata.json"),
+                      base=BASE + "tree-ops.csv-metadata.json", resolver=resolver)
+    assert atd["@type"] == "AnnotatedTable"
+    assert atd["url"].endswith("tree-ops.csv")
+    assert [c["name"] for c in atd["columns"]] == \
+        ["GID", "on_street", "species", "trim_cycle", "inventory_date"]
+    assert len(atd["rows"]) == 3
+    row1 = atd["rows"][0]
+    assert row1["number"] == 1 and row1["sourceNumber"] == 2
+    assert row1["cells"][0]["stringValue"] == "1"
+    # each column's cell registry references every row's cell ids
+    assert len(atd["columns"][0]["cells"]) == 3
+    assert row1["cells"][0]["@id"] in atd["columns"][0]["cells"]
