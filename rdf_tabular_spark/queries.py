@@ -642,6 +642,28 @@ from documents
 """
 
 
+def _kg_microdata_triples(spark, sf_dir):
+    """Stage 1b: schema.org microdata items (explicit itemid → deterministic
+    subjects) → rdf:type + property triples; the oracle predicts all three
+    triples per document relationally."""
+    from .web import microdata_to_triples
+    return microdata_to_triples(_kg_pages(spark, sf_dir)) \
+        .select("subj", "pred", "obj")
+
+
+_KG_MICRODATA_TRIPLES_SQL = f"""
+select {DOC_URL_SQL} || '#item' as subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' as pred,
+       'http://schema.org/CreativeWork' as obj from documents
+union all
+select {DOC_URL_SQL} || '#item', 'http://schema.org/name',
+       'doc ' || doc_id from documents
+union all
+select {DOC_URL_SQL} || '#item', 'http://schema.org/inLanguage',
+       lang from documents
+"""
+
+
 def _kg_canonicalized_triples(spark, sf_dir):
     """Stage 3 end-to-end (rows-only: LSH blocking + connected components is
     iterative, not SQL-expressible; correctness is pytest-covered)."""
@@ -685,6 +707,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": _multimodal_features,
     "kg_pages_triples": _kg_pages_triples,
     "kg_entity_mentions": _kg_entity_mentions,
+    "kg_microdata_triples": _kg_microdata_triples,
     "kg_canonicalized_triples": _kg_canonicalized_triples,
 }
 
@@ -717,6 +740,7 @@ _ORACLES: dict[str, str] = {
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "kg_pages_triples": _KG_PAGES_TRIPLES_SQL,
     "kg_entity_mentions": _KG_ENTITY_MENTIONS_SQL,
+    "kg_microdata_triples": _KG_MICRODATA_TRIPLES_SQL,
     # rows-only (non-SQL-expressible): ann_lsh_bucket_topk,
     # kg_canonicalized_triples
 }

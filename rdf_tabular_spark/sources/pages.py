@@ -204,14 +204,18 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
             for did, text, lang, source, n_chars in zip(
                     pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"], pdf["n_chars"]):
                 did = int(did)
+                url = doc_page_url(did)
                 html = (
                     "<html><head><title>Doc {d}</title></head><body>"
                     "<h1>Document {d}</h1>"
                     "<table><tr><th>doc_id</th><th>lang</th><th>source</th><th>n_chars</th></tr>"
                     "<tr><td>{d}</td><td>{l}</td><td>{s}</td><td>{n}</td></tr></table>"
+                    '<div itemscope itemid="{u}#item" itemtype="http://schema.org/CreativeWork">'
+                    '<span itemprop="name">doc {d}</span>'
+                    '<span itemprop="inLanguage">{l}</span></div>'
                     "<p>{t}</p></body></html>"
-                ).format(d=did, l=lang, s=source, n=int(n_chars), t=text)
-                out["url"].append(doc_page_url(did))
+                ).format(d=did, l=lang, s=source, n=int(n_chars), t=text, u=url)
+                out["url"].append(url)
                 out["warc_ts"].append(base_ts + datetime.timedelta(seconds=did % 86400))
                 out["html"].append(html.encode("utf-8"))
                 out["text"].append(extract_page(html).text)
