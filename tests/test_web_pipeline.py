@@ -159,3 +159,40 @@ def test_microdata_to_triples(spark):
     assert types and all(r["obj"] == "http://schema.org/Place" for r in types)
     # deterministic skolem subjects, page-scoped
     assert all(r["subj"].startswith("_:md-") for r in rows)
+
+
+def test_fast_tokenizer_equivalence():
+    """The regex fast path must produce byte-identical PageContent to the
+    html.parser path — same state machine, two front-ends; anything the
+    tokenizer can't model falls back (comments, doctype, quoted '>')."""
+    from rdf_tabular_spark.sources import html_extract as H
+    from rdf_tabular_spark.sources.pages import build_page_html, _page_rows
+
+    def slow_parse(html):
+        p = H._PageParser(); p.feed(html); p.close()
+        return H.PageContent(
+            tables=p.tables,
+            csvw_meta=p.csvw_meta.strip() if p.csvw_meta else None,
+            text="\n".join(p.text_parts), microdata=p.micro)
+
+    def eq(a, b):
+        return (a.text == b.text and a.csvw_meta == b.csvw_meta
+                and [t.rows for t in a.tables] == [t.rows for t in b.tables]
+                and [(m.item_id, m.itemtype, m.props) for m in a.microdata]
+                    == [(m.item_id, m.itemtype, m.props) for m in b.microdata])
+
+    for i in range(300):
+        h = build_page_html(i, f"h{i}.org", _page_rows(i, 3 + i % 9), "en", i % 3 == 0)
+        assert eq(H.extract_page(h), slow_parse(h)), f"page {i}"
+
+    cases = [
+        '<p>a &amp; b &lt;x&gt;</p><br><img src="i.png">',
+        '<html><!-- c --><body><p>c</p></body></html>',
+        '<a title="x>y">t</a>',
+        '<div/>text</div>',
+        '<p>unclosed<table><tr><td>1</table>',
+        '<!DOCTYPE html><html><body>d</body></html>',
+        "<script type='application/csvw+json'>{\"url\": \"u\"}</script>z",
+    ]
+    for c in cases:
+        assert eq(H.extract_page(c), slow_parse(c)), c[:60]
