@@ -115,6 +115,39 @@ def materialize(triples: DataFrame, root: str, batch_id: str,
     return manifest
 
 
-def read_graph(spark: SparkSession, root: str) -> DataFrame:
-    """Load all committed batches (partition-pruned scans via pred_bucket)."""
-    return spark.read.parquet(os.path.join(root, "data"))
+def read_graph(spark: SparkSession, root: str,
+               batches: Optional[list[str]] = None) -> DataFrame:
+    """Load committed batches (partition-pruned scans via pred_bucket).
+
+    ``batches`` restricts the read to a snapshot subset — the parquet-dir
+    analogue of Iceberg time travel: each batch commit is a snapshot, and
+    reading batches committed up to time T reproduces the graph as of T
+    (``snapshots_as_of`` gives the list). Only committed batches are read,
+    so a crashed half-written batch is never visible.
+    """
+    committed = processed_batches(root)
+    wanted = sorted(committed if batches is None
+                    else (set(batches) & committed))
+    if not wanted:
+        from ..operators.triples import TRIPLE_SCHEMA
+        return spark.createDataFrame([], TRIPLE_SCHEMA)
+    paths = [os.path.join(root, "data", f"batch={b}") for b in wanted]
+    # basePath keeps partition discovery rooted at data/ so the batch
+    # partition column is inferred consistently across a path subset
+    return (spark.read.option("basePath", os.path.join(root, "data"))
+            .parquet(*paths))
+
+
+def snapshots_as_of(root: str, as_of: str) -> list[str]:
+    """Batch ids committed at or before ISO-8601 time ``as_of``."""
+    mdir = _manifest_dir(root)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for fn in os.listdir(mdir):
+        if fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                m = json.load(f)
+            if m.get("status") == "committed" and m.get("committed_at", "") <= as_of:
+                out.append(m["batch_id"])
+    return sorted(out)

@@ -196,3 +196,35 @@ def test_fast_tokenizer_equivalence():
     ]
     for c in cases:
         assert eq(H.extract_page(c), slow_parse(c)), c[:60]
+
+
+def test_graph_store_snapshot_read(spark, tmp_path):
+    """Iceberg-style snapshot semantics on the parquet graph store: reading
+    a batch subset reproduces the graph as of that commit; uncommitted
+    batches are never visible."""
+    from rdf_tabular_spark.sinks.graph_store import (materialize, read_graph,
+                                                     snapshots_as_of)
+    from rdf_tabular_spark.sources.pages import DOC_PAGE_META, pages_from_documents
+    from rdf_tabular_spark.web import pages_to_triples
+
+    root = str(tmp_path / "g")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t1 = pages_to_triples(pages_from_documents(docs.filter("doc_id < 20")),
+                          minimal=True, default_meta=DOC_PAGE_META)
+    t2 = pages_to_triples(pages_from_documents(
+        docs.filter("doc_id >= 20 and doc_id < 50")),
+        minimal=True, default_meta=DOC_PAGE_META)
+    m1 = materialize(t1, root, "b1")
+    m2 = materialize(t2, root, "b2")
+    assert read_graph(spark, root, batches=["b1"]).count() == m1["n_triples"]
+    assert read_graph(spark, root).count() == m1["n_triples"] + m2["n_triples"]
+    assert snapshots_as_of(root, "9999-12-31T00:00:00Z") == ["b1", "b2"]
+    assert snapshots_as_of(root, "1999-01-01T00:00:00Z") == []
+
+
+def test_entry_deterministic(spark):
+    """Two runs of the flagship query hash identically (driver stability)."""
+    import __spark_entry__ as E
+    a = sorted(map(tuple, E.entry(spark).collect()))
+    b = sorted(map(tuple, E.entry(spark).collect()))
+    assert a == b
