@@ -68,6 +68,7 @@ class ColumnPlan:
     separator: Optional[str] = None
     lang: Optional[str] = None
     ordered: bool = False
+    required: bool = False
 
 
 @dataclass
@@ -118,6 +119,7 @@ def compile_mapping(table: Table, minimal: bool = False) -> TableMapping:
             separator=col.inherited("separator"),
             lang=col.inherited("lang"),
             ordered=bool(col.inherited("ordered")),
+            required=col.required,
         ))
     return mapping
 
@@ -289,6 +291,61 @@ def rows_to_triples(rows_df: DataFrame, mapping: TableMapping) -> DataFrame:
             yield res
 
     return rows_df.mapInPandas(kernel, schema=TRIPLE_SCHEMA)
+
+
+ERRORS_SCHEMA = StructType([
+    StructField("table_url", StringType(), True),
+    StructField("source_num", LongType(), False),
+    StructField("column", StringType(), False),
+    StructField("value", StringType(), True),
+    StructField("error", StringType(), False),
+])
+
+
+def rows_to_errors(rows_df: DataFrame, mapping: TableMapping) -> DataFrame:
+    """Validation mode (reference: validate!, cell.errors accumulation,
+    metadata.rb:1712-1713 + Cell#valid?): run the SAME coercion kernel but
+    emit one row per cell error instead of triples. Narrow Arrow stage;
+    ``df.isEmpty()`` on the result is the distributed validity check.
+
+    Also enforces ``required`` (reference: metadata.rb:1406-1412): an empty
+    value in a required column is an error.
+    """
+    from ..csvw import coerce as C
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [(_CompiledColumn(c), c) for c in mapping.columns]
+        url = mapping.url
+        out_cols = ["table_url", "source_num", "column", "value", "error"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for values, source_num in zip(pdf["values"], pdf["source_num"]):
+                values = list(values) + [None] * (len(cols) - len(values))
+                for (cc, cp), raw in zip(cols, values):
+                    value = raw if raw is not None else ""
+                    if value == "":
+                        value = cp.default if cp.default is not None else ""
+                    parts = value.split(cp.separator) if cp.separator else [value]
+                    for v in parts:
+                        v = v.strip()
+                        if v == (cp.null_value or ""):
+                            if cp.required:
+                                out.append((url, int(source_num), cp.name, raw,
+                                            f"{cp.name} is required"))
+                            continue
+                        if cp.datatypes is None:
+                            continue
+                        errs: list[str] = []
+                        for dt in cp.datatypes:
+                            cv, errs = C.value_matching_datatype(v, dt, cp.lang)
+                            if cv is not None:
+                                errs = []
+                                break
+                        for e in errs:
+                            out.append((url, int(source_num), cp.name, v, e))
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return rows_df.mapInPandas(kernel, schema=ERRORS_SCHEMA)
 
 
 def local_triples_df(spark: SparkSession, triples: list[tuple]) -> DataFrame:

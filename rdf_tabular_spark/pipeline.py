@@ -235,6 +235,20 @@ def discover_metadata(url: str, resolver: Resolver) -> list[tuple[dict, str]]:
     return out
 
 
+def validate_table(spark: SparkSession, table: Table, resolver: Resolver) -> DataFrame:
+    """Data-level validation (reference: validate! over cells): → errors DF
+    (table_url, source_num, column, value, error); empty == valid."""
+    from .operators.triples import rows_to_errors
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    path = resolver(table.url)
+    titles, _ = read_header(path, table.dialect)
+    if titles:
+        merge_embedded_titles(table, titles)
+    mapping = compile_mapping(table, minimal=True)
+    return rows_to_errors(read_rows(spark, path, table.dialect), mapping)
+
+
 def csvw_to_triples(spark: SparkSession, source, base: str = "",
                     resolver: Resolver = default_resolver,
                     user_metadata: Optional[dict] = None,

@@ -112,3 +112,29 @@ def test_prov_block(spark):
     roles = {r[2] for r in rows if r[1] == PROV + "hadRole"}
     assert roles == {"http://www.w3.org/ns/csvw#csvEncodedTabularData",
                      "http://www.w3.org/ns/csvw#tabularMetadata"}
+
+
+def test_validation_mode_errors_df(spark, tmp_path):
+    """Data-level validate mode: cell errors as a DataFrame
+    (reference: validate! + Cell#errors)."""
+    from rdf_tabular_spark.csvw.model import load_metadata
+    from rdf_tabular_spark.pipeline import validate_table
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("id,n,flag\n1,12,true\n2,notanum,maybe\n,5,false\n")
+    meta = {
+        "url": "t.csv",
+        "tableSchema": {"columns": [
+            {"name": "id", "datatype": "integer", "required": True},
+            {"name": "n", "datatype": "integer"},
+            {"name": "flag", "datatype": "boolean"},
+        ]},
+        "dialect": {"header": True},
+    }
+    table = load_metadata(meta, base=str(csv))
+    errs = validate_table(spark, table, resolver=lambda u: str(csv))
+    rows = {(r["source_num"], r["column"]): r["error"] for r in errs.collect()}
+    assert rows[(3, "n")] == "notanum is not a valid integer"
+    assert rows[(3, "flag")] == "maybe is not a valid boolean"
+    assert rows[(4, "id")] == "id is required"
+    assert len(rows) == 3
