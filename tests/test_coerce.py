@@ -210,3 +210,52 @@ def test_pattern_mismatch_error():
     cv, errs = run("123", {"base": "decimal", "pattern": r"\d{4}"})
     assert cv is None
     assert any("does not match pattern" in e for e in errs)
+
+
+def test_ordered_list_rdf_chain():
+    """C1 ordered separator lists → rdf:List chains with deterministic bnode
+    links (reference: reader.rb:170-176)."""
+    from rdf_tabular_spark.csvw.model import load_metadata
+    from rdf_tabular_spark.operators.triples import TripleKernel, compile_mapping
+
+    meta = {
+        "url": "http://example.org/t.csv",
+        "tableSchema": {
+            "columns": [{"name": "xs", "separator": ";", "ordered": True,
+                         "datatype": "integer"}],
+            "aboutUrl": "#r{_row}",
+        },
+    }
+    tk = TripleKernel(compile_mapping(load_metadata(meta, base=meta["url"]),
+                                      minimal=True))
+    triples = tk.row_triples(["1;2;3"], 1, 2)
+    by_pred = {}
+    for s, p, o, is_iri, dt, lang in triples:
+        by_pred.setdefault(p.rsplit("#", 1)[-1], []).append((s, o, is_iri, dt))
+    firsts = by_pred["first"]
+    rests = by_pred["rest"]
+    assert [o for _, o, _, _ in firsts] == ["1", "2", "3"]
+    assert all(dt and dt.endswith("integer") for _, _, _, dt in firsts)
+    # chain: head node linked from subject; last rest is rdf:nil
+    assert rests[-1][1].endswith("#nil")
+    assert rests[0][1] == firsts[1][0]  # rest(n0) == n1
+    subj_triples = by_pred["xs"]
+    assert subj_triples[0][0].endswith("#r1")
+    assert subj_triples[0][1] == firsts[0][0]  # subject points at head node
+
+
+def test_unordered_list_one_triple_per_element():
+    from rdf_tabular_spark.csvw.model import load_metadata
+    from rdf_tabular_spark.operators.triples import TripleKernel, compile_mapping
+    meta = {
+        "url": "http://example.org/t.csv",
+        "tableSchema": {
+            "columns": [{"name": "xs", "separator": ";"}],
+            "aboutUrl": "#r{_row}",
+        },
+    }
+    tk = TripleKernel(compile_mapping(load_metadata(meta, base=meta["url"]),
+                                      minimal=True))
+    triples = tk.row_triples(["a;b;c"], 1, 2)
+    objs = [t[2] for t in triples if t[1].endswith("#xs")]
+    assert objs == ["a", "b", "c"]
