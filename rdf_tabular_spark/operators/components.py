@@ -49,7 +49,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
 
 
 def canonical_mapping(edges: DataFrame) -> DataFrame:
-    """→ (id, canonical_id) for every vertex touched by an edge."""
+    """→ (id, canonical_id) for every vertex touched by an edge.
+
+    Empty edge sets (common once the exact-dup tier has collapsed identical
+    profiles) skip the iterative loop entirely — each CC iteration costs a
+    join+agg+action even on empty data."""
+    if edges.limit(1).count() == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "id string, canonical_id string")
     return connected_components(edges).withColumnRenamed("component", "canonical_id")
 
 

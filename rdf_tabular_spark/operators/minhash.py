@@ -60,10 +60,26 @@ def _shingle_hashes_vec(text: str, k: int) -> np.ndarray:
     return (windows * weights).sum(axis=1, dtype=np.uint64)
 
 
+def _fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 64, shingle_k: int = 5,
-                       seed: int = 1) -> DataFrame:
-    """→ (id, sig: array<long>) — narrow Arrow stage, no shuffle."""
+                       seed: int = 1, token_sep: str | None = None) -> DataFrame:
+    """→ (id, sig: array<long>) — narrow Arrow stage, no shuffle.
+
+    ``token_sep``: shingle at TOKEN granularity (split on the separator)
+    instead of character k-shingles. For structured profiles
+    (field=value|field=value|...) char shingles make every record look
+    alike (shared field names and small vocabularies push Jaccard ≈ 0.85
+    between genuinely different records), which floods every LSH bucket and
+    makes the candidate join quadratic in corpus size; token shingles keep
+    distinct records dissimilar so buckets stay small.
+    """
     a_params, b_params = _perm_params(num_perm, seed)
 
     schema = StructType([
@@ -78,7 +94,13 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         for pdf in batches:
             ids, sigs = [], []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
-                sh = np.unique(_shingle_hashes_vec(str(text or ""), shingle_k))
+                s = str(text or "")
+                if token_sep is not None:
+                    toks = [t for t in s.split(token_sep) if t]
+                    sh = np.unique(np.array(
+                        [_fnv1a(t) for t in toks] or [0], dtype=np.uint64))
+                else:
+                    sh = np.unique(_shingle_hashes_vec(s, shingle_k))
                 # (a*x + b) mod p, min over shingles, per permutation
                 vals = (sh[None, :] * a[:, None] + b[:, None]) % m
                 sig = vals.min(axis=1).astype(np.int64)

@@ -205,8 +205,8 @@ def subject_profiles(triples: DataFrame) -> DataFrame:
 
 
 def canonicalize_subjects(triples: DataFrame, num_perm: int = 64,
-                          num_bands: int = 16, threshold: float = 0.9,
-                          max_bucket: int = 1000):
+                          num_bands: int = 8, threshold: float = 0.9,
+                          max_bucket: int = 500):
     """Stage 3: MinHash-LSH blocking + connected components → canonical ids.
 
     → (rewritten_triples, mapping(id, canonical_id)). Canonical id = lexical
@@ -220,15 +220,34 @@ def canonicalize_subjects(triples: DataFrame, num_perm: int = 64,
     # aggregation and the final rewrite join — without the persist the whole
     # pages→triples extraction would run twice; ``sigs`` feeds the band join
     # (2 sides) and the verification join (2 more) — 4 recomputes of the
-    # signature kernel otherwise. Both persists are small relative to the
+    # signature kernel otherwise. All persists are small relative to the
     # corpus (triples are post-extraction; sigs are id + k longs).
     triples = triples.persist()
-    profiles = subject_profiles(triples)
-    sigs = minhash_signatures(profiles, "subj", "profile",
-                              num_perm=num_perm).persist()
+    profiles = subject_profiles(triples).persist()
+
+    # Exact-first cascade: a web corpus is dominated by page-level duplicates
+    # whose subjects have IDENTICAL profiles. Feeding those to LSH makes every
+    # band bucket quadratic in the duplicate count (k identical signatures →
+    # k²/2 candidate pairs × bands — the blowup that stalls the stage at
+    # scale). Instead: one groupBy collapses each identical-profile group to
+    # its min-subject representative (the group IS a connected component —
+    # no pairwise edges needed), and MinHash-LSH runs only over DISTINCT
+    # profiles, where near-dup buckets are genuinely small.
+    groups = profiles.groupBy("profile").agg(F.min("subj").alias("rep"))
+    member_map = (profiles.join(groups, "profile")
+                  .select("subj", "rep").persist())
+    reps = groups.select(F.col("rep").alias("subj"), "profile")
+
+    sigs = minhash_signatures(reps, "subj", "profile", num_perm=num_perm,
+                              token_sep="|").persist()
     edges = signature_similarity_edges(sigs, num_bands=num_bands,
                                        threshold=threshold, max_bucket=max_bucket)
-    mapping = canonical_mapping(edges).filter(F.col("id") != F.col("canonical_id"))
+    rep_mapping = canonical_mapping(edges)  # rep → canonical (near-dup tier)
+    mapping = (member_map
+               .join(rep_mapping, member_map.rep == rep_mapping.id, "left")
+               .select(F.col("subj").alias("id"),
+                       F.coalesce("canonical_id", "rep").alias("canonical_id"))
+               .filter(F.col("id") != F.col("canonical_id")))
     return rewrite_triples(triples, mapping), mapping
 
 
