@@ -652,6 +652,21 @@ from documents
 """
 
 
+def _kg_entity_mentions_join(spark, sf_dir):
+    """Stage 2b scale tier: dictionary as a DataFrame join (no driver
+    broadcast dict) — same oracle as the broadcast tier."""
+    from .sources.pages import DOC_PAGE_META
+    from .web import link_entities_distributed, pages_to_triples
+    docs = _t(spark, sf_dir, "documents")
+    entities = (docs.select("source").distinct()
+                .select(F.col("source").alias("surface"),
+                        F.concat(F.lit(SOURCE_ENT_PREFIX), "source").alias("iri")))
+    triples = pages_to_triples(_kg_pages(spark, sf_dir), minimal=True,
+                               default_meta=DOC_PAGE_META)
+    return link_entities_distributed(triples, entities) \
+        .select("subj", "pred", "obj")
+
+
 def _kg_microdata_triples(spark, sf_dir):
     """Stage 1b: schema.org microdata items (explicit itemid → deterministic
     subjects) → rdf:type + property triples; the oracle predicts all three
@@ -718,6 +733,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": _multimodal_features,
     "kg_pages_triples": _kg_pages_triples,
     "kg_entity_mentions": _kg_entity_mentions,
+    "kg_entity_mentions_join": _kg_entity_mentions_join,
     "kg_microdata_triples": _kg_microdata_triples,
     "kg_canonicalized_triples": _kg_canonicalized_triples,
 }
@@ -751,6 +767,7 @@ _ORACLES: dict[str, str] = {
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "kg_pages_triples": _KG_PAGES_TRIPLES_SQL,
     "kg_entity_mentions": _KG_ENTITY_MENTIONS_SQL,
+    "kg_entity_mentions_join": _KG_ENTITY_MENTIONS_SQL,
     "kg_microdata_triples": _KG_MICRODATA_TRIPLES_SQL,
     # rows-only (non-SQL-expressible): ann_lsh_bucket_topk,
     # ann_ivf_trained_topk, kg_canonicalized_triples

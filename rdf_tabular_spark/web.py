@@ -185,6 +185,27 @@ def link_entities(triples: DataFrame, entity_dict: dict[str, str],
     return literals.mapInPandas(kernel, schema=TRIPLE_SCHEMA)
 
 
+def link_entities_distributed(triples: DataFrame,
+                              entities: DataFrame) -> DataFrame:
+    """Stage 2b scale tier: entity dictionary as a DataFrame
+    (surface: string, iri: string) instead of a driver broadcast dict —
+    for dictionaries too large to broadcast (100M+ entities).
+
+    Exact-surface tier only: one equi-join, which Catalyst broadcasts when
+    the dictionary is small and shuffles (AQE skew-handled) when it is not.
+    The fuzzy tier at this scale becomes MinHash blocking over surfaces —
+    the same operators/minhash.py machinery as canonicalization.
+    """
+    literals = triples.filter(~F.col("obj_is_iri") & F.col("obj").isNotNull())
+    hit = literals.join(entities, literals.obj == entities.surface)
+    return hit.select(
+        "subj", F.lit(KG_MENTIONS).alias("pred"),
+        F.col("iri").alias("obj"), F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        "table_url", "source_num")
+
+
 def _local_name(col):
     """IRI → page-agnostic local name (after last '#' or '/')."""
     return F.element_at(F.split(F.element_at(F.split(col, "#"), -1), "/"), -1)
