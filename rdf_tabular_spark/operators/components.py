@@ -13,12 +13,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20,
-                         checkpoint_every: int = 3) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 21,
+                         rounds_per_check: int = 3) -> DataFrame:
     """edges(a, b) → (id, component) with component = min id in the component.
 
     Vertices are the distinct endpoints. Deterministic: labels are ids
     (strings compare lexicographically) — min is stable.
+
+    Actions are the dominant cost of the loop at scale (each is a full job
+    launch), so propagation runs in BATCHES of ``rounds_per_check`` rounds
+    per action: the batch is materialized by one eager localCheckpoint (also
+    truncating lineage), then convergence is tested from the ``changed``
+    flag of the batch's FINAL round — if no label moved in that round the
+    fixpoint is reached, regardless of earlier rounds in the batch. Cuts
+    driver actions ~3× vs check-every-round at the cost of ≤ k-1 cheap
+    extra rounds after convergence.
     """
     sym = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
            .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -30,19 +39,25 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("component", F.col("id")))
 
-    for i in range(max_iter):
-        # candidate label for dst = min over neighbors' labels
-        cand = (sym.join(labels, sym.src == labels.id, "inner")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("component").alias("nbr_min")))
-        new_labels = (labels.join(cand, on="id", how="left")
-                      .select("id",
-                              F.least(F.col("component"), F.col("nbr_min")).alias("component"),
-                              (F.col("nbr_min") < F.col("component")).alias("changed")))
-        changed = new_labels.filter(F.col("changed")).limit(1).count()
-        labels = new_labels.drop("changed")
-        if (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
+    done = 0
+    while done < max_iter:
+        k = min(rounds_per_check, max_iter - done)
+        for j in range(k):
+            # candidate label for dst = min over neighbors' labels
+            cand = (sym.join(labels, sym.src == labels.id, "inner")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("component").alias("nbr_min")))
+            new_labels = (labels.join(cand, on="id", how="left")
+                          .select("id",
+                                  F.least(F.col("component"),
+                                          F.col("nbr_min")).alias("component"),
+                                  (F.col("nbr_min") < F.col("component"))
+                                  .alias("changed")))
+            labels = new_labels if j == k - 1 else new_labels.drop("changed")
+        done += k
+        labels = labels.localCheckpoint(eager=True)  # ONE job runs k rounds
+        changed = labels.filter(F.col("changed")).limit(1).count()
+        labels = labels.drop("changed")
         if changed == 0:
             break
     return labels

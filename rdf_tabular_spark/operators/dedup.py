@@ -43,8 +43,11 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Keep the min-id representative per identical text."""
     keep = exact_dedup_groups(df, id_col, text_col).select("keep_id")
-    return df.join(F.broadcast(keep.hint("broadcast")),
-                   df[id_col] == keep["keep_id"], "left_semi")
+    # No broadcast hint: keep-ids ≈ one per distinct text — at corpus scale
+    # that is nearly every id, far above any safe broadcast threshold. Let
+    # AQE pick (it broadcasts anyway when the dedup rate is high and the
+    # keep table is small).
+    return df.join(keep, df[id_col] == keep["keep_id"], "left_semi")
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -145,7 +148,13 @@ def minhash_md5_bands(df: DataFrame, id_col: str = "doc_id",
     rows, not documents.
     """
     num_bands = num_perm // rows_per_band
-    sigs = minhash_md5_sig_df(df, id_col, text_col, num_perm, n).persist()
+    # Docs with < n tokens have no shingles → all-NULL signatures; concat_ws
+    # skips NULLs, so without this filter every short doc would land in the
+    # md5('') bucket and pair with every other short doc (and diverge from
+    # the SQL oracle, whose NULL band keys never join). Drop them before
+    # banding — a doc with no shingles has no similarity evidence.
+    sigs = (minhash_md5_sig_df(df, id_col, text_col, num_perm, n)
+            .filter(F.col("sig")[0].isNotNull()).persist())
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda b: F.struct(
@@ -217,12 +226,12 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     nb = max_hamming + 1
     width = SIMHASH_BITS // nb
     fps = simhash_fingerprints(df, id_col, text_col)
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(nb - 1)),
-        lambda i: F.struct(
-            i.alias("band"),
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
             F.shiftrightunsigned(F.col("simhash"), i * width)
-            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_key")))
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_key"))
+        for i in range(nb)])
     exploded = fps.select("id", "simhash", F.explode(bands).alias("bk")) \
         .select("id", "simhash", F.col("bk.band").alias("band"),
                 F.col("bk.band_key").alias("band_key"))

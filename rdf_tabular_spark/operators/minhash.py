@@ -60,11 +60,12 @@ def _shingle_hashes_vec(text: str, k: int) -> np.ndarray:
     return (windows * weights).sum(axis=1, dtype=np.uint64)
 
 
-def _fnv1a(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def _md5_u64(s: str) -> int:
+    """Token → uint64 = first 8 bytes (big-endian) of md5. C-implemented
+    (faster than a pure-Python FNV byte loop) and reproducible in the DuckDB
+    oracle as ('0x' || substring(md5(t), 1, 16))::ubigint."""
+    import hashlib
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -98,7 +99,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                 if token_sep is not None:
                     toks = [t for t in s.split(token_sep) if t]
                     sh = np.unique(np.array(
-                        [_fnv1a(t) for t in toks] or [0], dtype=np.uint64))
+                        [_md5_u64(t) for t in toks] or [0], dtype=np.uint64))
                 else:
                     sh = np.unique(_shingle_hashes_vec(s, shingle_k))
                 # (a*x + b) mod p, min over shingles, per permutation
@@ -130,7 +131,8 @@ def lsh_bands(sig_df: DataFrame, num_bands: int = 16) -> DataFrame:
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 16,
-                        max_bucket: int = 2000) -> DataFrame:
+                        max_bucket: int = 2000,
+                        releases: list | None = None) -> DataFrame:
     """→ distinct (a, b) candidate pairs, a < b. One shuffle (self-join on
     band keys); degenerate buckets (> max_bucket ids) are dropped with the cap
     logged into the plan rather than silently exploding quadratically.
@@ -139,6 +141,8 @@ def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 16,
     bucket-size window would otherwise each re-run the signature kernel and
     its whole upstream lineage."""
     bands = lsh_bands(sig_df, num_bands).persist()
+    if releases is not None:
+        releases.append(bands)  # caller unpersists after its terminal action
     # prune oversized buckets before the quadratic pair join
     sized = bands.withColumn(
         "bucket_n", F.count("*").over(
@@ -156,10 +160,15 @@ def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 16,
 
 def signature_similarity_edges(sig_df: DataFrame, num_bands: int = 16,
                                threshold: float = 0.5,
-                               max_bucket: int = 2000) -> DataFrame:
+                               max_bucket: int = 2000,
+                               releases: list | None = None) -> DataFrame:
     """Candidate pairs verified by estimated Jaccard (matching minhash
-    fraction) ≥ threshold → (a, b, sim) edges."""
-    pairs = lsh_candidate_pairs(sig_df, num_bands, max_bucket)
+    fraction) ≥ threshold → (a, b, sim) edges.
+
+    ``releases``: optional list that receives every DataFrame persisted
+    inside — the caller unpersists them after its terminal action so storage
+    memory doesn't accumulate across batches in a long-lived driver."""
+    pairs = lsh_candidate_pairs(sig_df, num_bands, max_bucket, releases)
     sigs = sig_df.select(F.col("id"), F.col("sig"))
     joined = (pairs
               .join(sigs.withColumnsRenamed({"id": "a", "sig": "sig_a"}), on="a")

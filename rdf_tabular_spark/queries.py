@@ -59,6 +59,25 @@ def _minhash_sig_sql(g: str, num_perm: int = 8) -> str:
             f"i -> list_min(list_transform({g}, x -> md5(i || ':' || x))))")
 
 
+def _minhash_scale_sig_sql(sh: str, num_perm: int = 16, seed: int = 1) -> str:
+    """SQL mirror of operators/minhash.minhash_signatures: per permutation i,
+    min over token hashes x of ((a_i*x + b_i) mod 2^64) mod (2^61-1) — the
+    numpy kernel's uint64 wraparound made explicit with hugeint arithmetic.
+    Generated from the SAME _perm_params constants as the Arrow kernel."""
+    from .operators.minhash import _MERSENNE, _perm_params
+    a_p, b_p = _perm_params(num_perm, seed)
+    mins = ", ".join(
+        f"list_min(list_transform({sh}, x -> "
+        f"((({int(a)}::hugeint * x::hugeint + {int(b)}) % {1 << 64}) "
+        f"% {_MERSENNE})::bigint))"
+        for a, b in zip(a_p, b_p))
+    return f"[{mins}]"
+
+
+# token hashing of the scale tier: first 8 bytes of md5, big-endian
+_TOKHASH_SQL = "('0x' || substring(md5(t), 1, 16))::ubigint"
+
+
 def _langid_case_sql(toks: str) -> str:
     score = {lang: f"len(list_filter({toks}, x -> x in "
                    f"({', '.join(repr(m) for m in markers)})))"
@@ -304,15 +323,15 @@ def _agg_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(38,4)")
     return (li.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
-                 F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
+            .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
                  F.count("*").alias("count_order")))
 
 
 _AGG_PRICING_SUMMARY_SQL = """
 select l_returnflag, l_linestatus,
-       cast(sum(cast(l_quantity as decimal(38,4))) as decimal(38,4)) as sum_qty,
-       cast(sum(cast(l_extendedprice as decimal(38,4))) as decimal(38,4)) as sum_base_price,
+       cast(sum(cast(l_quantity as decimal(38,4))) as double) as sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(38,4))) as double) as sum_base_price,
        count(*) as count_order
 from lineitem
 group by l_returnflag, l_linestatus
@@ -330,7 +349,7 @@ def _join_order_revenue(spark, sf_dir):
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
             .groupBy("o_orderkey", "o_orderdate")
-            .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+            .agg(F.sum(rev).cast("double").alias("revenue"))
             .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
             .limit(10))
 
@@ -338,7 +357,7 @@ def _join_order_revenue(spark, sf_dir):
 _JOIN_ORDER_REVENUE_SQL = """
 select o_orderkey, o_orderdate,
        cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(38,4)))
-            as decimal(38,4)) as revenue
+            as double) as revenue
 from lineitem
 join orders on l_orderkey = o_orderkey
 join customer on o_custkey = c_custkey
@@ -372,12 +391,12 @@ def _agg_events_daily(spark, sf_dir):
     return (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
             .agg(F.count("*").alias("n"),
                  F.sum(F.col("value").cast("decimal(38,4)"))
-                 .cast("decimal(38,4)").alias("sum_value")))
+                 .cast("double").alias("sum_value")))
 
 
 _AGG_EVENTS_DAILY_SQL = """
 select ts::date as day, event_type, count(*) as n,
-       cast(sum(cast(value as decimal(38,4))) as decimal(38,4)) as sum_value
+       cast(sum(cast(value as decimal(38,4))) as double) as sum_value
 from events
 group by ts::date, event_type
 """
@@ -493,7 +512,7 @@ def _dedup_minhash_pairs(spark, sf_dir):
 
 _DEDUP_MINHASH_PAIRS_SQL = f"""
 with g as (select doc_id as id, {_grams_sql(TOKS_SQL)} as g from documents),
-sigs as (select id, {_minhash_sig_sql('g')} as sig from g),
+sigs as (select id, {_minhash_sig_sql('g')} as sig from g where len(g) > 0),
 bands as (
   select id, b.b as band,
          md5(sig[2 * b.b + 1] || ',' || sig[2 * b.b + 2]) as band_key
@@ -510,6 +529,78 @@ def _dedup_simhash(spark, sf_dir):
 
 _DEDUP_SIMHASH_SQL = f"""
 select doc_id as id, {_simhash_sql(TOKS_SQL)} as simhash from documents
+"""
+
+
+def _dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3) via banded pigeonhole buckets.
+    The oracle is the all-pairs Hamming filter — semantically identical
+    because 16 bits / 4 bands guarantees any pair within radius 3 shares at
+    least one exact band (so banding loses nothing)."""
+    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_DEDUP_SIMHASH_PAIRS_SQL = f"""
+with f as (select doc_id as id, {_simhash_sql(TOKS_SQL)} as simhash from documents)
+select a.id as a, b.id as b, bit_count(xor(a.simhash, b.simhash)) as dist
+from f a join f b on a.id < b.id
+where bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _scale_sigs(spark, sf_dir, num_perm: int = 16):
+    from .operators import minhash as MH
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    return MH.minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id",
+                                 "text", num_perm=num_perm, token_sep=" ")
+
+
+# CTE prefix shared by the scale-tier sig/pairs oracles: whitespace tokens →
+# md5-u64 token hashes (empty → [0] sentinel, as in the kernel) → signature
+_SCALE_SIG_CTE = f"""
+with tk as (select doc_id::varchar as id,
+            list_filter(string_split(text, ' '), t -> t <> '') as tk
+            from documents),
+sh as (select id, case when len(tk) = 0 then [0::ubigint]
+       else list_distinct(list_transform(tk, t -> {_TOKHASH_SQL})) end as sh
+       from tk),
+sig as (select id, {_minhash_scale_sig_sql('sh')} as sig from sh)
+"""
+
+
+def _dedup_minhash_scale_sig(spark, sf_dir):
+    """Scale-tier MinHash signatures (operators/minhash.py numpy kernel) —
+    flattened to one comma-joined string for the hash compare."""
+    sigs = _scale_sigs(spark, sf_dir)
+    return sigs.select(
+        "id", F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
+        .alias("sig"))
+
+
+_DEDUP_MINHASH_SCALE_SIG_SQL = _SCALE_SIG_CTE + """
+select id, array_to_string(list_transform(sig, x -> x::varchar), ',') as sig
+from sig
+"""
+
+
+def _dedup_minhash_scale_pairs(spark, sf_dir):
+    """Scale-tier LSH candidate pairs (xxhash64 band join). The oracle
+    compares band *slices* directly — band equality in the engine is
+    xxhash64(slice-string) equality, identical up to a 2^-64 hash collision,
+    so the pair sets agree."""
+    from .operators import minhash as MH
+    return MH.lsh_candidate_pairs(_scale_sigs(spark, sf_dir), num_bands=4)
+
+
+_DEDUP_MINHASH_SCALE_PAIRS_SQL = _SCALE_SIG_CTE + """,
+bands as (
+  select id, b.b as band,
+         array_to_string(list_transform(list_slice(sig, 4*b.b + 1, 4*b.b + 4),
+                                        x -> x::varchar), ',') as bk
+  from sig cross join (values (0), (1), (2), (3)) as b(b))
+select distinct l.id as a, r.id as b
+from bands l join bands r on l.band = r.band and l.bk = r.bk and l.id < r.id
 """
 
 
@@ -580,10 +671,20 @@ def _ann_ivf_trained_topk(spark, sf_dir):
 
 
 def _ann_lsh_bucket_topk(spark, sf_dir):
-    """Rows-only (bucket membership vs the query's signature — the signature
-    math itself is oracle-checked by ann_lsh_signatures)."""
+    """LSH-bucketed ANN: cosine top-k restricted to the query's hyperplane
+    bucket (the same deterministic planes the oracle recomputes)."""
     return S.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), query_id=0,
                              dim=EMB_DIM, k=10, n_planes=8)
+
+
+_ANN_LSH_BUCKET_TOPK_SQL = f"""
+with s as (select vec_id, embedding,
+           {_hyperplane_sig_sql('embedding')} as sig from embeddings),
+q as (select embedding as qv, sig as qsig from s where vec_id = 0)
+select s.vec_id as vec_id, round({_cos_sql('s.embedding', 'qv')}, 4) as sim
+from s, q where s.vec_id <> 0 and s.sig = q.qsig
+order by sim desc, vec_id limit 10
+"""
 
 
 # --- multimodal -------------------------------------------------------------
@@ -689,15 +790,66 @@ select {DOC_URL_SQL} || '#item', 'http://schema.org/inLanguage',
 """
 
 
+_LOCAL_NAME_SQL = "regexp_extract({c}, '([^#/]*)$', 1)"
+
+
+def _canonicalized_oracle_sql(triples_sql: str) -> str:
+    """Relational mirror of stage 3's exact tier: subjects with identical
+    literal profiles (sorted localname(pred)=obj tokens) collapse to the
+    lexical-min subject. The LSH near-dup tier adds nothing on the synthetic
+    corpus (every profile carries a unique doc_id token, so estimated
+    Jaccard between distinct profiles stays far below the 0.9 threshold)."""
+    ln = _LOCAL_NAME_SQL.format(c="pred")
+    return f"""
+with t as ({triples_sql}),
+prof as (
+  select subj, string_agg({ln} || '=' || obj, '|' order by {ln} || '=' || obj)
+         as profile
+  from t group by subj),
+canon as (select subj, min(subj) over (partition by profile) as csubj
+          from prof)
+select c.csubj as subj, t.pred, t.obj
+from t join canon c on t.subj = c.subj
+"""
+
+
 def _kg_canonicalized_triples(spark, sf_dir):
-    """Stage 3 end-to-end (rows-only: LSH blocking + connected components is
-    iterative, not SQL-expressible; correctness is pytest-covered)."""
+    """Stage 3 end-to-end over the single-host corpus (profiles are all
+    distinct → canonicalization is the identity; the oracle proves it by
+    running the exact-tier semantics relationally)."""
     from .sources.pages import DOC_PAGE_META
     from .web import canonicalize_subjects, pages_to_triples
     triples = pages_to_triples(_kg_pages(spark, sf_dir), minimal=True,
                                default_meta=DOC_PAGE_META)
     rewritten, _mapping = canonicalize_subjects(triples)
     return rewritten.select("subj", "pred", "obj")
+
+
+_KG_CANONICALIZED_TRIPLES_SQL = _canonicalized_oracle_sql(_KG_PAGES_TRIPLES_SQL)
+
+
+def _kg_canonical_dupes(spark, sf_dir):
+    """Stage 3 with real merging: every document appears on TWO hosts
+    (pages.example.org + a mirrored url), so each subject pair has an
+    identical profile and the exact-first cascade must collapse it to the
+    lexical-min (mirror) subject while predicates keep their host."""
+    from .sources.pages import DOC_PAGE_META
+    from .web import canonicalize_subjects, pages_to_triples
+    pages = _kg_pages(spark, sf_dir)
+    mirror = pages.withColumn(
+        "url", F.regexp_replace("url", "^http://pages\\.", "http://mirror."))
+    triples = pages_to_triples(pages.unionByName(mirror), minimal=True,
+                               default_meta=DOC_PAGE_META)
+    rewritten, _mapping = canonicalize_subjects(triples)
+    return rewritten.select("subj", "pred", "obj")
+
+
+_KG_CANONICAL_DUPES_SQL = " union all ".join(
+    f"select 'http://mirror.example.org/doc/' || doc_id || '#doc-' || doc_id"
+    f" as subj, '{h}' || doc_id || '#{col}' as pred,"
+    f" cast({col} as varchar) as obj from documents"
+    for h in ("http://mirror.example.org/doc/", "http://pages.example.org/doc/")
+    for col in ("doc_id", "lang", "source", "n_chars"))
 
 
 # ---------------------------------------------------------------------------
@@ -724,6 +876,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_sig": _dedup_minhash_sig,
     "dedup_minhash_pairs": _dedup_minhash_pairs,
     "dedup_simhash": _dedup_simhash,
+    "dedup_simhash_pairs": _dedup_simhash_pairs,
+    "dedup_minhash_scale_sig": _dedup_minhash_scale_sig,
+    "dedup_minhash_scale_pairs": _dedup_minhash_scale_pairs,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "ann_cosine_topk": _ann_cosine_topk,
     "ann_ivf_topk": _ann_ivf_topk,
@@ -736,6 +891,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_mentions_join": _kg_entity_mentions_join,
     "kg_microdata_triples": _kg_microdata_triples,
     "kg_canonicalized_triples": _kg_canonicalized_triples,
+    "kg_canonical_dupes": _kg_canonical_dupes,
 }
 
 _ORACLES: dict[str, str] = {
@@ -760,17 +916,23 @@ _ORACLES: dict[str, str] = {
     "dedup_minhash_sig": _DEDUP_MINHASH_SIG_SQL,
     "dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
+    "dedup_simhash_pairs": _DEDUP_SIMHASH_PAIRS_SQL,
+    "dedup_minhash_scale_sig": _DEDUP_MINHASH_SCALE_SIG_SQL,
+    "dedup_minhash_scale_pairs": _DEDUP_MINHASH_SCALE_PAIRS_SQL,
     "dedup_embedding_cosine": _DEDUP_EMBEDDING_COSINE_SQL,
     "ann_cosine_topk": _ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_TOPK_SQL,
     "ann_lsh_signatures": _ANN_LSH_SIGNATURES_SQL,
+    "ann_lsh_bucket_topk": _ANN_LSH_BUCKET_TOPK_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "kg_pages_triples": _KG_PAGES_TRIPLES_SQL,
     "kg_entity_mentions": _KG_ENTITY_MENTIONS_SQL,
     "kg_entity_mentions_join": _KG_ENTITY_MENTIONS_SQL,
     "kg_microdata_triples": _KG_MICRODATA_TRIPLES_SQL,
-    # rows-only (non-SQL-expressible): ann_lsh_bucket_topk,
-    # ann_ivf_trained_topk, kg_canonicalized_triples
+    "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
+    "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
+    # rows-only (non-SQL-expressible): ann_ivf_trained_topk — iterative
+    # KMeans training; recall vs the exact oracle asserted in test_similarity
 }
 
 

@@ -144,7 +144,13 @@ def _fast_feed(p: "_PageParser", html: str) -> bool:
     from html import unescape
     if any(m in html for m in _SLOW_MARKERS):
         return False
-    for tok in _TOKEN_RE.findall(html):
+    tokens = _TOKEN_RE.findall(html)
+    if sum(len(t) for t in tokens) != len(html):
+        # a stray '<' with no subsequent '>' (crawl-truncated page) matches
+        # neither alternative and would be silently dropped — html.parser
+        # emits it as text, so fall back to preserve byte-identical output
+        return False
+    for tok in tokens:
         if tok[0] != "<":
             p.handle_data(unescape(tok) if "&" in tok else tok)
             continue

@@ -227,12 +227,22 @@ def subject_profiles(triples: DataFrame) -> DataFrame:
 
 def canonicalize_subjects(triples: DataFrame, num_perm: int = 64,
                           num_bands: int = 8, threshold: float = 0.9,
-                          max_bucket: int = 500):
+                          max_bucket: int = 500,
+                          releases: list | None = None):
     """Stage 3: MinHash-LSH blocking + connected components → canonical ids.
 
     → (rewritten_triples, mapping(id, canonical_id)). Canonical id = lexical
     min of the cluster (deterministic). Only clustered subjects enter the
     mapping, so the rewrite is a broadcast join against the full stream.
+
+    The mapping is materialized eagerly (localCheckpoint — it is tiny: only
+    clustered subjects), so every persist upstream of it (profiles,
+    member_map, sigs, LSH bands) is released before returning. The one
+    persist that must outlive the call — ``triples``, scanned again by the
+    caller's terminal action over the rewrite — is appended to ``releases``
+    for the caller to unpersist (long-lived drivers would otherwise
+    accumulate storage memory across batches); with ``releases=None`` it is
+    left cached.
     """
     from .operators.components import canonical_mapping, rewrite_triples
     from .operators.minhash import minhash_signatures, signature_similarity_edges
@@ -244,6 +254,8 @@ def canonicalize_subjects(triples: DataFrame, num_perm: int = 64,
     # signature kernel otherwise. All persists are small relative to the
     # corpus (triples are post-extraction; sigs are id + k longs).
     triples = triples.persist()
+    if releases is not None:
+        releases.append(triples)
     profiles = subject_profiles(triples).persist()
 
     # Exact-first cascade: a web corpus is dominated by page-level duplicates
@@ -261,14 +273,24 @@ def canonicalize_subjects(triples: DataFrame, num_perm: int = 64,
 
     sigs = minhash_signatures(reps, "subj", "profile", num_perm=num_perm,
                               token_sep="|").persist()
-    edges = signature_similarity_edges(sigs, num_bands=num_bands,
-                                       threshold=threshold, max_bucket=max_bucket)
-    rep_mapping = canonical_mapping(edges)  # rep → canonical (near-dup tier)
-    mapping = (member_map
-               .join(rep_mapping, member_map.rep == rep_mapping.id, "left")
-               .select(F.col("subj").alias("id"),
-                       F.coalesce("canonical_id", "rep").alias("canonical_id"))
-               .filter(F.col("id") != F.col("canonical_id")))
+    _owned = [profiles, member_map, sigs]
+    try:
+        edges = signature_similarity_edges(sigs, num_bands=num_bands,
+                                           threshold=threshold,
+                                           max_bucket=max_bucket,
+                                           releases=_owned)
+        rep_mapping = canonical_mapping(edges)  # rep → canonical (near-dup tier)
+        mapping = (member_map
+                   .join(rep_mapping, member_map.rep == rep_mapping.id, "left")
+                   .select(F.col("subj").alias("id"),
+                           F.coalesce("canonical_id", "rep").alias("canonical_id"))
+                   .filter(F.col("id") != F.col("canonical_id")))
+        # materialize the (tiny) mapping now so everything upstream of it can
+        # be dropped from storage before this function returns
+        mapping = mapping.localCheckpoint(eager=True)
+    finally:
+        for df in _owned:
+            df.unpersist()
     return rewrite_triples(triples, mapping), mapping
 
 
@@ -287,9 +309,15 @@ def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
     if entity_dict:
         mentions = link_entities(triples, entity_dict)
         triples = triples.unionByName(mentions)
+    held: list = []
     if canonicalize:
-        triples, _mapping = canonicalize_subjects(triples)
+        triples, _mapping = canonicalize_subjects(triples, releases=held)
     lineage = {"source": "pages", "n_pages": None, "batch_id": batch_id,
                "stages": ["extract+map", "link" if entity_dict else None,
                           "canonicalize" if canonicalize else None, "materialize"]}
-    return materialize(triples, out_root, batch_id, lineage=lineage)
+    try:
+        return materialize(triples, out_root, batch_id, lineage=lineage)
+    finally:
+        # free per-batch caches so storage memory stays flat across batches
+        for df in held:
+            df.unpersist()

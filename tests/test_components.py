@@ -1,0 +1,40 @@
+"""connected_components: batched min-label propagation (one action per
+rounds_per_check rounds — the stage-3 dominator fix)."""
+
+from pyspark.sql import functions as F
+
+from rdf_tabular_spark.operators.components import (canonical_mapping,
+                                                    connected_components)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "a string, b string")
+    rows = connected_components(df, **kw).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def test_chain_spans_multiple_batches(spark):
+    # a 12-node chain has diameter 11 — min-label propagation needs ~11
+    # rounds, i.e. several 3-round batches before the convergence check hits
+    ids = [f"n{i:02d}" for i in range(12)]
+    edges = [(ids[i], ids[i + 1]) for i in range(11)]
+    comp = _cc(spark, edges)
+    assert set(comp.values()) == {"n00"}
+    assert len(comp) == 12
+
+
+def test_two_components_and_min_label(spark):
+    comp = _cc(spark, [("b", "c"), ("c", "a"), ("x", "y")])
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_batched_equals_unbatched(spark):
+    edges = [("a", "b"), ("b", "c"), ("d", "e"), ("e", "f"), ("f", "a"),
+             ("p", "q"), ("r", "s"), ("q", "r")]
+    assert _cc(spark, edges, rounds_per_check=1) == \
+        _cc(spark, edges, rounds_per_check=4)
+
+
+def test_canonical_mapping_empty_edges(spark):
+    empty = spark.createDataFrame([], "a string, b string")
+    assert canonical_mapping(empty).count() == 0

@@ -193,6 +193,11 @@ def test_fast_tokenizer_equivalence():
         '<p>unclosed<table><tr><td>1</table>',
         '<!DOCTYPE html><html><body>d</body></html>',
         "<script type='application/csvw+json'>{\"url\": \"u\"}</script>z",
+        # crawl-truncated pages: stray '<' with no subsequent '>' must not
+        # be silently dropped by the fast tokenizer (unconsumed-input check)
+        '<table><tr><td>1</td></tr></table>text <',
+        '<p>a</p>< b',
+        '<',
     ]
     for c in cases:
         assert eq(H.extract_page(c), slow_parse(c)), c[:60]
