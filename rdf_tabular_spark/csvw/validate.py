@@ -97,6 +97,13 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
     own = {k: obj[k] for k in INHERITED if k in obj}
     for key, value in own.items():
         _check(type_name, key, value, inherited.get(key), errors)
+    dt = obj.get("datatype")
+    if isinstance(dt, dict) and "base" in dt:
+        from .coerce import DATATYPE_IRIS
+        if dt["base"] not in DATATYPE_IRIS:
+            errors.append(
+                f"{type_name} has invalid property 'datatype': "
+                f"unknown base '{dt['base']}'")
     scope = {**inherited, **own}
     for t in obj.get("resources", []) or []:
         _walk(t, "Table", scope, errors)

@@ -1,0 +1,134 @@
+"""HTTP-tier metadata discovery and format detection.
+
+Re-expresses the reference's live-HTTP behaviors with an injectable header
+source so they are testable offline:
+
+* ``Link rel="describedby"`` metadata discovery — reference
+  metadata.rb:139-194 (``for_input``): linked metadata is the FIRST found
+  tier, ahead of ``{url}-metadata.json`` and the sibling ``metadata.json``.
+* format detection by MIME type / content sniffing — reference
+  format.rb:26-44 registers ``text/csv`` (+ ``text/tab-separated-values``
+  alias) and a sample matcher; extensionless or mislabeled URLs must still
+  route correctly.
+
+A ``HeaderSource`` is any callable ``url -> {header_name: value}`` (names
+case-insensitive) standing in for the HTTP response headers; production
+wires it to the fetch layer, tests inject a dict.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Mapping, Optional
+from urllib.parse import urljoin
+
+HeaderSource = Callable[[str], Mapping[str, str]]
+
+# MIME type → format kind (reference format.rb:26-31 content_type block,
+# plus the metadata/JSON types from metadata.rb Metadata.open)
+_MIME_KINDS = {
+    "text/csv": "csv",
+    "text/tab-separated-values": "tsv",
+    "application/csvw+json": "json",
+    "application/ld+json": "json",
+    "application/json": "json",
+    "text/html": "html",
+    "application/xhtml+xml": "html",
+}
+
+_EXT_KINDS = {
+    ".csv": "csv", ".tsv": "tsv", ".tab": "tsv",
+    ".json": "json", ".jsonld": "json",
+    ".html": "html", ".htm": "html", ".xhtml": "html",
+}
+
+
+def _header(headers: Mapping[str, str], name: str) -> Optional[str]:
+    for k, v in headers.items():
+        if k.lower() == name.lower():
+            return v
+    return None
+
+
+def parse_link_header(value: str) -> list[dict]:
+    """RFC 8288 subset: ``<uri>; rel="x"; type="y", <uri2>; ...`` →
+    [{"href": uri, "rel": ..., "type": ...}, ...]. Parameters are lowered;
+    quoted values unquoted; multiple links split on top-level commas."""
+    links: list[dict] = []
+    for m in re.finditer(r'<([^>]*)>((?:\s*;\s*[a-zA-Z0-9_-]+\s*=\s*'
+                         r'(?:"[^"]*"|[^,;]+))*)', value or ""):
+        link = {"href": m.group(1)}
+        for pm in re.finditer(r';\s*([a-zA-Z0-9_-]+)\s*=\s*("[^"]*"|[^,;]+)',
+                              m.group(2)):
+            v = pm.group(2).strip()
+            if v.startswith('"') and v.endswith('"'):
+                v = v[1:-1]
+            # first occurrence of a parameter wins (RFC 8288 §3)
+            link.setdefault(pm.group(1).lower(), v)
+        links.append(link)
+    return links
+
+
+def describedby_links(headers: Mapping[str, str], base_url: str) -> list[str]:
+    """Absolute hrefs of ``rel=describedby`` links (document order).
+    ``rel`` may be a space-separated list; hrefs resolve against the
+    document URL (reference metadata.rb:152-158 joins against base)."""
+    value = _header(headers, "Link")
+    if not value:
+        return []
+    out = []
+    for link in parse_link_header(value):
+        rels = (link.get("rel") or "").lower().split()
+        if "describedby" in rels:
+            out.append(urljoin(base_url, link["href"]))
+    return out
+
+
+def content_type_kind(headers: Mapping[str, str]) -> Optional[str]:
+    """Content-Type header → format kind ('csv'|'tsv'|'json'|'html') or
+    None when absent/unknown/octet-stream (fall through to sniffing)."""
+    ct = _header(headers, "Content-Type")
+    if not ct:
+        return None
+    mime = ct.split(";", 1)[0].strip().lower()
+    return _MIME_KINDS.get(mime)
+
+
+def sniff_sample(sample: bytes | str) -> str:
+    """Content sniff of the first ~1 KB (reference format.rb:36-44 detect,
+    widened to disambiguate the formats this engine routes):
+    leading '{'/'[' → json; an HTML tag → html; a tab in the first
+    line → tsv; else csv."""
+    if isinstance(sample, bytes):
+        sample = sample.decode("utf-8", errors="replace")
+    s = sample.lstrip("﻿ \t\r\n")
+    if s[:1] in "{[":
+        return "json"
+    if re.match(r"<(!doctype|html|head|body|table|script|div|p|h[1-6])[\s>]",
+                s[:200], re.IGNORECASE):
+        return "html"
+    first_line = s.split("\n", 1)[0]
+    if "\t" in first_line and "," not in first_line:
+        return "tsv"
+    return "csv"
+
+
+def detect_format(url: Optional[str] = None,
+                  sample: Optional[bytes | str] = None,
+                  headers: Optional[Mapping[str, str]] = None) -> str:
+    """Format kind with the reference's precedence: MIME type (format.rb
+    content_type registration) ▷ file extension ▷ content sniff ▷ 'csv'."""
+    if headers is not None:
+        kind = content_type_kind(headers)
+        if kind:
+            return kind
+    if url:
+        base = url.split("#", 1)[0].split("?", 1)[0]
+        dot = base.rfind(".")
+        if dot >= 0:
+            kind = _EXT_KINDS.get(base[dot:].lower())
+            if kind:
+                return kind
+    if sample is not None:
+        return sniff_sample(sample)
+    return "csv"

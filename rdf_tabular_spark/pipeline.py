@@ -213,18 +213,28 @@ def group_to_triples(spark: SparkSession, group: TableGroup, resolver: Resolver,
     return reduce(DataFrame.unionByName, dfs)
 
 
-def discover_metadata(url: str, resolver: Resolver) -> list[tuple[dict, str]]:
+def discover_metadata(url: str, resolver: Resolver,
+                      headers: Optional["HeaderSource"] = None
+                      ) -> list[tuple[dict, str]]:
     """S3 metadata discovery for a CSV url → [(raw_doc, metadata_url)] in
-    precedence order: ``{url}-metadata.json``, then sibling ``metadata.json``
-    (reference: Metadata.for_input, metadata.rb:139-194; the HTTP
-    ``Link rel=describedby`` tier applies only to live HTTP fetches)."""
+    precedence order: HTTP ``Link rel=describedby`` (when a header source is
+    wired), then ``{url}-metadata.json``, then sibling ``metadata.json``
+    (reference: Metadata.for_input, metadata.rb:139-194 — linked metadata is
+    appended to found_metadata FIRST, i.e. highest found precedence)."""
     import os
     from urllib.parse import urljoin
     from .csvw.model import load_json
+    from .discovery import describedby_links
     out: list[tuple[dict, str]] = []
+    candidates: list[str] = []
+    if headers is not None:
+        try:
+            candidates += describedby_links(headers(url) or {}, url)
+        except Exception:
+            pass  # header fetch failure degrades to path-based discovery
     sibling = urljoin(url, "metadata.json") if "://" in url else \
         os.path.join(os.path.dirname(url), "metadata.json")
-    candidates = [url + "-metadata.json", sibling]
+    candidates += [url + "-metadata.json", sibling]
     for cand in candidates:
         try:
             path = resolver(cand)
@@ -249,19 +259,78 @@ def validate_table(spark: SparkSession, table: Table, resolver: Resolver) -> Dat
     return rows_to_errors(read_rows(spark, path, table.dialect), mapping)
 
 
+def _detect_source_kind(source, base: str, resolver: Resolver,
+                        headers: Optional["HeaderSource"]) -> str:
+    """'json' | 'csv' | 'tsv' | 'html' for a string source, with the
+    reference's precedence (format.rb:26-44): MIME type from the header
+    source ▷ extension ▷ a ~1 KB content sniff."""
+    from .discovery import detect_format
+    url = base or source
+    hdrs = None
+    if headers is not None:
+        try:
+            hdrs = headers(url)
+        except Exception:
+            hdrs = None
+    sample = None
+    try:
+        path = resolver(url) if base else source
+        with open(path, "rb") as f:
+            sample = f.read(1024)
+    except OSError:
+        pass
+    return detect_format(url=url, sample=sample, headers=hdrs)
+
+
+def _html_to_triples(spark: SparkSession, url: str, path: str,
+                     minimal: bool) -> DataFrame:
+    """Extensionless/HTML input routes to the web extractor (stage 1+2 over
+    a single page) — embedded csvw+json <script> metadata applies."""
+    import datetime
+    from .sources.html_extract import _decode, extract_page
+    from .sources.pages import PAGES_SCHEMA
+    from .web import pages_to_triples
+    with open(path, "rb") as f:
+        html = f.read()
+    content = extract_page(_decode(html))
+    default_meta = None
+    if not content.csvw_meta and content.tables and content.tables[0].rows:
+        # no embedded csvw+json script: synthesize embedded-header metadata
+        # from the first table's header row (M7 name derivation simplified)
+        header = content.tables[0].rows[0]
+        default_meta = {"url": url, "tableSchema": {"columns": [
+            {"name": h or f"_col.{i + 1}", "titles": h}
+            for i, h in enumerate(header)]}}
+    row = [(url, datetime.datetime(1970, 1, 1), bytearray(html),
+            content.text, "und")]
+    pages = spark.createDataFrame(row, PAGES_SCHEMA)
+    return pages_to_triples(pages, minimal=minimal, default_meta=default_meta)
+
+
 def csvw_to_triples(spark: SparkSession, source, base: str = "",
                     resolver: Resolver = default_resolver,
                     user_metadata: Optional[dict] = None,
-                    minimal: bool = False) -> DataFrame:
-    """Main entry: ``source`` is metadata (dict or .json path) or a CSV path.
+                    minimal: bool = False,
+                    headers: Optional["HeaderSource"] = None) -> DataFrame:
+    """Main entry: ``source`` is metadata (dict or .json path/url) or a
+    CSV/TSV/HTML path — format decided by MIME type / extension / content
+    sniff, not extension alone (reference format.rb:26-44).
 
     For a CSV source the reference's ``for_input`` resolution applies:
-    user metadata ▷ discovered ``{url}-metadata.json`` / ``metadata.json``
-    (merged via csvw.merge, M2/M3) ▷ embedded header. Returns the flat
-    triples DataFrame (schema: operators.triples.TRIPLE_SCHEMA).
+    user metadata ▷ discovered ``Link rel=describedby`` /
+    ``{url}-metadata.json`` / ``metadata.json`` (merged via csvw.merge,
+    M2/M3) ▷ embedded header. ``headers`` is an optional injectable
+    ``url -> {header: value}`` source consulted for Content-Type and Link.
+    Returns the flat triples DataFrame (operators.triples.TRIPLE_SCHEMA).
     """
     from .csvw.merge import merge_metadata
-    if isinstance(source, dict) or (isinstance(source, str) and source.endswith((".json", ".jsonld"))):
+    kind = "json" if isinstance(source, dict) else \
+        _detect_source_kind(source, base, resolver, headers)
+    if kind == "html":
+        url = base or source
+        return _html_to_triples(spark, url,
+                                resolver(url) if base else source, minimal)
+    if kind == "json":
         if user_metadata is not None:
             raw = source if isinstance(source, dict) else \
                 __import__("json").load(open(resolver(source) if base else source))
@@ -269,10 +338,14 @@ def csvw_to_triples(spark: SparkSession, source, base: str = "",
             meta = load_metadata(merged, base=base or (source if isinstance(source, str) else ""),
                                  resolver=resolver)
         else:
-            meta = load_metadata(source, base=base, resolver=resolver)
+            # the metadata document's own location is the base when none is
+            # given (relative table urls resolve against it)
+            meta = load_metadata(
+                source, base=base or (source if isinstance(source, str) else ""),
+                resolver=resolver)
     else:
         url = base or source
-        found = discover_metadata(url, resolver)
+        found = discover_metadata(url, resolver, headers=headers)
         docs = ([user_metadata] if user_metadata else []) + [d for d, _ in found]
         if docs:
             merged = merge_metadata(*docs)
@@ -287,9 +360,10 @@ def csvw_to_triples(spark: SparkSession, source, base: str = "",
                 if table is not None:
                     meta = table
         else:
-            # metadata-less CSV: embedded header only
+            # metadata-less CSV/TSV: embedded header only (TSV gets the
+            # tab dialect the text/tab-separated-values registration implies)
             from .csvw.model import embedded_table_from_header
-            dialect = Dialect()
+            dialect = Dialect(delimiter="\t") if kind == "tsv" else Dialect()
             titles, _ = read_header(resolver(url) if base else source, dialect)
             meta = embedded_table_from_header(titles, url, dialect)
     if isinstance(meta, TableGroup):

@@ -95,8 +95,16 @@ def _flatten_common_value(v):
     return v
 
 
-def table_to_json_dict(spark: SparkSession, table: Table, resolver: Resolver) -> dict:
-    """Reference-shaped table document (reader.rb:338-369)."""
+def table_to_json_dict(spark: SparkSession, table: Table, resolver: Resolver,
+                       prov: bool = False,
+                       filenames: list[str] | None = None) -> dict:
+    """Reference-shaped table document (reader.rb:338-369).
+
+    ``prov`` adds the provenance keys of reader.rb:371-379: a
+    ``distribution.downloadURL`` (the table url) and ``describedBy`` (the
+    metadata document url(s) that described this table) — the reference
+    emits them unless ``noProv``; the spec JSON goldens compare without
+    them, so they are opt-in here."""
     from ..pipeline import merge_embedded_titles
     path = resolver(table.url)
     titles, _ = read_header(path, table.dialect)
@@ -111,10 +119,17 @@ def table_to_json_dict(spark: SparkSession, table: Table, resolver: Resolver) ->
     rows_df = rows_to_json(read_rows(spark, path, table.dialect), mapping)
     collected = sorted(rows_df.collect(), key=lambda r: r["rownum"])
     doc["row"] = [json.loads(r["row_json"]) for r in collected]
+    if prov:
+        doc["distribution"] = {"downloadURL": table.url}
+        if filenames:
+            doc["describedBy"] = filenames[0] if len(filenames) == 1 \
+                else list(filenames)
     return doc
 
 
-def group_to_json_dict(spark: SparkSession, group: TableGroup, resolver: Resolver) -> dict:
+def group_to_json_dict(spark: SparkSession, group: TableGroup, resolver: Resolver,
+                       prov: bool = False,
+                       filenames: list[str] | None = None) -> dict:
     tables = []
     doc = {"tables": tables}
     for prop, value in group.common_properties():
@@ -122,20 +137,41 @@ def group_to_json_dict(spark: SparkSession, group: TableGroup, resolver: Resolve
         vals = [_flatten_common_value(v) for v in vals]
         doc[prop] = vals[0] if len(vals) == 1 else vals
     for t in group.tables:
-        tables.append(table_to_json_dict(spark, t, resolver))
+        tables.append(table_to_json_dict(spark, t, resolver, prov=prov,
+                                         filenames=filenames))
     return doc
 
 
 def csvw_to_json(spark: SparkSession, source, base: str = "",
-                 resolver: Resolver = lambda u: u) -> dict:
+                 resolver: Resolver = lambda u: u, prov: bool = False,
+                 headers=None) -> dict:
+    from ..csvw.merge import merge_metadata
     from ..csvw.model import Dialect, embedded_table_from_header, load_metadata
+    from ..pipeline import discover_metadata
+    filenames: list[str] = []
     if isinstance(source, dict) or (isinstance(source, str) and source.endswith((".json", ".jsonld"))):
         meta = load_metadata(source, base=base, resolver=resolver)
+        if isinstance(source, str):
+            filenames = [base or source]
     else:
         url = base or source
-        dialect = Dialect()
-        titles, _ = read_header(resolver(url) if base else source, dialect)
-        meta = embedded_table_from_header(titles, url, dialect)
+        found = discover_metadata(url, resolver, headers=headers)
+        if found:
+            merged = merge_metadata(*[d for d, _ in found])
+            meta = load_metadata(merged, base=found[0][1], resolver=resolver)
+            filenames = [u for _, u in found]
+            if isinstance(meta, TableGroup):
+                table = meta.for_table(url)
+                if table is None and len(meta.tables) == 1:
+                    table = meta.tables[0]
+                if table is not None:
+                    meta = table
+        else:
+            dialect = Dialect()
+            titles, _ = read_header(resolver(url) if base else source, dialect)
+            meta = embedded_table_from_header(titles, url, dialect)
     if isinstance(meta, TableGroup):
-        return group_to_json_dict(spark, meta, resolver)
-    return table_to_json_dict(spark, meta, resolver)
+        return group_to_json_dict(spark, meta, resolver, prov=prov,
+                                  filenames=filenames)
+    return table_to_json_dict(spark, meta, resolver, prov=prov,
+                              filenames=filenames)

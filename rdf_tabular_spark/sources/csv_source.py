@@ -9,9 +9,12 @@ trim/skip*) per line batch. The header region (skipRows + headerRowCount
 lines, O(KB)) is read driver-side for embedded-metadata extraction, mirroring
 the reference's streaming header consumption.
 
-Known limitation (documented): quoted fields spanning physical lines are not
-supported on this fast path; web-scale inputs arrive as pages (html binary)
-where rows are page-local and never split.
+Quoted fields spanning physical lines break the line-per-row fast path; a
+cheap driver-side quote-parity scan detects them and falls back to a
+whole-file streaming parse (reference each_row semantics, metadata.rb:786-795
+— Ruby CSV handles embedded newlines natively). The fallback is driver-bound
+by design: multiline CSV is not line-splittable, and at web scale inputs
+arrive as pages (html binary) where rows are page-local and never split.
 """
 
 from __future__ import annotations
@@ -90,12 +93,66 @@ def read_header(path: str, dialect: Dialect) -> tuple[list[str], list[str]]:
     return titles, notes
 
 
+def _has_quoted_newline(path: str, dialect: Dialect) -> bool:
+    """Streaming quote-parity scan: a physical line ending inside an open
+    quoted field means some row spans lines. Conservative (escaped quotes in
+    non-doubleQuote dialects may false-positive) — a false positive only
+    selects the slower, still-correct whole-file path."""
+    q = dialect.quoteChar
+    if not q:
+        return False
+    in_quote = False
+    with open(path, "r", encoding=dialect.encoding or "utf-8", newline="") as f:
+        for line in f:
+            if line.count(q) % 2:
+                in_quote = not in_quote
+            if in_quote and line.endswith(("\n", "\r")):
+                return True
+    return False
+
+
+def _read_rows_whole_file(spark: SparkSession, path: str,
+                          dialect: Dialect) -> DataFrame:
+    """Fallback for quoted embedded newlines: stream the file through one
+    csv.reader (driver-side), then distribute the parsed rows. source_num is
+    the row's FIRST physical line; skipped/header rows are counted in parsed
+    rows (equal to physical lines for the fixtures that need this path)."""
+    skipped = dialect.skipped_rows
+    skipc = int(dialect.skipColumns) + int(dialect.headerColumnCount)
+    skip_blank = bool(dialect.skipBlankRows)
+    data: list[tuple[list, int, int]] = []
+    with open(path, "r", encoding=dialect.encoding or "utf-8", newline="") as f:
+        rdr = _csv.reader(
+            f, delimiter=dialect.delimiter, quotechar=dialect.quoteChar or '"',
+            doublequote=bool(dialect.doubleQuote),
+            escapechar=None if dialect.doubleQuote else "\\", strict=False)
+        prev_line = 0
+        row_idx = 0
+        row_num = 0
+        for row in rdr:
+            start_line = prev_line + 1
+            prev_line = rdr.line_num
+            row_idx += 1
+            if row_idx <= skipped:
+                continue
+            vals = row[skipc:] if skipc else row
+            if skip_blank and not any((c or "").strip() for c in vals):
+                continue
+            row_num += 1
+            data.append((vals, row_num, start_line))
+    return spark.createDataFrame(data, ROWS_SCHEMA)
+
+
 def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
     """CSV file → DataFrame(values: array<string>, row_num, source_num).
 
-    row_num is 1-based after skipped/header rows; source_num is the 1-based
-    physical line number (reference: each_row, metadata.rb:786-795).
+    row_num is 1-based after skipped/header rows AND after blank-row
+    removal (blank rows never consume a logical ``_row`` number);
+    source_num is the 1-based physical line number (reference: each_row,
+    metadata.rb:786-795).
     """
+    if _has_quoted_newline(path, dialect):
+        return _read_rows_whole_file(spark, path, dialect)
     skipped = dialect.skipped_rows
     skipc = int(dialect.skipColumns) + int(dialect.headerColumnCount)
     delim, quote, dq = dialect.delimiter, dialect.quoteChar, bool(dialect.doubleQuote)
@@ -131,4 +188,14 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
                 out = out[mask]
             yield out
 
-    return indexed.mapInPandas(parse, schema=ROWS_SCHEMA)
+    rows = indexed.mapInPandas(parse, schema=ROWS_SCHEMA)
+    if skip_blank:
+        # blank rows must not consume logical row numbers ({_row} templates):
+        # renumber survivors consecutively in file order (zipWithIndex keeps
+        # partition order = byte-offset order; one extra narrow pass, only
+        # when skipBlankRows is set)
+        rows = (rows.rdd.zipWithIndex()
+                .map(lambda t: (list(t[0]["values"]), t[1] + 1,
+                                t[0]["source_num"]))
+                .toDF(ROWS_SCHEMA))
+    return rows

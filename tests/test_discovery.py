@@ -1,0 +1,129 @@
+"""HTTP-tier discovery: Link rel=describedby metadata precedence
+(reference metadata.rb:139-194) and MIME/content-sniff format detection
+(reference format.rb:26-44) — all offline via an injected header source."""
+
+import json
+
+import pytest
+
+from rdf_tabular_spark.discovery import (content_type_kind, describedby_links,
+                                         detect_format, parse_link_header,
+                                         sniff_sample)
+from rdf_tabular_spark.pipeline import csvw_to_triples, discover_metadata
+
+
+# --- unit: Link header parsing ---------------------------------------------
+
+def test_parse_link_header_multiple():
+    links = parse_link_header(
+        '<meta.json>; rel="describedby"; type="application/csvw+json", '
+        '<other.json>; rel=alternate')
+    assert links == [
+        {"href": "meta.json", "rel": "describedby",
+         "type": "application/csvw+json"},
+        {"href": "other.json", "rel": "alternate"},
+    ]
+
+
+def test_describedby_links_resolves_and_filters():
+    headers = {"link": '<m1.json>; rel="describedby", '
+                       '<http://x.org/m2.json>; rel="stylesheet describedby"'}
+    assert describedby_links(headers, "http://a.org/d/data.csv") == [
+        "http://a.org/d/m1.json", "http://x.org/m2.json"]
+
+
+def test_describedby_links_absent():
+    assert describedby_links({}, "http://a.org/x.csv") == []
+
+
+# --- unit: format detection -------------------------------------------------
+
+@pytest.mark.parametrize("ct,kind", [
+    ("text/csv; charset=utf-8", "csv"),
+    ("text/tab-separated-values", "tsv"),
+    ("application/csvw+json", "json"),
+    ("text/html", "html"),
+    ("application/octet-stream", None),
+])
+def test_content_type_kind(ct, kind):
+    assert content_type_kind({"Content-Type": ct}) == kind
+
+
+@pytest.mark.parametrize("sample,kind", [
+    ('{"@context": "http://www.w3.org/ns/csvw"}', "json"),
+    ("[1, 2]", "json"),
+    ("<!DOCTYPE html><html><body>x</body></html>", "html"),
+    ("<table><tr><td>1</td></tr></table>", "html"),
+    ("a\tb\tc\n1\t2\t3", "tsv"),
+    ("a,b,c\n1,2,3", "csv"),
+    ("GID,On Street\n1,ADDISON AV", "csv"),
+])
+def test_sniff_sample(sample, kind):
+    assert sniff_sample(sample) == kind
+
+
+def test_detect_format_precedence():
+    # MIME beats extension beats sniff
+    assert detect_format(url="x.csv", sample="{}",
+                         headers={"Content-Type": "application/json"}) == "json"
+    assert detect_format(url="x.tsv", sample="a,b\n1,2") == "tsv"
+    assert detect_format(url="http://e.org/data", sample="a\tb\n1\t2") == "tsv"
+    assert detect_format(url="http://e.org/data?fmt=x",
+                         sample="a,b\n1,2") == "csv"
+
+
+# --- integration: pipeline wiring -------------------------------------------
+
+def _write(p, content):
+    p.write_text(content, encoding="utf-8")
+    return str(p)
+
+
+def _meta_doc(csv_name, prop_base):
+    return {"@context": "http://www.w3.org/ns/csvw", "url": csv_name,
+            "tableSchema": {
+                "columns": [{"name": "a", "titles": "a",
+                             "propertyUrl": prop_base + "{_name}"}],
+                "aboutUrl": prop_base + "row/{_row}"}}
+
+
+def test_link_metadata_precedes_file_discovery(spark, tmp_path):
+    csv = _write(tmp_path / "data.csv", "a\nv1\n")
+    linked = _write(tmp_path / "linked.json",
+                    json.dumps(_meta_doc("data.csv", "http://linked.org/")))
+    _write(tmp_path / "data.csv-metadata.json",
+           json.dumps(_meta_doc("data.csv", "http://filebased.org/")))
+
+    headers = lambda url: {"Link": f'<{linked}>; rel="describedby"'}
+    found = discover_metadata(csv, lambda u: u, headers=headers)
+    assert [u for _, u in found] == [linked, csv + "-metadata.json"]
+
+    df = csvw_to_triples(spark, csv, minimal=True, headers=headers)
+    preds = {r["pred"] for r in df.collect()}
+    assert preds == {"http://linked.org/a"}  # linked doc won the merge
+
+
+def test_extensionless_tsv_routed_by_sniff(spark, tmp_path):
+    tsv = _write(tmp_path / "data", "a\tb\nv1\tv2\n")
+    df = csvw_to_triples(spark, tsv, minimal=True)
+    rows = df.collect()
+    objs = {r["obj"] for r in rows}
+    assert {"v1", "v2"} <= objs
+    assert all("\t" not in r["obj"] for r in rows)  # actually split on tabs
+
+
+def test_extensionless_metadata_routed_by_sniff(spark, tmp_path):
+    _write(tmp_path / "data.csv", "a\nv1\n")
+    meta = _write(tmp_path / "meta",
+                  json.dumps(_meta_doc("data.csv", "http://sniffed.org/")))
+    df = csvw_to_triples(spark, meta, minimal=True)
+    assert {r["pred"] for r in df.collect()} == {"http://sniffed.org/a"}
+
+
+def test_html_input_bridges_to_web_extractor(spark, tmp_path):
+    html = _write(tmp_path / "page",
+                  "<html><body><table><tr><th>a</th></tr>"
+                  "<tr><td>v1</td></tr></table></body></html>")
+    df = csvw_to_triples(spark, html, minimal=True)
+    rows = df.collect()
+    assert rows and any(r["obj"] == "v1" for r in rows)
