@@ -63,15 +63,47 @@ def connected_components(edges: DataFrame, max_iter: int = 21,
     return labels
 
 
-def canonical_mapping(edges: DataFrame) -> DataFrame:
+def _unionfind(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find → {id: min id of its component}."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out: dict[str, str] = {}
+    for v in {v for p in pairs for v in p}:
+        out[v] = find(v)
+    return out
+
+
+def canonical_mapping(edges: DataFrame,
+                      driver_threshold: int = 200_000) -> DataFrame:
     """→ (id, canonical_id) for every vertex touched by an edge.
 
-    Empty edge sets (common once the exact-dup tier has collapsed identical
-    profiles) skip the iterative loop entirely — each CC iteration costs a
-    join+agg+action even on empty data."""
-    if edges.limit(1).count() == 0:
+    Size-adaptive (AQE-style): after the exact-first cascade the near-dup
+    edge set is a sliver of the corpus, and the distributed loop costs
+    several job launches even on a few thousand edges (~7 s measured) — a
+    bounded count picks a driver-side union-find below ``driver_threshold``
+    edges and the iterative min-label loop above it. Both produce the same
+    (id, min-id-of-component) mapping. Empty edge sets short-circuit."""
+    sample = edges.limit(driver_threshold + 1).collect() \
+        if driver_threshold > 0 else []
+    if driver_threshold > 0 and len(sample) <= driver_threshold:
+        if not sample:
+            return edges.sparkSession.createDataFrame(
+                [], "id string, canonical_id string")
+        mapping = _unionfind([(r[0], r[1]) for r in sample])
         return edges.sparkSession.createDataFrame(
-            [], "id string, canonical_id string")
+            sorted(mapping.items()), "id string, canonical_id string")
     return connected_components(edges).withColumnRenamed("component", "canonical_id")
 
 

