@@ -126,3 +126,64 @@ def triples_rate_per_host(spark: SparkSession, input_dir: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_exact(spark: SparkSession, input_dir: str, out_dir: str,
+                       checkpoint_dir: str, available_now: bool = True):
+    """Cross-batch streaming exact dedup — the custom stateful operator tier
+    (``applyInPandasWithState``): the first page seen for each distinct text
+    hash is emitted, every later arrival (same micro-batch, later batch, or
+    after a restart) is dropped. State per key is one boolean, checkpointed
+    with the query, so a crashed run resumes with its dedup memory intact.
+
+    Plan shape at scale: one shuffle on the md5 key (same as the batch
+    exact-dedup groupBy), then per-key state lookups; state volume is one
+    row per distinct document — the streaming face of
+    operators/dedup.exact_dedup_groups.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (StringType, StructField, StructType,
+                                   TimestampType)
+
+    pages = read_page_stream(spark, input_dir)
+    keyed = pages.select(
+        F.md5(F.col("text")).alias("dup_key"), "url", "warc_ts", "text")
+
+    out_schema = StructType([
+        StructField("dup_key", StringType(), False),
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("text", StringType(), True),
+    ])
+    state_schema = StructType([StructField("seen", StringType(), True)])
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        if state.exists:
+            # key already emitted in an earlier micro-batch — drain and drop
+            for _ in pdfs:
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # deterministic representative within the batch: min url
+            cand = pdf.sort_values("url").iloc[[0]]
+            if first is None or cand.iloc[0]["url"] < first.iloc[0]["url"]:
+                first = cand
+        if first is not None:
+            state.update(("1",))
+            yield first[["dup_key", "url", "warc_ts", "text"]]
+
+    deduped = keyed.groupBy("dup_key").applyInPandasWithState(
+        dedup_fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+    writer = (deduped.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -69,3 +69,44 @@ def test_stream_rate_per_host(spark, tmp_path):
     # window [00:00, 00:01) closed: docs 0-59, 4 triples each
     assert [(r["host"], r["n_triples"]) for r in rows] == \
         [("pages.example.org", 60 * 4)]
+
+
+def test_stream_dedup_exact_cross_batch(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: the first page per
+    distinct text is emitted; duplicates within a batch, in later batches,
+    and across a checkpointed restart are all dropped."""
+    import pandas as pd
+    from rdf_tabular_spark.streaming.ingest import stream_dedup_exact
+    import datetime
+
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "pages_in")
+    out_dir = os.path.join(tmp, "dedup_out")
+    ckpt = os.path.join(tmp, "ckpt")
+    ts = datetime.datetime(2024, 1, 1)
+
+    def page(url, text):
+        return (url, ts, text.encode(), text, "en")
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    from rdf_tabular_spark.sources.pages import PAGES_SCHEMA
+    # batch 1: A twice (intra-batch dup), B once
+    spark.createDataFrame(
+        [page("http://h/1", "textA"), page("http://h/2", "textA"),
+         page("http://h/3", "textB")], PAGES_SCHEMA) \
+        .write.mode("append").parquet(in_dir)
+    q = stream_dedup_exact(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    out1 = {r["url"]: r["text"] for r in spark.read.parquet(out_dir).collect()}
+    assert out1 == {"http://h/1": "textA", "http://h/3": "textB"}
+
+    # batch 2 after restart: A again (cross-batch dup, must be dropped by
+    # checkpointed state) + new C
+    spark.createDataFrame(
+        [page("http://h/4", "textA"), page("http://h/5", "textC")],
+        PAGES_SCHEMA).write.mode("append").parquet(in_dir)
+    q = stream_dedup_exact(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    out2 = {r["url"]: r["text"] for r in spark.read.parquet(out_dir).collect()}
+    assert out2 == {"http://h/1": "textA", "http://h/3": "textB",
+                    "http://h/5": "textC"}
