@@ -149,12 +149,14 @@ def hyperplane_signs(vec: Column, dim: int, n_planes: int = 16) -> Column:
 
 def lsh_bucket_topk(df: DataFrame, query_id: int, dim: int, k: int = 10,
                     n_planes: int = 8, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
-    """ANN scale path: score only vectors whose hyperplane signature equals
-    the query's (one bucket ≈ corpus / 2^n_planes). Recall is tuned by
-    multi-probe (flip one bit) — omitted here; the plan shape is the point:
-    a broadcast of the query signature + a partition-local filter, then the
-    same TakeOrdered top-k. No shuffle at all.
+                    vec_col: str = "embedding", max_flip: int = 0) -> DataFrame:
+    """ANN scale path: score only vectors whose hyperplane signature is
+    within Hamming distance ``max_flip`` of the query's. ``max_flip=0`` is
+    the single exact bucket (≈ corpus / 2^n_planes); ``max_flip=1`` is
+    classic multi-probe (the bucket + its n_planes one-bit neighbors),
+    trading ~(n_planes+1)× scan for much higher recall. The plan shape is
+    the point: a broadcast of the query signature + a partition-local
+    filter, then the same TakeOrdered top-k. No shuffle at all.
     """
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     sig = v.withColumn("sig", hyperplane_signs(F.col("v"), dim, n_planes))
@@ -162,7 +164,30 @@ def lsh_bucket_topk(df: DataFrame, query_id: int, dim: int, k: int = 10,
         .select(F.col("v").alias("q"), F.col("sig").alias("qsig"))
     cand = (sig.filter(F.col(id_col) != query_id)
             .crossJoin(F.broadcast(qrow))
-            .filter(F.col("sig") == F.col("qsig")))
+            .filter(F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
+                    <= F.lit(max_flip)))
     scored = cand.select(F.col(id_col),
                          F.round(cosine_sim(F.col("v"), F.col("q")), 4).alias("sim"))
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def embedding_lsh_pairs(df: DataFrame, dim: int, threshold: float = 0.4,
+                        n_planes: int = 8, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup SCALE tier: candidate pairs share a hyperplane
+    bucket (ONE self-join shuffle on the signature — corpus/2^n_planes per
+    bucket), verified by exact cosine ≥ threshold. This is the bucketed
+    alternative that quarantines the quadratic
+    :func:`operators.dedup.embedding_cosine_pairs` to verification duty —
+    same output columns (a, b, sim), candidate-set semantics documented:
+    only same-bucket pairs are eligible (hyperplane LSH recall)."""
+    v = df.select(F.col(id_col).cast("long").alias("id"),
+                  _as_double(F.col(vec_col)).alias("v"))
+    sig = v.withColumn("sig", hyperplane_signs(F.col("v"), dim, n_planes))
+    a, b = sig.alias("a"), sig.alias("b")
+    sim = F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 4)
+    return (a.join(b, (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+                    sim.alias("sim"))
+            .filter(F.col("sim") >= threshold))

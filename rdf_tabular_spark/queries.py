@@ -687,6 +687,40 @@ order by sim desc, vec_id limit 10
 """
 
 
+def _ann_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe tier: the query bucket plus its one-bit Hamming
+    neighbors (max_flip=1) — (n_planes+1)x scan, much higher recall."""
+    return S.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), query_id=0,
+                             dim=EMB_DIM, k=10, n_planes=8, max_flip=1)
+
+
+_ANN_LSH_MULTIPROBE_TOPK_SQL = f"""
+with s as (select vec_id, embedding,
+           {_hyperplane_sig_sql('embedding')} as sig from embeddings),
+q as (select embedding as qv, sig as qsig from s where vec_id = 0)
+select s.vec_id as vec_id, round({_cos_sql('s.embedding', 'qv')}, 4) as sim
+from s, q where s.vec_id <> 0 and bit_count(xor(s.sig, q.qsig)) <= 1
+order by sim desc, vec_id limit 10
+"""
+
+
+def _dedup_embedding_lsh_pairs(spark, sf_dir):
+    """Scale tier for embedding near-dup: same-hyperplane-bucket candidates
+    + exact cosine verify (quarantines the all-pairs tier)."""
+    return S.embedding_lsh_pairs(_t(spark, sf_dir, "embeddings"),
+                                 dim=EMB_DIM, threshold=0.4, n_planes=8)
+
+
+_DEDUP_EMBEDDING_LSH_PAIRS_SQL = f"""
+with s as (select vec_id, embedding,
+           {_hyperplane_sig_sql('embedding')} as sig from embeddings)
+select a.vec_id as a, b.vec_id as b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 4) as sim
+from s a join s b on a.sig = b.sig and a.vec_id < b.vec_id
+where round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.4
+"""
+
+
 # --- multimodal -------------------------------------------------------------
 
 def _multimodal_features(spark, sf_dir):
@@ -884,6 +918,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": _ann_ivf_topk,
     "ann_lsh_signatures": _ann_lsh_signatures,
     "ann_lsh_bucket_topk": _ann_lsh_bucket_topk,
+    "ann_lsh_multiprobe_topk": _ann_lsh_multiprobe_topk,
+    "dedup_embedding_lsh_pairs": _dedup_embedding_lsh_pairs,
     "ann_ivf_trained_topk": _ann_ivf_trained_topk,
     "multimodal_features": _multimodal_features,
     "kg_pages_triples": _kg_pages_triples,
@@ -924,6 +960,8 @@ _ORACLES: dict[str, str] = {
     "ann_ivf_topk": _ANN_IVF_TOPK_SQL,
     "ann_lsh_signatures": _ANN_LSH_SIGNATURES_SQL,
     "ann_lsh_bucket_topk": _ANN_LSH_BUCKET_TOPK_SQL,
+    "ann_lsh_multiprobe_topk": _ANN_LSH_MULTIPROBE_TOPK_SQL,
+    "dedup_embedding_lsh_pairs": _DEDUP_EMBEDDING_LSH_PAIRS_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "kg_pages_triples": _KG_PAGES_TRIPLES_SQL,
     "kg_entity_mentions": _KG_ENTITY_MENTIONS_SQL,

