@@ -191,3 +191,15 @@ def embedding_lsh_pairs(df: DataFrame, dim: int, threshold: float = 0.4,
             .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
                     sim.alias("sim"))
             .filter(F.col("sim") >= threshold))
+
+
+def ivf_write_partitioned(assigned: DataFrame, path: str) -> None:
+    """Persist an IVF-assigned table partitioned by cell: a probe then reads
+    ONLY its cells' files (partition pruning), scanning ~n_probe/k_cells of
+    the corpus — the on-disk layout the 100 TB search path assumes."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_read_cells(spark, path: str, cells: list[int]) -> DataFrame:
+    """Partition-pruned read of the probed cells."""
+    return spark.read.parquet(path).filter(F.col("cell").isin(list(cells)))

@@ -151,3 +151,22 @@ def snapshots_as_of(root: str, as_of: str) -> list[str]:
             if m.get("status") == "committed" and m.get("committed_at", "") <= as_of:
                 out.append(m["batch_id"])
     return sorted(out)
+
+
+def read_predicate(spark: SparkSession, root: str, pred: str,
+                   batches: Optional[list[str]] = None,
+                   pred_buckets: int = DEFAULT_PRED_BUCKETS) -> DataFrame:
+    """Predicate-restricted read with PARTITION PRUNING: the salted
+    pred_bucket scheme places a predicate's triples in exactly
+    ``DEFAULT_SALT`` of the ``pred_buckets`` partitions (bucket =
+    (xxhash64(pred) + salt) mod buckets, salt ∈ [0, SALT)), so the scan
+    enumerates those driver-side and prunes the rest — reading SALT/buckets
+    (= 16/64 = 25%) of the store instead of all of it, regardless of store
+    size. The exact pred equality filter is pushed to the parquet scan on
+    top of the pruning.
+    """
+    h = spark.range(1).select(F.xxhash64(F.lit(pred)).alias("h")).first()["h"]
+    wanted = sorted({int((h + s) % pred_buckets) for s in range(DEFAULT_SALT)})
+    g = read_graph(spark, root, batches=batches)
+    return g.filter(F.col("pred_bucket").isin(wanted)) \
+            .filter(F.col("pred") == pred)

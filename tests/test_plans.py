@@ -127,3 +127,41 @@ def test_stream_dedup_uses_flatmapgroups_with_state(spark, tmp_path):
         "description", "") or True  # progress text varies; the real assert:
     batch = spark.read.parquet(os.path.join(str(tmp_path), "out"))
     assert batch.count() == 1
+
+
+def test_graph_store_read_predicate_prunes_buckets(spark, tmp_path):
+    """The salted pred_bucket scheme confines one predicate to SALT of the
+    64 partitions; read_predicate must turn that into PartitionFilters
+    (scan 25% of the store) and still return exactly the pred's triples."""
+    from rdf_tabular_spark.sinks.graph_store import materialize, read_predicate
+    from rdf_tabular_spark.sources.pages import DOC_PAGE_META, pages_from_documents
+    from rdf_tabular_spark.web import pages_to_triples
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    triples = pages_to_triples(pages_from_documents(docs), minimal=True,
+                               default_meta=DOC_PAGE_META)
+    root = str(tmp_path / "store")
+    materialize(triples, root, "b1")
+    pred = triples.select("pred").first()["pred"]
+    df = read_predicate(spark, root, pred)
+    p = plan_of(df)
+    assert re.search(r"PartitionFilters: \[.*pred_bucket", p), \
+        "pred_bucket pruning must reach the scan"
+    assert "EqualTo(pred," in p, "pred equality must be pushed"
+    from rdf_tabular_spark.sinks.graph_store import read_graph
+    expected = read_graph(spark, root).filter(F.col("pred") == pred).count()
+    assert df.count() == expected > 0
+
+
+def test_ivf_partitioned_store_prunes_cells(spark, tmp_path):
+    """IVF-on-disk: probing 2 cells must produce a cell-pruned scan."""
+    from rdf_tabular_spark.operators.similarity import (ivf_index,
+                                                        ivf_read_cells,
+                                                        ivf_write_partitioned)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned, _ = ivf_index(emb, k=4)
+    path = str(tmp_path / "ivf")
+    ivf_write_partitioned(assigned, path)
+    df = ivf_read_cells(spark, path, [0, 1])
+    p = plan_of(df)
+    assert re.search(r"PartitionFilters: \[.*cell", p)
+    assert df.count() == assigned.filter(F.col("cell").isin([0, 1])).count()
