@@ -7,21 +7,73 @@ metadata.rb:1280-1286 TableGroup, :1323-1331 Table, :1473-1485 Column,
 ids nil for anonymous nodes; we skolemize deterministically so the output
 is stable and joinable.
 
-Spark shape: rows/cells come from ONE pass over the dialect-parsed rows DF
-(same source as the triple kernel) collected per table — ATD is a debug
-format for small tables, not a data path; the per-row work is still
-executed distributed, only the final assembly is driver-side.
+Spark shape: per-row ATD objects (cells, coerced values, errors) are built
+inside ONE distributed Arrow kernel over the dialect-parsed rows DF (same
+source as the triple kernel) and serialized to JSON strings; the driver
+collects only those strings and assembles the nested document — the same
+split as the S7 JSON sink (rows distributed, assembly driver-side). ATD is
+a debug format for small tables; the collect is the document, not the data
+path.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+import json
+from typing import Iterator, Optional
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..csvw.model import Resolver, Table, TableGroup, default_resolver, load_metadata
-from ..operators.triples import TripleKernel, compile_mapping
+from ..operators.triples import TableMapping, TripleKernel, compile_mapping
 from ..sources.csv_source import read_header, read_rows
+
+ATD_ROWS_SCHEMA = StructType([
+    StructField("rownum", LongType(), False),
+    StructField("row_json", StringType(), False),
+])
+
+
+def rows_to_atd_rows(rows_df: DataFrame, mapping: TableMapping, url: str,
+                     tid: str) -> DataFrame:
+    """Distributed per-row ATD objects → (rownum, row_json). Narrow Arrow
+    stage; all cell coercion runs on executors."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = TripleKernel(mapping)
+        for pdf in batches:
+            nums, out = [], []
+            for values, row_num, source_num in zip(
+                    pdf["values"], pdf["row_num"], pdf["source_num"]):
+                row_num, source_num = int(row_num), int(source_num)
+                rid = f"{url}#row={source_num}"
+                cells = []
+                vals_list = list(values) + [None] * (len(k.cols) - len(values))
+                for cc, raw in zip(k.cols, vals_list):
+                    vals, _binding = k._coerce_cell(raw, cc.plan)
+                    cells.append({
+                        "@id": f"{url}#cell={source_num},{cc.plan.number}",
+                        "@type": "Cell",
+                        "column": f"{url}#col={cc.plan.number}",
+                        "row": rid,
+                        "stringValue": raw if raw is not None else "",
+                        "value": ([v.lexical for v in vals] if cc.plan.separator
+                                  else (vals[0].lexical if vals else None)),
+                        "errors": [],
+                    })
+                nums.append(row_num)
+                out.append(json.dumps({
+                    "@id": rid, "@type": "Row", "table": tid,
+                    "number": row_num, "sourceNumber": source_num,
+                    "cells": cells,
+                }, ensure_ascii=False))
+            yield pd.DataFrame({"rownum": pd.Series(nums, dtype="int64"),
+                                "row_json": out})
+
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(rows_df.sparkSession)
+    return rows_df.mapInPandas(kernel, schema=ATD_ROWS_SCHEMA)
 
 
 def _table_atd(spark: SparkSession, table: Table, resolver: Resolver) -> dict:
@@ -45,37 +97,15 @@ def _table_atd(spark: SparkSession, table: Table, resolver: Resolver) -> dict:
     } for c in table.schema.columns]
 
     mapping = compile_mapping(table, minimal=True)
-    kernel = TripleKernel(mapping)
-    rows_df = read_rows(spark, path, table.dialect).orderBy("source_num")
-    out_rows = []
-    for r in rows_df.collect():
-        row_num, source_num = int(r["row_num"]), int(r["source_num"])
-        rid = f"{url}#row={source_num}"
-        cells = []
-        values = list(r["values"]) + [None] * (len(kernel.cols) - len(r["values"]))
-        for cc, raw in zip(kernel.cols, values):
-            vals, _binding = kernel._coerce_cell(raw, cc.plan)
-            cid = f"{url}#cell={source_num},{cc.plan.number}"
-            cell = {
-                "@id": cid,
-                "@type": "Cell",
-                "column": f"{url}#col={cc.plan.number}",
-                "row": rid,
-                "stringValue": raw if raw is not None else "",
-                "value": ([v.lexical for v in vals] if cc.plan.separator
-                          else (vals[0].lexical if vals else None)),
-                "errors": [],
-            }
-            cells.append(cell)
-            columns[cc.plan.number - 1]["cells"].append(cid)
-        out_rows.append({
-            "@id": rid,
-            "@type": "Row",
-            "table": tid,
-            "number": row_num,
-            "sourceNumber": source_num,
-            "cells": cells,
-        })
+    rows_df = read_rows(spark, path, table.dialect)
+    atd_rows = rows_to_atd_rows(rows_df, mapping, url, tid)
+    collected = sorted(atd_rows.collect(), key=lambda r: r["rownum"])
+    out_rows = [json.loads(r["row_json"]) for r in collected]
+    col_idx = {f"{url}#col={c.number}": i
+               for i, c in enumerate(table.schema.columns)}
+    for row in out_rows:
+        for cell in row["cells"]:
+            columns[col_idx[cell["column"]]]["cells"].append(cell["@id"])
     return {
         "@id": tid,
         "@type": "AnnotatedTable",
