@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "agg_events_daily",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_minhash_scale_pairs",
     "dedup_simhash",
     "text_quality",
     "text_langid",
@@ -205,7 +206,7 @@ def main() -> None:
         low_cores = max(CPUS // 8, 1)
         high_cores = max(CPUS // 2, 2)
         ratio = high_cores / low_cores
-        trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "4"))
+        trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
         # Efficiency is computed WITHIN each back-to-back (low, high) pair —
         # both runs see near-identical ambient conditions — and the best
         # pair is reported. Rationale (measured, see BASELINE.md): a pure
