@@ -604,6 +604,45 @@ from bands l join bands r on l.band = r.band and l.bk = r.bk and l.id < r.id
 """
 
 
+def _dedup_minhash_verified_pairs(spark, sf_dir):
+    """The complete dedup cascade as one operator: scale-tier LSH candidate
+    pairs (bucketed band join) verified by EXACT word-3-gram Jaccard ≥ 0.2 —
+    the quadratic verifier runs only on the candidate set, never the corpus
+    (the composition SURVEY §2.9 prescribes)."""
+    from .operators import minhash as MH
+    from .operators.text import word_ngrams
+    docs = _t(spark, sf_dir, "documents")
+    pairs = MH.lsh_candidate_pairs(_scale_sigs(spark, sf_dir), num_bands=4)
+    grams = docs.select(F.col("doc_id").cast("string").alias("id"),
+                        word_ngrams(F.col("text"), 3).alias("g"))
+    jac = (F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("double")
+           / F.size(F.array_union(F.col("ga"), F.col("gb"))))
+    return (pairs
+            .join(grams.withColumnsRenamed({"id": "a", "g": "ga"}), on="a")
+            .join(grams.withColumnsRenamed({"id": "b", "g": "gb"}), on="b")
+            .select("a", "b", F.round(jac, 4).alias("jac"))
+            .filter(F.col("jac") >= 0.2))
+
+
+_DEDUP_MINHASH_VERIFIED_PAIRS_SQL = _SCALE_SIG_CTE + f""",
+bands as (
+  select id, b.b as band,
+         array_to_string(list_transform(list_slice(sig, 4*b.b + 1, 4*b.b + 4),
+                                        x -> x::varchar), ',') as bk
+  from sig cross join (values (0), (1), (2), (3)) as b(b)),
+cand as (
+  select distinct l.id as a, r.id as b
+  from bands l join bands r on l.band = r.band and l.bk = r.bk and l.id < r.id),
+grams as (select doc_id::varchar as id, {_grams_sql(TOKS_SQL)} as g from documents)
+select a, b,
+       round(len(list_intersect(ga.g, gb.g))::double /
+             len(list_distinct(list_concat(ga.g, gb.g))), 4) as jac
+from cand join grams ga on cand.a = ga.id join grams gb on cand.b = gb.id
+where round(len(list_intersect(ga.g, gb.g))::double /
+            len(list_distinct(list_concat(ga.g, gb.g))), 4) >= 0.2
+"""
+
+
 def _dedup_embedding_cosine(spark, sf_dir):
     return D.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"),
                                     threshold=0.4)
@@ -913,6 +952,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": _dedup_simhash_pairs,
     "dedup_minhash_scale_sig": _dedup_minhash_scale_sig,
     "dedup_minhash_scale_pairs": _dedup_minhash_scale_pairs,
+    "dedup_minhash_verified_pairs": _dedup_minhash_verified_pairs,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "ann_cosine_topk": _ann_cosine_topk,
     "ann_ivf_topk": _ann_ivf_topk,
@@ -955,6 +995,7 @@ _ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": _DEDUP_SIMHASH_PAIRS_SQL,
     "dedup_minhash_scale_sig": _DEDUP_MINHASH_SCALE_SIG_SQL,
     "dedup_minhash_scale_pairs": _DEDUP_MINHASH_SCALE_PAIRS_SQL,
+    "dedup_minhash_verified_pairs": _DEDUP_MINHASH_VERIFIED_PAIRS_SQL,
     "dedup_embedding_cosine": _DEDUP_EMBEDDING_COSINE_SQL,
     "ann_cosine_topk": _ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_TOPK_SQL,
