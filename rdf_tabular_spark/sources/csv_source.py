@@ -93,21 +93,32 @@ def read_header(path: str, dialect: Dialect) -> tuple[list[str], list[str]]:
     return titles, notes
 
 
+_SNIFF_BYTES = 64 * 1024 * 1024  # bounded: never full-scan a huge file
+
+
 def _has_quoted_newline(path: str, dialect: Dialect) -> bool:
-    """Streaming quote-parity scan: a physical line ending inside an open
-    quoted field means some row spans lines. Conservative (escaped quotes in
-    non-doubleQuote dialects may false-positive) — a false positive only
-    selects the slower, still-correct whole-file path."""
+    """Quote-parity scan over at most the first 64 MB: a physical line
+    ending inside an open quoted field means some row spans lines.
+    Conservative (escaped quotes in non-doubleQuote dialects may
+    false-positive) — a false positive only selects the slower,
+    still-correct whole-file path. Bounded so the driver never pays a
+    full-file read on the hot path; a quoted newline appearing ONLY beyond
+    the prefix is caught distributed in the parse kernel (clear error, not
+    silent mis-parse)."""
     q = dialect.quoteChar
     if not q:
         return False
     in_quote = False
+    seen = 0
     with open(path, "r", encoding=dialect.encoding or "utf-8", newline="") as f:
         for line in f:
+            seen += len(line)
             if line.count(q) % 2:
                 in_quote = not in_quote
             if in_quote and line.endswith(("\n", "\r")):
                 return True
+            if seen > _SNIFF_BYTES:
+                break
     return False
 
 
@@ -174,6 +185,16 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
                 continue
             vals = []
             for line in keep["line"]:
+                # (doubleQuote dialects only: a closed quoted field always
+                # has an even quote count there; backslash-escape dialects
+                # can legitimately carry odd counts)
+                if quote and dq and line.count(quote) % 2:
+                    # a split quoted field that escaped the bounded driver
+                    # sniff — fail loudly instead of mis-parsing
+                    raise ValueError(
+                        "quoted field spans physical lines beyond the "
+                        "sniffed prefix; re-run with the whole-file CSV "
+                        "path (csv_source._read_rows_whole_file)")
                 row = next(_csv.reader(
                     io.StringIO(line), delimiter=delim, quotechar=quote or '"',
                     doublequote=dq, escapechar=None if dq else "\\"), [])
