@@ -159,11 +159,12 @@ def stage34_bench(spark, n_pages: int = 20000) -> dict:
     pages = spark.read.parquet(pages_path)
 
     t0 = time.perf_counter()
-    triples = pages_to_triples(pages) \
-        .unionByName(microdata_to_triples(pages))
-    triples = triples.unionByName(link_entities(triples, entity_dictionary()))
-    triples = triples.persist()
+    base = pages_to_triples(pages) \
+        .unionByName(microdata_to_triples(pages)).persist()
+    triples = base.unionByName(link_entities(base, entity_dictionary())) \
+        .persist()
     n_raw = triples.count()
+    base.unpersist()
     t1 = time.perf_counter()
 
     held: list = []

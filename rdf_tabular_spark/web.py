@@ -311,13 +311,18 @@ def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
     if batch_id in processed_batches(out_root):
         return materialize(pages.limit(0).sparkSession.createDataFrame([], TRIPLE_SCHEMA),
                            out_root, batch_id)  # no-op resume hit
+    held: list = []
     triples = pages_to_triples(pages, default_meta=default_meta)
     if include_microdata:
         triples = triples.unionByName(microdata_to_triples(pages))
     if entity_dict:
+        # branch point: the mention scan AND the final union both read the
+        # base triples — without a persist, link_entities' lineage re-runs
+        # the whole HTML extraction a second time inside the union
+        triples = triples.persist()
+        held.append(triples)
         mentions = link_entities(triples, entity_dict)
         triples = triples.unionByName(mentions)
-    held: list = []
     if canonicalize:
         triples, _mapping = canonicalize_subjects(triples, releases=held)
     lineage = {"source": "pages", "n_pages": None, "batch_id": batch_id,
