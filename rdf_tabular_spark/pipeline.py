@@ -259,6 +259,36 @@ def validate_table(spark: SparkSession, table: Table, resolver: Resolver) -> Dat
     return rows_to_errors(read_rows(spark, path, table.dialect), mapping)
 
 
+def validate_primary_key(spark: SparkSession, table: Table,
+                         resolver: Resolver) -> DataFrame:
+    """M6 data tier the reference only FIXMEs (metadata.rb:517-541): rows
+    whose primaryKey tuple is duplicated → (key, n_rows, source_nums). One
+    groupBy shuffle on the key columns with map-side partial counts; empty
+    == valid. Composite keys supported."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    pk = table.schema.primary_key
+    if not pk:
+        return spark.createDataFrame(
+            [], "key string, n_rows bigint, source_nums array<bigint>")
+    path = resolver(table.url)
+    titles, _ = read_header(path, table.dialect)
+    if titles:
+        merge_embedded_titles(table, titles)
+    idx = {c.name: i for i, c in enumerate(table.schema.columns)}
+    positions = [idx[name] for name in pk if name in idx]
+    rows = read_rows(spark, path, table.dialect)
+    key = F.concat_ws("", *[
+        F.element_at(F.col("values"), p + 1) for p in positions])
+    return (rows.select(key.alias("key"), "source_num")
+            .groupBy("key")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sort_array(F.collect_list("source_num")).alias("source_nums"))
+            .filter(F.col("n_rows") > 1))
+
+
 def _detect_source_kind(source, base: str, resolver: Resolver,
                         headers: Optional["HeaderSource"]) -> str:
     """'json' | 'csv' | 'tsv' | 'html' for a string source, with the

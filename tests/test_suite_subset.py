@@ -94,3 +94,14 @@ def test_suite_positive_data(spark, tid):
     e = ENTRIES[tid]
     errs = validate_table(spark, _table_for(e), resolver=resolver).collect()
     assert errs == [], f"{tid}: unexpected errors {[r['error'] for r in errs]}"
+
+
+@pytest.mark.parametrize("tid", _ids("negative-pk"))
+def test_suite_negative_pk(spark, tid):
+    """Data-level primaryKey uniqueness (the check the reference FIXMEs)."""
+    from rdf_tabular_spark.pipeline import validate_primary_key
+    e = ENTRIES[tid]
+    dups = validate_primary_key(spark, _table_for(e), resolver=resolver) \
+        .collect()
+    assert len(dups) == 1
+    assert dups[0]["n_rows"] == 2 and dups[0]["key"] == "1"
