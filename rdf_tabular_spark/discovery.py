@@ -132,3 +132,55 @@ def detect_format(url: Optional[str] = None,
     if sample is not None:
         return sniff_sample(sample)
     return "csv"
+
+
+# --- live-HTTP tier ---------------------------------------------------------
+# The pipeline's Resolver maps IRIs to local paths; for http(s) IRIs this
+# tier fetches once into a cache dir and remembers the response headers, so
+# csvw_to_triples(spark, "http://...", resolver=hr, headers=hr.headers)
+# gets Content-Type dispatch and Link rel=describedby discovery from the
+# real responses. urllib only (stdlib); tests monkeypatch urlopen.
+
+class HttpResolver:
+    """Caching url → local-path resolver with captured response headers.
+
+    ``resolver(url)`` fetches http(s) urls into ``cache_dir`` (once; later
+    calls hit the cache) and returns the local path; non-http inputs pass
+    through untouched. ``headers(url)`` returns the response headers of the
+    fetch (performing it if needed) — plug it into the ``headers=``
+    parameter of ``csvw_to_triples`` / ``discover_metadata``.
+    """
+
+    def __init__(self, cache_dir: Optional[str] = None, timeout: float = 30.0):
+        import tempfile
+        self.cache_dir = cache_dir or tempfile.mkdtemp(prefix="csvw_http_")
+        self.timeout = timeout
+        self._headers: dict[str, dict] = {}
+        self._paths: dict[str, str] = {}
+
+    def _fetch(self, url: str) -> str:
+        if url in self._paths:
+            return self._paths[url]
+        import hashlib
+        import os
+        import urllib.request
+        with urllib.request.urlopen(url, timeout=self.timeout) as resp:
+            body = resp.read()
+            self._headers[url] = dict(resp.headers.items())
+        path = os.path.join(self.cache_dir,
+                            hashlib.sha1(url.encode()).hexdigest())
+        with open(path, "wb") as f:
+            f.write(body)
+        self._paths[url] = path
+        return path
+
+    def __call__(self, url: str) -> str:
+        if url.startswith(("http://", "https://")):
+            return self._fetch(url)
+        return url
+
+    def headers(self, url: str) -> Mapping[str, str]:
+        if url.startswith(("http://", "https://")):
+            self._fetch(url)
+            return self._headers.get(url, {})
+        return {}

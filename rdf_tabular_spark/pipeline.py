@@ -304,7 +304,7 @@ def _detect_source_kind(source, base: str, resolver: Resolver,
             hdrs = None
     sample = None
     try:
-        path = resolver(url) if base else source
+        path = resolver(url) if (base or "://" in str(source)) else source
         with open(path, "rb") as f:
             sample = f.read(1024)
     except OSError:
@@ -359,11 +359,11 @@ def csvw_to_triples(spark: SparkSession, source, base: str = "",
     if kind == "html":
         url = base or source
         return _html_to_triples(spark, url,
-                                resolver(url) if base else source, minimal)
+                                resolver(url) if (base or "://" in str(source)) else source, minimal)
     if kind == "json":
         if user_metadata is not None:
             raw = source if isinstance(source, dict) else \
-                __import__("json").load(open(resolver(source) if base else source))
+                __import__("json").load(open(resolver(source) if (base or "://" in str(source)) else source))
             merged = merge_metadata(user_metadata, raw)
             meta = load_metadata(merged, base=base or (source if isinstance(source, str) else ""),
                                  resolver=resolver)
@@ -394,7 +394,7 @@ def csvw_to_triples(spark: SparkSession, source, base: str = "",
             # tab dialect the text/tab-separated-values registration implies)
             from .csvw.model import embedded_table_from_header
             dialect = Dialect(delimiter="\t") if kind == "tsv" else Dialect()
-            titles, _ = read_header(resolver(url) if base else source, dialect)
+            titles, _ = read_header(resolver(url) if (base or "://" in str(source)) else source, dialect)
             meta = embedded_table_from_header(titles, url, dialect)
     if isinstance(meta, TableGroup):
         return group_to_triples(spark, meta, resolver, minimal=minimal)

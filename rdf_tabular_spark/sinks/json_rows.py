@@ -168,7 +168,7 @@ def csvw_to_json(spark: SparkSession, source, base: str = "",
                     meta = table
         else:
             dialect = Dialect()
-            titles, _ = read_header(resolver(url) if base else source, dialect)
+            titles, _ = read_header(resolver(url) if (base or "://" in str(source)) else source, dialect)
             meta = embedded_table_from_header(titles, url, dialect)
     if isinstance(meta, TableGroup):
         return group_to_json_dict(spark, meta, resolver, prov=prov,

@@ -127,3 +127,52 @@ def test_html_input_bridges_to_web_extractor(spark, tmp_path):
     df = csvw_to_triples(spark, html, minimal=True)
     rows = df.collect()
     assert rows and any(r["obj"] == "v1" for r in rows)
+
+
+def test_http_resolver_end_to_end(spark, monkeypatch, tmp_path):
+    """Live-HTTP shape, offline: a monkeypatched urlopen serves a CSV with a
+    Link rel=describedby header plus the linked metadata; csvw_to_triples
+    over the http url discovers and applies it via HttpResolver."""
+    import io
+    import urllib.request
+    from rdf_tabular_spark.discovery import HttpResolver
+
+    SITE = {
+        "http://data.example.org/d.csv": (
+            b"a\nv1\n",
+            {"Content-Type": "text/csv",
+             "Link": '</meta/d.json>; rel="describedby"'}),
+        "http://data.example.org/meta/d.json": (
+            json.dumps(_meta_doc("http://data.example.org/d.csv",
+                                 "http://linked.org/")).encode(),
+            {"Content-Type": "application/csvw+json"}),
+    }
+
+    class FakeResponse(io.BytesIO):
+        def __init__(self, body, headers):
+            super().__init__(body)
+            import email.message
+            m = email.message.Message()
+            for k, v in headers.items():
+                m[k] = v
+            self.headers = m
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(url, timeout=None):
+        if url not in SITE:
+            raise urllib.error.URLError(f"404 {url}")
+        body, headers = SITE[url]
+        return FakeResponse(body, headers)
+
+    import urllib.error
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+
+    hr = HttpResolver(cache_dir=str(tmp_path))
+    df = csvw_to_triples(spark, "http://data.example.org/d.csv",
+                         resolver=hr, headers=hr.headers, minimal=True)
+    rows = df.collect()
+    assert {r["pred"] for r in rows} == {"http://linked.org/a"}
+    assert {r["obj"] for r in rows} == {"v1"}
