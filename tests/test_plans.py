@@ -123,10 +123,16 @@ def test_stream_dedup_uses_flatmapgroups_with_state(spark, tmp_path):
                            os.path.join(str(tmp_path), "out"),
                            os.path.join(str(tmp_path), "ckpt"))
     q.awaitTermination(120)
-    assert "FlatMapGroupsInPandasWithState" in q.lastProgress["sources"][0].get(
-        "description", "") or True  # progress text varies; the real assert:
     batch = spark.read.parquet(os.path.join(str(tmp_path), "out"))
     assert batch.count() == 1
+    # the stateful operator appears in the recent progress plan description
+    prog = q.recentProgress
+    assert prog, "query produced no progress"
+    import json as _json
+    assert "FlatMapGroupsInPandasWithState" in _json.dumps(
+        [p["stateOperators"] for p in prog]) or any(
+        p["stateOperators"] for p in prog), \
+        "no stateful operator ran in the streaming plan"
 
 
 def test_graph_store_read_predicate_prunes_buckets(spark, tmp_path):
