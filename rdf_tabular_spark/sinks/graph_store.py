@@ -89,6 +89,13 @@ def materialize(triples: DataFrame, root: str, batch_id: str,
     df = dedup_triples(triples) if dedup else triples
     df = with_buckets(df, pred_buckets)
     out_path = os.path.join(root, "data", f"batch={batch_id}")
+    # Align write tasks with the partition dirs: without this every shuffle
+    # partition writes a sliver into every pred_bucket dir — up to
+    # shuffle_partitions x pred_buckets tiny files per batch, the
+    # small-files trap that murders object-store commits and downstream
+    # scans. One task per bucket → one right-sized file per dir (at larger
+    # batch sizes raise the factor so files stay ~128 MB).
+    df = df.repartition(pred_buckets, F.col("pred_bucket"))
     df.write.mode("overwrite").partitionBy("pred_bucket").parquet(out_path)
 
     spark = triples.sparkSession
