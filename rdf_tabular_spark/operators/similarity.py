@@ -196,8 +196,12 @@ def embedding_lsh_pairs(df: DataFrame, dim: int, threshold: float = 0.4,
 def ivf_write_partitioned(assigned: DataFrame, path: str) -> None:
     """Persist an IVF-assigned table partitioned by cell: a probe then reads
     ONLY its cells' files (partition pruning), scanning ~n_probe/k_cells of
-    the corpus — the on-disk layout the 100 TB search path assumes."""
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    the corpus — the on-disk layout the 100 TB search path assumes.
+
+    Repartition on cell first so each cell writes one right-sized file
+    instead of a sliver from every shuffle partition (small-files trap)."""
+    assigned.repartition(F.col("cell")) \
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
 def ivf_read_cells(spark, path: str, cells: list[int]) -> DataFrame:
