@@ -49,3 +49,24 @@ def test_canonical_mapping_driver_tier_matches_distributed(spark):
             for r in canonical_mapping(df, driver_threshold=0).collect()}
     assert driver == dist
     assert ("c", "a") in driver and ("y", "x") in driver
+
+
+def test_rewrite_triples_rewrites_iri_objects(spark):
+    """Stage-3 rewrite must canonicalize IRI objects too (edges between
+    pages), while literal objects that merely look like a mapped id are
+    left untouched."""
+    from rdf_tabular_spark.operators.components import rewrite_triples
+    triples = spark.createDataFrame(
+        [("http://a/x", "p", "http://a/y", True),
+         ("http://a/y", "p", "lit http://a/y", False),
+         ("http://a/y", "p", "http://a/z", True)],
+        "subj string, pred string, obj string, obj_is_iri boolean")
+    mapping = spark.createDataFrame(
+        [("http://a/y", "http://a/canon")], "id string, canonical_id string")
+    got = {(r["subj"], r["obj"]) for r in
+           rewrite_triples(triples, mapping).collect()}
+    assert got == {
+        ("http://a/x", "http://a/canon"),        # IRI obj rewritten
+        ("http://a/canon", "lit http://a/y"),    # literal obj untouched
+        ("http://a/canon", "http://a/z"),        # subj rewritten
+    }
