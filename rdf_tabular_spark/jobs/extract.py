@@ -7,7 +7,8 @@ Cluster invocation (north_rule: "run via spark-submit --py-files"):
     spark-submit --master <cluster> --py-files "$ZIP" \\
         rdf_tabular_spark/jobs/extract.py \\
         --pages s3://crawl/pages/ --out s3://kg/graph --batch-id 2024-06-01 \\
-        [--entity-dict] [--no-canonicalize] [--synth N]
+        [--warc 's3://crawl/segments/*.warc.gz'] [--entity-dict]
+        [--no-canonicalize] [--synth N]
 
 Re-running with the same --batch-id is a no-op once the batch manifest is
 committed (resume semantics live in sinks/graph_store.py).
@@ -24,6 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="pages -> triples -> graph store")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="parquet dir of pages (url, warc_ts, html, text, lang)")
+    src.add_argument("--warc", help="WARC archive path/glob (crawl delivery format)")
     src.add_argument("--synth", type=int, help="generate N deterministic synthetic pages instead")
     p.add_argument("--out", required=True, help="graph-store root directory")
     p.add_argument("--batch-id", required=True)
@@ -49,8 +51,13 @@ def main(argv: list[str] | None = None) -> dict:
     from rdf_tabular_spark.sources.pages import entity_dictionary, synth_pages
     from rdf_tabular_spark.web import web_pipeline
 
-    pages = (synth_pages(spark, args.synth) if args.synth
-             else spark.read.parquet(args.pages))
+    if args.synth:
+        pages = synth_pages(spark, args.synth)
+    elif args.warc:
+        from rdf_tabular_spark.sources.warc import read_warc
+        pages = read_warc(spark, args.warc)
+    else:
+        pages = spark.read.parquet(args.pages)
     manifest = web_pipeline(
         spark, pages, args.out, args.batch_id,
         entity_dict=entity_dictionary() if args.entity_dict else None,

@@ -60,3 +60,18 @@ def test_warc_to_triples_end_to_end(spark, tmp_path):
     got = {(r["subj"], r["pred"], r["obj"]) for r in triples.collect()}
     assert len(got) == 10 * 4  # 4 cell triples per single-row page
     assert any(p.endswith("#lang") for _, p, _ in got)
+
+
+def test_extract_cli_accepts_warc(spark, tmp_path):
+    """jobs/extract.py --warc runs the full pipeline from a raw archive
+    (in-process main(), no spark-submit needed for the arg plumbing)."""
+    import json as _json
+    from rdf_tabular_spark.jobs.extract import main
+    rows = _pages_rows(spark, n=8)
+    warc = str(tmp_path / "seg.warc.gz")
+    write_warc(rows, warc, compress=True)
+    out = str(tmp_path / "graph")
+    manifest = main(["--warc", warc, "--out", out, "--batch-id", "w1",
+                     "--no-canonicalize"])
+    assert manifest["status"] == "committed"
+    assert manifest["n_triples"] > 0
