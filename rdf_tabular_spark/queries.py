@@ -469,6 +469,44 @@ from documents
 """
 
 
+def _text_url_normalize(spark, sf_dir):
+    """Crawl primitive: RFC 3986-subset URL canonicalization as pure Column
+    exprs (operators/urls.py) — messy variants synthesized deterministically
+    from doc_id so both engines normalize the same inputs."""
+    from .operators.urls import normalize_url, url_host
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    messy = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("Pages.Example.ORG"),
+        F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.when(did % 3 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("/doc/"), did.cast("string"))),
+        F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    return docs.select("doc_id", messy.alias("raw"),
+                       normalize_url(messy).alias("norm"),
+                       url_host(messy).alias("host"))
+
+
+def _url_normalize_sql() -> str:
+    from .operators.urls import url_normalize_sql
+    messy = ("(case when doc_id % 2 = 0 then 'HTTP://' else 'https://' end)"
+             " || 'Pages.Example.ORG'"
+             " || (case when doc_id % 2 = 0 then ':80' else ':443' end)"
+             " || (case when doc_id % 3 = 0 then '' else '/doc/' || doc_id end)"
+             " || (case when doc_id % 5 = 0 then '#frag' else '' end)")
+    return f"""
+with m as (select doc_id, {messy} as raw from documents)
+select doc_id, raw, {url_normalize_sql('raw')} as norm,
+       lower(regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+       as host
+from m
+"""
+
+
+_TEXT_URL_NORMALIZE_SQL = _url_normalize_sql()
+
+
 # --- dedup ------------------------------------------------------------------
 
 def _dedup_exact(spark, sf_dir):
@@ -944,6 +982,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": _text_quality,
     "text_langid": _text_langid,
     "text_fingerprint": _text_fingerprint,
+    "text_url_normalize": _text_url_normalize,
     "dedup_exact": _dedup_exact,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     "dedup_minhash_sig": _dedup_minhash_sig,
@@ -987,6 +1026,7 @@ _ORACLES: dict[str, str] = {
     "text_quality": _TEXT_QUALITY_SQL,
     "text_langid": _TEXT_LANGID_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+    "text_url_normalize": _TEXT_URL_NORMALIZE_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_sig": _DEDUP_MINHASH_SIG_SQL,
