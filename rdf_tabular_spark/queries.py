@@ -402,6 +402,20 @@ group by ts::date, event_type
 """
 
 
+def _agg_salted_count(spark, sf_dir):
+    """Skew-proof two-stage count (operators/skew.py) vs the plain groupBy
+    oracle — proves the salted partial/final split changes the plan, not
+    the answer (north_rule: explicit skew handling)."""
+    from .operators import skew as SK
+    ev = _t(spark, sf_dir, "events")
+    return SK.two_stage_count(ev, "event_type")
+
+
+_AGG_SALTED_COUNT_SQL = """
+select event_type, count(*) as n from events group by event_type
+"""
+
+
 def _fk_orders_customer(spark, sf_dir):
     """M6/§2.6: data-level FK integrity check the reference only declares
     (metadata.rb:517-541 FIXME) — left-anti join, broadcast parent."""
@@ -978,6 +992,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_order_revenue": _join_order_revenue,
     "window_top_events": _window_top_events,
     "agg_events_daily": _agg_events_daily,
+    "agg_salted_count": _agg_salted_count,
     "fk_orders_customer": _fk_orders_customer,
     "text_quality": _text_quality,
     "text_langid": _text_langid,
@@ -1022,6 +1037,7 @@ _ORACLES: dict[str, str] = {
     "join_order_revenue": _JOIN_ORDER_REVENUE_SQL,
     "window_top_events": _WINDOW_TOP_EVENTS_SQL,
     "agg_events_daily": _AGG_EVENTS_DAILY_SQL,
+    "agg_salted_count": _AGG_SALTED_COUNT_SQL,
     "fk_orders_customer": _FK_ORDERS_CUSTOMER_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_langid": _TEXT_LANGID_SQL,
