@@ -261,3 +261,61 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
             .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
                     F.round(sim, 4).alias("sim"))
             .filter(F.col("sim") >= threshold))
+
+
+SIMHASH48_BITS = 48
+
+
+def simhash48(text_col: Column) -> Column:
+    """48-bit SimHash (production width): 16-bit fingerprints have only 65k
+    distinct values — at 10^12 docs every value holds ~10^7 docs and the
+    fingerprint stops discriminating. 48 bits keep the whole value in a
+    non-negative bigint in BOTH engines (no sign/overflow edge cases at
+    bit 63), with 2^48 buckets. Token bits come from the first 12 hex chars
+    of md5 (same construction as the 16-bit tier, widened)."""
+    toks = tokens(text_col)
+    tokvals = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10)
+        .cast("long"))
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH48_BITS):
+        ones = F.size(F.filter(tokvals,
+                               lambda v: v.bitwiseAND(F.lit(1 << b)) != 0))
+        bit = (ones * 2 > F.size(tokvals)).cast("long")
+        out = out + bit * F.lit(1 << b)
+    return out
+
+
+def simhash48_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col).cast("long").alias("id"),
+                     simhash48(F.col(text_col)).alias("simhash"))
+
+
+def simhash48_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         max_hamming: int = 5) -> DataFrame:
+    """48-bit banded near-pairs: (max_hamming+1) bands of 48/(h+1) bits —
+    pigeonhole-complete for Hamming ≤ max_hamming, same ONE-shuffle shape
+    as the 16-bit tier but with bucket populations that survive corpus
+    scale."""
+    nb = max_hamming + 1
+    width = SIMHASH48_BITS // nb
+    fps = simhash48_fingerprints(df, id_col, text_col)
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_key"))
+        for i in range(nb)])
+    exploded = fps.select("id", "simhash", F.explode(bands).alias("bk")) \
+        .select("id", "simhash", F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key"))
+    l, r = exploded.alias("l"), exploded.alias("r")
+    return (l.join(r, ["band", "band_key"])
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                    F.bit_count(F.col("l.simhash")
+                                .bitwiseXOR(F.col("r.simhash"))).alias("dist"))
+            .filter(F.col("dist") <= max_hamming)
+            .distinct())

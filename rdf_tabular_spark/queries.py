@@ -103,6 +103,18 @@ def _simhash_sql(toks: str) -> str:
     return " + ".join(terms)
 
 
+def _simhash48_sql(toks: str) -> str:
+    """48-bit SimHash mirror (production width, sign-safe in bigint)."""
+    tv = (f"list_transform({toks}, x -> "
+          f"('0x' || substring(md5(x), 1, 12))::bigint)")
+    terms = []
+    for b in range(D.SIMHASH48_BITS):
+        ones = f"len(list_filter({tv}, v -> (v & {1 << b}) <> 0))"
+        terms.append(f"(case when {ones} * 2 > len({tv}) then 1 else 0 end) "
+                     f"* {1 << b}")
+    return " + ".join(terms)
+
+
 def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
     return " + ".join(f"{a}[{i}]::double * {b}[{i}]::double"
                       for i in range(1, dim + 1))
@@ -584,6 +596,33 @@ select doc_id as id, {_simhash_sql(TOKS_SQL)} as simhash from documents
 """
 
 
+def _dedup_simhash48(spark, sf_dir):
+    """48-bit fingerprints (the width that still discriminates at 10^12
+    docs — 16-bit saturates at 65k distinct values)."""
+    return D.simhash48_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_SIMHASH48_SQL = f"""
+select doc_id as id, {_simhash48_sql(TOKS_SQL)} as simhash from documents
+"""
+
+
+def _dedup_simhash48_pairs(spark, sf_dir):
+    """48-bit banded near-pairs (6 bands x 8 bits, Hamming <= 5) vs the
+    all-pairs Hamming oracle — pigeonhole-complete banding loses nothing."""
+    return D.simhash48_near_pairs(_t(spark, sf_dir, "documents"),
+                                  max_hamming=5)
+
+
+_DEDUP_SIMHASH48_PAIRS_SQL = f"""
+with f as (select doc_id as id, {_simhash48_sql(TOKS_SQL)} as simhash
+           from documents)
+select a.id as a, b.id as b, bit_count(xor(a.simhash, b.simhash)) as dist
+from f a join f b on a.id < b.id
+where bit_count(xor(a.simhash, b.simhash)) <= 5
+"""
+
+
 def _dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3) via banded pigeonhole buckets.
     The oracle is the all-pairs Hamming filter — semantically identical
@@ -1004,6 +1043,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_pairs": _dedup_minhash_pairs,
     "dedup_simhash": _dedup_simhash,
     "dedup_simhash_pairs": _dedup_simhash_pairs,
+    "dedup_simhash48": _dedup_simhash48,
+    "dedup_simhash48_pairs": _dedup_simhash48_pairs,
     "dedup_minhash_scale_sig": _dedup_minhash_scale_sig,
     "dedup_minhash_scale_pairs": _dedup_minhash_scale_pairs,
     "dedup_minhash_verified_pairs": _dedup_minhash_verified_pairs,
@@ -1049,6 +1090,8 @@ _ORACLES: dict[str, str] = {
     "dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
     "dedup_simhash_pairs": _DEDUP_SIMHASH_PAIRS_SQL,
+    "dedup_simhash48": _DEDUP_SIMHASH48_SQL,
+    "dedup_simhash48_pairs": _DEDUP_SIMHASH48_PAIRS_SQL,
     "dedup_minhash_scale_sig": _DEDUP_MINHASH_SCALE_SIG_SQL,
     "dedup_minhash_scale_pairs": _DEDUP_MINHASH_SCALE_PAIRS_SQL,
     "dedup_minhash_verified_pairs": _DEDUP_MINHASH_VERIFIED_PAIRS_SQL,
