@@ -94,3 +94,83 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", LongType(), False),
+    StructField("height", LongType(), False),
+    StructField("content", BinaryType(), False),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("ts_ms", LongType(), False),
+    StructField("content", BinaryType(), False),
+])
+
+
+def _fake_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→encode: digest-seeded bytes
+    of the target size's digest (NOT width*height bytes — the point is the
+    plumbing, not shipping fake megapixels through the shuffle)."""
+    return hashlib.md5(blob + f":{width}x{height}".encode()).digest()
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  use_stub: bool = True) -> DataFrame:
+    """Image resize as an Arrow-batched kernel → RESIZED_SCHEMA.
+
+    ``use_stub=False`` calls the real :func:`decode_image` slot (raises in
+    this container); the stub keeps the batch shape, schema, and
+    determinism real so the operator is testable end-to-end.
+    """
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(media.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "content": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob)
+                if not use_stub:
+                    img = decode_image(b)  # pragma: no cover (env-limited)
+                    b = img
+                out["media_id"].append(int(mid))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["content"].append(_fake_resize(b, width, height)
+                                      if use_stub else b)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  frame_interval_ms: int = 1000,
+                  use_stub: bool = True) -> DataFrame:
+    """Video frame sampling — the UDTF shape (1 blob → N frame rows) done
+    the Spark way: one Arrow kernel yields the multi-row batch directly
+    (never a Python generator per row). Frame content is the decode slot;
+    the stub derives deterministic per-frame bytes from (blob, frame_idx).
+    """
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(media.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "content": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob)
+                if not use_stub:
+                    decode_audio(b)  # pragma: no cover (ffmpeg slot)
+                for i in range(n_frames):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * frame_interval_ms)
+                    out["content"].append(
+                        hashlib.md5(b + f":frame{i}".encode()).digest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -870,6 +870,44 @@ from documents
 """
 
 
+def _multimodal_resize(spark, sf_dir):
+    """Resize plumbing (stubbed decode): deterministic digest-seeded output
+    so the whole batch shape is oracle-checkable (content surfaced as hex)."""
+    from .operators.multimodal import media_from_documents, resize_images
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return resize_images(media, 64, 64).select(
+        "media_id", "width", "height",
+        F.lower(F.hex("content")).alias("content_hex"))
+
+
+_MULTIMODAL_RESIZE_SQL = """
+select doc_id as media_id, 64 as width, 64 as height,
+       md5(text || ':64x64') as content_hex
+from documents
+"""
+
+
+def _multimodal_frames(spark, sf_dir):
+    """Frame sampling — the 1-blob → N-frame UDTF shape, emitted by one
+    Arrow kernel (never a per-row Python generator)."""
+    from .operators.multimodal import media_from_documents, sample_frames
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, n_frames=4).select(
+        "media_id", "frame_idx", "ts_ms",
+        F.lower(F.hex("content")).alias("content_hex"))
+
+
+_MULTIMODAL_FRAMES_SQL = """
+select doc_id as media_id, f.i as frame_idx, f.i * 1000 as ts_ms,
+       md5(text || ':frame' || f.i) as content_hex
+from documents cross join (values (0), (1), (2), (3)) as f(i)
+"""
+
+
 # --- KG pipeline (web path) -------------------------------------------------
 
 def _kg_pages(spark, sf_dir):
@@ -1057,6 +1095,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh_pairs": _dedup_embedding_lsh_pairs,
     "ann_ivf_trained_topk": _ann_ivf_trained_topk,
     "multimodal_features": _multimodal_features,
+    "multimodal_resize": _multimodal_resize,
+    "multimodal_frames": _multimodal_frames,
     "kg_pages_triples": _kg_pages_triples,
     "kg_entity_mentions": _kg_entity_mentions,
     "kg_entity_mentions_join": _kg_entity_mentions_join,
@@ -1103,6 +1143,8 @@ _ORACLES: dict[str, str] = {
     "ann_lsh_multiprobe_topk": _ANN_LSH_MULTIPROBE_TOPK_SQL,
     "dedup_embedding_lsh_pairs": _DEDUP_EMBEDDING_LSH_PAIRS_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+    "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
+    "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "kg_pages_triples": _KG_PAGES_TRIPLES_SQL,
     "kg_entity_mentions": _KG_ENTITY_MENTIONS_SQL,
     "kg_entity_mentions_join": _KG_ENTITY_MENTIONS_SQL,
