@@ -233,3 +233,26 @@ def test_entry_deterministic(spark):
     a = sorted(map(tuple, E.entry(spark).collect()))
     b = sorted(map(tuple, E.entry(spark).collect()))
     assert a == b
+
+
+def test_link_entities_fuzzy_tier(spark):
+    """Token-Jaccard fuzzy matching: a literal that is a superset of a
+    dictionary surface links when the score clears min_score; unrelated
+    literals do not; exact matches score 1.0 regardless."""
+    from rdf_tabular_spark.operators.triples import TRIPLE_SCHEMA
+    from rdf_tabular_spark.web import link_entities
+    rows = [
+        ("s1", "p", "Quercus rubra", False, None, None, "t", 1),    # exact
+        ("s2", "p", "quercus rubra tree", False, None, None, "t", 2),  # fuzzy 2/3
+        ("s3", "p", "entirely unrelated text", False, None, None, "t", 3),
+        ("s4", "p", "http://iri", True, None, None, "t", 4),        # IRI: skipped
+    ]
+    triples = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    ents = {"Quercus rubra": "http://kg/e/quercus"}
+    got = {r["subj"]: r["obj"]
+           for r in link_entities(triples, ents, min_score=0.5).collect()}
+    assert got == {"s1": "http://kg/e/quercus", "s2": "http://kg/e/quercus"}
+    # raising the threshold drops the fuzzy hit but keeps the exact one
+    strict = {r["subj"] for r in
+              link_entities(triples, ents, min_score=0.9).collect()}
+    assert strict == {"s1"}
