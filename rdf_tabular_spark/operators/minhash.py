@@ -36,19 +36,6 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Character k-shingles → stable 64-bit hashes (FNV-1a, no PYTHONHASHSEED)."""
-    n = max(len(text) - k + 1, 1)
-    out = np.empty(n, dtype=np.uint64)
-    fnv_prime = np.uint64(0x100000001B3)
-    for i in range(n):
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in text[i:i + k]:
-            h = np.uint64((int(h) ^ ord(ch)) * int(fnv_prime) & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
-
-
 def _shingle_hashes_vec(text: str, k: int) -> np.ndarray:
     """Vectorized shingle hashing via byte-window dot products."""
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)

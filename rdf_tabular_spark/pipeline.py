@@ -272,15 +272,23 @@ def validate_primary_key(spark: SparkSession, table: Table,
     pk = table.schema.primary_key
     if not pk:
         return spark.createDataFrame(
-            [], "key string, n_rows bigint, source_nums array<bigint>")
+            [], "key array<string>, n_rows bigint, source_nums array<bigint>")
     path = resolver(table.url)
     titles, _ = read_header(path, table.dialect)
     if titles:
         merge_embedded_titles(table, titles)
     idx = {c.name: i for i, c in enumerate(table.schema.columns)}
-    positions = [idx[name] for name in pk if name in idx]
+    missing = [name for name in pk if name not in idx]
+    if missing:
+        raise ValueError(
+            f"primaryKey column(s) {missing} not in table schema "
+            f"(columns: {sorted(idx)})")
+    positions = [idx[name] for name in pk]
     rows = read_rows(spark, path, table.dialect)
-    key = F.concat_ws("", *[
+    # Group by the key tuple as an array: element boundaries and NULLs are
+    # preserved, so (NULL,'x') vs ('x',NULL) and (x,NULL) vs (x,'') stay
+    # distinct (concat_ws skips NULLs and would collide them).
+    key = F.array(*[
         F.element_at(F.col("values"), p + 1) for p in positions])
     return (rows.select(key.alias("key"), "source_num")
             .groupBy("key")

@@ -93,9 +93,11 @@ def materialize(triples: DataFrame, root: str, batch_id: str,
     # partition writes a sliver into every pred_bucket dir — up to
     # shuffle_partitions x pred_buckets tiny files per batch, the
     # small-files trap that murders object-store commits and downstream
-    # scans. One task per bucket → one right-sized file per dir (at larger
-    # batch sizes raise the factor so files stay ~128 MB).
-    df = df.repartition(pred_buckets, F.col("pred_bucket"))
+    # scans. repartitionByRange (not hash repartition: hash(pred_bucket) %
+    # n collides, doubling up some dirs and leaving others empty) gives
+    # each of the n bucket values its own task → one right-sized file per
+    # dir (at larger batch sizes raise the factor so files stay ~128 MB).
+    df = df.repartitionByRange(pred_buckets, F.col("pred_bucket"))
     df.write.mode("overwrite").partitionBy("pred_bucket").parquet(out_path)
 
     spark = triples.sparkSession

@@ -150,7 +150,10 @@ def csvw_to_json(spark: SparkSession, source, base: str = "",
     from ..pipeline import discover_metadata
     filenames: list[str] = []
     if isinstance(source, dict) or (isinstance(source, str) and source.endswith((".json", ".jsonld"))):
-        meta = load_metadata(source, base=base, resolver=resolver)
+        meta = load_metadata(
+            source,
+            base=base or (source if isinstance(source, str) else ""),
+            resolver=resolver)
         if isinstance(source, str):
             filenames = [base or source]
     else:

@@ -96,18 +96,20 @@ def read_header(path: str, dialect: Dialect) -> tuple[list[str], list[str]]:
 _SNIFF_BYTES = 64 * 1024 * 1024  # bounded: never full-scan a huge file
 
 
-def _has_quoted_newline(path: str, dialect: Dialect) -> bool:
-    """Quote-parity scan over at most the first 64 MB: a physical line
-    ending inside an open quoted field means some row spans lines.
-    Conservative (escaped quotes in non-doubleQuote dialects may
+def _quote_sniff(path: str, dialect: Dialect) -> tuple[bool, bool]:
+    """(has_quoted_newline, sniff_complete) over at most the first 64 MB.
+
+    A physical line ending inside an open quoted field means some row spans
+    lines. Conservative (escaped quotes in non-doubleQuote dialects may
     false-positive) — a false positive only selects the slower,
     still-correct whole-file path. Bounded so the driver never pays a
-    full-file read on the hot path; a quoted newline appearing ONLY beyond
-    the prefix is caught distributed in the parse kernel (clear error, not
-    silent mis-parse)."""
+    full-file read on the hot path; when the bound truncates the scan,
+    ``sniff_complete`` is False and ``read_rows`` runs one distributed
+    odd-quote-parity pass to decide the path (auto-fallback, never a
+    mid-job error)."""
     q = dialect.quoteChar
     if not q:
-        return False
+        return False, True
     in_quote = False
     seen = 0
     with open(path, "r", encoding=dialect.encoding or "utf-8", newline="") as f:
@@ -116,10 +118,14 @@ def _has_quoted_newline(path: str, dialect: Dialect) -> bool:
             if line.count(q) % 2:
                 in_quote = not in_quote
             if in_quote and line.endswith(("\n", "\r")):
-                return True
+                return True, True
             if seen > _SNIFF_BYTES:
-                break
-    return False
+                return False, False
+    return False, True
+
+
+def _has_quoted_newline(path: str, dialect: Dialect) -> bool:
+    return _quote_sniff(path, dialect)[0]
 
 
 def _read_rows_whole_file(spark: SparkSession, path: str,
@@ -162,8 +168,22 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
     source_num is the 1-based physical line number (reference: each_row,
     metadata.rb:786-795).
     """
-    if _has_quoted_newline(path, dialect):
+    has_spanning, sniff_complete = _quote_sniff(path, dialect)
+    if has_spanning:
         return _read_rows_whole_file(spark, path, dialect)
+    if not sniff_complete:
+        # File larger than the sniff bound: one distributed parity pass —
+        # if ANY physical line carries an odd quote count (possible split
+        # quoted field beyond the prefix), auto-fall back to the whole-file
+        # path instead of risking a mis-parse or mid-job error.
+        from pyspark.sql import functions as F
+        q = dialect.quoteChar
+        probe = spark.read.text(path)
+        odd = probe.where(
+            (F.length("value") - F.length(F.translate("value", q, ""))) % 2
+            == 1)
+        if odd.head(1):
+            return _read_rows_whole_file(spark, path, dialect)
     skipped = dialect.skipped_rows
     skipc = int(dialect.skipColumns) + int(dialect.headerColumnCount)
     delim, quote, dq = dialect.delimiter, dialect.quoteChar, bool(dialect.doubleQuote)
@@ -185,16 +205,11 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
                 continue
             vals = []
             for line in keep["line"]:
-                # (doubleQuote dialects only: a closed quoted field always
-                # has an even quote count there; backslash-escape dialects
-                # can legitimately carry odd counts)
-                if quote and dq and line.count(quote) % 2:
-                    # a split quoted field that escaped the bounded driver
-                    # sniff — fail loudly instead of mis-parsing
-                    raise ValueError(
-                        "quoted field spans physical lines beyond the "
-                        "sniffed prefix; re-run with the whole-file CSV "
-                        "path (csv_source._read_rows_whole_file)")
+                # Odd-quote-count lines cannot reach this kernel: the driver
+                # sniff (complete files) or the distributed parity probe
+                # (files beyond the sniff bound) routes them to the
+                # whole-file path first. Any residual stray quote parses
+                # leniently, matching csv.reader's non-strict behavior.
                 row = next(_csv.reader(
                     io.StringIO(line), delimiter=delim, quotechar=quote or '"',
                     doublequote=dq, escapechar=None if dq else "\\"), [])

@@ -228,7 +228,8 @@ def subject_profiles(triples: DataFrame) -> DataFrame:
 def canonicalize_subjects(triples: DataFrame, num_perm: int = 64,
                           num_bands: int = 8, threshold: float = 0.9,
                           max_bucket: int = 500,
-                          releases: list | None = None):
+                          releases: list | None = None,
+                          min_band_matches: int = 2):
     """Stage 3: MinHash-LSH blocking + connected components → canonical ids.
 
     → (rewritten_triples, mapping(id, canonical_id)). Canonical id = lexical
@@ -275,18 +276,20 @@ def canonicalize_subjects(triples: DataFrame, num_perm: int = 64,
                               token_sep="|").persist()
     _owned = [profiles, member_map, sigs]
     try:
-        # min_band_matches=2: web-corpus profiles draw from small
+        # min_band_matches default 2: web-corpus profiles draw from small
         # vocabularies, so single-band collisions between genuinely
         # different records dominate the candidate set (measured: 3M pairs
         # for 1.3k true edges at 20k pages, and the verify join then
         # shuffles 64-long sig arrays per pair — 60 s of a 78 s stage).
         # Requiring 2 of 8 matching bands keeps recall ≥0.93 at the 0.9
-        # threshold and cuts candidates ~50x.
+        # threshold and cuts candidates ~50x. Recall-sensitive callers can
+        # pass min_band_matches=1 to restore exhaustive banding (~8% more
+        # recall at J=0.9, at the measured candidate-set cost above).
         edges = signature_similarity_edges(sigs, num_bands=num_bands,
                                            threshold=threshold,
                                            max_bucket=max_bucket,
                                            releases=_owned,
-                                           min_band_matches=2)
+                                           min_band_matches=min_band_matches)
         rep_mapping = canonical_mapping(edges)  # rep → canonical (near-dup tier)
         mapping = (member_map
                    .join(rep_mapping, member_map.rep == rep_mapping.id, "left")

@@ -58,6 +58,30 @@ def test_skip_blank_rows_row_template(spark, tmp_path):
     assert subj_obj == [("http://e.org/r/1", "v1"), ("http://e.org/r/2", "v2")]
 
 
+def test_quoted_newline_beyond_sniff_auto_fallback(spark, tmp_path, monkeypatch):
+    """A quoted newline past the sniff bound must auto-route to the
+    whole-file path (one distributed parity probe), not raise mid-job."""
+    from rdf_tabular_spark.sources import csv_source
+    monkeypatch.setattr(csv_source, "_SNIFF_BYTES", 8)  # truncate the sniff
+    p = tmp_path / "big.csv"
+    p.write_text('a,b\n1,x\n2,y\n"li\nne",z\n')
+    has, complete = csv_source._quote_sniff(str(p), Dialect())
+    assert not has and not complete  # sniff saw nothing, was truncated
+    got = _rows(spark, p, Dialect())
+    assert got == [(["1", "x"], 1, 2), (["2", "y"], 2, 3),
+                   (["li\nne", "z"], 3, 4)]
+
+
+def test_stray_quote_parses_leniently(spark, tmp_path):
+    """A stray unescaped quote in an unquoted field parses (csv.reader
+    non-strict), never errors — it routes through the whole-file path via
+    the conservative sniff."""
+    p = tmp_path / "s.csv"
+    p.write_text('a,b\nv"1,x\n2,y\n')
+    got = _rows(spark, p, Dialect())
+    assert [v for v, _, _ in got] == [['v"1', "x"], ["2", "y"]]
+
+
 def test_multiline_with_header_and_skip(spark, tmp_path):
     p = tmp_path / "h.csv"
     p.write_text('# note\na,b\n"x\ny",1\n')

@@ -104,4 +104,4 @@ def test_suite_negative_pk(spark, tid):
     dups = validate_primary_key(spark, _table_for(e), resolver=resolver) \
         .collect()
     assert len(dups) == 1
-    assert dups[0]["n_rows"] == 2 and dups[0]["key"] == "1"
+    assert dups[0]["n_rows"] == 2 and list(dups[0]["key"]) == ["1"]
