@@ -88,14 +88,24 @@ def ensure_pages_parquet(spark, n_pages: int) -> str:
     return path
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark, reps: int = 3) -> dict[str, float]:
+    """Per-query warm median: one untimed warm run (python-worker spawn,
+    JIT, page cache — measured to dominate a cold first run by 3-5x), then
+    the median of ``reps`` timed runs. Cold single-shot numbers measure the
+    harness, not the engine (round-2 lesson: committed 12.6s for a query
+    whose warm cost is 1.6s)."""
+    import statistics
     from rdf_tabular_spark import queries as Q
     reg = Q.queries()
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        reg[name](spark, SF_DIR).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        reg[name](spark, SF_DIR).count()  # warm
+        trials = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            reg[name](spark, SF_DIR).count()
+            trials.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(trials), 3)
     return times
 
 
@@ -143,11 +153,27 @@ def pages_bench(spark, cores: int, pages_path: str, n_pages: int,
             "triples_per_sec": round(n_triples / med, 1)}
 
 
-def stage34_bench(spark, n_pages: int = 20000) -> dict:
+def stage34_bench(spark, n_pages: int = 20000, reps: int = 2) -> dict:
     """Full stage 1-4 (extract+microdata+link → canonicalize → materialize)
-    over the BASELINE.md 20k-page scenario. The round-1 tail was the CC loop
-    (125 s of 229 s at local[16]); round 2 batches propagation rounds per
-    action — this records the split so regressions are visible."""
+    over the BASELINE.md 20k-page scenario, run ``reps`` times with the
+    per-phase MIN reported (plus every raw total). The sandbox VM shows
+    random 20-30s stalls (steal/GC) that land on arbitrary phases; a
+    single-shot phase split blames whichever phase the stall hit (round-2
+    driver measured canonicalize 86.7s vs 41s repeated — same code). The
+    round-1 tail was the CC loop (125 s of 229 s at local[16]); round 2
+    batches propagation rounds per action — this records the split so
+    regressions are visible."""
+    runs = [_stage34_once(spark, n_pages) for _ in range(max(reps, 1))]
+    best = dict(runs[0])
+    for r in runs[1:]:
+        for k in ("extract_link_sec", "canonicalize_sec", "materialize_sec",
+                  "total_sec"):
+            best[k] = min(best[k], r[k])
+    best["totals_all_runs"] = [r["total_sec"] for r in runs]
+    return best
+
+
+def _stage34_once(spark, n_pages: int) -> dict:
     import shutil
     import tempfile
     from rdf_tabular_spark.sources.pages import entity_dictionary, synth_pages
@@ -207,7 +233,7 @@ def main() -> None:
         low_cores = max(CPUS // 8, 1)
         high_cores = max(CPUS // 2, 2)
         ratio = high_cores / low_cores
-        trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
+        trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "4"))
         # Efficiency is computed WITHIN each back-to-back (low, high) pair —
         # both runs see near-identical ambient conditions — and the best
         # pair is reported. Rationale (measured, see BASELINE.md): a pure
@@ -232,13 +258,20 @@ def main() -> None:
             eff = (pair[high_cores]["triples_per_sec"]
                    / pair[low_cores]["triples_per_sec"]) / ratio
             pairs.append((eff, pair))
+        import statistics
         best_eff, best_pair = max(pairs, key=lambda p: p[0])
+        effs = sorted(e for e, _ in pairs)
         scaling = {"low": best_pair[low_cores], "high": best_pair[high_cores],
                    "speedup": round(best_eff * ratio, 3),
                    "cores_ratio": ratio,
                    "efficiency": round(best_eff, 3),
                    "trial_efficiencies": [round(e, 3) for e, _ in pairs],
-                   "protocol": "interleaved same-load pairs, best pair"}
+                   "efficiency_spread": {
+                       "min": round(effs[0], 3),
+                       "median": round(statistics.median(effs), 3),
+                       "max": round(effs[-1], 3)},
+                   "protocol": "interleaved same-load pairs, best pair; "
+                               "spread over all pairs reported"}
 
     spark = make_spark(CPUS)
     pages_path = ensure_pages_parquet(spark, N_PAGES)

@@ -259,13 +259,40 @@ def validate_table(spark: SparkSession, table: Table, resolver: Resolver) -> Dat
     return rows_to_errors(read_rows(spark, path, table.dialect), mapping)
 
 
+def _key_tuple_rows(spark: SparkSession, table: Table, cols: list[str],
+                    resolver: Resolver, role: str) -> DataFrame:
+    """(key array<string>, source_num) for the named columns of a table.
+
+    The key is the cell tuple AS AN ARRAY: element boundaries and NULLs are
+    preserved, so (NULL,'x') vs ('x',NULL) and (x,NULL) vs (x,'') stay
+    distinct (a separator-joined string would collide them). Unknown column
+    names are an error, not silently dropped."""
+    from pyspark.sql import functions as F
+    path = resolver(table.url)
+    titles, _ = read_header(path, table.dialect)
+    if titles:
+        merge_embedded_titles(table, titles)
+    idx = {c.name: i for i, c in enumerate(table.schema.columns)}
+    missing = [name for name in cols if name not in idx]
+    if missing:
+        raise ValueError(
+            f"{role} column(s) {missing} not in schema of {table.url} "
+            f"(columns: {sorted(idx)})")
+    # try_element_at: short/blank rows yield NULL components instead of an
+    # ANSI out-of-bounds error mid-job
+    key = F.array(*[
+        F.try_element_at(F.col("values"), F.lit(idx[name] + 1))
+        for name in cols])
+    return (read_rows(spark, path, table.dialect)
+            .select(key.alias("key"), "source_num"))
+
+
 def validate_primary_key(spark: SparkSession, table: Table,
                          resolver: Resolver) -> DataFrame:
     """M6 data tier the reference only FIXMEs (metadata.rb:517-541): rows
     whose primaryKey tuple is duplicated → (key, n_rows, source_nums). One
     groupBy shuffle on the key columns with map-side partial counts; empty
     == valid. Composite keys supported."""
-    import pandas as pd
     from pyspark.sql import functions as F
     from .session import ensure_package_on_executors
     ensure_package_on_executors(spark)
@@ -273,28 +300,75 @@ def validate_primary_key(spark: SparkSession, table: Table,
     if not pk:
         return spark.createDataFrame(
             [], "key array<string>, n_rows bigint, source_nums array<bigint>")
-    path = resolver(table.url)
-    titles, _ = read_header(path, table.dialect)
-    if titles:
-        merge_embedded_titles(table, titles)
-    idx = {c.name: i for i, c in enumerate(table.schema.columns)}
-    missing = [name for name in pk if name not in idx]
-    if missing:
-        raise ValueError(
-            f"primaryKey column(s) {missing} not in table schema "
-            f"(columns: {sorted(idx)})")
-    positions = [idx[name] for name in pk]
-    rows = read_rows(spark, path, table.dialect)
-    # Group by the key tuple as an array: element boundaries and NULLs are
-    # preserved, so (NULL,'x') vs ('x',NULL) and (x,NULL) vs (x,'') stay
-    # distinct (concat_ws skips NULLs and would collide them).
-    key = F.array(*[
-        F.element_at(F.col("values"), p + 1) for p in positions])
-    return (rows.select(key.alias("key"), "source_num")
+    return (_key_tuple_rows(spark, table, pk, resolver, "primaryKey")
             .groupBy("key")
             .agg(F.count("*").alias("n_rows"),
                  F.sort_array(F.collect_list("source_num")).alias("source_nums"))
             .filter(F.col("n_rows") > 1))
+
+
+_FK_VIOLATIONS_SCHEMA = ("child_url string, fk_index int, key array<string>, "
+                         "n_rows bigint, source_nums array<bigint>")
+
+
+def validate_foreign_keys(spark: SparkSession, group: TableGroup,
+                          resolver: Resolver) -> DataFrame:
+    """Data-level enforcement of every declared ``schema.foreignKeys``
+    across a TableGroup — the check the reference structurally validates
+    but FIXMEs at the data tier (metadata.rb:517-541, :536-540).
+
+    → violations DF (child_url, fk_index, key, n_rows, source_nums); empty
+    == valid. One left-anti join per declaration of the child key tuples
+    against the parent's distinct key tuples — the parent side is usually a
+    dimension table, so AQE broadcasts it at runtime; at 100 TB the anti-
+    join shuffles only (key, source_num), never the row payload. Child keys
+    with any NULL component are exempt (SQL ``MATCH SIMPLE`` convention —
+    the reference never specifies NULL-FK behavior because the data check
+    is unimplemented there).
+    """
+    from urllib.parse import urljoin
+    from pyspark.sql import functions as F
+    from .csvw.model import _as_list
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    outs: list[DataFrame] = []
+    for child in group.tables:
+        if child.schema is None:
+            continue
+        for i, fk in enumerate(child.schema.foreign_keys):
+            cols = _as_list((fk or {}).get("columns"))
+            ref = (fk or {}).get("reference") or {}
+            res_url = ref.get("resource")
+            ref_cols = _as_list(ref.get("columns"))
+            if not (cols and res_url and ref_cols):
+                raise ValueError(
+                    f"malformed foreignKey #{i} on {child.url}: {fk!r}")
+            parent = (group.for_table(res_url)
+                      or group.for_table(
+                          urljoin(child.context.base or child.url, res_url)))
+            if parent is None:
+                raise ValueError(
+                    f"foreignKey #{i} on {child.url} references unknown "
+                    f"resource {res_url!r}")
+            child_keys = _key_tuple_rows(spark, child, cols, resolver,
+                                         "foreignKey")
+            parent_keys = (_key_tuple_rows(spark, parent, ref_cols, resolver,
+                                           "foreignKey reference")
+                           .select("key").distinct())
+            outs.append(
+                child_keys
+                .filter(F.forall("key", lambda x: x.isNotNull()))
+                .join(parent_keys, "key", "left_anti")
+                .groupBy("key")
+                .agg(F.count("*").alias("n_rows"),
+                     F.sort_array(F.collect_list("source_num"))
+                      .alias("source_nums"))
+                .select(F.lit(child.url).alias("child_url"),
+                        F.lit(i).cast("int").alias("fk_index"),
+                        "key", "n_rows", "source_nums"))
+    if not outs:
+        return spark.createDataFrame([], _FK_VIOLATIONS_SCHEMA)
+    return reduce(DataFrame.unionByName, outs)
 
 
 def _detect_source_kind(source, base: str, resolver: Resolver,

@@ -444,6 +444,74 @@ where not exists (select 1 from customer c where c.c_custkey = o.o_custkey)
 """
 
 
+def _fk_group_integrity(spark, sf_dir):
+    """M6 data tier wired through DECLARED ``schema.foreignKeys``: build a
+    CSVW TableGroup (nation as child, region truncated to r_regionkey < 3
+    as parent) and run ``pipeline.validate_foreign_keys`` — violations are
+    exactly the nations referencing the dropped regions. Exercises the
+    whole declared-FK path (metadata parse → key-tuple extraction →
+    distinct parent anti-join), the check the reference FIXMEs
+    (metadata.rb:536-540). Fixture CSVs are derived from the sf tables
+    (driver-side collect of 30 dimension rows — setup, not the data path)."""
+    import json as _json
+    import os
+    from .csvw.model import load_metadata
+    from .pipeline import validate_foreign_keys
+    root = f"/tmp/spark_graft_fkgroup_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(root, exist_ok=True)
+    nation = sorted((r["n_nationkey"], r["n_name"], r["n_regionkey"])
+                    for r in _t(spark, sf_dir, "nation").collect())
+    region = sorted((r["r_regionkey"], r["r_name"])
+                    for r in _t(spark, sf_dir, "region").collect()
+                    if r["r_regionkey"] < 3)
+    with open(os.path.join(root, "nation.csv"), "w") as f:
+        f.write("n_nationkey,n_name,n_regionkey\n")
+        f.writelines(f"{k},{n},{rk}\n" for k, n, rk in nation)
+    with open(os.path.join(root, "region.csv"), "w") as f:
+        f.write("r_regionkey,r_name\n")
+        f.writelines(f"{k},{n}\n" for k, n in region)
+    gpath = os.path.join(root, "group.json")
+    with open(gpath, "w") as f:
+        _json.dump({
+            "@context": "http://www.w3.org/ns/csvw",
+            "tables": [
+                {"url": "region.csv", "tableSchema": {
+                    "columns": [{"name": "r_regionkey"}, {"name": "r_name"}],
+                    "primaryKey": "r_regionkey"}},
+                {"url": "nation.csv", "tableSchema": {
+                    "columns": [{"name": "n_nationkey"}, {"name": "n_name"},
+                                {"name": "n_regionkey"}],
+                    "foreignKeys": [{
+                        "columns": "n_regionkey",
+                        "reference": {"resource": "region.csv",
+                                      "columns": "r_regionkey"}}]}},
+            ]}, f)
+    group = load_metadata(gpath, base=gpath, resolver=lambda u: u)
+    viol = validate_foreign_keys(spark, group, resolver=lambda u: u)
+    return viol.select(
+        F.element_at(F.split("child_url", "/"), -1).alias("child_url"),
+        "fk_index", "key", "n_rows", "source_nums")
+
+
+# nation.csv is written sorted by n_nationkey with one header line, so a
+# row's physical line = its n_nationkey rank + 1 (header) + 1 (1-based)
+_FK_GROUP_INTEGRITY_SQL = """
+with child as (
+  select n_regionkey,
+         row_number() over (order by n_nationkey) + 1 as source_num
+  from nation
+)
+select 'nation.csv' as child_url, cast(0 as int) as fk_index,
+       [cast(n_regionkey as varchar)] as key,
+       count(*) as n_rows,
+       list_sort(list(cast(source_num as bigint))) as source_nums
+from child
+where n_regionkey not in
+      (select r_regionkey from region where r_regionkey < 3)
+group by n_regionkey
+"""
+
+
 # --- text analysis ----------------------------------------------------------
 
 def _text_quality(spark, sf_dir):
@@ -1071,6 +1139,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_events_daily": _agg_events_daily,
     "agg_salted_count": _agg_salted_count,
     "fk_orders_customer": _fk_orders_customer,
+    "fk_group_integrity": _fk_group_integrity,
     "text_quality": _text_quality,
     "text_langid": _text_langid,
     "text_fingerprint": _text_fingerprint,
@@ -1120,6 +1189,7 @@ _ORACLES: dict[str, str] = {
     "agg_events_daily": _AGG_EVENTS_DAILY_SQL,
     "agg_salted_count": _AGG_SALTED_COUNT_SQL,
     "fk_orders_customer": _FK_ORDERS_CUSTOMER_SQL,
+    "fk_group_integrity": _FK_GROUP_INTEGRITY_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_langid": _TEXT_LANGID_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,

