@@ -42,13 +42,35 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
+def _find_spec(name: str):
+    import importlib.util
+    try:
+        return importlib.util.find_spec(name)
+    except (ImportError, ValueError):
+        return None
+
+
 def decode_image(blob: bytes) -> "object":
-    """Real decoder slot — wire PIL/turbojpeg here on a full cluster image."""
-    raise NotImplementedError("image decode requires PIL/libjpeg — not in this container")
+    """Real decoder: uses PIL when the cluster image provides it (zero code
+    change to enable — just install Pillow); raises the honest stub error
+    otherwise. Returns a PIL.Image."""
+    if _find_spec("PIL") is not None:
+        import io
+        from PIL import Image
+        return Image.open(io.BytesIO(blob))
+    raise NotImplementedError(
+        "image decode requires PIL/libjpeg — not in this container")
 
 
 def decode_audio(blob: bytes) -> "object":
-    raise NotImplementedError("audio decode requires ffmpeg — not in this container")
+    """Real decoder: uses soundfile when available (→ (samples ndarray,
+    sample_rate)); raises the honest stub error otherwise."""
+    if _find_spec("soundfile") is not None:
+        import io
+        import soundfile
+        return soundfile.read(io.BytesIO(blob))
+    raise NotImplementedError(
+        "audio decode requires ffmpeg/libsndfile — not in this container")
 
 
 def fake_features(blob: bytes, n: int = 4) -> list[float]:

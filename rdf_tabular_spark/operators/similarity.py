@@ -108,6 +108,64 @@ def ivf_index(df: DataFrame, k: int = 16, id_col: str = "vec_id",
     return assigned, centroids
 
 
+def ivf_fit_deterministic(df: DataFrame, k: int = 8, n_iter: int = 2,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          dim: int | None = None):
+    """Deterministic IVF coarse quantizer both engines can replay: md5-bucket
+    init (cell = 16th md5 hex digit of the id, mod k) + ``n_iter`` Lloyd
+    refinements with driver-collected centroids → (assigned_df, centroids).
+
+    The fit state is k×dim doubles — tiny; at 100 TB you fit exactly like
+    this on a sample, then assign distributively (one codegen'd argmin
+    expression per vector, no shuffle). Unlike the MLlib tier
+    (:func:`ivf_index`, seeded KMeans‖ — iteration count and init depend on
+    partition layout), every step here is a closed-form relational
+    computation, so ``queries._ivf_trained_sql`` mirrors it 1:1 in DuckDB
+    and the trained tier is oracle-checkable (the round-2 ``no_oracle``
+    gap). Ties break to the lowest cell id in both engines.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    cell = (F.conv(F.substring(
+        F.md5(F.col(id_col).cast("string").cast("binary")), 16, 1), 16, 10)
+        .cast("int") % k)
+    assigned = df.withColumn("cell", cell)
+    cents: dict[int, list[float]] = {}
+    for _ in range(n_iter):
+        rows = (assigned
+                .select("cell", F.posexplode(_as_double(F.col(vec_col)))
+                        .alias("d", "v"))
+                .groupBy("cell", "d").agg(F.avg("v").alias("m"))
+                .collect())
+        bycell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            bycell.setdefault(r["cell"], {})[r["d"]] = r["m"]
+        if sorted(bycell) != list(range(k)):
+            raise ValueError(
+                f"empty IVF cell(s) {sorted(set(range(k)) - set(bycell))}; "
+                f"lower k or use more data")
+        cents = {c: [bycell[c][d] for d in range(dim)] for c in sorted(bycell)}
+        # argmin over k constant centroids: array_min on (dist, cell)
+        # structs — struct ordering compares dist first, then cell, the
+        # same (dist, cell) sort the oracle's row_number uses. Distance is
+        # a sequential left-assoc fold (IEEE-identical to the oracle's
+        # list_sum over d=1..dim) via aggregate/zip_with — an explicit
+        # dim×k term sum overflows janino's 64KB codegen method limit.
+        structs = []
+        for c in sorted(cents):
+            cent_lit = F.array(*[F.lit(v) for v in cents[c]])
+            d2 = F.aggregate(
+                F.zip_with(_as_double(F.col(vec_col)), cent_lit,
+                           lambda x, m: (x - m) * (x - m)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            structs.append(F.struct(d2.alias("dist"),
+                                    F.lit(c).alias("cell")))
+        assigned = df.withColumn(
+            "cell", F.array_min(F.array(*structs))["cell"])
+    return assigned, [cents[c] for c in sorted(cents)]
+
+
 def ivf_search(assigned: DataFrame, centroids: list[list[float]],
                query_vec: list[float], k: int = 10, n_probe: int = 3,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

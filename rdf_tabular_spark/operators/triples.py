@@ -153,17 +153,24 @@ class TripleKernel:
         self._thash_cache: dict[str, str] = {}
         self._cur_thash = mapping.thash
 
-    def _coerce_cell(self, raw: Optional[str], cp: ColumnPlan) -> tuple[list[coerce.CellValue], object]:
-        """Mirror of Row#initialize cell logic → (typed values, binding)."""
+    def _coerce_cell(self, raw: Optional[str], cp: ColumnPlan
+                     ) -> tuple[list[coerce.CellValue], object, list[str]]:
+        """Mirror of Row#initialize cell logic → (typed values, binding,
+        errors). Errors mirror the reference Cell struct's ``errors``
+        accumulation (metadata.rb:1576-1607): datatype mismatches from
+        ``value_matching_datatype`` plus the ``required`` check."""
         value = raw if raw is not None else (cp.null_value or "")
         if value == "":
             value = cp.default if cp.default is not None else ""
         parts = value.split(cp.separator) if cp.separator else [value]
         out: list[coerce.CellValue] = []
+        errors: list[str] = []
         for v in parts:
             if cp.datatypes is None:
                 v = v.strip()
             if v == (cp.null_value or ""):
+                if cp.required:
+                    errors.append(f"{cp.name} is required")
                 continue
             if cp.datatypes is not None:
                 first_dt = cp.datatypes[0].get("base", "string")
@@ -175,10 +182,13 @@ class TripleKernel:
                 else:
                     v = v.strip()
                 cv = None
+                errs: list[str] = []
                 for dt in cp.datatypes:
-                    cv, _errs = coerce.value_matching_datatype(v, dt, cp.lang)
+                    cv, errs = coerce.value_matching_datatype(v, dt, cp.lang)
                     if cv is not None:
+                        errs = []
                         break
+                errors.extend(errs)
                 out.append(cv if cv is not None else coerce.CellValue(v, None, None))
             else:
                 out.append(coerce.CellValue(v, None, cp.lang))
@@ -186,7 +196,7 @@ class TripleKernel:
             binding = [cv.lexical or "" for cv in out]
         else:
             binding = out[0].lexical if out else ""
-        return out, binding
+        return out, binding, errors
 
     def row_triples(self, values: list[Optional[str]], row_num: int, source_num: int,
                     url: Optional[str] = None):
@@ -213,7 +223,7 @@ class TripleKernel:
         bindings: dict = {"_row": row_num, "_sourceRow": source_num}
         cell_values: list[list[coerce.CellValue]] = []
         for cc, raw in zip(self.cols, values):
-            vals, binding = self._coerce_cell(raw, cc.plan)
+            vals, binding, _errs = self._coerce_cell(raw, cc.plan)
             cell_values.append(vals)
             bindings[cc.plan.name] = binding
 

@@ -859,13 +859,61 @@ select vec_id, {_hyperplane_sig_sql('embedding')} as sig from embeddings
 
 
 def _ann_ivf_trained_topk(spark, sf_dir):
-    """Rows-only (KMeans training is iterative, not SQL-expressible; recall
-    vs the exact oracle is pytest-asserted in test_similarity)."""
+    """Trained-IVF probe search, oracle-checked end to end: the
+    deterministic fit (md5-bucket init + 2 Lloyd refinements,
+    ``S.ivf_fit_deterministic``) is replayed step-for-step by the generated
+    CTE chain in ``_ivf_trained_sql`` — init bucket, per-dim centroid
+    means, argmin re-assignment, centroid-ranked probe, pruned cosine
+    top-k. The MLlib KMeans tier (``S.ivf_index``) stays the production
+    path (recall pytest-asserted in test_similarity); this closes the
+    round-2 ``no_oracle`` gap."""
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, centroids = S.ivf_index(emb, k=8)
+    assigned, centroids = S.ivf_fit_deterministic(emb, k=8, n_iter=2,
+                                                  dim=EMB_DIM)
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return S.ivf_search(assigned.filter(F.col("vec_id") != 0), centroids,
                         [float(x) for x in q], k=10, n_probe=3)
+
+
+def _ivf_trained_sql(k: int = 8, n_iter: int = 2, n_probe: int = 3,
+                     topk: int = 10, dim: int = EMB_DIM) -> str:
+    """DuckDB mirror of ``S.ivf_fit_deterministic`` + ``S.ivf_search`` —
+    generated by the same loop structure (init → [means → argmin]×n_iter →
+    probe → pruned top-k), one source of truth for the constants."""
+    ctes = [f"a0 as (select vec_id, embedding, "
+            f"('0x' || substring(md5(cast(vec_id as varchar)), 16, 1))::int "
+            f"% {k} as cell from embeddings)"]
+    prev = "a0"
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"c{t} as (select cell, list(m order by d) as cent from ("
+            f"select cell, d, avg(embedding[d]::double) as m "
+            f"from {prev}, range(1, {dim + 1}) t(d) "
+            f"group by cell, d) group by cell)")
+        dist = (f"list_sum(list_transform(range(1, {dim + 1}), d -> "
+                f"(x.embedding[d]::double - c.cent[d]) * "
+                f"(x.embedding[d]::double - c.cent[d])))")
+        ctes.append(
+            f"a{t} as (select vec_id, embedding, cell from ("
+            f"select x.vec_id, x.embedding, c.cell, "
+            f"row_number() over (partition by x.vec_id "
+            f"order by {dist}, c.cell) as rn "
+            f"from a0 x cross join c{t} c) where rn = 1)")
+        prev = f"a{t}"
+    qdist = (f"list_sum(list_transform(range(1, {dim + 1}), d -> "
+             f"(q.qv[d]::double - c.cent[d]) * (q.qv[d]::double - c.cent[d])))")
+    body = ",\n".join(ctes)
+    return f"""
+with {body},
+q as (select embedding as qv from embeddings where vec_id = 0),
+probe as (select c.cell from c{n_iter} c, q order by {qdist}, c.cell
+          limit {n_probe})
+select s.vec_id as vec_id, s.cell as cell,
+       round({_cos_sql('s.embedding', 'qv')}, 4) as sim
+from {prev} s, q
+where s.vec_id <> 0 and s.cell in (select cell from probe)
+order by sim desc, vec_id limit {topk}
+"""
 
 
 def _ann_lsh_bucket_topk(spark, sf_dir):
@@ -1221,8 +1269,7 @@ _ORACLES: dict[str, str] = {
     "kg_microdata_triples": _KG_MICRODATA_TRIPLES_SQL,
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
-    # rows-only (non-SQL-expressible): ann_ivf_trained_topk — iterative
-    # KMeans training; recall vs the exact oracle asserted in test_similarity
+    "ann_ivf_trained_topk": _ivf_trained_sql(),
 }
 
 

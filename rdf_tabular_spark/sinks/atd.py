@@ -51,7 +51,7 @@ def rows_to_atd_rows(rows_df: DataFrame, mapping: TableMapping, url: str,
                 cells = []
                 vals_list = list(values) + [None] * (len(k.cols) - len(values))
                 for cc, raw in zip(k.cols, vals_list):
-                    vals, _binding = k._coerce_cell(raw, cc.plan)
+                    vals, _binding, errors = k._coerce_cell(raw, cc.plan)
                     cells.append({
                         "@id": f"{url}#cell={source_num},{cc.plan.number}",
                         "@type": "Cell",
@@ -60,7 +60,9 @@ def rows_to_atd_rows(rows_df: DataFrame, mapping: TableMapping, url: str,
                         "stringValue": raw if raw is not None else "",
                         "value": ([v.lexical for v in vals] if cc.plan.separator
                                   else (vals[0].lexical if vals else None)),
-                        "errors": [],
+                        # reference Cell#errors (metadata.rb:1576-1607):
+                        # datatype mismatches + required violations
+                        "errors": errors,
                     })
                 nums.append(row_num)
                 out.append(json.dumps({

@@ -44,7 +44,7 @@ class JsonRowKernel(TripleKernel):
         bindings: dict = {"_row": row_num, "_sourceRow": source_num}
         cell_vals = []
         for cc, raw in zip(self.cols, values):
-            vals, binding = self._coerce_cell(raw, cc.plan)
+            vals, binding, _errs = self._coerce_cell(raw, cc.plan)
             cell_vals.append(vals)
             bindings[cc.plan.name] = binding
 

@@ -135,3 +135,23 @@ def test_atd_sink_structure(spark):
     # each column's cell registry references every row's cell ids
     assert len(atd["columns"][0]["cells"]) == 3
     assert row1["cells"][0]["@id"] in atd["columns"][0]["cells"]
+
+
+def test_atd_cell_errors_threaded(spark, tmp_path):
+    """Cell-level ``errors`` reach the ATD output (reference Cell struct,
+    metadata.rb:1576-1607) — an invalid integer and a missing required
+    value both surface; valid cells stay error-free."""
+    import json
+    from rdf_tabular_spark.sinks.atd import csvw_to_atd
+    (tmp_path / "t.csv").write_text("a,b\n1,x\nabc,\n")
+    meta = tmp_path / "t.csv-metadata.json"
+    meta.write_text(json.dumps({
+        "@context": "http://www.w3.org/ns/csvw", "url": "t.csv",
+        "tableSchema": {"columns": [
+            {"name": "a", "titles": "a", "datatype": "integer"},
+            {"name": "b", "titles": "b", "required": True}]}}))
+    atd = csvw_to_atd(spark, str(meta), base=str(meta), resolver=lambda u: u)
+    rows = atd["rows"]
+    assert rows[0]["cells"][0]["errors"] == []
+    assert rows[1]["cells"][0]["errors"] == ["abc is not a valid integer"]
+    assert rows[1]["cells"][1]["errors"] == ["b is required"]
