@@ -289,6 +289,46 @@ def _match_datetime(value: str, dt: dict, base: str, errors: list[str]) -> Optio
     return CellValue(value, DATATYPE_IRIS[base], None)
 
 
+def _check_range(lexical: str, dt: dict, base: str, errors: list[str]) -> None:
+    """minimum/maximum/(min|max)(In|Ex)clusive facets (CSVW §5.11.2).
+
+    The reference only validates the facet VALUES structurally
+    (metadata.rb:554-559) and never compares cells against them — the W3C
+    spec mandates the data-tier check, so this goes beyond the reference.
+    Numerics compare as Decimal; date/time compare on the normalized ISO
+    lexical (lexicographic == chronological for same-shape values)."""
+    lo_inc = dt.get("minimum", dt.get("minInclusive"))
+    hi_inc = dt.get("maximum", dt.get("maxInclusive"))
+    lo_exc = dt.get("minExclusive")
+    hi_exc = dt.get("maxExclusive")
+    if lo_inc is None and hi_inc is None and lo_exc is None and hi_exc is None:
+        return
+    from decimal import Decimal, InvalidOperation
+    if base in NUMERIC_BASES:
+        try:
+            v = Decimal(lexical)
+            conv = lambda f: Decimal(str(f))  # noqa: E731
+        except InvalidOperation:
+            return  # NaN/INF: range facets do not apply
+    elif base in DATE_BASES:
+        v, conv = lexical, str
+    else:
+        return
+    try:
+        if lo_inc is not None and v < conv(lo_inc):
+            errors.append(f"{lexical} is less than the minimum {lo_inc}")
+        if hi_inc is not None and v > conv(hi_inc):
+            errors.append(f"{lexical} is greater than the maximum {hi_inc}")
+        if lo_exc is not None and v <= conv(lo_exc):
+            errors.append(
+                f"{lexical} must be greater than the exclusive minimum {lo_exc}")
+        if hi_exc is not None and v >= conv(hi_exc):
+            errors.append(
+                f"{lexical} must be less than the exclusive maximum {hi_exc}")
+    except InvalidOperation:
+        pass  # malformed facet value: structural validation's concern
+
+
 def value_matching_datatype(value: str, dt: dict, lang: Optional[str]) -> tuple[Optional[CellValue], list[str]]:
     """→ (CellValue | None, errors). None ⇒ no match, fall back to plain literal."""
     errors: list[str] = []
@@ -330,7 +370,10 @@ def value_matching_datatype(value: str, dt: dict, lang: Optional[str]) -> tuple[
                     errors.append(f"{value} is not a valid {base}")
                     cv = None
 
+    if cv is not None and cv.lexical is not None and not errors:
+        _check_range(cv.lexical, dt, base, errors)
     if cv is not None and errors:
-        # constraint (length/pattern) errors invalidate even a parseable value
+        # constraint (length/pattern/range) errors invalidate even a
+        # parseable value
         cv = None
     return cv, errors

@@ -106,9 +106,14 @@ def normalize_datatype(value) -> list[dict]:
         for kk, vv in v.items():
             if kk in ("base", "decimalChar", "format", "groupChar", "pattern"):
                 nv[kk] = vv
-            elif kk in ("length", "minLength", "maxLength", "minimum", "maximum",
-                        "minInclusive", "maxInclusive", "minExclusive", "maxExclusive"):
+            elif kk in ("length", "minLength", "maxLength"):
                 nv[kk] = int(vv)
+            elif kk in ("minimum", "maximum", "minInclusive", "maxInclusive",
+                        "minExclusive", "maxExclusive"):
+                # numeric facets stay numeric; date/time facets stay lexical
+                # (the reference's .to_i mangles "2000-01-01" → 2000; range
+                # comparison happens against the coerced cell in coerce.py)
+                nv[kk] = vv
         nv.setdefault("base", "string")
         out.append(nv)
     return out

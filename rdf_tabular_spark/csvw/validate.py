@@ -69,10 +69,70 @@ def _fmt(value: Any) -> str:
     return str(value)
 
 
+_ISO_DATEISH = r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2}(\.\d+)?)?([+-]\d{2}:\d{2}|Z)?$"
+_ISO_TIMEISH = r"^\d{2}:\d{2}:\d{2}(\.\d+)?([+-]\d{2}:\d{2}|Z)?$"
+
+
+def _value_reason(key: str, value: Any) -> Optional[str]:
+    """Value-validity tier (reference: metadata.rb:661-682 — checked even
+    with no inherited value). Returns the reference's 'expected …' reason."""
+    import re
+    if key in ("aboutUrl", "propertyUrl", "valueUrl", "default"):
+        if not isinstance(value, str):
+            return "string"
+    elif key == "ordered":
+        if str(value).lower() not in ("true", "false", "1", "0"):
+            return "boolean"
+    elif key == "separator":
+        if not (isinstance(value, str) and len(value) == 1):
+            return "single character"
+    elif key == "textDirection":
+        if value not in ("rtl", "ltr"):
+            return "rtl or ltr"
+    elif key == "null":
+        vals = value if isinstance(value, list) else [value]
+        if isinstance(value, dict) or not all(isinstance(v, str) for v in vals):
+            return "string or array of strings"
+    elif key == "lang":
+        if not re.match(r"^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$", str(value)):
+            return "valid BCP47 language tag"
+    return None
+
+
+def _facet_errors(type_name: str, dt: dict, errors: list[str]) -> None:
+    """Structural facet-value checks (reference: metadata.rb:546-559)."""
+    import re
+    for key in ("length", "minLength", "maxLength"):
+        v = dt.get(key)
+        if v is not None and not (isinstance(v, int)
+                                  and not isinstance(v, bool) and v > 0):
+            errors.append(
+                f"{type_name} has invalid property '{key}': {v!r}, "
+                f"expected a positive integer")
+    for key in ("minimum", "maximum", "minInclusive", "maxInclusive",
+                "minExclusive", "maxExclusive"):
+        v = dt.get(key)
+        if v is None:
+            continue
+        ok = (isinstance(v, (int, float)) and not isinstance(v, bool)) or \
+            (isinstance(v, str)
+             and (re.match(_ISO_DATEISH, v) or re.match(_ISO_TIMEISH, v)))
+        if not ok:
+            errors.append(
+                f"{type_name} has invalid property '{key}': {v}, "
+                f"expected numeric or valid date/time")
+
+
 def _check(type_name: str, key: str, value: Any, pv: Any, errors: list[str]) -> None:
-    reason = None
+    reason = _value_reason(key, value)
+    if reason:
+        errors.append(
+            f"{type_name} has invalid property '{key}' ('{_fmt(value)}'): "
+            f"expected {reason}")
+        return
     if pv is None:
         return
+    reason = None
     if key in ("default", "ordered", "separator", "textDirection"):
         if pv != value:
             reason = "same as that defined on parent"
@@ -104,6 +164,24 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
             errors.append(
                 f"{type_name} has invalid property 'datatype': "
                 f"unknown base '{dt['base']}'")
+    if isinstance(dt, dict):
+        _facet_errors(type_name, dt, errors)
+    if "primaryKey" in obj:
+        # column-reference resolution (reference: metadata.rb:567-570)
+        names = set()
+        for c in obj.get("columns") or []:
+            if isinstance(c, dict):
+                if c.get("name"):
+                    names.add(c["name"])
+                elif isinstance(c.get("titles"), str):
+                    names.add(c["titles"])
+        pks = obj["primaryKey"] if isinstance(obj["primaryKey"], list) \
+            else [obj["primaryKey"]]
+        for pk in pks:
+            if pk not in names:
+                errors.append(
+                    f"{type_name} has invalid property 'primaryKey': "
+                    f"column reference not found {pk}")
     scope = {**inherited, **own}
     for t in obj.get("resources", []) or []:
         _walk(t, "Table", scope, errors)

@@ -63,7 +63,7 @@ class ColumnPlan:
     property_template: Optional[str] = None  # None → default "{#_name}"
     value_template: Optional[str] = None
     datatypes: Optional[list[dict]] = None
-    null_value: str = ""
+    null_values: tuple = ("",)  # ANY match → null (CSVW `null` may be an array)
     default: Optional[str] = None
     separator: Optional[str] = None
     lang: Optional[str] = None
@@ -102,8 +102,12 @@ def compile_mapping(table: Table, minimal: bool = False) -> TableMapping:
     for col in table.schema.columns:
         dt = col.inherited("datatype")
         null_v = col.inherited("null")
-        if isinstance(null_v, list):
-            null_v = null_v[0] if null_v else ""
+        if null_v is None:
+            nulls = ("",)
+        elif isinstance(null_v, list):
+            nulls = tuple(null_v) or ("",)
+        else:
+            nulls = (null_v,)
         mapping.columns.append(ColumnPlan(
             name=col.name,
             number=col.number,
@@ -114,7 +118,7 @@ def compile_mapping(table: Table, minimal: bool = False) -> TableMapping:
             property_template=col.inherited("propertyUrl"),
             value_template=col.raw.get("valueUrl") if "valueUrl" in col.raw else col.inherited("valueUrl"),
             datatypes=normalize_datatype(dt) if dt is not None else None,
-            null_value=null_v if null_v is not None else "",
+            null_values=nulls,
             default=col.inherited("default"),
             separator=col.inherited("separator"),
             lang=col.inherited("lang"),
@@ -159,7 +163,7 @@ class TripleKernel:
         errors). Errors mirror the reference Cell struct's ``errors``
         accumulation (metadata.rb:1576-1607): datatype mismatches from
         ``value_matching_datatype`` plus the ``required`` check."""
-        value = raw if raw is not None else (cp.null_value or "")
+        value = raw if raw is not None else cp.null_values[0]
         if value == "":
             value = cp.default if cp.default is not None else ""
         parts = value.split(cp.separator) if cp.separator else [value]
@@ -168,7 +172,7 @@ class TripleKernel:
         for v in parts:
             if cp.datatypes is None:
                 v = v.strip()
-            if v == (cp.null_value or ""):
+            if v in cp.null_values:
                 if cp.required:
                     errors.append(f"{cp.name} is required")
                 continue
@@ -338,7 +342,7 @@ def rows_to_errors(rows_df: DataFrame, mapping: TableMapping) -> DataFrame:
                     parts = value.split(cp.separator) if cp.separator else [value]
                     for v in parts:
                         v = v.strip()
-                        if v == (cp.null_value or ""):
+                        if v in cp.null_values:
                             if cp.required:
                                 out.append((url, int(source_num), cp.name, raw,
                                             f"{cp.name} is required"))

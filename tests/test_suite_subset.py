@@ -1,14 +1,25 @@
 """Vendored CSVW conformance-suite subset (reference: spec/suite_spec.rb:10-74
-runs the W3C suite over the network; these 26 entries are local fixtures
+runs the W3C suite over the network; these 63 entries are local fixtures
 modeled on the same entry types — ToRdf eval, ToJson eval, positive/negative
 validation — authored from the CSVW spec semantics, in tests/suite/).
 
+Round-3 additions (test030+) target the previously untested corners:
+datatype minimum/maximum facets on numerics AND dates/times (positive +
+violation), more typed literals (time/duration/gYear/long), multi-valued
+null arrays, lang inheritance, multi-table ToJson, virtual-column JSON
+exclusion, notes arrays (standard mode), declared-foreignKey data checks
+(positive + single and composite violations), composite primaryKey cases,
+and metadata validity (textDirection, facet values, primaryKey references).
+
 Entry types in manifest.json:
   rdf               minimal-mode triples deep-equal an expected .ttl
+  rdf-contains      standard-mode triples CONTAIN the expected .ttl subset
   json              csvw_to_json deep-equals an expected .json
   negative-data     validate_table yields >= 1 error (substring asserted)
   negative-metadata validate_metadata yields >= 1 error
   positive-data     validate_table yields no errors
+  positive-pk / negative-pk   validate_primary_key empty / exact duplicates
+  positive-fk / negative-fk   validate_foreign_keys empty / exact orphans
 """
 
 import json
@@ -104,4 +115,59 @@ def test_suite_negative_pk(spark, tid):
     dups = validate_primary_key(spark, _table_for(e), resolver=resolver) \
         .collect()
     assert len(dups) == 1
-    assert dups[0]["n_rows"] == 2 and list(dups[0]["key"]) == ["1"]
+    assert dups[0]["n_rows"] == e.get("dup_n", 2)
+    assert list(dups[0]["key"]) == e.get("dup_key", ["1"])
+
+
+@pytest.mark.parametrize("tid", _ids("positive-pk"))
+def test_suite_positive_pk(spark, tid):
+    from rdf_tabular_spark.pipeline import validate_primary_key
+    e = ENTRIES[tid]
+    dups = validate_primary_key(spark, _table_for(e), resolver=resolver) \
+        .collect()
+    assert dups == [], f"{tid}: unexpected PK duplicates {dups}"
+
+
+@pytest.mark.parametrize("tid", _ids("positive-fk"))
+def test_suite_positive_fk(spark, tid):
+    """Declared schema.foreignKeys hold at the data tier."""
+    from rdf_tabular_spark.pipeline import validate_foreign_keys
+    e = ENTRIES[tid]
+    viol = validate_foreign_keys(spark, _table_for(e), resolver=resolver) \
+        .collect()
+    assert viol == [], f"{tid}: unexpected FK violations {viol}"
+
+
+@pytest.mark.parametrize("tid", _ids("negative-fk"))
+def test_suite_negative_fk(spark, tid):
+    """Declared schema.foreignKeys are violated by the data — the exact
+    orphan keys and their row counts come from the manifest entry."""
+    from rdf_tabular_spark.pipeline import validate_foreign_keys
+    e = ENTRIES[tid]
+    viol = sorted(
+        validate_foreign_keys(spark, _table_for(e), resolver=resolver)
+        .collect(), key=lambda r: list(r["key"]))
+    assert [list(r["key"]) for r in viol] == e["expect_keys"], tid
+    assert [r["n_rows"] for r in viol] == e["expect_n_rows"], tid
+
+
+@pytest.mark.parametrize("tid", _ids("rdf-contains"))
+def test_suite_rdf_contains(spark, tid):
+    """Standard-mode ToRdf SUBSET check: every expected triple must appear
+    in the full output (ground triples exactly; bnode-subject expectations
+    match any bnode with the same predicate/object). Used where the full
+    standard-mode graph (row bnodes, csvw boilerplate) would be noise —
+    e.g. the notes-array triples."""
+    e = ENTRIES[tid]
+    df = csvw_to_triples(spark, os.path.join(SUITE, e["action"]),
+                         base=BASE + e["action"], resolver=resolver,
+                         minimal=False)
+    ours = df_to_terms(df.collect())
+    expected = parse_turtle_file(os.path.join(SUITE, e["result"]))
+    ours_ground = set(ours)
+    ours_bnode_po = {t[1:] for t in ours if t[0].kind == "bnode"}
+    for t in expected:
+        if t[0].kind == "bnode":
+            assert t[1:] in ours_bnode_po, f"{tid}: missing bnode triple {t}"
+        else:
+            assert t in ours_ground, f"{tid}: missing triple {t}"
