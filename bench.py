@@ -175,6 +175,12 @@ def stage34_bench(spark, n_pages: int = 20000, reps: int = 2) -> dict:
 
 def _stage34_once(spark, n_pages: int) -> dict:
     import shutil
+    # pages_bench (which runs earlier in the same session) sizes
+    # maxPartitionBytes for the 64k-page table; reading THIS table with
+    # that split size bin-packs it into too few input splits and
+    # undersubscribes the cores for the extract stage — re-derive the
+    # 64-bin layout for this table's own byte size.
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
     import tempfile
     from rdf_tabular_spark.sources.pages import entity_dictionary, synth_pages
     from rdf_tabular_spark.web import (canonicalize_subjects, link_entities,
@@ -182,6 +188,8 @@ def _stage34_once(spark, n_pages: int) -> dict:
     from rdf_tabular_spark.sinks.graph_store import materialize
 
     pages_path = ensure_pages_parquet(spark, n_pages)
+    split = int(_dir_bytes(pages_path) / 64 * 1.02)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(split, 1)))
     pages = spark.read.parquet(pages_path)
 
     t0 = time.perf_counter()

@@ -133,18 +133,21 @@ def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 16,
     40k-pair verification join on a corpus whose profiles draw from small
     vocabularies (measured on the 20k-page scenario).
 
-    The thin band table is persisted — the self-join's two sides and the
-    bucket-size window would otherwise each re-run the signature kernel and
-    its whole upstream lineage."""
-    bands = lsh_bands(sig_df, num_bands).persist()
-    if releases is not None:
-        releases.append(bands)  # caller unpersists after its terminal action
+    The FILTERED band table is persisted — the self-join's two sides would
+    otherwise each recompute the bucket-size window AND the signature
+    kernel's whole upstream lineage (persisting upstream of the window
+    still leaves the window+filter running twice, once per join side —
+    a full extra pass over the band table at scale)."""
+    bands = lsh_bands(sig_df, num_bands)
     # prune oversized buckets before the quadratic pair join
     sized = bands.withColumn(
         "bucket_n", F.count("*").over(
             __import__("pyspark.sql.window", fromlist=["Window"]).Window
             .partitionBy("band", "band_hash")))
-    bands = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    bands = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n") \
+        .persist()
+    if releases is not None:
+        releases.append(bands)  # caller unpersists after its terminal action
     left = bands.alias("l")
     right = bands.alias("r")
     hits = (left.join(right, on=["band", "band_hash"])
