@@ -783,7 +783,7 @@ def _dedup_minhash_verified_pairs(spark, sf_dir):
             .filter(F.col("jac") >= 0.2))
 
 
-_DEDUP_MINHASH_VERIFIED_PAIRS_SQL = _SCALE_SIG_CTE + f""",
+_VERIFIED_PAIRS_CTES = _SCALE_SIG_CTE + f""",
 bands as (
   select id, b.b as band,
          array_to_string(list_transform(list_slice(sig, 4*b.b + 1, 4*b.b + 4),
@@ -792,13 +792,50 @@ bands as (
 cand as (
   select distinct l.id as a, r.id as b
   from bands l join bands r on l.band = r.band and l.bk = r.bk and l.id < r.id),
-grams as (select doc_id::varchar as id, {_grams_sql(TOKS_SQL)} as g from documents)
-select a, b,
-       round(len(list_intersect(ga.g, gb.g))::double /
-             len(list_distinct(list_concat(ga.g, gb.g))), 4) as jac
-from cand join grams ga on cand.a = ga.id join grams gb on cand.b = gb.id
-where round(len(list_intersect(ga.g, gb.g))::double /
-            len(list_distinct(list_concat(ga.g, gb.g))), 4) >= 0.2
+grams as (select doc_id::varchar as id, {_grams_sql(TOKS_SQL)} as g from documents),
+vpairs as (
+  select a, b,
+         round(len(list_intersect(ga.g, gb.g))::double /
+               len(list_distinct(list_concat(ga.g, gb.g))), 4) as jac
+  from cand join grams ga on cand.a = ga.id join grams gb on cand.b = gb.id
+  where round(len(list_intersect(ga.g, gb.g))::double /
+              len(list_distinct(list_concat(ga.g, gb.g))), 4) >= 0.2)
+"""
+
+_DEDUP_MINHASH_VERIFIED_PAIRS_SQL = _VERIFIED_PAIRS_CTES + """
+select a, b, jac from vpairs
+"""
+
+
+def _dedup_corpus_near(spark, sf_dir):
+    """The deliverable of a training-data dedup pipeline: the corpus ITSELF
+    with verified near-dup clusters collapsed — verified pairs (the full
+    cascade above) → connected components → keep each cluster's min-doc_id
+    representative, drop the rest. At 100 TB the drop set is a sliver of
+    the corpus (only clustered non-representatives), so it broadcasts into
+    one anti-join against the full stream — the row payload never
+    shuffles. Oracle: the same pair CTEs + a recursive min-label closure."""
+    from .operators.components import canonical_mapping
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dedup_minhash_verified_pairs(spark, sf_dir).select("a", "b")
+    mapping = canonical_mapping(pairs)
+    drop = (mapping.filter(F.col("id") != F.col("canonical_id"))
+            .select(F.col("id").cast("long").alias("doc_id")))
+    return (docs.join(F.broadcast(drop), "doc_id", "left_anti")
+            .select("doc_id", "lang", "n_chars"))
+
+
+_DEDUP_CORPUS_NEAR_SQL = _VERIFIED_PAIRS_CTES.replace(
+    "with tk as", "with recursive tk as") + """,
+und as (select a as x, b as y from vpairs union select b, a from vpairs),
+reach(x, r) as (
+  select x, x from (select distinct x from und) n
+  union
+  select u.x, reach.r from und u join reach on u.y = reach.x),
+drop_ids as (select x from reach group by x having min(r) <> x)
+select d.doc_id as doc_id, d.lang as lang, d.n_chars as n_chars
+from documents d
+where d.doc_id::varchar not in (select x from drop_ids)
 """
 
 
@@ -1203,6 +1240,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_scale_sig": _dedup_minhash_scale_sig,
     "dedup_minhash_scale_pairs": _dedup_minhash_scale_pairs,
     "dedup_minhash_verified_pairs": _dedup_minhash_verified_pairs,
+    "dedup_corpus_near": _dedup_corpus_near,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "ann_cosine_topk": _ann_cosine_topk,
     "ann_ivf_topk": _ann_ivf_topk,
@@ -1253,6 +1291,7 @@ _ORACLES: dict[str, str] = {
     "dedup_minhash_scale_sig": _DEDUP_MINHASH_SCALE_SIG_SQL,
     "dedup_minhash_scale_pairs": _DEDUP_MINHASH_SCALE_PAIRS_SQL,
     "dedup_minhash_verified_pairs": _DEDUP_MINHASH_VERIFIED_PAIRS_SQL,
+    "dedup_corpus_near": _DEDUP_CORPUS_NEAR_SQL,
     "dedup_embedding_cosine": _DEDUP_EMBEDDING_COSINE_SQL,
     "ann_cosine_topk": _ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_TOPK_SQL,
