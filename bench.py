@@ -184,7 +184,7 @@ def _stage34_once(spark, n_pages: int) -> dict:
     import tempfile
     from rdf_tabular_spark.sources.pages import entity_dictionary, synth_pages
     from rdf_tabular_spark.web import (canonicalize_subjects, link_entities,
-                                       microdata_to_triples, pages_to_triples)
+                                       pages_to_combined_triples)
     from rdf_tabular_spark.sinks.graph_store import materialize
 
     pages_path = ensure_pages_parquet(spark, n_pages)
@@ -193,8 +193,7 @@ def _stage34_once(spark, n_pages: int) -> dict:
     pages = spark.read.parquet(pages_path)
 
     t0 = time.perf_counter()
-    base = pages_to_triples(pages) \
-        .unionByName(microdata_to_triples(pages)).persist()
+    base = pages_to_combined_triples(pages).persist()
     triples = base.unionByName(link_entities(base, entity_dictionary())) \
         .persist()
     n_raw = triples.count()

@@ -92,6 +92,88 @@ def pages_to_triples(pages: DataFrame, minimal: bool = True,
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
+def pages_to_combined_triples(pages: DataFrame, minimal: bool = True,
+                              default_meta: Optional[dict] = None,
+                              header_rows: int = 1) -> DataFrame:
+    """Stages 1+1b+2 in ONE Arrow pass: each page's HTML is parsed ONCE and
+    both the CSVW-table triples and the microdata triples are emitted from
+    the same ``extract_page`` result.
+
+    The separate operators (:func:`pages_to_triples`,
+    :func:`microdata_to_triples`) parse every page twice — two full scans
+    of the corpus and two HTML parses per page, plus a distinct-shuffle
+    for the microdata type triples. At 10^12 documents stage 1 is the
+    dominant cost, so the pipeline uses this fused kernel; the separate
+    operators remain the oracle-checked single-facet tiers, and
+    set-parity between the two paths is CI-tested
+    (test_web_pipeline.test_combined_parity). The in-kernel per-page type
+    dedup is equivalent to the projection's distinct over
+    (item_id, itemtype, url): skolemized item ids are url-scoped and the
+    distinct includes the url."""
+    import hashlib
+    import re
+
+    spark = pages.sparkSession
+    ensure_package_on_executors(spark)
+    default_meta_json = json.dumps(default_meta) if default_meta else None
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .sources.html_extract import extract_page, _decode
+        iri_re = re.compile(r"^https?://")
+        vocab_re = re.compile(r"^(.*/)[^/]*$")
+        cols = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype", "obj_lang"]
+        for pdf in batches:
+            out: list[tuple] = []
+            urls: list[str] = []
+            srcs: list[int] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                page = extract_page(_decode(html))
+                meta_json = page.csvw_meta or default_meta_json
+                if meta_json is not None:
+                    tk = _kernel_for_meta(meta_json, minimal)
+                    for t in page.tables:
+                        for i, row in enumerate(t.rows):
+                            if i < header_rows:
+                                continue
+                            ts = tk.row_triples(row, i - header_rows + 1,
+                                                i + 1, url=url)
+                            out.extend(ts)
+                            urls.extend([url] * len(ts))
+                            srcs.extend([i + 1] * len(ts))
+                uh = None
+                seen_types: set[tuple] = set()
+                n_md = 0
+                for item in page.microdata:
+                    iid = item.item_id
+                    if iid.startswith("_:"):
+                        if uh is None:
+                            uh = hashlib.sha1(url.encode()).hexdigest()[:10]
+                        iid = f"_:md-{uh}-{item.item_id[2:]}"
+                    m = vocab_re.match(item.itemtype or "")
+                    vocab = m.group(1) if m else ""
+                    for prop, value in item.props:
+                        pred = prop if iri_re.match(prop) \
+                            else (vocab or url + "#") + prop
+                        out.append((iid, pred, value,
+                                    bool(value is not None
+                                         and iri_re.match(value)),
+                                    None, None))
+                        n_md += 1
+                    if item.itemtype and (iid, item.itemtype) not in seen_types:
+                        seen_types.add((iid, item.itemtype))
+                        out.append((iid, RDF_TYPE, item.itemtype, True,
+                                    None, None))
+                        n_md += 1
+                urls.extend([url] * n_md)
+                srcs.extend([0] * n_md)
+            res = pd.DataFrame(out, columns=cols)
+            res["table_url"] = pd.Series(urls, dtype="object")
+            res["source_num"] = pd.Series(srcs, dtype="int64")
+            yield res
+
+    return pages.mapInPandas(kernel, schema=TRIPLE_SCHEMA)
+
+
 def microdata_to_triples(pages: DataFrame) -> DataFrame:
     """Stage 1b: schema.org microdata items → triples.
 
@@ -323,9 +405,11 @@ def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
         return materialize(pages.limit(0).sparkSession.createDataFrame([], TRIPLE_SCHEMA),
                            out_root, batch_id)  # no-op resume hit
     held: list = []
-    triples = pages_to_triples(pages, default_meta=default_meta)
     if include_microdata:
-        triples = triples.unionByName(microdata_to_triples(pages))
+        # fused single-parse kernel: tables + microdata from ONE scan
+        triples = pages_to_combined_triples(pages, default_meta=default_meta)
+    else:
+        triples = pages_to_triples(pages, default_meta=default_meta)
     if entity_dict:
         # branch point: the mention scan AND the final union both read the
         # base triples — without a persist, link_entities' lineage re-runs

@@ -256,3 +256,21 @@ def test_link_entities_fuzzy_tier(spark):
     strict = {r["subj"] for r in
               link_entities(triples, ents, min_score=0.9).collect()}
     assert strict == {"s1"}
+
+
+def test_combined_parity(spark):
+    """Fused single-parse kernel ≡ pages_to_triples ∪ microdata_to_triples
+    (exact multiset equality over a 300-page synth corpus incl. microdata
+    items, skolem ids, csvw tables)."""
+    from rdf_tabular_spark.sources.pages import synth_pages
+    from rdf_tabular_spark.web import (microdata_to_triples,
+                                       pages_to_combined_triples,
+                                       pages_to_triples)
+    pages = synth_pages(spark, 300, partitions=4).persist()
+    sep = pages_to_triples(pages).unionByName(microdata_to_triples(pages))
+    fused = pages_to_combined_triples(pages)
+    a = sorted(tuple(r) for r in sep.collect())
+    b = sorted(tuple(r) for r in fused.collect())
+    pages.unpersist()
+    assert len(a) == len(b)
+    assert a == b
