@@ -122,3 +122,21 @@ def rewrite_triples(triples: DataFrame, mapping: DataFrame,
                                    F.col("obj_canon")).otherwise(F.col("obj")))
          .drop("_obj_key", "obj_canon"))
     return t
+
+
+def merge_mappings(maps: list[DataFrame]) -> DataFrame:
+    """Union-find merge of canonical mappings from successive batches.
+
+    Every (id, canonical_id) row is an edge; the merged mapping is the
+    connected components of their union, flattened so canonical_id is the
+    GLOBAL min of the merged cluster — two batches that each saw half of a
+    duplicate pair (A~B in batch 1, B~C in batch 2) converge to one id
+    without either batch having seen the whole cluster. Size-adaptive like
+    :func:`canonical_mapping` (driver union-find while the clustered set is
+    small, the distributed min-label loop at scale)."""
+    from functools import reduce
+    edges = reduce(DataFrame.unionByName,
+                   [m.select(F.col("id").alias("a"),
+                             F.col("canonical_id").alias("b"))
+                    for m in maps])
+    return canonical_mapping(edges.filter(F.col("a") != F.col("b")))

@@ -182,3 +182,30 @@ def read_predicate(spark: SparkSession, root: str, pred: str,
     g = read_graph(spark, root, batches=batches)
     return g.filter(F.col("pred_bucket").isin(wanted)) \
             .filter(F.col("pred") == pred)
+
+
+def save_canonical_map(mapping: DataFrame, root: str, batch_id: str) -> str:
+    """Persist the global subject-canonicalization map, snapshot-style: a
+    versioned parquet dir plus an atomically-replaced CURRENT pointer (the
+    Iceberg snapshot-swap pattern — readers never observe a partial map; a
+    crash mid-write leaves CURRENT on the previous version). The map scales
+    with clustered subjects, so it stays distributed parquet — no driver
+    collect, no coalesce."""
+    d = os.path.join(root, "canonical_map", f"v-{batch_id}")
+    mapping.write.mode("overwrite").parquet(d)
+    cur = os.path.join(root, "canonical_map", "CURRENT")
+    tmp = cur + f".tmp-{batch_id}"
+    with open(tmp, "w") as f:
+        f.write(f"v-{batch_id}")
+    os.replace(tmp, cur)
+    return d
+
+
+def load_canonical_map(spark, root: str) -> Optional[DataFrame]:
+    """Current global canonical map, or None before the first batch."""
+    cur = os.path.join(root, "canonical_map", "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        v = f.read().strip()
+    return spark.read.parquet(os.path.join(root, "canonical_map", v))

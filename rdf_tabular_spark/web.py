@@ -398,8 +398,21 @@ def canonicalize_subjects(triples: DataFrame, num_perm: int = 64,
 def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
                  batch_id: str, entity_dict: Optional[dict[str, str]] = None,
                  canonicalize: bool = True, default_meta: Optional[dict] = None,
-                 include_microdata: bool = True) -> dict:
-    """Full stage 1→4 run over a pages batch; returns the commit manifest."""
+                 include_microdata: bool = True,
+                 incremental_canonical: bool = False) -> dict:
+    """Full stage 1→4 run over a pages batch; returns the commit manifest.
+
+    ``incremental_canonical``: subject identity becomes GLOBAL across
+    batches — each batch's local mapping is union-find-merged into the
+    store's persistent canonical map (snapshot-swapped parquet,
+    ``graph_store.save_canonical_map``) and the batch's triples are
+    rewritten with the MERGED map before materializing, so a duplicate
+    first seen in batch 1 canonicalizes batch 9's subjects too (A~B in
+    batch 1 + B~C in batch 2 ⇒ C→A, though no batch saw A with C).
+    Already-materialized batches keep their committed ids; the map is the
+    query-time source of truth, and an offline compaction can rewrite old
+    batches — the Iceberg maintenance-job split.
+    """
     from .sinks.graph_store import materialize, processed_batches
     if batch_id in processed_batches(out_root):
         return materialize(pages.limit(0).sparkSession.createDataFrame([], TRIPLE_SCHEMA),
@@ -419,10 +432,25 @@ def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
         mentions = link_entities(triples, entity_dict)
         triples = triples.unionByName(mentions)
     if canonicalize:
-        triples, _mapping = canonicalize_subjects(triples, releases=held)
+        triples, mapping = canonicalize_subjects(triples, releases=held)
+        if incremental_canonical:
+            from .operators.components import merge_mappings, rewrite_triples
+            from .sinks.graph_store import (load_canonical_map,
+                                            save_canonical_map)
+            old = load_canonical_map(spark, out_root)
+            merged = mapping if old is None else merge_mappings([old, mapping])
+            path = save_canonical_map(merged, out_root, batch_id)
+            if old is not None:
+                # batch-local canonicals that joined a pre-existing cluster
+                # map on to the global canonical: one more broadcast rewrite,
+                # reading the map back from its snapshot (truncates lineage)
+                triples = rewrite_triples(triples,
+                                          spark.read.parquet(path))
     lineage = {"source": "pages", "n_pages": None, "batch_id": batch_id,
                "stages": ["extract+map", "link" if entity_dict else None,
-                          "canonicalize" if canonicalize else None, "materialize"]}
+                          ("canonicalize-incremental" if incremental_canonical
+                           else "canonicalize") if canonicalize else None,
+                          "materialize"]}
     try:
         return materialize(triples, out_root, batch_id, lineage=lineage)
     finally:
