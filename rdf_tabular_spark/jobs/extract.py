@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run stage-2b mention linking with the built-in entity dictionary")
     p.add_argument("--no-canonicalize", action="store_true",
                    help="skip stage-3 MinHash-LSH canonicalization")
+    p.add_argument("--incremental-canonical", action="store_true",
+                   help="merge this batch's subject mapping into the store's "
+                        "persistent canonical map and rewrite with the "
+                        "GLOBAL map (cross-batch identity)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p
 
@@ -61,7 +65,8 @@ def main(argv: list[str] | None = None) -> dict:
     manifest = web_pipeline(
         spark, pages, args.out, args.batch_id,
         entity_dict=entity_dictionary() if args.entity_dict else None,
-        canonicalize=not args.no_canonicalize)
+        canonicalize=not args.no_canonicalize,
+        incremental_canonical=args.incremental_canonical)
     print(json.dumps(manifest))
     return manifest
 

@@ -171,3 +171,24 @@ def test_ivf_partitioned_store_prunes_cells(spark, tmp_path):
     p = plan_of(df)
     assert re.search(r"PartitionFilters: \[.*cell", p)
     assert df.count() == assigned.filter(F.col("cell").isin([0, 1])).count()
+
+
+def test_combined_triples_is_shuffle_free(spark):
+    """The fused stage 1+1b+2 kernel must stay narrow like the single-facet
+    path — one Arrow pass, no Exchange (the separate microdata projection
+    used to cost a distinct shuffle for type triples)."""
+    from rdf_tabular_spark.sources.pages import DOC_PAGE_META, pages_from_documents
+    from rdf_tabular_spark.web import pages_to_combined_triples
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    triples = pages_to_combined_triples(pages_from_documents(docs),
+                                        minimal=True,
+                                        default_meta=DOC_PAGE_META)
+    p = plan_of(triples)
+    assert "Exchange" not in p, "fused pages->triples must not shuffle"
+
+
+def test_dedup_corpus_near_drop_set_broadcasts(spark):
+    """The corpus-dedup anti-join must broadcast the (tiny) drop set so the
+    document payload never shuffles."""
+    p = plan_of(Q.queries()["dedup_corpus_near"](spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p[:500]
