@@ -106,6 +106,12 @@ def run_queries(spark, reps: int = 3) -> dict[str, float]:
             reg[name](spark, SF_DIR).count()
             trials.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(trials), 3)
+        # Queries that canonicalize internally persist their triples with
+        # releases=None (correct for interactive reuse, a leak in a loop
+        # that builds each query 4x) — accumulated storage slowed the later
+        # stage34 phase 2-4x (53s vs 12s isolated, measured). Each query is
+        # independent, so drop all cached data between them.
+        spark.catalog.clearCache()
     return times
 
 
@@ -163,6 +169,7 @@ def stage34_bench(spark, n_pages: int = 20000, reps: int = 2) -> dict:
     round-1 tail was the CC loop (125 s of 229 s at local[16]); round 2
     batches propagation rounds per action — this records the split so
     regressions are visible."""
+    spark.catalog.clearCache()  # drop leftovers from earlier bench phases
     runs = [_stage34_once(spark, n_pages) for _ in range(max(reps, 1))]
     best = dict(runs[0])
     for r in runs[1:]:
