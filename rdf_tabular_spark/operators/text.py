@@ -139,3 +139,58 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams)
         .otherwise(F.array().cast("array<string>")))
+
+
+# --- Gopher-style document quality rules (Rae et al. 2021, §A1.1) ----------
+# Public heuristics for web-corpus filtering: word-count band, mean word
+# length band, symbol/word ratio, bullet- and ellipsis-line ratios,
+# alphabetic-word ratio, stop-word presence. All metrics are pure Column
+# expressions (one codegen stage, no shuffle) and each is mirrored 1:1 by
+# queries._GOPHER_SQL so the whole rule family is oracle-checked.
+
+GOPHER_BULLET_RE = r"^\s*[-*•]"
+GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def gopher_metrics(col: Column) -> dict[str, Column]:
+    """Raw metric columns (rounded to 4 dp where fractional)."""
+    toks = tokens(col)
+    n_words = F.size(toks).cast("long")
+    nw = F.when(n_words == 0, F.lit(None)).otherwise(n_words).cast("double")
+    total_len = F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, t: acc + F.length(t))
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet = F.size(F.filter(lines, lambda l: l.rlike(GOPHER_BULLET_RE)))
+    ellipsis = F.size(F.filter(lines, lambda l: l.rlike(GOPHER_ELLIPSIS_RE)))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    symbol = F.size(F.filter(toks, lambda t: t.rlike(r"#|\.\.\.|…")))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*ENGLISH_STOPWORDS)))
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(total_len.cast("double") / nw, 4),
+        "symbol_ratio": F.round(symbol.cast("double") / nw, 4),
+        "bullet_line_ratio": F.round(bullet.cast("double") / n_lines, 4),
+        "ellipsis_line_ratio": F.round(ellipsis.cast("double") / n_lines, 4),
+        "alpha_word_ratio": F.round(alpha.cast("double") / nw, 4),
+        "stop_hits": stop_hits.cast("long"),
+    }
+
+
+def gopher_pass(col: Column, min_words: int = 5, max_words: int = 100_000,
+                min_mean_len: float = 2.0, max_mean_len: float = 12.0,
+                max_symbol: float = 0.1, max_bullet: float = 0.9,
+                max_ellipsis: float = 0.3, min_alpha: float = 0.8,
+                min_stops: int = 1) -> Column:
+    """Conjunction of the rule family (thresholds parameterized — defaults
+    are loosened from the paper's 50-word floor so the synthetic fixture
+    corpus exercises both outcomes)."""
+    m = gopher_metrics(col)
+    return ((m["n_words"] >= min_words) & (m["n_words"] <= max_words)
+            & (m["mean_word_len"] >= min_mean_len)
+            & (m["mean_word_len"] <= max_mean_len)
+            & (m["symbol_ratio"] <= max_symbol)
+            & (m["bullet_line_ratio"] <= max_bullet)
+            & (m["ellipsis_line_ratio"] <= max_ellipsis)
+            & (m["alpha_word_ratio"] >= min_alpha)
+            & (m["stop_hits"] >= min_stops))

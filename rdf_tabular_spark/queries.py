@@ -541,6 +541,57 @@ from documents
 """
 
 
+def _text_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality metrics (Rae et al. 2021 §A1.1 heuristics:
+    word-count band, mean word length, symbol/bullet/ellipsis ratios,
+    alphabetic-word ratio, stop-word presence) + the composite pass flag —
+    all Column exprs in one codegen stage (operators/text.gopher_metrics)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = T.gopher_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[m[k].alias(k) for k in
+          ("n_words", "mean_word_len", "symbol_ratio", "bullet_line_ratio",
+           "ellipsis_line_ratio", "alpha_word_ratio", "stop_hits")],
+        T.gopher_pass(F.col("text")).alias("passes"))
+
+
+_TEXT_GOPHER_QUALITY_SQL = f"""
+with g as (
+  select doc_id,
+         {TOKS_SQL} as toks,
+         string_split(text, chr(10)) as lines
+  from documents),
+m as (
+  select doc_id,
+         len(toks)::bigint as n_words,
+         round(list_sum(list_transform(toks, x -> length(x)))::double
+               / nullif(len(toks), 0), 4) as mean_word_len,
+         round(len(list_filter(toks,
+                   x -> regexp_matches(x, '#|\\.\\.\\.|…')))::double
+               / nullif(len(toks), 0), 4) as symbol_ratio,
+         round(len(list_filter(lines,
+                   l -> regexp_matches(l, '^\\s*[-*•]')))::double
+               / len(lines), 4) as bullet_line_ratio,
+         round(len(list_filter(lines,
+                   l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::double
+               / len(lines), 4) as ellipsis_line_ratio,
+         round(len(list_filter(toks,
+                   x -> regexp_matches(x, '[A-Za-z]')))::double
+               / nullif(len(toks), 0), 4) as alpha_word_ratio,
+         len(list_filter(toks, x -> x in ({STOPS_SQL})))::bigint as stop_hits
+  from g)
+select doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+       ellipsis_line_ratio, alpha_word_ratio, stop_hits,
+       (n_words >= 5 and n_words <= 100000
+        and mean_word_len >= 2.0 and mean_word_len <= 12.0
+        and symbol_ratio <= 0.1 and bullet_line_ratio <= 0.9
+        and ellipsis_line_ratio <= 0.3 and alpha_word_ratio >= 0.8
+        and stop_hits >= 1) as passes
+from m
+"""
+
+
 def _text_langid(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang"))
@@ -1226,6 +1277,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_orders_customer": _fk_orders_customer,
     "fk_group_integrity": _fk_group_integrity,
     "text_quality": _text_quality,
+    "text_gopher_quality": _text_gopher_quality,
     "text_langid": _text_langid,
     "text_fingerprint": _text_fingerprint,
     "text_url_normalize": _text_url_normalize,
@@ -1277,6 +1329,7 @@ _ORACLES: dict[str, str] = {
     "fk_orders_customer": _FK_ORDERS_CUSTOMER_SQL,
     "fk_group_integrity": _FK_GROUP_INTEGRITY_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
+    "text_gopher_quality": _TEXT_GOPHER_QUALITY_SQL,
     "text_langid": _TEXT_LANGID_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
     "text_url_normalize": _TEXT_URL_NORMALIZE_SQL,

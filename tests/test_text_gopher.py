@@ -1,0 +1,55 @@
+"""Gopher-rule firing on crafted documents (the oracle query checks value
+parity on the fixture corpus; this checks each rule actually rejects the
+pathology it is aimed at)."""
+
+from pyspark.sql import functions as F
+
+from rdf_tabular_spark.operators.text import gopher_metrics, gopher_pass
+
+
+def _eval(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    m = gopher_metrics(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in m.items()],
+                    gopher_pass(F.col("text")).alias("passes")).first()
+    return row.asDict()
+
+
+def test_normal_prose_passes(spark):
+    r = _eval(spark, "the quick brown fox jumps over the lazy dog and "
+                     "then it runs away into the quiet woods")
+    assert r["passes"] is True
+    assert r["stop_hits"] >= 1 and r["alpha_word_ratio"] == 1.0
+
+
+def test_bullet_spam_fails(spark):
+    text = "\n".join(f"- the item {i}" for i in range(20))
+    r = _eval(spark, text)
+    assert r["bullet_line_ratio"] == 1.0
+    assert r["passes"] is False
+
+
+def test_ellipsis_spam_fails(spark):
+    text = "\n".join(f"the teaser line {i} continues..." for i in range(10))
+    r = _eval(spark, text)
+    assert r["ellipsis_line_ratio"] == 1.0
+    assert r["passes"] is False
+
+
+def test_symbol_soup_fails(spark):
+    r = _eval(spark, "the #tag #spam #wall of #hashtags #everywhere "
+                     "#and #more #tags #again #loud")
+    assert r["symbol_ratio"] > 0.1
+    assert r["passes"] is False
+
+
+def test_numeric_table_fails_alpha_ratio(spark):
+    r = _eval(spark, "the 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16")
+    assert r["alpha_word_ratio"] < 0.8
+    assert r["passes"] is False
+
+
+def test_too_short_fails(spark):
+    r = _eval(spark, "the end")
+    assert r["n_words"] == 2
+    assert r["passes"] is False
