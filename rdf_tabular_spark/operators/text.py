@@ -166,6 +166,32 @@ def gopher_metrics(col: Column) -> dict[str, Column]:
     alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     symbol = F.size(F.filter(toks, lambda t: t.rlike(r"#|\.\.\.|…")))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*ENGLISH_STOPWORDS)))
+    # repetition rules (the most predictive Gopher family): fraction of
+    # duplicate lines, and the share of all word-bigrams taken by the most
+    # frequent one — both pure array expressions, no shuffle
+    dup_lines = (F.size(lines) - F.size(F.array_distinct(lines))).cast("double")
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(F.sequence(F.lit(0), n_words.cast("int") - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                          F.element_at(toks, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    # most-frequent-bigram count via sort + run-length fold: O(n log n) per
+    # doc and shuffle-free (a filter-per-distinct-gram scan would be O(d²)
+    # — 1e10 ops for a 100k-word doc, a per-row scale killer)
+    run_acc = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)))
+             .alias("best")))
+    top_bigram = F.nullif(run_acc["best"], F.lit(0))
     return {
         "n_words": n_words,
         "mean_word_len": F.round(total_len.cast("double") / nw, 4),
@@ -174,6 +200,10 @@ def gopher_metrics(col: Column) -> dict[str, Column]:
         "ellipsis_line_ratio": F.round(ellipsis.cast("double") / n_lines, 4),
         "alpha_word_ratio": F.round(alpha.cast("double") / nw, 4),
         "stop_hits": stop_hits.cast("long"),
+        "dup_line_ratio": F.round(dup_lines / n_lines, 4),
+        "top_bigram_ratio": F.round(
+            F.coalesce(top_bigram.cast("double"), F.lit(0.0))
+            / F.greatest(F.size(bigrams).cast("double"), F.lit(1.0)), 4),
     }
 
 
@@ -181,7 +211,8 @@ def gopher_pass(col: Column, min_words: int = 5, max_words: int = 100_000,
                 min_mean_len: float = 2.0, max_mean_len: float = 12.0,
                 max_symbol: float = 0.1, max_bullet: float = 0.9,
                 max_ellipsis: float = 0.3, min_alpha: float = 0.8,
-                min_stops: int = 1) -> Column:
+                min_stops: int = 1, max_dup_line: float = 0.3,
+                max_top_bigram: float = 0.18) -> Column:
     """Conjunction of the rule family (thresholds parameterized — defaults
     are loosened from the paper's 50-word floor so the synthetic fixture
     corpus exercises both outcomes)."""
@@ -193,4 +224,6 @@ def gopher_pass(col: Column, min_words: int = 5, max_words: int = 100_000,
             & (m["bullet_line_ratio"] <= max_bullet)
             & (m["ellipsis_line_ratio"] <= max_ellipsis)
             & (m["alpha_word_ratio"] >= min_alpha)
-            & (m["stop_hits"] >= min_stops))
+            & (m["stop_hits"] >= min_stops)
+            & (m["dup_line_ratio"] <= max_dup_line)
+            & (m["top_bigram_ratio"] <= max_top_bigram))

@@ -552,7 +552,8 @@ def _text_gopher_quality(spark, sf_dir):
         "doc_id",
         *[m[k].alias(k) for k in
           ("n_words", "mean_word_len", "symbol_ratio", "bullet_line_ratio",
-           "ellipsis_line_ratio", "alpha_word_ratio", "stop_hits")],
+           "ellipsis_line_ratio", "alpha_word_ratio", "stop_hits",
+           "dup_line_ratio", "top_bigram_ratio")],
         T.gopher_pass(F.col("text")).alias("passes"))
 
 
@@ -562,6 +563,12 @@ with g as (
          {TOKS_SQL} as toks,
          string_split(text, chr(10)) as lines
   from documents),
+g2 as (
+  select *,
+         case when len(toks) >= 2 then
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         else [] end as bg
+  from g),
 m as (
   select doc_id,
          len(toks)::bigint as n_words,
@@ -579,16 +586,32 @@ m as (
          round(len(list_filter(toks,
                    x -> regexp_matches(x, '[A-Za-z]')))::double
                / nullif(len(toks), 0), 4) as alpha_word_ratio,
-         len(list_filter(toks, x -> x in ({STOPS_SQL})))::bigint as stop_hits
-  from g)
+         len(list_filter(toks, x -> x in ({STOPS_SQL})))::bigint as stop_hits,
+         round((len(lines) - len(list_distinct(lines)))::double
+               / len(lines), 4) as dup_line_ratio
+  from g2),
+tb as (
+  select doc_id, max(c) as top from (
+    select doc_id, b, count(*) as c
+    from (select doc_id, unnest(bg) as b from g2)
+    group by doc_id, b)
+  group by doc_id),
+m2 as (
+  select m.*,
+         round(coalesce(tb.top, 0)::double
+               / greatest((select len(bg) from g2 where g2.doc_id = m.doc_id),
+                          1), 4) as top_bigram_ratio
+  from m left join tb on m.doc_id = tb.doc_id)
 select doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
        ellipsis_line_ratio, alpha_word_ratio, stop_hits,
+       dup_line_ratio, top_bigram_ratio,
        (n_words >= 5 and n_words <= 100000
         and mean_word_len >= 2.0 and mean_word_len <= 12.0
         and symbol_ratio <= 0.1 and bullet_line_ratio <= 0.9
         and ellipsis_line_ratio <= 0.3 and alpha_word_ratio >= 0.8
-        and stop_hits >= 1) as passes
-from m
+        and stop_hits >= 1 and dup_line_ratio <= 0.3
+        and top_bigram_ratio <= 0.18) as passes
+from m2
 """
 
 

@@ -53,3 +53,18 @@ def test_too_short_fails(spark):
     r = _eval(spark, "the end")
     assert r["n_words"] == 2
     assert r["passes"] is False
+
+
+def test_duplicate_lines_fail(spark):
+    text = "\n".join(["the same boilerplate line here"] * 8
+                     + [f"the unique line number {i}" for i in range(2)])
+    r = _eval(spark, text)
+    assert r["dup_line_ratio"] == 0.7
+    assert r["passes"] is False
+
+
+def test_repeated_bigram_fails(spark):
+    text = "the spam " * 30 + "and some other real words follow here"
+    r = _eval(spark, text)
+    assert r["top_bigram_ratio"] > 0.18
+    assert r["passes"] is False
