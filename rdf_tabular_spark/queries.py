@@ -541,6 +541,31 @@ from documents
 """
 
 
+def _corpus_stats(spark, sf_dir):
+    """Per-language corpus telemetry (the dashboard numbers every ingestion
+    run reports): doc counts, char/token totals, size extremes. Integer
+    aggregates only — exact in both engines; one map-side-combined groupBy
+    on a low-cardinality key."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+                 F.sum(T.token_count(F.col("text")).cast("long"))
+                  .alias("total_tokens"),
+                 F.min(F.col("n_chars").cast("long")).alias("min_chars"),
+                 F.max(F.col("n_chars").cast("long")).alias("max_chars")))
+
+
+_CORPUS_STATS_SQL = f"""
+select lang, count(*) as n_docs,
+       sum(n_chars::bigint) as total_chars,
+       sum(len({TOKS_SQL})::bigint) as total_tokens,
+       min(n_chars::bigint) as min_chars,
+       max(n_chars::bigint) as max_chars
+from documents group by lang
+"""
+
+
 def _text_gopher_quality(spark, sf_dir):
     """Gopher-rule quality metrics (Rae et al. 2021 §A1.1 heuristics:
     word-count band, mean word length, symbol/bullet/ellipsis ratios,
@@ -1301,6 +1326,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_group_integrity": _fk_group_integrity,
     "text_quality": _text_quality,
     "text_gopher_quality": _text_gopher_quality,
+    "corpus_stats": _corpus_stats,
     "text_langid": _text_langid,
     "text_fingerprint": _text_fingerprint,
     "text_url_normalize": _text_url_normalize,
@@ -1353,6 +1379,7 @@ _ORACLES: dict[str, str] = {
     "fk_group_integrity": _FK_GROUP_INTEGRITY_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_gopher_quality": _TEXT_GOPHER_QUALITY_SQL,
+    "corpus_stats": _CORPUS_STATS_SQL,
     "text_langid": _TEXT_LANGID_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
     "text_url_normalize": _TEXT_URL_NORMALIZE_SQL,

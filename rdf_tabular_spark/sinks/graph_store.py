@@ -209,3 +209,23 @@ def load_canonical_map(spark, root: str) -> Optional[DataFrame]:
     with open(cur) as f:
         v = f.read().strip()
     return spark.read.parquet(os.path.join(root, "canonical_map", v))
+
+
+def read_subject(spark: SparkSession, root: str, subj: str,
+                 batches: Optional[list[str]] = None,
+                 pred_buckets: int = DEFAULT_PRED_BUCKETS) -> DataFrame:
+    """Point lookup of one subject's triples.
+
+    pred_bucket partition pruning cannot help here — a subject's triples
+    spread across predicate buckets by design — but ``subj_bucket`` is a
+    data column with parquet min/max row-group statistics, so pushing the
+    bucket equality (computed with the SAME JVM xxhash64 the writer used,
+    via a one-row literal job) skips every row group whose bucket range
+    excludes it, and the subj equality itself also reaches the scan
+    (PushedFilters, CI-audited). On a sorted/compacted store this reads
+    ~1/pred_buckets of the data."""
+    bucket = int(spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(subj)), F.lit(pred_buckets))).first()[0])
+    df = read_graph(spark, root, batches)
+    return df.filter((F.col("subj_bucket") == bucket)
+                     & (F.col("subj") == subj))

@@ -192,3 +192,27 @@ def test_dedup_corpus_near_drop_set_broadcasts(spark):
     document payload never shuffles."""
     p = plan_of(Q.queries()["dedup_corpus_near"](spark, SF))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p, p[:500]
+
+
+def test_read_subject_pushes_filters(spark, tmp_path):
+    """Subject point-lookup: both the subj_bucket equality (row-group
+    stats pruning) and the subj equality must reach the parquet scan."""
+    import pyspark.sql.functions as SF
+    from rdf_tabular_spark.sinks.graph_store import materialize, read_subject
+    triples = (spark.range(200).select(
+        SF.concat(SF.lit("http://s/"), SF.col("id")).alias("subj"),
+        SF.lit("http://p/x").alias("pred"),
+        SF.col("id").cast("string").alias("obj"),
+        SF.lit(False).alias("obj_is_iri"),
+        SF.lit(None).cast("string").alias("obj_datatype"),
+        SF.lit(None).cast("string").alias("obj_lang"),
+        SF.lit("http://t").alias("table_url"),
+        SF.lit(1).cast("long").alias("source_num")))
+    root = str(tmp_path / "store")
+    materialize(triples, root, "b1")
+    got = read_subject(spark, root, "http://s/7")
+    p = plan_of(got)
+    assert "PushedFilters" in p and "subj_bucket" in p and \
+        "EqualTo(subj,http://s/7)" in p, p[-2000:]
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["obj"] == "7"
