@@ -289,14 +289,48 @@ def _match_datetime(value: str, dt: dict, base: str, errors: list[str]) -> Optio
     return CellValue(value, DATATYPE_IRIS[base], None)
 
 
+def _temporal(v) -> object:
+    """ISO lexical → comparable datetime/time (None if unparseable). A bare
+    date becomes midnight so date facets bound dateTime cells correctly."""
+    import datetime as _dt
+    s = str(v).strip().replace("Z", "+00:00")
+    try:
+        if "T" in s or (" " in s and ":" in s):
+            return _dt.datetime.fromisoformat(s.replace(" ", "T", 1))
+        if ":" in s:
+            return _dt.time.fromisoformat(s)
+        d = _dt.date.fromisoformat(s)
+        return _dt.datetime(d.year, d.month, d.day)
+    except ValueError:
+        return None
+
+
+def _cmp_temporal(a, b):
+    """-1/0/1, or None when the shapes are incomparable. A naive side is
+    assumed UTC when the other carries an offset (XSD's implicit-timezone
+    comparison would make it indeterminate; UTC is the least-surprising
+    determinization and keeps the check total)."""
+    import datetime as _dt
+    is_time = isinstance(a, _dt.time) and not isinstance(a, _dt.datetime)
+    other_time = isinstance(b, _dt.time) and not isinstance(b, _dt.datetime)
+    if is_time != other_time:
+        return None
+    if (a.tzinfo is None) != (b.tzinfo is None):
+        utc = _dt.timezone.utc
+        a = a.replace(tzinfo=a.tzinfo or utc)
+        b = b.replace(tzinfo=b.tzinfo or utc)
+    return (a > b) - (a < b)
+
+
 def _check_range(lexical: str, dt: dict, base: str, errors: list[str]) -> None:
     """minimum/maximum/(min|max)(In|Ex)clusive facets (CSVW §5.11.2).
 
     The reference only validates the facet VALUES structurally
     (metadata.rb:554-559) and never compares cells against them — the W3C
     spec mandates the data-tier check, so this goes beyond the reference.
-    Numerics compare as Decimal; date/time compare on the normalized ISO
-    lexical (lexicographic == chronological for same-shape values)."""
+    Numerics compare as Decimal; date/time compare as parsed temporals
+    (timezone offsets normalized — a lexicographic compare would mis-order
+    '…09:00Z' vs '…10:00+05:00')."""
     lo_inc = dt.get("minimum", dt.get("minInclusive"))
     hi_inc = dt.get("maximum", dt.get("maxInclusive"))
     lo_exc = dt.get("minExclusive")
@@ -307,26 +341,39 @@ def _check_range(lexical: str, dt: dict, base: str, errors: list[str]) -> None:
     if base in NUMERIC_BASES:
         try:
             v = Decimal(lexical)
-            conv = lambda f: Decimal(str(f))  # noqa: E731
         except InvalidOperation:
             return  # NaN/INF: range facets do not apply
+
+        def cmp(f):
+            try:
+                w = Decimal(str(f))
+            except InvalidOperation:
+                return None  # malformed facet: structural validation's concern
+            return (v > w) - (v < w)
     elif base in DATE_BASES:
-        v, conv = lexical, str
+        tv = _temporal(lexical)
+        if tv is None:
+            return
+
+        def cmp(f):
+            w = _temporal(f)
+            return None if w is None else _cmp_temporal(tv, w)
     else:
         return
-    try:
-        if lo_inc is not None and v < conv(lo_inc):
-            errors.append(f"{lexical} is less than the minimum {lo_inc}")
-        if hi_inc is not None and v > conv(hi_inc):
-            errors.append(f"{lexical} is greater than the maximum {hi_inc}")
-        if lo_exc is not None and v <= conv(lo_exc):
-            errors.append(
-                f"{lexical} must be greater than the exclusive minimum {lo_exc}")
-        if hi_exc is not None and v >= conv(hi_exc):
-            errors.append(
-                f"{lexical} must be less than the exclusive maximum {hi_exc}")
-    except InvalidOperation:
-        pass  # malformed facet value: structural validation's concern
+    c = cmp(lo_inc) if lo_inc is not None else None
+    if c is not None and c < 0:
+        errors.append(f"{lexical} is less than the minimum {lo_inc}")
+    c = cmp(hi_inc) if hi_inc is not None else None
+    if c is not None and c > 0:
+        errors.append(f"{lexical} is greater than the maximum {hi_inc}")
+    c = cmp(lo_exc) if lo_exc is not None else None
+    if c is not None and c <= 0:
+        errors.append(
+            f"{lexical} must be greater than the exclusive minimum {lo_exc}")
+    c = cmp(hi_exc) if hi_exc is not None else None
+    if c is not None and c >= 0:
+        errors.append(
+            f"{lexical} must be less than the exclusive maximum {hi_exc}")
 
 
 def value_matching_datatype(value: str, dt: dict, lang: Optional[str]) -> tuple[Optional[CellValue], list[str]]:

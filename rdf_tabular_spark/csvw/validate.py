@@ -116,7 +116,9 @@ def _facet_errors(type_name: str, dt: dict, errors: list[str]) -> None:
             continue
         ok = (isinstance(v, (int, float)) and not isinstance(v, bool)) or \
             (isinstance(v, str)
-             and (re.match(_ISO_DATEISH, v) or re.match(_ISO_TIMEISH, v)))
+             and (re.match(_ISO_DATEISH, v) or re.match(_ISO_TIMEISH, v)
+                  # CSVW allows numeric facets as strings ("minimum": "5")
+                  or re.match(r"^-?\d+(\.\d+)?$", v)))
         if not ok:
             errors.append(
                 f"{type_name} has invalid property '{key}': {v}, "
@@ -167,14 +169,23 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
     if isinstance(dt, dict):
         _facet_errors(type_name, dt, errors)
     if "primaryKey" in obj:
-        # column-reference resolution (reference: metadata.rb:567-570)
+        # column-reference resolution (reference: metadata.rb:567-570);
+        # a column without `name` is named from its first title, whatever
+        # shape `titles` takes (string | array | language map — CSVW §5.6)
         names = set()
         for c in obj.get("columns") or []:
             if isinstance(c, dict):
                 if c.get("name"):
                     names.add(c["name"])
-                elif isinstance(c.get("titles"), str):
-                    names.add(c["titles"])
+                    continue
+                t = c.get("titles")
+                if isinstance(t, dict):
+                    vals = list(t.values())
+                    t = vals[0] if vals else None
+                if isinstance(t, list):
+                    t = next((x for x in t if isinstance(x, str)), None)
+                if isinstance(t, str):
+                    names.add(t)
         pks = obj["primaryKey"] if isinstance(obj["primaryKey"], list) \
             else [obj["primaryKey"]]
         for pk in pks:

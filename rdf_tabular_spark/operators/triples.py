@@ -186,13 +186,17 @@ class TripleKernel:
                 else:
                     v = v.strip()
                 cv = None
-                errs: list[str] = []
+                all_errs: list[str] = []
                 for dt in cp.datatypes:
                     cv, errs = coerce.value_matching_datatype(v, dt, cp.lang)
                     if cv is not None:
-                        errs = []
+                        all_errs = []
                         break
-                errors.extend(errs)
+                    all_errs.extend(errs)
+                # no datatype in the union matched: every mismatch is
+                # reported (the first-declared datatype's error was being
+                # dropped when a later one also failed)
+                errors.extend(all_errs)
                 out.append(cv if cv is not None else coerce.CellValue(v, None, None))
             else:
                 out.append(coerce.CellValue(v, None, cp.lang))
@@ -349,13 +353,14 @@ def rows_to_errors(rows_df: DataFrame, mapping: TableMapping) -> DataFrame:
                             continue
                         if cp.datatypes is None:
                             continue
-                        errs: list[str] = []
+                        all_errs: list[str] = []
                         for dt in cp.datatypes:
                             cv, errs = C.value_matching_datatype(v, dt, cp.lang)
                             if cv is not None:
-                                errs = []
+                                all_errs = []
                                 break
-                        for e in errs:
+                            all_errs.extend(errs)
+                        for e in all_errs:
                             out.append((url, int(source_num), cp.name, v, e))
             yield pd.DataFrame(out, columns=out_cols)
 

@@ -264,27 +264,34 @@ def _key_tuple_rows(spark: SparkSession, table: Table, cols: list[str],
     """(key array<string>, source_num) for the named columns of a table.
 
     The key is the cell tuple AS AN ARRAY: element boundaries and NULLs are
-    preserved, so (NULL,'x') vs ('x',NULL) and (x,NULL) vs (x,'') stay
-    distinct (a separator-joined string would collide them). Unknown column
-    names are an error, not silently dropped."""
+    preserved, so (NULL,'x') vs ('x',NULL) stay distinct (a separator-
+    joined string would collide them). Unknown column names are an error,
+    not silently dropped. A cell matching the column's CSVW ``null``
+    annotation (default: the empty string) becomes a NULL component — a
+    present-but-null cell and a missing cell (short row) must behave
+    identically, and FK checks exempt NULL components per SQL MATCH SIMPLE."""
     from pyspark.sql import functions as F
+    from .csvw.model import _as_list
     path = resolver(table.url)
     titles, _ = read_header(path, table.dialect)
     if titles:
         merge_embedded_titles(table, titles)
-    idx = {c.name: i for i, c in enumerate(table.schema.columns)}
-    missing = [name for name in cols if name not in idx]
+    cols_by_name = {c.name: (i, c) for i, c in enumerate(table.schema.columns)}
+    missing = [name for name in cols if name not in cols_by_name]
     if missing:
         raise ValueError(
             f"{role} column(s) {missing} not in schema of {table.url} "
-            f"(columns: {sorted(idx)})")
-    # try_element_at: short/blank rows yield NULL components instead of an
-    # ANSI out-of-bounds error mid-job
-    key = F.array(*[
-        F.try_element_at(F.col("values"), F.lit(idx[name] + 1))
-        for name in cols])
+            f"(columns: {sorted(cols_by_name)})")
+    parts = []
+    for name in cols:
+        i, col = cols_by_name[name]
+        nulls = _as_list(col.inherited("null")) or [""]
+        # try_element_at: short/blank rows yield NULL components instead of
+        # an ANSI out-of-bounds error mid-job
+        cell = F.try_element_at(F.col("values"), F.lit(i + 1))
+        parts.append(F.when(cell.isin(*nulls), F.lit(None)).otherwise(cell))
     return (read_rows(spark, path, table.dialect)
-            .select(key.alias("key"), "source_num"))
+            .select(F.array(*parts).alias("key"), "source_num"))
 
 
 def validate_primary_key(spark: SparkSession, table: Table,

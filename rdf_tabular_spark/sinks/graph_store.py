@@ -184,20 +184,35 @@ def read_predicate(spark: SparkSession, root: str, pred: str,
             .filter(F.col("pred") == pred)
 
 
-def save_canonical_map(mapping: DataFrame, root: str, batch_id: str) -> str:
-    """Persist the global subject-canonicalization map, snapshot-style: a
-    versioned parquet dir plus an atomically-replaced CURRENT pointer (the
-    Iceberg snapshot-swap pattern — readers never observe a partial map; a
-    crash mid-write leaves CURRENT on the previous version). The map scales
-    with clustered subjects, so it stays distributed parquet — no driver
-    collect, no coalesce."""
+def write_canonical_map_version(mapping: DataFrame, root: str,
+                                batch_id: str) -> str:
+    """Write one version of the global subject-canonicalization map WITHOUT
+    moving the CURRENT pointer — callers commit via
+    :func:`commit_canonical_map` only after the batch itself commits, so a
+    crash between map write and batch materialize leaves the pointer on the
+    previous version (no map entries referencing a batch that never
+    landed). The map scales with clustered subjects, so it stays
+    distributed parquet — no driver collect, no coalesce."""
     d = os.path.join(root, "canonical_map", f"v-{batch_id}")
     mapping.write.mode("overwrite").parquet(d)
+    return d
+
+
+def commit_canonical_map(root: str, batch_id: str) -> None:
+    """Atomically swap CURRENT to the named version (Iceberg snapshot-swap
+    pattern — readers never observe a partial map)."""
     cur = os.path.join(root, "canonical_map", "CURRENT")
     tmp = cur + f".tmp-{batch_id}"
     with open(tmp, "w") as f:
         f.write(f"v-{batch_id}")
     os.replace(tmp, cur)
+
+
+def save_canonical_map(mapping: DataFrame, root: str, batch_id: str) -> str:
+    """Write + commit in one step (standalone use; the batch pipeline
+    splits the two around its own materialize commit)."""
+    d = write_canonical_map_version(mapping, root, batch_id)
+    commit_canonical_map(root, batch_id)
     return d
 
 

@@ -171,11 +171,14 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
     has_spanning, sniff_complete = _quote_sniff(path, dialect)
     if has_spanning:
         return _read_rows_whole_file(spark, path, dialect)
-    if not sniff_complete:
-        # File larger than the sniff bound: one distributed parity pass —
-        # if ANY physical line carries an odd quote count (possible split
-        # quoted field beyond the prefix), auto-fall back to the whole-file
-        # path instead of risking a mis-parse or mid-job error.
+    if not sniff_complete and dialect.quoteChar and bool(dialect.doubleQuote):
+        # File larger than the sniff bound, doubleQuote dialect (where a
+        # closed quoted field ALWAYS has an even per-line quote count): one
+        # distributed parity pass — any odd-count line means a possibly
+        # split quoted field beyond the prefix, so auto-fall back to the
+        # whole-file path instead of risking a mis-parse or mid-job error.
+        # Backslash-escape dialects legitimately carry odd counts (\") and
+        # keep the distributed lenient path unconditionally.
         from pyspark.sql import functions as F
         q = dialect.quoteChar
         probe = spark.read.text(path)

@@ -69,18 +69,8 @@ def pages_to_triples(pages: DataFrame, minimal: bool = True,
             srcs: list[int] = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 page = extract_page(_decode(html))
-                meta_json = page.csvw_meta or default_meta_json
-                if meta_json is None:
-                    continue
-                tk = _kernel_for_meta(meta_json, minimal)
-                for t in page.tables:
-                    for i, row in enumerate(t.rows):
-                        if i < header_rows:
-                            continue
-                        ts = tk.row_triples(row, i - header_rows + 1, i + 1, url=url)
-                        out.extend(ts)
-                        urls.extend([url] * len(ts))
-                        srcs.extend([i + 1] * len(ts))
+                _emit_table_triples(page, url, default_meta_json, minimal,
+                                    header_rows, out, urls, srcs)
             res = pd.DataFrame(out, columns=cols)
             res["table_url"] = pd.Series(urls, dtype="object")
             res["source_num"] = pd.Series(srcs, dtype="int64")
@@ -90,6 +80,61 @@ def pages_to_triples(pages: DataFrame, minimal: bool = True,
 
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _emit_table_triples(page, url: str, default_meta_json: Optional[str],
+                        minimal: bool, header_rows: int,
+                        out: list, urls: list, srcs: list) -> None:
+    """Shared per-page CSVW-table emission (single source of truth for the
+    single-facet and fused kernels)."""
+    meta_json = page.csvw_meta or default_meta_json
+    if meta_json is None:
+        return
+    tk = _kernel_for_meta(meta_json, minimal)
+    for t in page.tables:
+        for i, row in enumerate(t.rows):
+            if i < header_rows:
+                continue
+            ts = tk.row_triples(row, i - header_rows + 1, i + 1, url=url)
+            out.extend(ts)
+            urls.extend([url] * len(ts))
+            srcs.extend([i + 1] * len(ts))
+
+
+def _emit_microdata_triples(page, url: str,
+                            out: list, urls: list, srcs: list) -> None:
+    """Shared per-page microdata emission — mirrors the Column projection in
+    :func:`microdata_to_triples` exactly (pred vocab resolution, skolem ids,
+    per-(item,type,url) dedup == the projection's distinct, and NULL
+    obj_is_iri for a NULL value, matching ``rlike`` null semantics).
+    Multiset parity between this and the projection path is CI-tested."""
+    import hashlib
+    import re
+    iri_re = re.compile(r"^https?://")
+    vocab_re = re.compile(r"^(.*/)[^/]*$")
+    uh = None
+    seen_types: set[tuple] = set()
+    n_md = 0
+    for item in page.microdata:
+        iid = item.item_id
+        if iid.startswith("_:"):
+            if uh is None:
+                uh = hashlib.sha1(url.encode()).hexdigest()[:10]
+            iid = f"_:md-{uh}-{item.item_id[2:]}"
+        m = vocab_re.match(item.itemtype or "")
+        vocab = m.group(1) if m else ""
+        for prop, value in item.props:
+            pred = prop if iri_re.match(prop) else (vocab or url + "#") + prop
+            out.append((iid, pred, value,
+                        None if value is None else bool(iri_re.match(value)),
+                        None, None))
+            n_md += 1
+        if item.itemtype and (iid, item.itemtype) not in seen_types:
+            seen_types.add((iid, item.itemtype))
+            out.append((iid, RDF_TYPE, item.itemtype, True, None, None))
+            n_md += 1
+    urls.extend([url] * n_md)
+    srcs.extend([0] * n_md)
 
 
 def pages_to_combined_triples(pages: DataFrame, minimal: bool = True,
@@ -110,17 +155,12 @@ def pages_to_combined_triples(pages: DataFrame, minimal: bool = True,
     dedup is equivalent to the projection's distinct over
     (item_id, itemtype, url): skolemized item ids are url-scoped and the
     distinct includes the url."""
-    import hashlib
-    import re
-
     spark = pages.sparkSession
     ensure_package_on_executors(spark)
     default_meta_json = json.dumps(default_meta) if default_meta else None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .sources.html_extract import extract_page, _decode
-        iri_re = re.compile(r"^https?://")
-        vocab_re = re.compile(r"^(.*/)[^/]*$")
         cols = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype", "obj_lang"]
         for pdf in batches:
             out: list[tuple] = []
@@ -128,44 +168,9 @@ def pages_to_combined_triples(pages: DataFrame, minimal: bool = True,
             srcs: list[int] = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 page = extract_page(_decode(html))
-                meta_json = page.csvw_meta or default_meta_json
-                if meta_json is not None:
-                    tk = _kernel_for_meta(meta_json, minimal)
-                    for t in page.tables:
-                        for i, row in enumerate(t.rows):
-                            if i < header_rows:
-                                continue
-                            ts = tk.row_triples(row, i - header_rows + 1,
-                                                i + 1, url=url)
-                            out.extend(ts)
-                            urls.extend([url] * len(ts))
-                            srcs.extend([i + 1] * len(ts))
-                uh = None
-                seen_types: set[tuple] = set()
-                n_md = 0
-                for item in page.microdata:
-                    iid = item.item_id
-                    if iid.startswith("_:"):
-                        if uh is None:
-                            uh = hashlib.sha1(url.encode()).hexdigest()[:10]
-                        iid = f"_:md-{uh}-{item.item_id[2:]}"
-                    m = vocab_re.match(item.itemtype or "")
-                    vocab = m.group(1) if m else ""
-                    for prop, value in item.props:
-                        pred = prop if iri_re.match(prop) \
-                            else (vocab or url + "#") + prop
-                        out.append((iid, pred, value,
-                                    bool(value is not None
-                                         and iri_re.match(value)),
-                                    None, None))
-                        n_md += 1
-                    if item.itemtype and (iid, item.itemtype) not in seen_types:
-                        seen_types.add((iid, item.itemtype))
-                        out.append((iid, RDF_TYPE, item.itemtype, True,
-                                    None, None))
-                        n_md += 1
-                urls.extend([url] * n_md)
-                srcs.extend([0] * n_md)
+                _emit_table_triples(page, url, default_meta_json, minimal,
+                                    header_rows, out, urls, srcs)
+                _emit_microdata_triples(page, url, out, urls, srcs)
             res = pd.DataFrame(out, columns=cols)
             res["table_url"] = pd.Series(urls, dtype="object")
             res["source_num"] = pd.Series(srcs, dtype="int64")
@@ -431,15 +436,24 @@ def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
         held.append(triples)
         mentions = link_entities(triples, entity_dict)
         triples = triples.unionByName(mentions)
+    if incremental_canonical and not canonicalize:
+        raise ValueError(
+            "incremental_canonical requires canonicalize=True — the global "
+            "map can only grow from a batch that was canonicalized")
+    pending_map_commit = False
     if canonicalize:
         triples, mapping = canonicalize_subjects(triples, releases=held)
         if incremental_canonical:
             from .operators.components import merge_mappings, rewrite_triples
             from .sinks.graph_store import (load_canonical_map,
-                                            save_canonical_map)
+                                            write_canonical_map_version)
             old = load_canonical_map(spark, out_root)
             merged = mapping if old is None else merge_mappings([old, mapping])
-            path = save_canonical_map(merged, out_root, batch_id)
+            # write the map version now, commit its CURRENT pointer only
+            # AFTER materialize commits the batch — a crash in between must
+            # not leave the global map referencing a batch that never landed
+            path = write_canonical_map_version(merged, out_root, batch_id)
+            pending_map_commit = True
             if old is not None:
                 # batch-local canonicals that joined a pre-existing cluster
                 # map on to the global canonical: one more broadcast rewrite,
@@ -452,7 +466,11 @@ def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
                            else "canonicalize") if canonicalize else None,
                           "materialize"]}
     try:
-        return materialize(triples, out_root, batch_id, lineage=lineage)
+        manifest = materialize(triples, out_root, batch_id, lineage=lineage)
+        if pending_map_commit:
+            from .sinks.graph_store import commit_canonical_map
+            commit_canonical_map(out_root, batch_id)
+        return manifest
     finally:
         # free per-batch caches so storage memory stays flat across batches
         for df in held:

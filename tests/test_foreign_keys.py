@@ -62,18 +62,32 @@ def test_broken_fk_reports_violating_rows(spark, tmp_path):
 
 
 def test_null_fk_component_exempt(spark, tmp_path):
-    """SQL MATCH SIMPLE: a child key with a NULL component never violates."""
-    group = _write_group(tmp_path, [("AD", 2000), ("", 2001)])
-    # empty cell -> None after CSVW null handling is not applied here (raw
-    # cell is ''); use an explicit null via the csv: an empty unquoted cell
-    # parses as '' which IS a value — so assert it reports as a violation,
-    # while a truly missing column value (short row -> NULL) is exempt.
-    (tmp_path / "slice.csv").write_text("countryRef,year\nAD,2000\n\nZZ\n")
-    # row 3 is blank (skipBlankRows default false -> values []), row 4 has
-    # countryRef=ZZ with year missing; key col 1 present -> violation
+    """SQL MATCH SIMPLE: a child key with a NULL component never violates —
+    and CSVW-null spellings count as NULL: an empty cell (default null
+    annotation ''), a short row's missing cell, and a blank row all exempt;
+    a present non-null orphan ('ZZ') still violates."""
+    group = _write_group(tmp_path, [("AD", 2000)])
+    (tmp_path / "slice.csv").write_text(
+        "countryRef,year\nAD,2000\n,2001\n\nZZ\n")
     viol = validate_foreign_keys(spark, group, resolver=lambda u: u).collect()
     keys = sorted(tuple(r["key"]) for r in viol)
-    assert ("ZZ",) in keys
+    assert keys == [("ZZ",)]
+
+
+def test_custom_null_token_exempt(spark, tmp_path):
+    """A declared null token ('N/A') in the FK column is exempt like ''. """
+    import json
+    group = _write_group(tmp_path, [("AD", 2000)])
+    meta = json.loads((tmp_path / "group.json").read_text())
+    meta["tables"][1]["tableSchema"]["columns"][0]["null"] = ["N/A"]
+    (tmp_path / "group.json").write_text(json.dumps(meta))
+    (tmp_path / "slice.csv").write_text(
+        "countryRef,year\nAD,2000\nN/A,2001\nZZ,2002\n")
+    from rdf_tabular_spark.csvw.model import load_metadata
+    g = load_metadata(str(tmp_path / "group.json"),
+                      base=str(tmp_path / "group.json"), resolver=lambda u: u)
+    viol = validate_foreign_keys(spark, g, resolver=lambda u: u).collect()
+    assert sorted(tuple(r["key"]) for r in viol) == [("ZZ",)]
 
 
 def test_unknown_fk_resource_raises(spark, tmp_path):
