@@ -319,3 +319,44 @@ def simhash48_near_pairs(df: DataFrame, id_col: str = "doc_id",
                                 .bitwiseXOR(F.col("r.simhash"))).alias("dist"))
             .filter(F.col("dist") <= max_hamming)
             .distinct())
+
+
+def remove_repeated_lines(docs: DataFrame, min_docs: int = 3,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """C4-style boilerplate elimination: drop every LINE that occurs in at
+    least ``min_docs`` distinct documents (nav bars, cookie banners, footer
+    legalese — the lines that repeat across a crawl), then reassemble each
+    document → (id, clean_text, n_kept, n_removed).
+
+    Scale shape: lines are keyed by a 64-bit md5 prefix so the frequency
+    groupBy and the back-join shuffle 16-char keys, never the line text on
+    the frequency side; the count is distinct-docs (a page repeating its
+    own line doesn't make it boilerplate). Reassembly sorts per-doc by
+    line position inside an array — deterministic, no window. The md5 key
+    is the same hash family as the MinHash oracle tier, so the whole
+    operator is DuckDB-mirrorable (queries._DEDUP_CORPUS_LINES_SQL).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    key = F.substring(F.md5(F.col("line").cast("binary")), 1, 16)
+    keyed = lines.withColumn("k", key)
+    boiler = (keyed.groupBy("k")
+              .agg(F.count_distinct("id").alias("n_docs"))
+              .filter(F.col("n_docs") >= min_docs)
+              .select("k"))
+    kept = keyed.join(boiler, "k", "left_anti")
+    removed_counts = (keyed.join(boiler, "k")
+                      .groupBy("id").agg(F.count("*").alias("n_removed")))
+    out = (kept.groupBy("id")
+           .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
+                 .alias("a"))
+           .select(F.col("id"),
+                   F.concat_ws("\n", F.expr("transform(a, s -> s.line)"))
+                    .alias("clean_text"),
+                   F.size("a").cast("long").alias("n_kept")))
+    return (out.join(removed_counts, "id", "left")
+            .select(F.col("id").alias(id_col), "clean_text", "n_kept",
+                    F.coalesce("n_removed", F.lit(0)).cast("long")
+                     .alias("n_removed")))

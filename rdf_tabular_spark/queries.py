@@ -541,6 +541,51 @@ from documents
 """
 
 
+_BOILER = "COOKIE BANNER: accept all cookies\nfooter: terms of service apply"
+
+
+def _dedup_corpus_lines(spark, sf_dir):
+    """C4-style cross-corpus boilerplate-line removal: every line occurring
+    in ≥3 distinct documents is dropped and documents are reassembled
+    (operators/dedup.remove_repeated_lines — md5-keyed line frequency, one
+    groupBy + anti-join, per-doc array reassembly). The fixture corpus has
+    no naturally repeated lines, so a deterministic two-line banner is
+    appended to even doc_ids first; the check then proves exactly those
+    lines are stripped and original content survives byte-identically."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.col("text"), F.lit("\n" + _BOILER)))
+         .otherwise(F.col("text")))
+    return D.remove_repeated_lines(aug, min_docs=3)
+
+
+_DEDUP_CORPUS_LINES_SQL = f"""
+with d as (
+  select doc_id as id,
+         string_split(case when doc_id % 2 = 0
+                      then text || chr(10) || '{_BOILER.replace(chr(10), "' || chr(10) || '")}'
+                      else text end, chr(10)) as ls
+  from documents),
+l as (
+  select id, unnest(list_transform(range(1, len(ls) + 1),
+             i -> {{'pos': i - 1, 'line': ls[i]}}), recursive := true)
+  from d),
+k as (select id, pos, line, substring(md5(line), 1, 16) as k from l),
+b as (select k from k group by k having count(distinct id) >= 3),
+kept as (select * from k where k not in (select k from b)),
+rem as (select id, count(*) as n_removed from k
+        where k in (select k from b) group by id)
+select kept.id as doc_id,
+       string_agg(kept.line, chr(10) order by kept.pos) as clean_text,
+       count(*)::bigint as n_kept,
+       coalesce(max(rem.n_removed), 0)::bigint as n_removed
+from kept left join rem on kept.id = rem.id
+group by kept.id
+"""
+
+
 def _corpus_stats(spark, sf_dir):
     """Per-language corpus telemetry (the dashboard numbers every ingestion
     run reports): doc counts, char/token totals, size extremes. Integer
@@ -1342,6 +1387,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_scale_pairs": _dedup_minhash_scale_pairs,
     "dedup_minhash_verified_pairs": _dedup_minhash_verified_pairs,
     "dedup_corpus_near": _dedup_corpus_near,
+    "dedup_corpus_lines": _dedup_corpus_lines,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "ann_cosine_topk": _ann_cosine_topk,
     "ann_ivf_topk": _ann_ivf_topk,
@@ -1395,6 +1441,7 @@ _ORACLES: dict[str, str] = {
     "dedup_minhash_scale_pairs": _DEDUP_MINHASH_SCALE_PAIRS_SQL,
     "dedup_minhash_verified_pairs": _DEDUP_MINHASH_VERIFIED_PAIRS_SQL,
     "dedup_corpus_near": _DEDUP_CORPUS_NEAR_SQL,
+    "dedup_corpus_lines": _DEDUP_CORPUS_LINES_SQL,
     "dedup_embedding_cosine": _DEDUP_EMBEDDING_COSINE_SQL,
     "ann_cosine_topk": _ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_TOPK_SQL,
