@@ -1,0 +1,183 @@
+"""Training-data curation operators: PII redaction, deterministic
+hash-based sampling, token-budget sequence packing, and benchmark
+decontamination.
+
+These are the corpus-preparation steps that sit between raw extraction
+(sources/pages.py, sources/warc.py) and training: scrub identifying
+strings, downsample per-language strata to a target mixture, pack
+variable-length documents into fixed token-budget training sequences, and
+drop documents that overlap an evaluation benchmark (Brown et al. 2020
+§C / Gao et al. 2020 use the same n-gram-overlap definition).
+
+Scale notes (100 TB):
+- PII scrub and sampling are pure Column expressions — one codegen stage,
+  no shuffle, column-pruned scan; they stream at parquet-scan speed.
+- ``pack_sequences`` partitions the corpus into ``n_groups`` hash groups
+  and runs an independent prefix-sum window per group: one shuffle on the
+  group key, and parallelism = n_groups (set it to a small multiple of
+  the cluster's cores; packing quality is unaffected because every group
+  packs greedily in stable doc order). A single global window would
+  serialize the corpus through one task — the classic window trap.
+- ``flag_contamination`` broadcasts the benchmark shingle set (evaluation
+  suites are tiny relative to a crawl) so the probe is a map-side
+  hash-join against the exploded document shingles; one groupBy on doc_id
+  re-aggregates.  No quadratic stage anywhere.
+
+All hashing is md5-based so every step is reproducible bit-for-bit in the
+DuckDB oracles (queries.py) — same recipe as operators/skew.py.
+
+Reference parity: the reference pipeline (rdf-tabular) stops at triple
+emission; these operators are the §2.9 training-data extensions the
+SURVEY scopes on top of it, not ports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as T
+
+# --- PII patterns ----------------------------------------------------------
+# Each pattern is valid and equivalent under Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround, only greedy quantifiers whose
+# leftmost-first (Java) and leftmost-longest (RE2) matches coincide.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d -]{7,13}\d"
+
+EMAIL_TOKEN = "[EMAIL]"
+IP_TOKEN = "[IP]"
+PHONE_TOKEN = "[PHONE]"
+
+# Scrub order matters and is part of the contract: emails first (they may
+# contain digit runs a later pass would mangle), then IPv4 (dotted quads
+# would otherwise be eaten by the phone pattern), then phones.
+PII_PASSES = ((PII_EMAIL_RE, EMAIL_TOKEN),
+              (PII_IPV4_RE, IP_TOKEN),
+              (PII_PHONE_RE, PHONE_TOKEN))
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-document match counts, keyed n_emails/n_ips/n_phones.
+
+    Counts are taken against the *progressively scrubbed* text in pass
+    order, exactly like :func:`scrub_pii` — so n_phones never counts a
+    digit run that the IP pass already consumed.
+    """
+    out: dict[str, Column] = {}
+    cur = col
+    for (pat, tok), key in zip(PII_PASSES, ("n_emails", "n_ips", "n_phones")):
+        out[key] = F.regexp_count(cur, F.lit(pat)).cast("long")
+        cur = F.regexp_replace(cur, pat, tok)
+    return out
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace emails → [EMAIL], IPv4 → [IP], phone runs → [PHONE].
+
+    One codegen stage of chained ``regexp_replace`` — no UDF, no shuffle.
+    """
+    cur = col
+    for pat, tok in PII_PASSES:
+        cur = F.regexp_replace(cur, pat, tok)
+    return cur
+
+
+# --- deterministic hash sampling ------------------------------------------
+
+HASH_SPACE = 1 << 32  # md5 32-bit prefix
+
+
+def hash_u32(col: Column) -> Column:
+    """Uniform deterministic 32-bit hash of a key column (md5 prefix).
+
+    Stable across runs, partitionings, and engines (DuckDB:
+    ``('0x' || substr(md5(x), 1, 8))::bigint``) — the property
+    ``F.rand`` lacks and sampling for reproducible corpora needs.
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10) \
+            .cast("long")
+
+
+def stratified_sample(df: DataFrame, key: str, strata: str,
+                      rates: dict[str, float],
+                      default_rate: float = 0.0) -> DataFrame:
+    """Keep each row iff hash_u32(key) < rate[stratum] * 2^32.
+
+    Exact expected per-stratum rates with zero coordination: a pure filter,
+    no shuffle, no sampling state, repeatable under retries/speculative
+    execution (unlike ``df.sample`` whose output depends on partition
+    layout). Rates express a target language/domain mixture.
+    """
+    thresholds = {s: int(r * HASH_SPACE) for s, r in rates.items()}
+    thr: Column = F.lit(int(default_rate * HASH_SPACE))
+    for s, t in sorted(thresholds.items()):
+        thr = F.when(F.col(strata) == s, F.lit(t)).otherwise(thr)
+    return df.where(hash_u32(F.col(key)) < thr)
+
+
+# --- sequence packing ------------------------------------------------------
+
+def pack_sequences(df: DataFrame, key: str = "doc_id",
+                   text_col: str = "text", budget: int = 512,
+                   n_groups: int = 64) -> DataFrame:
+    """Assign each document to a training sequence of ~``budget`` tokens.
+
+    Greedy in-order packing inside ``n_groups`` independent hash groups:
+    ``grp = hash_u32(key) % n_groups``; within a group, docs are laid out
+    in stable ``key`` order and a doc starts sequence
+    ``floor(exclusive_prefix_tokens / budget)``. Output columns:
+    (key, grp, seq_no, n_tok).
+
+    Each group's window runs in its own task — parallelism scales with
+    n_groups, so pick n_groups ≫ cores at cluster scale. Packing quality
+    (fill fraction) is independent of n_groups because each group packs
+    densely; only the *number* of partially-filled tail sequences grows
+    with n_groups (one per group), which is negligible for any real
+    corpus.
+    """
+    n_tok = T.token_count(F.col(text_col)).cast("long")
+    grp = F.pmod(hash_u32(F.col(key)), F.lit(n_groups)).cast("int")
+    staged = df.select(F.col(key), grp.alias("grp"), n_tok.alias("n_tok"))
+    w = (Window.partitionBy("grp").orderBy(key)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return staged.select(
+        key, "grp",
+        F.floor(prefix / F.lit(budget)).cast("long").alias("seq_no"),
+        "n_tok")
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+def flag_contamination(docs: DataFrame, benchmark: DataFrame,
+                       key: str = "doc_id", text_col: str = "text",
+                       n: int = 3) -> DataFrame:
+    """Count distinct word n-gram overlaps between each document and a
+    benchmark corpus; a single shared shingle marks the doc contaminated
+    (the conservative Brown et al. 2020 §C definition at n=3; raise n for
+    looser matching).
+
+    ``benchmark`` is a one-column DataFrame of benchmark *texts*; its
+    shingle set is broadcast (eval suites are ≤ millions of shingles), so
+    the probe is a map-side join on the exploded doc shingles followed by
+    one doc-key aggregation. Returns (key, n_overlap, contaminated) for
+    every input doc, zeros included.
+    """
+    bench_col = benchmark.columns[0]
+    bench_grams = (benchmark
+                   .select(F.explode(T.word_ngrams(F.col(bench_col), n))
+                           .alias("gram"))
+                   .distinct())
+    doc_grams = docs.select(
+        F.col(key),
+        F.explode(T.word_ngrams(F.col(text_col), n)).alias("gram"))
+    hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy(key)
+            .agg(F.count("*").alias("n_overlap")))
+    return (docs.select(key)
+            .join(hits, key, "left")
+            .select(F.col(key),
+                    F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"))
+            .withColumn("contaminated", F.col("n_overlap") > 0))

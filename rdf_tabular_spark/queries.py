@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators import curate as curate_ops
 from .operators import dedup as D
 from .operators import similarity as S
 from .operators import text as T
@@ -1352,6 +1353,130 @@ _KG_CANONICAL_DUPES_SQL = " union all ".join(
 
 
 # ---------------------------------------------------------------------------
+# training-data curation tier (operators/curate.py)
+# ---------------------------------------------------------------------------
+
+_PII_INJECT_SQL = ("text || chr(10) || 'Contact u' || doc_id"
+                   " || '@mail.example.org or call +1 555-01' || doc_id"
+                   " || '0 node 10.0.' || (doc_id % 256) || '.7'")
+
+
+def _hash_u32_sql(expr: str) -> str:
+    """DuckDB mirror of operators/curate.hash_u32 (md5 32-bit prefix)."""
+    return f"('0x' || substr(md5({expr}), 1, 8))::bigint"
+
+
+def _text_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/curate.scrub_pii): email/IPv4/phone masking
+    with per-pass match counts, chained regexp_replace in one codegen
+    stage. The fixture corpus contains no PII, so a deterministic contact
+    line (email + phone + IP derived from doc_id) is appended first; the
+    oracle replays the same three passes with RE2."""
+    from .operators import curate as C
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    aug = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit("\nContact u"), did,
+                         F.lit("@mail.example.org or call +1 555-01"), did,
+                         F.lit("0 node 10.0."),
+                         (F.col("doc_id") % 256).cast("string"), F.lit(".7")))
+    counts = C.pii_counts(F.col("text"))
+    return aug.select(
+        "doc_id", *[v.alias(k) for k, v in counts.items()],
+        C.scrub_pii(F.col("text")).alias("clean"))
+
+
+_TEXT_PII_SCRUB_SQL = rf"""
+with aug as (select doc_id, {_PII_INJECT_SQL} as text from documents),
+p1 as (select doc_id,
+        len(regexp_extract_all(text, '{curate_ops.PII_EMAIL_RE}'))::bigint as n_emails,
+        regexp_replace(text, '{curate_ops.PII_EMAIL_RE}', '[EMAIL]', 'g') as t
+       from aug),
+p2 as (select doc_id, n_emails,
+        len(regexp_extract_all(t, '{curate_ops.PII_IPV4_RE}'))::bigint as n_ips,
+        regexp_replace(t, '{curate_ops.PII_IPV4_RE}', '[IP]', 'g') as t
+       from p1)
+select doc_id, n_emails, n_ips,
+       len(regexp_extract_all(t, '{curate_ops.PII_PHONE_RE}'))::bigint as n_phones,
+       regexp_replace(t, '{curate_ops.PII_PHONE_RE}', '[PHONE]', 'g') as clean
+from p2
+"""
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 1.0}
+_SAMPLE_DEFAULT = 0.1
+
+
+def _sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum downsampling to a target language mixture
+    (operators/curate.stratified_sample): keep iff md5-u32(doc_id) <
+    rate[lang]·2³² — a pure filter, reproducible under retries and
+    repartitioning, unlike df.sample."""
+    from .operators import curate as C
+    docs = _t(spark, sf_dir, "documents")
+    return C.stratified_sample(docs, "doc_id", "lang", _SAMPLE_RATES,
+                               _SAMPLE_DEFAULT).select("doc_id", "lang")
+
+
+_SAMPLE_STRATIFIED_SQL = f"""
+select doc_id, lang from documents
+where {_hash_u32_sql('doc_id::varchar')} <
+  case lang {' '.join(f"when '{s}' then {int(r * (1 << 32))}"
+                      for s, r in sorted(_SAMPLE_RATES.items()))}
+       else {int(_SAMPLE_DEFAULT * (1 << 32))} end
+"""
+
+
+def _pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (operators/curate.pack_sequences):
+    hash-grouped greedy prefix-sum packing — one shuffle on the group key,
+    one window per group, parallelism = n_groups. The oracle replays the
+    window sum in DuckDB."""
+    from .operators import curate as C
+    docs = _t(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, budget=512, n_groups=16)
+
+
+_PACK_SEQUENCES_SQL = rf"""
+with s as (
+  select doc_id,
+         ({_hash_u32_sql('doc_id::varchar')} % 16)::int as grp,
+         len({TOKS_SQL})::bigint as n_tok
+  from documents)
+select doc_id, grp,
+       (coalesce(sum(n_tok) over (partition by grp order by doc_id
+          rows between unbounded preceding and 1 preceding), 0) // 512)::bigint
+         as seq_no,
+       n_tok
+from s
+"""
+
+
+def _text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curate.flag_contamination):
+    word-5-gram overlap against a broadcast benchmark shingle set (docs
+    with doc_id % 97 == 0 stand in for the eval suite). Map-side
+    broadcast probe + one doc-key aggregation."""
+    from .operators import curate as C
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    return C.flag_contamination(docs, bench, n=5)
+
+
+_G5 = _grams_sql(TOKS_SQL, 5)
+
+_TEXT_DECONTAMINATE_SQL = f"""
+with g as (select doc_id, {_G5} as grams from documents),
+bench as (select distinct unnest(grams) as gram from g where doc_id % 97 = 0),
+hits as (select doc_id, count(*) as n_overlap
+         from (select doc_id, unnest(grams) as gram from g) dg
+         join bench using (gram) group by doc_id)
+select g.doc_id, coalesce(hits.n_overlap, 0) as n_overlap,
+       coalesce(hits.n_overlap, 0) > 0 as contaminated
+from g left join hits on g.doc_id = hits.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csvw_triples_nation": _csvw_triples_nation,
@@ -1405,6 +1530,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_microdata_triples": _kg_microdata_triples,
     "kg_canonicalized_triples": _kg_canonicalized_triples,
     "kg_canonical_dupes": _kg_canonical_dupes,
+    "text_pii_scrub": _text_pii_scrub,
+    "sample_stratified": _sample_stratified,
+    "pack_sequences": _pack_sequences,
+    "text_decontaminate": _text_decontaminate,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1459,6 +1588,10 @@ _ORACLES: dict[str, str] = {
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),
+    "text_pii_scrub": _TEXT_PII_SCRUB_SQL,
+    "sample_stratified": _SAMPLE_STRATIFIED_SQL,
+    "pack_sequences": _PACK_SEQUENCES_SQL,
+    "text_decontaminate": _TEXT_DECONTAMINATE_SQL,
 }
 
 

@@ -216,3 +216,39 @@ def test_read_subject_pushes_filters(spark, tmp_path):
         "EqualTo(subj,http://s/7)" in p, p[-2000:]
     rows = got.collect()
     assert len(rows) == 1 and rows[0]["obj"] == "7"
+
+
+def test_pii_scrub_shuffle_free_and_pruned(spark):
+    """PII redaction is a pure codegen stage: no Exchange, scan reads only
+    (doc_id, text) — it must stream at parquet-scan speed at 100 TB."""
+    p = plan_of(Q.queries()["text_pii_scrub"](spark, SF))
+    assert "Exchange" not in p, "pii scrub must not shuffle"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """Hash sampling must stay a narrow filter — no shuffle, no sample
+    operator with partition-dependent state."""
+    p = plan_of(Q.queries()["sample_stratified"](spark, SF))
+    assert "Exchange" not in p
+    assert "Sample" not in p, "must use the deterministic hash filter"
+
+
+def test_pack_sequences_single_group_shuffle(spark):
+    """Packing shuffles ONCE on the hash group key; the window runs per
+    group (parallelism = n_groups), never as one global window."""
+    p = plan_of(Q.queries()["pack_sequences"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "SinglePartition" not in p, \
+        "global window would serialize the corpus through one task"
+    assert "Window" in p
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set is the small side — it must broadcast;
+    shuffling the exploded doc shingles against it would move the whole
+    corpus' n-grams."""
+    p = plan_of(Q.queries()["text_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in p
