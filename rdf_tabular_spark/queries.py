@@ -1476,6 +1476,46 @@ from g left join hits on g.doc_id = hits.doc_id
 """
 
 
+_DOC_PROPS = ("doc_id", "lang", "source", "n_chars")
+
+
+def _kg_pred_stats(spark, sf_dir):
+    """Graph read-path: per-predicate profile (triple count, distinct
+    subjects/objects) over the stage-1/2 triples, keyed by the property
+    local name (operators/graph.predicate_stats). One groupBy with
+    map-side partial aggregation; output is vocabulary-sized."""
+    from .operators import graph as G
+    return G.predicate_stats(_kg_pages_triples(spark, sf_dir))
+
+
+_KG_PRED_STATS_SQL = f"""
+with t as ({_KG_PAGES_TRIPLES_SQL})
+select split_part(pred, '#', 2) as prop,
+       count(*) as n_triples,
+       count(distinct subj) as n_subjects,
+       count(distinct obj) as n_objects
+from t group by 1
+"""
+
+
+def _kg_property_table(spark, sf_dir):
+    """Graph read-path: pivot each subject's triples into one wide row
+    (property-table layout, operators/graph.property_table) — the
+    relational reconstruction of the reference's row-wise ATD/JSON view
+    (reader.rb:271-325) from the materialized graph."""
+    from .operators import graph as G
+    return G.property_table(_kg_pages_triples(spark, sf_dir), _DOC_PROPS)
+
+
+_KG_PROPERTY_TABLE_SQL = f"""
+with t as ({_KG_PAGES_TRIPLES_SQL})
+select subj,
+       {', '.join(f"max(case when split_part(pred, '#', 2) = '{p}'"
+                  f" then obj end) as {p}" for p in _DOC_PROPS)}
+from t group by subj
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1534,6 +1574,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": _sample_stratified,
     "pack_sequences": _pack_sequences,
     "text_decontaminate": _text_decontaminate,
+    "kg_pred_stats": _kg_pred_stats,
+    "kg_property_table": _kg_property_table,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1592,6 +1634,8 @@ _ORACLES: dict[str, str] = {
     "sample_stratified": _SAMPLE_STRATIFIED_SQL,
     "pack_sequences": _PACK_SEQUENCES_SQL,
     "text_decontaminate": _TEXT_DECONTAMINATE_SQL,
+    "kg_pred_stats": _KG_PRED_STATS_SQL,
+    "kg_property_table": _KG_PROPERTY_TABLE_SQL,
 }
 
 

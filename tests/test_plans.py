@@ -252,3 +252,20 @@ def test_decontaminate_broadcasts_benchmark(spark):
     corpus' n-grams."""
     p = plan_of(Q.queries()["text_decontaminate"](spark, SF))
     assert "BroadcastHashJoin" in p
+
+
+def test_property_table_single_subject_shuffle(spark):
+    """The pivot must use the explicit property list (no distinct-values
+    pre-job) and shuffle once on subj with map-side partial aggregation."""
+    p = plan_of(Q.queries()["kg_property_table"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    # string max pivot compiles to SortAggregate; partial + final = 2 nodes
+    assert len(re.findall(r"\(\d+\) (?:Hash|Sort)Aggregate", p)) == 2
+
+
+def test_pred_stats_partial_aggregates(spark):
+    """Vocabulary-sized distinct-count profile: partial aggregation must
+    run before the exchange so only per-partition distincts move."""
+    p = plan_of(Q.queries()["kg_pred_stats"](spark, SF))
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
