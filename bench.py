@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "text_langid",
     "ann_cosine_topk",
     "multimodal_features",
+    "text_pii_scrub",
+    "pack_sequences",
+    "corpus_curated",
 ]
 
 

@@ -149,6 +149,38 @@ def pack_sequences(df: DataFrame, key: str = "doc_id",
         "n_tok")
 
 
+# --- fused curation decision -----------------------------------------------
+
+def curation_report(docs: DataFrame, key: str = "doc_id",
+                    text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """Per-document keep/reject decision for the training corpus, with the
+    first failing rule as the reason: Gopher quality rules → language-ID
+    agreement with the labeled language → exact-duplicate removal
+    (min-key representative wins). Returns (key, keep, reason).
+
+    The lang check only fires for languages the n-gram model can predict
+    (text.LANG_ORDER) — out-of-model languages pass through rather than
+    being rejected wholesale.
+
+    One codegen stage for the quality + lang rules; the duplicate rule
+    adds a single window shuffle on the md5 fingerprint (same key exact
+    dedup shuffles on — at scale the two stages share the partitioning).
+    """
+    pred = T.lang_id(F.col(text_col))
+    lang_known = F.col(lang_col).isin(*T.LANG_ORDER)
+    fp = F.md5(F.col(text_col))
+    w = Window.partitionBy(fp)
+    is_dup = F.col(key) != F.min(key).over(w)
+    reason = (F.when(~T.gopher_pass(F.col(text_col)), F.lit("gopher"))
+              .when(lang_known & (pred != F.col(lang_col)),
+                    F.lit("lang_mismatch"))
+              .when(is_dup, F.lit("duplicate"))
+              .otherwise(F.lit("keep")))
+    return (docs.select(F.col(key), reason.alias("reason"))
+            .withColumn("keep", F.col("reason") == "keep"))
+
+
 # --- benchmark decontamination ---------------------------------------------
 
 def flag_contamination(docs: DataFrame, benchmark: DataFrame,

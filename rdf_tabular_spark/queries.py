@@ -1476,6 +1476,36 @@ from g left join hits on g.doc_id = hits.doc_id
 """
 
 
+def _corpus_curated(spark, sf_dir):
+    """The fused curation decision (operators/curate.curation_report):
+    Gopher rules → language-ID agreement → exact-duplicate removal, first
+    failing rule wins. The deliverable of the curation tier — which
+    documents enter the training corpus and why."""
+    from .operators import curate as C
+    return C.curation_report(_t(spark, sf_dir, "documents"))
+
+
+_CORPUS_CURATED_SQL = f"""
+with gq as ({_TEXT_GOPHER_QUALITY_SQL}),
+d as (select doc_id, lang,
+             {_langid_case_sql(TOKS_SQL)} as pred_lang,
+             doc_id <> min(doc_id) over (partition by md5(text)) as is_dup
+      from documents)
+select d.doc_id,
+       case when not gq.passes then 'gopher'
+            when d.lang in ({', '.join(f"'{lg}'" for lg in T.LANG_ORDER)})
+                 and d.pred_lang <> d.lang then 'lang_mismatch'
+            when d.is_dup then 'duplicate'
+            else 'keep' end as reason,
+       case when not gq.passes then false
+            when d.lang in ({', '.join(f"'{lg}'" for lg in T.LANG_ORDER)})
+                 and d.pred_lang <> d.lang then false
+            when d.is_dup then false
+            else true end as keep
+from d join gq on d.doc_id = gq.doc_id
+"""
+
+
 _DOC_PROPS = ("doc_id", "lang", "source", "n_chars")
 
 
@@ -1576,6 +1606,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_decontaminate": _text_decontaminate,
     "kg_pred_stats": _kg_pred_stats,
     "kg_property_table": _kg_property_table,
+    "corpus_curated": _corpus_curated,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1636,6 +1667,7 @@ _ORACLES: dict[str, str] = {
     "text_decontaminate": _TEXT_DECONTAMINATE_SQL,
     "kg_pred_stats": _KG_PRED_STATS_SQL,
     "kg_property_table": _KG_PROPERTY_TABLE_SQL,
+    "corpus_curated": _CORPUS_CURATED_SQL,
 }
 
 

@@ -80,3 +80,73 @@ def test_contamination_zero_overlap_rows_present(spark):
     out = {r["doc_id"]: r for r in C.flag_contamination(docs, bench).collect()}
     assert out[0]["contaminated"] and out[0]["n_overlap"] == 1
     assert not out[1]["contaminated"] and out[1]["n_overlap"] == 0
+
+
+def test_pii_regex_cross_engine_fuzz(spark):
+    """The PII patterns must behave identically under Java regex (Spark)
+    and RE2 (DuckDB) — the oracle contract. One batched comparison over a
+    seeded corpus of adversarial fragments: emails, dotted quads, digit
+    runs with separators, unicode, and malformed near-misses."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(42)
+    frags = ["bob@x.co", "a.b-c_d%e+f@mail.example.org", "x@y", "@nope.com",
+             "10.0.0.1", "999.999.999.999", "1.2.3.4.5", "1.2.3",
+             "+1 555-123-4567", "0123456789", "12 34 56 78 90",
+             "+49-170-1234567", "12345", "---", "+", "a+b", "3.14159",
+             "v1.2.3.4-rc", "東京 100-0001", "tel:+81 3 1234 5678",
+             "café@münchen.de", "1-2", "..", "a@b.cd e@f.gh",
+             "192.168.0.254:8080", "55 555 5555 55555 5"]
+    words = ["alpha", "beta", "12", "x", "", "\n", "\t", "—", "(", ")"]
+    texts = []
+    for _ in range(300):
+        n = rng.randint(0, 8)
+        texts.append(" ".join(rng.choice(frags if rng.random() < 0.5
+                                         else words) for _ in range(n)))
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+
+    counts = C.pii_counts(F.col("text"))
+    got = (spark.createDataFrame(pdf)
+           .select("i", C.scrub_pii(F.col("text")).alias("clean"),
+                   *[v.alias(k) for k, v in counts.items()])
+           .orderBy("i").collect())
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = f"""
+    with p1 as (select i,
+            len(regexp_extract_all(text, '{C.PII_EMAIL_RE}'))::bigint as n_emails,
+            regexp_replace(text, '{C.PII_EMAIL_RE}', '[EMAIL]', 'g') as t from t),
+    p2 as (select i, n_emails,
+            len(regexp_extract_all(t, '{C.PII_IPV4_RE}'))::bigint as n_ips,
+            regexp_replace(t, '{C.PII_IPV4_RE}', '[IP]', 'g') as t from p1)
+    select i, regexp_replace(t, '{C.PII_PHONE_RE}', '[PHONE]', 'g') as clean,
+           n_emails, n_ips,
+           len(regexp_extract_all(t, '{C.PII_PHONE_RE}'))::bigint as n_phones
+    from p2 order by i
+    """
+    want = con.execute(sql).fetchall()
+    for s, d in zip(got, want):
+        assert (s["i"], s["clean"], s["n_emails"], s["n_ips"],
+                s["n_phones"]) == tuple(d), (s, d)
+
+
+def test_curation_report_reason_precedence(spark):
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox sleeps for a while under the old tree")
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=good, lang="en"),
+         Row(doc_id=1, text=good, lang="en"),          # dup of 0
+         Row(doc_id=2, text=good, lang="fr"),          # lang mismatch
+         Row(doc_id=3, text="###", lang="en"),         # gopher fail
+         Row(doc_id=4, text=good + " extended", lang="xx")])  # unknown lang
+    from rdf_tabular_spark.operators.curate import curation_report
+    out = {r["doc_id"]: r["reason"] for r in curation_report(docs).collect()}
+    assert out[0] == "keep"
+    assert out[1] == "duplicate"   # min-key representative wins
+    assert out[2] == "lang_mismatch"
+    assert out[3] == "gopher"
+    assert out[4] == "keep"        # out-of-model language passes through
