@@ -57,24 +57,51 @@ def _manifest_dir(root: str) -> str:
     return os.path.join(root, "_manifests")
 
 
-def processed_batches(root: str) -> set[str]:
+def _manifests(root: str) -> list[dict]:
     mdir = _manifest_dir(root)
     if not os.path.isdir(mdir):
-        return set()
-    out = set()
+        return []
+    out = []
     for fn in os.listdir(mdir):
         if fn.endswith(".json"):
             with open(os.path.join(mdir, fn)) as f:
-                m = json.load(f)
-            if m.get("status") == "committed":
-                out.add(m["batch_id"])
+                out.append(json.load(f))
     return out
+
+
+def processed_batches(root: str) -> set[str]:
+    """Batch ids ever ingested — the resume-skip set. Includes batches
+    later shadowed by a compaction or expired: a re-submitted input batch
+    must stay skipped even after its data was rewritten/removed."""
+    return {m["batch_id"] for m in _manifests(root)
+            if m.get("status") in ("committed", "expired")}
+
+
+def committed_batches(root: str) -> set[str]:
+    """Batch ids whose data is on disk (committed, possibly shadowed)."""
+    return {m["batch_id"] for m in _manifests(root)
+            if m.get("status") == "committed"}
+
+
+def live_batches(root: str) -> set[str]:
+    """Batch ids a default read must scan: committed batches minus those
+    shadowed by a committed compaction's ``replaces`` list. Liveness is
+    DERIVED from the compaction manifest, so a compaction becomes visible
+    — and its inputs invisible — in the single atomic rename that commits
+    it; there is no window where both (duplicates) or neither (loss) are
+    readable."""
+    ms = _manifests(root)
+    committed = {m["batch_id"] for m in ms if m.get("status") == "committed"}
+    shadowed = {b for m in ms if m.get("status") in ("committed", "expired")
+                for b in m.get("replaces", [])}
+    return committed - shadowed
 
 
 def materialize(triples: DataFrame, root: str, batch_id: str,
                 lineage: Optional[dict] = None,
                 pred_buckets: int = DEFAULT_PRED_BUCKETS,
-                dedup: bool = True) -> dict:
+                dedup: bool = True,
+                extra_manifest: Optional[dict] = None) -> dict:
     """Write one batch of triples; returns the committed manifest.
 
     Idempotent: if ``batch_id`` is already committed the write is skipped
@@ -118,6 +145,11 @@ def materialize(triples: DataFrame, root: str, batch_id: str,
         "wall_seconds": round(time.time() - t0, 3),
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+    # extra keys (e.g. a compaction's `replaces` shadow list) must be in
+    # the manifest at its FIRST atomic commit — adding them in a second
+    # write would open a crash window where the batch is visible without
+    # its semantics
+    manifest.update(extra_manifest or {})
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".{batch_id}.json.tmp")
@@ -136,10 +168,13 @@ def read_graph(spark: SparkSession, root: str,
     reading batches committed up to time T reproduces the graph as of T
     (``snapshots_as_of`` gives the list). Only committed batches are read,
     so a crashed half-written batch is never visible.
+
+    Default reads scan the LIVE set (committed minus compaction-shadowed);
+    an explicit ``batches`` list may also name shadowed batches whose data
+    still exists — that is what makes pre-compaction time travel work.
     """
-    committed = processed_batches(root)
-    wanted = sorted(committed if batches is None
-                    else (set(batches) & committed))
+    wanted = sorted(live_batches(root) if batches is None
+                    else (set(batches) & committed_batches(root)))
     if not wanted:
         from ..operators.triples import TRIPLE_SCHEMA
         return spark.createDataFrame([], TRIPLE_SCHEMA)
@@ -244,3 +279,70 @@ def read_subject(spark: SparkSession, root: str, subj: str,
     df = read_graph(spark, root, batches)
     return df.filter((F.col("subj_bucket") == bucket)
                      & (F.col("subj") == subj))
+
+
+def compact(spark: SparkSession, root: str,
+            batches: Optional[list[str]] = None,
+            compact_id: Optional[str] = None,
+            pred_buckets: int = DEFAULT_PRED_BUCKETS) -> Optional[dict]:
+    """Merge several live batches into one (Iceberg rewrite_data_files
+    analogue): continuous ingestion leaves one dir tree per batch, and a
+    year of hourly batches turns every pred-pruned read into ~9000 dir
+    listings of ever-smaller files. Compaction re-deduplicates the triples
+    ACROSS the merged batches (same-triple rows fold, ``support`` sums,
+    lineage keeps the earliest source) and rewrites them with the standard
+    bucket-aligned layout — one file per pred_bucket dir.
+
+    Commit protocol: the compacted batch's manifest carries
+    ``replaces: [...]``; ``live_batches`` derives shadowing from that, so
+    the single atomic manifest rename flips readers from the old batches
+    to the new one. Input data dirs are untouched (pre-compaction time
+    travel via explicit batch lists) until ``expire_replaced``.
+
+    Returns the new manifest, or None if fewer than two live batches match.
+    """
+    live = live_batches(root)
+    wanted = sorted(live if batches is None else (set(batches) & live))
+    if len(wanted) < 2:
+        return None
+    cid = compact_id or ("compact-" + "-".join(wanted[:4]) +
+                         (f"-and-{len(wanted) - 4}" if len(wanted) > 4 else ""))
+    merged = (read_graph(spark, root, batches=wanted)
+              .drop("batch")
+              .groupBy("subj", "pred", "obj", "obj_is_iri", "obj_datatype",
+                       "obj_lang", "pred_bucket", "subj_bucket")
+              .agg(F.min("table_url").alias("table_url"),
+                   F.min("source_num").alias("source_num"),
+                   F.sum("support").alias("support")))
+    return materialize(merged, root, cid, dedup=False,
+                       lineage={"compaction_of": wanted},
+                       pred_buckets=pred_buckets,
+                       extra_manifest={"replaces": wanted})
+
+
+def expire_replaced(spark: SparkSession, root: str) -> list[str]:
+    """Delete the data of compaction-shadowed batches (expire_snapshots
+    analogue) and mark their manifests ``expired``. After this the
+    shadowed batches stop being explicitly readable, but they stay in
+    ``processed_batches`` so a re-submitted input batch is still skipped.
+    Run it once readers no longer need pre-compaction time travel."""
+    import shutil
+    ms = _manifests(root)
+    shadowed = {b for m in ms if m.get("status") in ("committed", "expired")
+                for b in m.get("replaces", [])}
+    expired = []
+    for m in ms:
+        b = m["batch_id"]
+        if m.get("status") == "committed" and b in shadowed:
+            shutil.rmtree(os.path.join(root, "data", f"batch={b}"),
+                          ignore_errors=True)
+            m["status"] = "expired"
+            m["expired_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime())
+            mpath = os.path.join(_manifest_dir(root), f"{b}.json")
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=2)
+            os.replace(tmp, mpath)
+            expired.append(b)
+    return sorted(expired)

@@ -274,3 +274,66 @@ def test_combined_parity(spark):
     pages.unpersist()
     assert len(a) == len(b)
     assert a == b
+
+
+def test_graph_store_compaction(spark, tmp_path):
+    """Compaction merges live batches into one (cross-batch re-dedup with
+    summed support), shadows the inputs atomically via the `replaces`
+    manifest key, keeps pre-compaction time travel alive until expiry,
+    and never un-skips a resubmitted input batch."""
+    import glob
+    import os
+
+    from rdf_tabular_spark.sinks.graph_store import (
+        compact, expire_replaced, live_batches, materialize,
+        processed_batches, read_graph)
+    from rdf_tabular_spark.sources.pages import (DOC_PAGE_META,
+                                                 pages_from_documents)
+    from rdf_tabular_spark.web import pages_to_triples
+
+    root = str(tmp_path / "g")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lo = pages_to_triples(pages_from_documents(docs.filter("doc_id < 20")),
+                          minimal=True, default_meta=DOC_PAGE_META)
+    hi = pages_to_triples(pages_from_documents(
+        docs.filter("doc_id >= 20 and doc_id < 30")),
+        minimal=True, default_meta=DOC_PAGE_META)
+    m1 = materialize(lo, root, "b1")
+    m2 = materialize(hi, root, "b2")
+    m3 = materialize(lo, root, "b3-dup")  # b3 repeats b1's triples exactly
+    before = read_graph(spark, root)
+    n_before, n_distinct = before.count(), \
+        before.select("subj", "pred", "obj").distinct().count()
+    assert n_before == m1["n_triples"] + m2["n_triples"] + m3["n_triples"]
+
+    m = compact(spark, root)
+    assert m["replaces"] == ["b1", "b2", "b3-dup"]
+    # live set flipped to the compacted batch only
+    assert live_batches(root) == {m["batch_id"]}
+    after = read_graph(spark, root)
+    # cross-batch dedup: b1's triples and b3's fold into one row each,
+    # support doubled
+    assert after.count() == n_distinct == m["n_triples"]
+    from pyspark.sql import functions as F
+    assert after.filter(F.col("support") == 2).count() == m1["n_triples"]
+    assert after.selectExpr("sum(support)").first()[0] == n_before
+    # one file per pred_bucket dir (the small-files invariant survives)
+    for d in glob.glob(os.path.join(root, "data",
+                                    f"batch={m['batch_id']}", "pred_bucket=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    # pre-expiry time travel: explicit old-batch read still works
+    assert read_graph(spark, root, batches=["b1"]).count() == m1["n_triples"]
+    # resume: every original id stays processed
+    assert {"b1", "b2", "b3-dup"} <= processed_batches(root)
+    # a second compact is a no-op with a single live batch
+    assert compact(spark, root) is None
+
+    expired = expire_replaced(spark, root)
+    assert expired == ["b1", "b2", "b3-dup"]
+    assert not os.path.isdir(os.path.join(root, "data", "batch=b1"))
+    assert read_graph(spark, root, batches=["b1"]).count() == 0
+    assert read_graph(spark, root).count() == m["n_triples"]
+    # expired inputs must STILL be resume-skipped
+    assert {"b1", "b2", "b3-dup"} <= processed_batches(root)
+    again = materialize(lo, root, "b1")  # resubmission -> skip, old manifest
+    assert again["status"] == "expired"
