@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "persistent canonical map and rewrite with the "
                         "GLOBAL map (cross-batch identity)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--compact-after", type=int, default=0, metavar="N",
+                   help="after committing this batch, if the store holds "
+                        ">= N live batches, compact them into one and "
+                        "expire the inputs (Iceberg-style maintenance "
+                        "inside the ingestion job)")
     return p
 
 
@@ -67,6 +72,16 @@ def main(argv: list[str] | None = None) -> dict:
         entity_dict=entity_dictionary() if args.entity_dict else None,
         canonicalize=not args.no_canonicalize,
         incremental_canonical=args.incremental_canonical)
+    if args.compact_after:
+        from rdf_tabular_spark.sinks.graph_store import (compact,
+                                                         expire_replaced,
+                                                         live_batches)
+        if len(live_batches(args.out)) >= args.compact_after:
+            cm = compact(spark, args.out)
+            if cm is not None:
+                expire_replaced(spark, args.out)
+                manifest = dict(manifest, compacted_into=cm["batch_id"],
+                                compaction_n_triples=cm["n_triples"])
     print(json.dumps(manifest))
     return manifest
 

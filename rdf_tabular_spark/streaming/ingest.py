@@ -187,3 +187,44 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_curate_pages(spark: SparkSession, input_dir: str, out_dir: str,
+                        checkpoint_dir: str,
+                        available_now: bool = True,
+                        max_files_per_trigger: Optional[int] = None):
+    """Streaming curation: PII-scrub incoming page text and attach the
+    quality decision (operators/curate.scrub_pii +
+    curate-style gopher/langid columns) as new pages land. Returns the
+    started query.
+
+    Everything here is a stateless Column projection, so the streaming
+    plan is file scan → project → file sink: no state store, no shuffle,
+    and the micro-batch is exactly the batch-path semantics (the
+    duplicate rule needs cross-batch state and lives in
+    ``stream_dedup_exact``; compose the two sinks for the full report).
+    """
+    from ..operators import curate as C
+    from ..operators import text as T
+    pages = read_page_stream(spark, input_dir, max_files_per_trigger)
+    pred = T.lang_id(F.col("text"))
+    lang_known = F.col("lang").isin(*T.LANG_ORDER)
+    reason = (F.when(~T.gopher_pass(F.col("text")), F.lit("gopher"))
+              .when(lang_known & (pred != F.col("lang")),
+                    F.lit("lang_mismatch"))
+              .otherwise(F.lit("keep")))
+    counts = C.pii_counts(F.col("text"))
+    curated = pages.select(
+        "url", "warc_ts", "lang",
+        C.scrub_pii(F.col("text")).alias("text"),
+        *[v.alias(k) for k, v in counts.items()],
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"))
+    writer = (curated.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

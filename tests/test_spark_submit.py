@@ -42,3 +42,29 @@ def test_spark_submit_extract_job(tmp_path):
     assert res2.returncode == 0, res2.stderr[-3000:]
     manifest2 = json.loads(res2.stdout.strip().splitlines()[-1])
     assert manifest2["n_triples"] == manifest["n_triples"]
+
+
+def test_extract_job_compact_after(spark, tmp_path):
+    """--compact-after N: once the store holds >= N live batches the job
+    compacts them and expires the inputs — Iceberg-style maintenance from
+    inside the ingestion job (in-process; the spark-submit surface is
+    covered above)."""
+    import sys
+    sys.path.insert(0, REPO)
+    from rdf_tabular_spark.jobs.extract import main
+    from rdf_tabular_spark.sinks.graph_store import live_batches
+
+    out_root = str(tmp_path / "graph")
+    base = ["--out", out_root, "--no-canonicalize",
+            "--shuffle-partitions", "8", "--compact-after", "2"]
+    m1 = main(["--synth", "60", "--batch-id", "c1", *base])
+    assert "compacted_into" not in m1          # only one live batch so far
+    m2 = main(["--synth", "80", "--batch-id", "c2", *base])
+    assert m2["compacted_into"] == "compact-c1-c2"
+    assert live_batches(out_root) == {"compact-c1-c2"}
+    assert m2["compaction_n_triples"] > 0
+    # expiry ran: input data dirs are gone, ids stay resume-skipped
+    import os as _os
+    assert not _os.path.isdir(_os.path.join(out_root, "data", "batch=c1"))
+    m1_again = main(["--synth", "60", "--batch-id", "c1", *base])
+    assert m1_again["status"] == "expired"     # resubmission skipped
