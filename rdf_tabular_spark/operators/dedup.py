@@ -360,3 +360,48 @@ def remove_repeated_lines(docs: DataFrame, min_docs: int = 3,
             .select(F.col("id").alias(id_col), "clean_text", "n_kept",
                     F.coalesce("n_removed", F.lit(0)).cast("long")
                      .alias("n_removed")))
+
+
+def duplicated_span_stats(docs: DataFrame, key: str = "doc_id",
+                          text_col: str = "text", k: int = 8) -> DataFrame:
+    """Exact duplicated-span statistics (Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better", §3 EXACTSUBSTR, at token
+    rather than BPE granularity): a k-token window whose exact text occurs
+    in ≥ 2 distinct documents is a duplicated span. Returns per document
+    (key, n_spans, n_dup_spans, dup_ratio) — the fraction of the
+    document's windows that are cross-document duplicates, the signal used
+    to cut or down-weight boilerplate-heavy documents.
+
+    Shape at scale: windows are md5-hashed to a narrow (key, h) stream —
+    the k-gram strings themselves never shuffle; one groupBy on h finds
+    cross-document hashes (map-side partial agg), one hash-join back
+    tags each window, one groupBy on key re-aggregates. Suffix-array
+    EXACTSUBSTR finds *maximal* duplicated substrings; fixed-k windows
+    are its shuffle-friendly approximation (every duplicated substring of
+    length ≥ k is covered by at least one shared window).
+    """
+    from . import text as T
+    # positions matter here, so no distinct: count each window occurrence
+    spans = (docs.select(F.col(key),
+                         F.explode(T.word_ngrams_all(F.col(text_col), n=k))
+                         .alias("gram"))
+             .select(key, F.md5(F.col("gram")).alias("h")))
+    cross = (spans.groupBy("h")
+             .agg(F.countDistinct(key).alias("n_docs"))
+             .where(F.col("n_docs") >= 2)
+             .select("h"))
+    tagged = spans.join(cross.withColumn("dup", F.lit(True)), "h", "left")
+    return (tagged.groupBy(key)
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long")
+                 .alias("n_dup_spans"))
+            .join(docs.select(key), key, "right")
+            .select(F.col(key),
+                    F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+                    F.coalesce(F.col("n_dup_spans"), F.lit(0))
+                    .alias("n_dup_spans"))
+            .withColumn("dup_ratio",
+                        F.round(F.when(F.col("n_spans") > 0,
+                                       F.col("n_dup_spans")
+                                       / F.col("n_spans"))
+                                .otherwise(F.lit(0.0)), 4)))

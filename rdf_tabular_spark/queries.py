@@ -1506,6 +1506,110 @@ from d join gq on d.doc_id = gq.doc_id
 """
 
 
+_SPAN_BOILER = ("this shared boilerplate paragraph appears across many "
+                "documents verbatim today")
+
+
+def _grams_all_sql(t: str, n: int) -> str:
+    """Non-distinct window list (every occurrence, document order) —
+    mirror of operators/text.word_ngrams_all."""
+    cat = " || ' ' || ".join(f"{t}[i+{j}]" if j else f"{t}[i]"
+                             for j in range(n))
+    return (f"case when len({t}) >= {n} then "
+            f"list_transform(range(1, len({t}) - {n - 2}), i -> {cat}) "
+            f"else [] end")
+
+
+def _dedup_span_stats(spark, sf_dir):
+    """Exact duplicated-span statistics (operators/dedup.
+    duplicated_span_stats — the shuffle-friendly fixed-k approximation of
+    Lee et al. 2021 EXACTSUBSTR): fraction of each document's 8-token
+    windows whose exact text occurs in ≥ 2 documents. The fixture corpus
+    has no natural cross-document spans, so a shared paragraph is appended
+    to every 7th document first; the stats then show exactly those docs
+    with dup_ratio > 0."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit("\n" + _SPAN_BOILER)))
+         .otherwise(F.col("text")))
+    return D.duplicated_span_stats(aug, k=8)
+
+
+_DEDUP_SPAN_STATS_SQL = f"""
+with aug as (
+  select doc_id,
+         case when doc_id % 7 = 0 then text || chr(10) || '{_SPAN_BOILER}'
+              else text end as text
+  from documents),
+h as (select doc_id, md5(unnest({_grams_all_sql(TOKS_SQL, 8)})) as h
+      from aug),
+cross_h as (select h from h group by h having count(distinct doc_id) >= 2),
+agg as (select doc_id, count(*) as n_spans,
+               sum(case when h in (select h from cross_h)
+                   then 1 else 0 end)::bigint as n_dup_spans
+        from h group by doc_id)
+select d.doc_id,
+       coalesce(agg.n_spans, 0) as n_spans,
+       coalesce(agg.n_dup_spans, 0) as n_dup_spans,
+       round(case when coalesce(agg.n_spans, 0) > 0
+                  then agg.n_dup_spans / agg.n_spans
+                  else 0.0 end, 4) as dup_ratio
+from documents d left join agg on d.doc_id = agg.doc_id
+"""
+
+
+def _corpus_vocabulary(spark, sf_dir):
+    """Corpus vocabulary profile — the canonical map-reduce (explode →
+    partial-agg word count) plus document frequency, top-100 by count with
+    a deterministic token tie-break. df_ratio stays a plain rounded
+    division (no log) so both engines produce the identical double."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    return (docs.select("doc_id", F.explode(T.tokens(F.col("text")))
+                        .alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("n_occ"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .withColumn("df_ratio",
+                        F.round(F.col("n_docs") / F.lit(n_docs), 4))
+            .orderBy(F.desc("n_occ"), "token")
+            .limit(100))
+
+
+_CORPUS_VOCABULARY_SQL = f"""
+with t as (select doc_id, unnest({TOKS_SQL}) as token from documents)
+select token, count(*) as n_occ, count(distinct doc_id) as n_docs,
+       round(count(distinct doc_id) /
+             (select count(*) from documents), 4) as df_ratio
+from t group by token
+order by n_occ desc, token limit 100
+"""
+
+
+def _corpus_length_quantiles(spark, sf_dir):
+    """Per-language document-length quantiles (exact continuous
+    interpolation — Spark `percentile`, not approx_percentile, mirrors
+    DuckDB quantile_cont bit-for-bit). Ingestion telemetry for mixture
+    monitoring; at corpus scale swap in approx_percentile and drop the
+    oracle row, the aggregation shape is identical."""
+    docs = _t(spark, sf_dir, "documents")
+    pcts = [0.5, 0.9, 0.99]
+    return (docs.groupBy("lang")
+            .agg(*[F.round(F.expr(f"percentile(n_chars, {p})"), 4)
+                   .alias(f"p{int(p * 100)}") for p in pcts]))
+
+
+_CORPUS_LENGTH_QUANTILES_SQL = """
+select lang,
+       round(quantile_cont(n_chars, 0.5), 4) as p50,
+       round(quantile_cont(n_chars, 0.9), 4) as p90,
+       round(quantile_cont(n_chars, 0.99), 4) as p99
+from documents group by lang
+"""
+
+
 _DOC_PROPS = ("doc_id", "lang", "source", "n_chars")
 
 
@@ -1607,6 +1711,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pred_stats": _kg_pred_stats,
     "kg_property_table": _kg_property_table,
     "corpus_curated": _corpus_curated,
+    "dedup_span_stats": _dedup_span_stats,
+    "corpus_vocabulary": _corpus_vocabulary,
+    "corpus_length_quantiles": _corpus_length_quantiles,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1668,6 +1775,9 @@ _ORACLES: dict[str, str] = {
     "kg_pred_stats": _KG_PRED_STATS_SQL,
     "kg_property_table": _KG_PROPERTY_TABLE_SQL,
     "corpus_curated": _CORPUS_CURATED_SQL,
+    "dedup_span_stats": _DEDUP_SPAN_STATS_SQL,
+    "corpus_vocabulary": _CORPUS_VOCABULARY_SQL,
+    "corpus_length_quantiles": _CORPUS_LENGTH_QUANTILES_SQL,
 }
 
 

@@ -269,3 +269,12 @@ def test_pred_stats_partial_aggregates(spark):
     p = plan_of(Q.queries()["kg_pred_stats"](spark, SF))
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+
+
+def test_span_stats_grams_never_shuffle(spark):
+    """Duplicated-span detection moves only (key, md5) through every
+    Exchange; the k-token window strings themselves must stay inside the
+    narrow stage that hashes them."""
+    p = plan_of(Q.queries()["dedup_span_stats"](spark, SF))
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "gram" not in keys, f"gram strings shuffled: {keys}"
