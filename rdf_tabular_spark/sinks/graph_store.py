@@ -346,3 +346,28 @@ def expire_replaced(spark: SparkSession, root: str) -> list[str]:
             os.replace(tmp, mpath)
             expired.append(b)
     return sorted(expired)
+
+
+def read_graph_canonical(spark: SparkSession, root: str,
+                         batches: Optional[list[str]] = None,
+                         broadcast: bool = True) -> DataFrame:
+    """Read the graph with the CURRENT global canonical map applied.
+
+    Incremental canonicalization rewrites each batch with the map as of
+    its own commit — but identities learned later merge *retroactively*
+    (batch 1 materialized subject m; batch 7 learned m≡a), and rewriting
+    already-committed batches in place would break their immutability and
+    lineage. Instead the canonical map is applied at read time: two
+    broadcast joins over the triple stream (the map covers only merged
+    vertices — a sliver of the graph), no shuffle, no store rewrite. A
+    graph compaction after a map update bakes the current view in if
+    desired (compact() reads through this function's non-canonical
+    sibling, so run compact on the rewritten stream explicitly when
+    snapshotting identities is the goal).
+    """
+    g = read_graph(spark, root, batches)
+    mapping = load_canonical_map(spark, root)
+    if mapping is None:
+        return g
+    from ..operators.components import rewrite_triples
+    return rewrite_triples(g, mapping, broadcast=broadcast)

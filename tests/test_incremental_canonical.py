@@ -70,3 +70,30 @@ def test_merge_mappings_transitive(spark):
               for r in merge_mappings([m1, m2]).collect()}
     assert merged["C"] == "A" and merged["B"] == "A"
     assert merged["E"] == "D"
+
+
+def test_read_graph_canonical_applies_retroactive_merges(spark, tmp_path):
+    """Identities learned in LATER batches must reach EARLIER batches'
+    triples at read time: batch 1 materializes m-host subjects (z→m was
+    all it knew); batch 2 learns m→a. The store still holds m-subjects in
+    batch 1 (immutability), but the canonical read shows one identity."""
+    from rdf_tabular_spark.sinks.graph_store import (read_graph,
+                                                     read_graph_canonical)
+    root = str(tmp_path / "store")
+    base = pages_from_documents(_docs(spark, [1, 2]))
+    web_pipeline(spark, _host(base, "m").unionByName(_host(base, "z")),
+                 root, "b1", default_meta=DOC_PAGE_META,
+                 include_microdata=False, incremental_canonical=True)
+    web_pipeline(spark, _host(base, "a").unionByName(_host(base, "m")),
+                 root, "b2", default_meta=DOC_PAGE_META,
+                 include_microdata=False, incremental_canonical=True)
+
+    def hosts(df):
+        return {r["subj"].split("//")[1].split(".")[0]
+                for r in df.select("subj").distinct().collect()
+                if r["subj"].startswith("http")}
+
+    raw = hosts(read_graph(spark, root))
+    assert "m" in raw, "batch 1 must keep its as-committed m subjects"
+    canon = hosts(read_graph_canonical(spark, root))
+    assert canon == {"a"}, canon
