@@ -26,6 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="parquet dir of pages (url, warc_ts, html, text, lang)")
     src.add_argument("--warc", help="WARC archive path/glob (crawl delivery format)")
+    src.add_argument("--jsonl", help="JSON-lines pages dump (url, warc_ts, html_b64, text, lang)")
     src.add_argument("--synth", type=int, help="generate N deterministic synthetic pages instead")
     p.add_argument("--out", required=True, help="graph-store root directory")
     p.add_argument("--batch-id", required=True)
@@ -65,6 +66,9 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.warc:
         from rdf_tabular_spark.sources.warc import read_warc
         pages = read_warc(spark, args.warc)
+    elif args.jsonl:
+        from rdf_tabular_spark.sources.jsonl import read_pages_jsonl
+        pages = read_pages_jsonl(spark, args.jsonl)
     else:
         pages = spark.read.parquet(args.pages)
     manifest = web_pipeline(

@@ -284,7 +284,8 @@ def read_subject(spark: SparkSession, root: str, subj: str,
 def compact(spark: SparkSession, root: str,
             batches: Optional[list[str]] = None,
             compact_id: Optional[str] = None,
-            pred_buckets: int = DEFAULT_PRED_BUCKETS) -> Optional[dict]:
+            pred_buckets: int = DEFAULT_PRED_BUCKETS,
+            canonical: bool = False) -> Optional[dict]:
     """Merge several live batches into one (Iceberg rewrite_data_files
     analogue): continuous ingestion leaves one dir tree per batch, and a
     year of hourly batches turns every pred-pruned read into ~9000 dir
@@ -299,6 +300,13 @@ def compact(spark: SparkSession, root: str,
     to the new one. Input data dirs are untouched (pre-compaction time
     travel via explicit batch lists) until ``expire_replaced``.
 
+    ``canonical=True`` additionally applies the store's CURRENT global
+    canonical map while rewriting — baking retroactively-learned
+    identities into the data (the persisted form of what
+    ``read_graph_canonical`` computes per read). Rewritten subjects land
+    in different buckets, so the bucket columns are recomputed rather
+    than grouped on.
+
     Returns the new manifest, or None if fewer than two live batches match.
     """
     live = live_batches(root)
@@ -307,15 +315,27 @@ def compact(spark: SparkSession, root: str,
         return None
     cid = compact_id or ("compact-" + "-".join(wanted[:4]) +
                          (f"-and-{len(wanted) - 4}" if len(wanted) > 4 else ""))
-    merged = (read_graph(spark, root, batches=wanted)
-              .drop("batch")
-              .groupBy("subj", "pred", "obj", "obj_is_iri", "obj_datatype",
-                       "obj_lang", "pred_bucket", "subj_bucket")
+    g = read_graph(spark, root, batches=wanted).drop("batch")
+    group_keys = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype",
+                  "obj_lang"]
+    if canonical:
+        mapping = load_canonical_map(spark, root)
+        if mapping is not None:
+            from ..operators.components import rewrite_triples
+            g = rewrite_triples(g, mapping).drop("pred_bucket", "subj_bucket")
+        else:
+            group_keys += ["pred_bucket", "subj_bucket"]
+    else:
+        # buckets are functions of (subj, pred) — grouping on them skips
+        # the recompute in materialize's with_buckets
+        group_keys += ["pred_bucket", "subj_bucket"]
+    merged = (g.groupBy(*group_keys)
               .agg(F.min("table_url").alias("table_url"),
                    F.min("source_num").alias("source_num"),
                    F.sum("support").alias("support")))
     return materialize(merged, root, cid, dedup=False,
-                       lineage={"compaction_of": wanted},
+                       lineage={"compaction_of": wanted,
+                                "canonical": canonical},
                        pred_buckets=pred_buckets,
                        extra_manifest={"replaces": wanted})
 

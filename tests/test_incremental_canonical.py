@@ -97,3 +97,31 @@ def test_read_graph_canonical_applies_retroactive_merges(spark, tmp_path):
     assert "m" in raw, "batch 1 must keep its as-committed m subjects"
     canon = hosts(read_graph_canonical(spark, root))
     assert canon == {"a"}, canon
+
+
+def test_canonical_compaction_bakes_identities(spark, tmp_path):
+    """compact(canonical=True) persists what read_graph_canonical computes:
+    after a retroactive merge, the compacted store's RAW read shows one
+    identity, buckets recomputed for the rewritten subjects."""
+    from rdf_tabular_spark.sinks.graph_store import (compact, read_graph,
+                                                     with_buckets)
+    root = str(tmp_path / "store")
+    base = pages_from_documents(_docs(spark, [1, 2]))
+    web_pipeline(spark, _host(base, "m").unionByName(_host(base, "z")),
+                 root, "b1", default_meta=DOC_PAGE_META,
+                 include_microdata=False, incremental_canonical=True)
+    web_pipeline(spark, _host(base, "a").unionByName(_host(base, "m")),
+                 root, "b2", default_meta=DOC_PAGE_META,
+                 include_microdata=False, incremental_canonical=True)
+    m = compact(spark, root, canonical=True)
+    assert m is not None and m["lineage"]["canonical"] is True
+    g = read_graph(spark, root)
+    hosts = {r["subj"].split("//")[1].split(".")[0]
+             for r in g.select("subj").distinct().collect()
+             if r["subj"].startswith("http")}
+    assert hosts == {"a"}, hosts
+    # buckets must be consistent with the REWRITTEN subjects
+    recomputed = with_buckets(g.drop("pred_bucket", "subj_bucket"))
+    mismatch = (g.select("subj", "pred", "subj_bucket")
+                .exceptAll(recomputed.select("subj", "pred", "subj_bucket")))
+    assert mismatch.count() == 0
