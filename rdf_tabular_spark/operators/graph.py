@@ -61,3 +61,146 @@ def property_table(triples: DataFrame, props: Sequence[str]) -> DataFrame:
             .groupBy("subj")
             .pivot("prop", list(props))
             .agg(F.max("obj")))
+
+
+# ---------------------------------------------------------------------------
+# iterative graph algorithms over the edge view of the graph
+# (src, dst) = (subj, obj) restricted to IRI objects — entity-to-entity
+# structure, the part of the KG that link analysis runs on.
+# ---------------------------------------------------------------------------
+
+
+def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
+             checkpoint_every: int | None = None) -> DataFrame:
+    """Fixed-iteration PageRank over ``(src, dst)`` edges → ``(node, rank)``.
+
+    Simplified formulation (dangling mass is NOT redistributed — nodes with
+    no out-edges absorb it, the common map-reduce variant):
+    ``r_{k+1}(v) = (1-d)/N + d * Σ_{u→v} r_k(u) / outdeg(u)``.
+
+    Spark shape per iteration: one broadcast-eligible join of ranks with
+    the outdegree table (both node-cardinality), one shuffle join of edges
+    with weighted ranks on ``src``, one ``groupBy(dst)`` with map-side
+    partial sums — the exchange stays on the edge table's join keys, so
+    pre-partitioning edges by ``src`` reuses the exchange across all
+    iterations. ``checkpoint_every`` localCheckpoints the rank table to
+    truncate the growing lineage on long runs (resumability at cluster
+    scale comes from writing ranks per-iteration to the graph store
+    instead).
+
+    Determinism note: float summation order inside ``groupBy(dst)`` is
+    engine-dependent; results are bit-reproducible across engines only
+    when fan-in per node keeps each sum a single IEEE op (≤2 in-edges) —
+    the oracle harness uses a tree-shaped graph for exactly this reason.
+    """
+    e = edges.select("src", "dst")
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    n = nodes.count()
+    # fresh aliases throughout: every per-iteration relation re-derives from
+    # `e`/`nodes`, so reusing their attribute ids would make the joins
+    # self-join-ambiguous.
+    out = (e.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+           .select(F.col("src").alias("od_node"), "od"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(n_iter):
+        w = (ranks.join(out, ranks["node"] == out["od_node"], "inner")
+             .select(F.col("od_node").alias("w_node"),
+                     (F.col("rank") / F.col("od")).alias("w")))
+        contrib = (e.join(w, e["src"] == w["w_node"])
+                   .groupBy(e["dst"].alias("c_node"))
+                   .agg(F.sum("w").alias("c")))
+        ranks = (nodes.join(contrib, nodes["node"] == contrib["c_node"],
+                            "left")
+                 .select(nodes["node"],
+                         (F.lit(base) + F.lit(damping)
+                          * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def pagerank_sql(edges_sql: str, n_iter: int = 3,
+                 damping: float = 0.85) -> str:
+    """The same fixed-iteration PageRank unrolled as SQL CTEs (DuckDB
+    oracle). Float constants are embedded via ``repr`` so both engines
+    start from bit-identical doubles (``1 - 0.85`` is 0.15000000000000002
+    in IEEE doubles; a bare SQL ``0.15`` literal would be decimal-exact
+    and diverge)."""
+    d = repr(float(damping))
+    one_minus_d = repr(1.0 - damping)
+    parts = [
+        f"e as ({edges_sql})",
+        "nodes as (select src as node from e union select dst from e)",
+        "nn as (select cast(count(*) as double) as n from nodes)",
+        "outdeg as (select src, cast(count(*) as double) as od"
+        " from e group by src)",
+        "r0 as (select node, cast(1 as double) / nn.n as rank"
+        " from nodes cross join nn)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"c{i} as (select e.dst as node, sum(r.rank / o.od) as c"
+            f" from e join r{i-1} r on e.src = r.node"
+            f" join outdeg o on e.src = o.src group by e.dst)")
+        parts.append(
+            f"r{i} as (select nodes.node,"
+            f" cast('{one_minus_d}' as double) / nn.n"
+            f" + cast('{d}' as double)"
+            f" * coalesce(c{i}.c, cast(0 as double)) as rank"
+            f" from nodes cross join nn"
+            f" left join c{i} on nodes.node = c{i}.node)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect node, rank from r{n_iter}")
+
+
+def transitive_closure(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """All reachable ``(src, dst)`` pairs over 1+ hops — semi-naive
+    evaluation: each round joins only the NEW pairs (delta) against the
+    edge table, dedups, and anti-joins the accumulated result, so every
+    derivation is considered once (Datalog semi-naive; cf. Spark GraphX
+    Pregel's message-delta loop). Terminates when the delta is empty.
+
+    Scale notes: rounds = longest path length; for deep graphs switch the
+    delta join to path-doubling (join delta with the full closure so far —
+    log₂(depth) rounds at the cost of quadratic intermediate size). The
+    delta and accumulator are localCheckpointed each round — without that
+    the logical plan doubles per round and analysis itself blows up; at
+    cluster scale use ``spark.sparkContext.setCheckpointDir`` + reliable
+    ``checkpoint()`` (or write rounds to the graph store) so a lost
+    executor can't drop checkpointed partitions."""
+    e = edges.select("src", "dst").distinct().persist()
+    e.count()
+    paths = e.localCheckpoint()
+    delta = paths
+    for _ in range(max_iter):
+        step = (delta.select(F.col("src").alias("d_src"),
+                             F.col("dst").alias("mid"))
+                .join(e.select(F.col("src").alias("mid"),
+                               F.col("dst").alias("e_dst")), "mid")
+                .select(F.col("d_src").alias("src"),
+                        F.col("e_dst").alias("dst"))
+                .distinct()
+                .join(paths, ["src", "dst"], "left_anti")
+                .localCheckpoint())
+        if step.isEmpty():
+            break
+        paths = paths.unionByName(step).localCheckpoint()
+        delta = step
+    e.unpersist()
+    return paths
+
+
+def closure_sql(edges_sql: str) -> str:
+    """Transitive closure as a recursive CTE (DuckDB oracle) — UNION
+    (not UNION ALL) mirrors the operator's distinct/anti-join dedup."""
+    return f"""
+with recursive e as ({edges_sql}),
+reach as (
+  select src, dst from e
+  union
+  select r.src, e2.dst from reach r join e e2 on r.dst = e2.src)
+select src, dst from reach
+"""

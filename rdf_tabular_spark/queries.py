@@ -1651,6 +1651,115 @@ from t group by subj
 
 
 # ---------------------------------------------------------------------------
+# graph query tier: SPARQL-style BGP matching + link analysis + inference
+# (operators/bgp.py, operators/graph.py) — the consumption side of the KG.
+# ---------------------------------------------------------------------------
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_LABEL_PRED = "http://schema.org/name"
+
+_BGP_STAR_PATTERNS = [
+    ("?item", _RDF_TYPE, "http://schema.org/CreativeWork"),
+    ("?item", _LABEL_PRED, "?name"),
+    ("?item", "http://schema.org/inLanguage", "?lang"),
+]
+
+
+def _kg_bgp_star(spark, sf_dir):
+    """SPARQL star BGP (type + two property patterns sharing ?item) over
+    the microdata graph, compiled to self-joins (operators/bgp.bgp_match).
+    The oracle SQL is emitted from the SAME join plan (bgp_sql) — one
+    source of truth, two engines."""
+    from .operators.bgp import bgp_match
+    return bgp_match(_kg_microdata_triples(spark, sf_dir),
+                     _BGP_STAR_PATTERNS)
+
+
+_BGP_PATH_PATTERNS = [
+    ("?doc", MENTIONS_PRED, "?ent"),
+    ("?ent", _LABEL_PRED, "?name"),
+]
+
+
+def _kg_bgp_path(spark, sf_dir):
+    """2-hop path BGP: ?doc –mentions→ ?ent –name→ ?name over the mention
+    graph unioned with entity-label triples; the label pattern binds a
+    vocabulary-sized set so it carries a broadcast hint."""
+    from .operators.bgp import bgp_match
+    from .sources.pages import DOC_PAGE_META
+    from .web import link_entities_distributed, pages_to_triples
+    docs = _t(spark, sf_dir, "documents")
+    entities = (docs.select("source").distinct()
+                .select(F.col("source").alias("surface"),
+                        F.concat(F.lit(SOURCE_ENT_PREFIX),
+                                 "source").alias("iri")))
+    triples = pages_to_triples(_kg_pages(spark, sf_dir), minimal=True,
+                               default_meta=DOC_PAGE_META)
+    mentions = link_entities_distributed(triples, entities) \
+        .select("subj", "pred", "obj")
+    labels = entities.select(F.col("iri").alias("subj"),
+                             F.lit(_LABEL_PRED).alias("pred"),
+                             F.col("surface").alias("obj"))
+    return bgp_match(mentions.unionByName(labels), _BGP_PATH_PATTERNS,
+                     broadcast_patterns=[1])
+
+
+_KG_BGP_PATH_GRAPH_SQL = f"""
+{_KG_ENTITY_MENTIONS_SQL}
+union all
+select distinct '{SOURCE_ENT_PREFIX}' || source as subj,
+       '{_LABEL_PRED}' as pred, source as obj
+from documents
+"""
+
+# doc hierarchy for the iterative algorithms: child → parent binary tree
+# derived from doc ids (in-degree ≤ 2, out-degree 1 — the shape that keeps
+# every PageRank float sum a single IEEE op, see operators/graph.pagerank).
+_TREE_EDGES_SQL = (
+    f"select {DOC_URL_SQL} as src, "
+    "'http://pages.example.org/doc/' || (doc_id // 2) as dst "
+    "from documents where doc_id > 0")
+
+
+def _doc_tree_edges(spark, sf_dir):
+    prefix = "http://pages.example.org/doc/"
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") > 0)
+            .select(F.concat(F.lit(prefix), F.col("doc_id")).alias("src"),
+                    F.concat(F.lit(prefix),
+                             F.expr("doc_id div 2")).alias("dst")))
+
+
+def _graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (3 iters, d=0.85) over the doc hierarchy;
+    oracle = the same recurrence unrolled as SQL CTEs with repr-exact
+    float literals (operators/graph.pagerank_sql)."""
+    from .operators.graph import pagerank
+    return pagerank(_doc_tree_edges(spark, sf_dir), n_iter=3, damping=0.85)
+
+
+def _graph_closure_ancestors(spark, sf_dir):
+    """Transitive closure (all ancestor pairs) via semi-naive iteration;
+    oracle = recursive CTE (operators/graph.closure_sql) — the rdfs
+    subClassOf/subPropertyOf closure primitive."""
+    from .operators.graph import transitive_closure
+    return transitive_closure(_doc_tree_edges(spark, sf_dir))
+
+
+def _graph_sql():
+    from .operators.bgp import bgp_sql
+    from .operators.graph import closure_sql, pagerank_sql
+    return {
+        "kg_bgp_star": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
+                               _BGP_STAR_PATTERNS),
+        "kg_bgp_path": bgp_sql(_KG_BGP_PATH_GRAPH_SQL, _BGP_PATH_PATTERNS),
+        "graph_pagerank": pagerank_sql(_TREE_EDGES_SQL, n_iter=3,
+                                       damping=0.85),
+        "graph_closure_ancestors": closure_sql(_TREE_EDGES_SQL),
+    }
+
+
+# ---------------------------------------------------------------------------
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csvw_triples_nation": _csvw_triples_nation,
@@ -1714,6 +1823,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_stats": _dedup_span_stats,
     "corpus_vocabulary": _corpus_vocabulary,
     "corpus_length_quantiles": _corpus_length_quantiles,
+    "kg_bgp_star": _kg_bgp_star,
+    "kg_bgp_path": _kg_bgp_path,
+    "graph_pagerank": _graph_pagerank,
+    "graph_closure_ancestors": _graph_closure_ancestors,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1778,6 +1891,7 @@ _ORACLES: dict[str, str] = {
     "dedup_span_stats": _DEDUP_SPAN_STATS_SQL,
     "corpus_vocabulary": _CORPUS_VOCABULARY_SQL,
     "corpus_length_quantiles": _CORPUS_LENGTH_QUANTILES_SQL,
+    **_graph_sql(),
 }
 
 

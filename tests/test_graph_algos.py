@@ -1,0 +1,177 @@
+"""Graph query tier: BGP compilation/matching, fixed-iteration PageRank,
+semi-naive transitive closure (operators/bgp.py, operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_tabular_spark.operators import bgp as B
+from rdf_tabular_spark.operators import graph as G
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+# ---------------------------------------------------------------------------
+# BGP
+# ---------------------------------------------------------------------------
+
+def test_plan_most_selective_first_then_connected():
+    pats = [("?a", "?p", "?b"),            # 0 consts
+            ("?b", "knows", "?c"),         # 1 const
+            ("?c", "type", "Person")]      # 2 consts
+    assert B.plan_bgp(pats) == [2, 1, 0]
+
+
+def test_plan_disconnected_raises():
+    with pytest.raises(ValueError, match="disconnected"):
+        B.plan_bgp([("?a", "p", "?b"), ("?x", "q", "?y")])
+
+
+def test_bgp_star_match(spark):
+    t = _triples(spark, [
+        ("s1", "type", "Person"), ("s1", "name", "ada"),
+        ("s2", "type", "Person"),                       # no name → dropped
+        ("s3", "type", "Org"), ("s3", "name", "acme"),  # wrong type
+    ])
+    out = B.bgp_match(t, [("?x", "type", "Person"), ("?x", "name", "?n")])
+    assert out.columns == ["x", "n"]
+    assert [tuple(r) for r in out.collect()] == [("s1", "ada")]
+
+
+def test_bgp_path_match(spark):
+    t = _triples(spark, [
+        ("a", "mentions", "e1"), ("b", "mentions", "e2"),
+        ("e1", "label", "one"),
+        ("c", "label", "stray"),   # label without incoming mention
+    ])
+    out = B.bgp_match(t, [("?d", "mentions", "?e"), ("?e", "label", "?l")])
+    assert sorted(map(tuple, out.collect())) == [("a", "e1", "one")]
+
+
+def test_bgp_repeated_variable_in_pattern(spark):
+    t = _triples(spark, [("x", "sameAs", "x"), ("x", "sameAs", "y")])
+    out = B.bgp_match(t, [("?s", "sameAs", "?s")])
+    assert [tuple(r) for r in out.collect()] == [("x",)]
+
+
+def test_bgp_variable_predicate(spark):
+    t = _triples(spark, [("s", "p1", "o"), ("s", "p2", "o2")])
+    out = B.bgp_match(t, [("s", "?p", "?o")])
+    assert sorted(map(tuple, out.collect())) == [("p1", "o"), ("p2", "o2")]
+
+
+def test_bgp_bag_semantics(spark):
+    # duplicate triples stay duplicated (SPARQL SELECT without DISTINCT)
+    t = _triples(spark, [("s", "p", "o"), ("s", "p", "o")])
+    assert B.bgp_match(t, [("?x", "p", "o")]).count() == 2
+
+
+def test_bgp_broadcast_hint_in_plan(spark):
+    t = _triples(spark, [("a", "mentions", "e"), ("e", "label", "l")])
+    out = B.bgp_match(t, [("?d", "mentions", "?e"), ("?e", "label", "?l")],
+                      broadcast_patterns=[1])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bgp_sql_matches_dataframe(spark):
+    """bgp_sql over an inline relation must produce the same bindings the
+    DataFrame path does (same plan, two emitters)."""
+    import duckdb
+    rows = [("s1", "type", "Person"), ("s1", "name", "ada"),
+            ("s2", "type", "Person"), ("s2", "name", "bob"),
+            ("s3", "type", "Org"), ("s3", "name", "acme")]
+    pats = [("?x", "type", "Person"), ("?x", "name", "?n")]
+    spark_out = sorted(map(tuple,
+                           B.bgp_match(_triples(spark, rows), pats).collect()))
+    values = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in rows)
+    sql = B.bgp_sql(
+        f"select * from (values {values}) v(subj, pred, obj)", pats)
+    ddb_out = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert spark_out == ddb_out == [("s1", "ada"), ("s2", "bob")]
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def _ref_pagerank(edges, n_iter=3, d=0.85):
+    """Driver-side reference with the operator's exact float semantics."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    base = (1.0 - d) / n
+    for _ in range(n_iter):
+        c = {}
+        for s, t in edges:
+            c[t] = c.get(t, 0.0) + r[s] / out[s]
+        r = {v: base + d * c.get(v, 0.0) for v in nodes}
+    return r
+
+
+def test_pagerank_matches_reference(spark):
+    edges = [("a", "b"), ("b", "a"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in G.pagerank(df, n_iter=3).collect()}
+    assert got == _ref_pagerank(edges)
+
+
+def test_pagerank_dangling_absorbs_mass(spark):
+    # b has no out-edges: total mass shrinks (documented simplified variant)
+    edges = [("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in G.pagerank(df, n_iter=2).collect()}
+    ref = _ref_pagerank(edges, n_iter=2)
+    assert got == ref
+    assert sum(got.values()) < 1.0
+
+
+def test_pagerank_sql_literals_are_repr_exact():
+    sql = G.pagerank_sql("select 'a' as src, 'b' as dst", damping=0.85)
+    # 1 - 0.85 in IEEE doubles is NOT 0.15 — the oracle must carry the
+    # bit-exact constant, not the decimal-pretty one
+    assert "0.15000000000000002" in sql
+    assert "cast('0.85' as double)" in sql
+
+
+# ---------------------------------------------------------------------------
+# transitive closure
+# ---------------------------------------------------------------------------
+
+def _ref_closure(edges):
+    reach = set(edges)
+    while True:
+        new = {(a, d) for a, b in reach for c, d in edges if b == c} - reach
+        if not new:
+            return reach
+        reach |= new
+
+
+def test_closure_chain(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = set(map(tuple, G.transitive_closure(df).collect()))
+    assert got == _ref_closure(edges)
+    assert ("a", "d") in got
+
+
+def test_closure_cycle_terminates(spark):
+    edges = [("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = set(map(tuple, G.transitive_closure(df).collect()))
+    assert got == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
+
+
+def test_closure_diamond_dedups(spark):
+    # two paths a→d must yield ONE (a, d) pair (set semantics)
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = G.transitive_closure(df)
+    assert out.count() == out.distinct().count()
+    assert set(map(tuple, out.collect())) == _ref_closure(edges)
