@@ -278,3 +278,41 @@ def test_span_stats_grams_never_shuffle(spark):
     p = plan_of(Q.queries()["dedup_span_stats"](spark, SF))
     for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "gram" not in keys, f"gram strings shuffled: {keys}"
+
+
+def test_bgp_constant_filters_push_to_scan(spark, tmp_path):
+    """A BGP pattern's constant predicate must reach the parquet scan as a
+    pushed filter — at 10^12 triples a pattern scan that reads the full
+    graph is wrong."""
+    from rdf_tabular_spark.operators.bgp import bgp_match
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("s", "type", "Person"), ("s", "name", "ada")],
+        "subj string, pred string, obj string").write.parquet(path)
+    t = spark.read.parquet(path)
+    p = plan_of(bgp_match(t, [("?x", "type", "Person"), ("?x", "name", "?n")]))
+    assert "EqualTo(pred,type)" in p, "constant pred must push down"
+    assert "EqualTo(pred,name)" in p
+    assert "EqualTo(obj,Person)" in p, "constant obj must push down"
+
+
+def test_bgp_broadcast_pattern_avoids_shuffle_join(spark):
+    from rdf_tabular_spark.operators.bgp import bgp_match
+    t = spark.createDataFrame([("a", "mentions", "e"), ("e", "label", "l")],
+                              "subj string, pred string, obj string")
+    p = plan_of(bgp_match(t, [("?d", "mentions", "?e"),
+                              ("?e", "label", "?n")],
+                          broadcast_patterns=[1]))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pagerank_contrib_has_partial_aggregation(spark):
+    """The per-iteration contribution sum must map-side combine — at scale
+    the edge→dst shuffle carries one partial per (partition, dst), not one
+    row per edge."""
+    from rdf_tabular_spark.operators.graph import pagerank
+    e = spark.createDataFrame([("a", "b"), ("b", "a"), ("c", "a")],
+                              "src string, dst string")
+    p = plan_of(pagerank(e, n_iter=1))
+    assert p.count("HashAggregate") >= 2
