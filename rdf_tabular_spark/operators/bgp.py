@@ -98,12 +98,19 @@ def _pattern_df(triples: DataFrame, pattern: Pattern) -> DataFrame:
     return df.select(*[F.col(pos).alias(v) for v, pos in first_pos.items()])
 
 
-def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
-              broadcast_patterns: Sequence[int] = ()) -> DataFrame:
-    """Match a BGP against the triples DataFrame; returns one column per
-    variable (bag semantics, like SPARQL SELECT without DISTINCT).
-    ``broadcast_patterns`` lists original pattern indices whose binding
-    sets are known small (broadcast-join those sides)."""
+def _group_vars(patterns: Sequence[Pattern]) -> list[str]:
+    out: list[str] = []
+    for p in patterns:
+        for v in _vars(p):
+            if v not in out:
+                out.append(v)
+    return out
+
+
+def _join_group(triples: DataFrame, patterns: Sequence[Pattern],
+                broadcast_patterns: Sequence[int]) -> DataFrame:
+    """Inner-join compilation of one BGP group (the body of bgp_match
+    before OPTIONAL/FILTER extensions)."""
     order = plan_bgp(patterns)
     result: DataFrame | None = None
     bound: set[str] = set()
@@ -117,17 +124,55 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
             shared = sorted(bound & set(_vars(patterns[idx])))
             result = result.join(df, on=shared, how="inner")
             bound |= set(_vars(patterns[idx]))
-    out_vars: list[str] = []
-    for p in patterns:
-        for v in _vars(p):
-            if v not in out_vars:
-                out_vars.append(v)
-    return result.select(*out_vars)
+    return result
 
 
-def bgp_sql(triples_sql: str, patterns: Sequence[Pattern]) -> str:
-    """The same plan as ``bgp_match``, emitted as ANSI SQL over a triples
-    relation (CTE) — the DuckDB oracle generator."""
+def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
+              broadcast_patterns: Sequence[int] = (),
+              optionals: Sequence[Sequence[Pattern]] = (),
+              filters: Sequence[str] = (),
+              distinct: bool = False) -> DataFrame:
+    """Match a BGP against the triples DataFrame; returns one column per
+    variable (bag semantics, like SPARQL SELECT without DISTINCT unless
+    ``distinct``). ``broadcast_patterns`` lists original pattern indices
+    whose binding sets are known small (broadcast-join those sides).
+
+    ``optionals``: each entry is itself a BGP (SPARQL ``OPTIONAL { ... }``)
+    left-joined on the variables it shares with the required part —
+    unmatched rows carry NULL for the optional-only variables. Each group
+    must share ≥1 variable with the required patterns (else the left join
+    would be a cartesian product — rejected, same policy as plan_bgp).
+
+    ``filters``: SPARQL ``FILTER`` expressions as SQL boolean strings over
+    variable names, restricted to the ANSI subset Spark and DuckDB share
+    (comparisons, ``length``, ``and``/``or``, arithmetic) — the SAME string
+    is executed by both engines, so the oracle checks the semantics, not a
+    transcription. Applied after all joins (simplified scoping: filters see
+    the full binding row, incl. optional NULLs — SQL outer-WHERE
+    semantics)."""
+    result = _join_group(triples, patterns, broadcast_patterns)
+    bound = set(_group_vars(patterns))
+    out_vars = _group_vars(patterns)
+    for group in optionals:
+        gdf = _join_group(triples, group, ())
+        gvars = _group_vars(group)
+        shared = sorted(bound & set(gvars))
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group {group} shares no variable with the "
+                f"required patterns (cartesian product)")
+        result = result.join(gdf, on=shared, how="left")
+        bound |= set(gvars)
+        out_vars += [v for v in gvars if v not in out_vars]
+    for f in filters:
+        result = result.filter(F.expr(f))
+    result = result.select(*out_vars)
+    return result.distinct() if distinct else result
+
+
+def _group_ctes(patterns: Sequence[Pattern], prefix: str) -> list[str]:
+    """Per-pattern scan CTEs (``{prefix}0``, ``{prefix}1``, ...) in the
+    plan_bgp join order."""
     order = plan_bgp(patterns)
     subqs: list[str] = []
     for qi, idx in enumerate(order):
@@ -145,18 +190,106 @@ def bgp_sql(triples_sql: str, patterns: Sequence[Pattern]) -> str:
             else:
                 conds.append(f"{pos} = '{term}'")
         where = (" where " + " and ".join(conds)) if conds else ""
-        subqs.append(f"q{qi} as (select {', '.join(sel)} from t{where})")
-    joins = ["q0"]
+        subqs.append(
+            f"{prefix}{qi} as (select {', '.join(sel)} from t{where})")
+    return subqs
+
+
+def _group_join_sql(patterns: Sequence[Pattern], prefix: str) -> str:
+    order = plan_bgp(patterns)
+    joins = [f"{prefix}0"]
     bound = set(_vars(patterns[order[0]]))
     for qi, idx in enumerate(order[1:], start=1):
         shared = sorted(bound & set(_vars(patterns[idx])))
-        joins.append(f"join q{qi} using ({', '.join(shared)})")
+        joins.append(f"join {prefix}{qi} using ({', '.join(shared)})")
         bound |= set(_vars(patterns[idx]))
-    out_vars: list[str] = []
-    for p in patterns:
-        for v in _vars(p):
-            if v not in out_vars:
-                out_vars.append(v)
+    return " ".join(joins)
+
+
+def bgp_sql(triples_sql: str, patterns: Sequence[Pattern],
+            optionals: Sequence[Sequence[Pattern]] = (),
+            filters: Sequence[str] = (),
+            distinct: bool = False) -> str:
+    """The same plan as ``bgp_match``, emitted as ANSI SQL over a triples
+    relation (CTE) — the DuckDB oracle generator. ``optionals`` become
+    ``left join`` of the group subquery on the shared variables;
+    ``filters`` are the identical expression strings appended as the outer
+    WHERE (exactly where bgp_match applies them)."""
+    subqs = _group_ctes(patterns, "q")
+    joins = _group_join_sql(patterns, "q")
+    bound = set(_group_vars(patterns))
+    out_vars = _group_vars(patterns)
+    for g, group in enumerate(optionals):
+        gp = f"g{g}_"
+        subqs += _group_ctes(group, gp)
+        gvars = _group_vars(group)
+        subqs.append(
+            f"og{g} as (select {', '.join(gvars)} "
+            f"from {_group_join_sql(group, gp)})")
+        shared = sorted(bound & set(gvars))
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group {group} shares no variable with the "
+                f"required patterns (cartesian product)")
+        joins += f" left join og{g} using ({', '.join(shared)})"
+        bound |= set(gvars)
+        out_vars += [v for v in gvars if v not in out_vars]
+    where = (f"\nwhere {' and '.join(f'({f})' for f in filters)}"
+             if filters else "")
+    sel = "select distinct" if distinct else "select"
     return (f"with t as ({triples_sql}),\n"
             + ",\n".join(subqs)
-            + f"\nselect {', '.join(out_vars)} from {' '.join(joins)}")
+            + f"\n{sel} {', '.join(out_vars)} from {joins}{where}")
+
+
+def bgp_union_match(triples: DataFrame,
+                    branches: Sequence[Sequence[Pattern]],
+                    distinct: bool = False) -> DataFrame:
+    """SPARQL ``UNION``: bag union of the branch BGPs' binding sets.
+    Branches may bind different variables — the output schema is the
+    ordered union of all branch variables, with NULL for variables a
+    branch does not bind (SPARQL's unbound). Each branch is an
+    independent scan+join tree, so Spark runs them in parallel and the
+    union is a zero-shuffle bag concat."""
+    if not branches:
+        raise ValueError("empty UNION")
+    out_vars: list[str] = []
+    for b in branches:
+        out_vars += [v for v in _group_vars(b) if v not in out_vars]
+    parts = []
+    for b in branches:
+        df = _join_group(triples, b, ())
+        have = set(_group_vars(b))
+        parts.append(df.select(*[
+            F.col(v) if v in have else F.lit(None).cast("string").alias(v)
+            for v in out_vars]))
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result.distinct() if distinct else result
+
+
+def bgp_union_sql(triples_sql: str,
+                  branches: Sequence[Sequence[Pattern]],
+                  distinct: bool = False) -> str:
+    """``bgp_union_match`` as SQL (DuckDB oracle): per-branch CTE trees
+    concatenated with UNION ALL (UNION when ``distinct``), NULL-padding
+    branch-missing variables."""
+    if not branches:
+        raise ValueError("empty UNION")
+    out_vars: list[str] = []
+    for b in branches:
+        out_vars += [v for v in _group_vars(b) if v not in out_vars]
+    subqs: list[str] = []
+    selects: list[str] = []
+    for bi, b in enumerate(branches):
+        prefix = f"b{bi}_"
+        subqs += _group_ctes(b, prefix)
+        have = set(_group_vars(b))
+        cols = ", ".join(
+            v if v in have else f"cast(null as varchar) as {v}"
+            for v in out_vars)
+        selects.append(f"select {cols} from {_group_join_sql(b, prefix)}")
+    setop = "\nunion\n" if distinct else "\nunion all\n"
+    return (f"with t as ({triples_sql}),\n" + ",\n".join(subqs)
+            + "\n" + setop.join(selects))

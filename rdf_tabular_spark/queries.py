@@ -1746,13 +1746,91 @@ def _graph_closure_ancestors(spark, sf_dir):
     return transitive_closure(_doc_tree_edges(spark, sf_dir))
 
 
+# SPARQL algebra extensions over the microdata graph + a deliberately
+# sparse wordCount predicate (only docs with n_chars > threshold carry it)
+# so OPTIONAL produces real unbound (NULL) rows, not a disguised inner join.
+_WORDCOUNT_PRED = "http://schema.org/wordCount"
+_WC_THRESHOLD = 300
+
+_KG_SPARSE_GRAPH_SQL = f"""
+{_KG_MICRODATA_TRIPLES_SQL}
+union all
+select {DOC_URL_SQL} || '#item', '{_WORDCOUNT_PRED}',
+       cast(n_chars as varchar) from documents where n_chars > {_WC_THRESHOLD}
+"""
+
+_BGP_OPTIONAL_REQUIRED = [
+    ("?item", _RDF_TYPE, "http://schema.org/CreativeWork"),
+    ("?item", _LABEL_PRED, "?name"),
+]
+_BGP_OPTIONAL_GROUPS = [[("?item", _WORDCOUNT_PRED, "?wc")]]
+
+# FILTER strings are the shared source of truth: the identical expression
+# executes in Spark (F.expr) and DuckDB (outer WHERE).
+_BGP_FILTER_EXPRS = ["lang = 'en'", "length(name) > 5"]
+_BGP_FILTER_PATTERNS = _BGP_STAR_PATTERNS
+
+_BGP_UNION_BRANCHES = [
+    [("?item", _LABEL_PRED, "?v")],
+    [("?item", "http://schema.org/inLanguage", "?v"),
+     ("?item", _WORDCOUNT_PRED, "?wc")],
+]
+
+
+def _kg_sparse_graph(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    wc = docs.filter(F.col("n_chars") > _WC_THRESHOLD).select(
+        F.concat(F.lit("http://pages.example.org/doc/"), F.col("doc_id"),
+                 F.lit("#item")).alias("subj"),
+        F.lit(_WORDCOUNT_PRED).alias("pred"),
+        F.col("n_chars").cast("string").alias("obj"))
+    return _kg_microdata_triples(spark, sf_dir).unionByName(wc)
+
+
+def _kg_bgp_optional(spark, sf_dir):
+    """SPARQL OPTIONAL: type+name star with an OPTIONAL wordCount — docs at
+    or below the length threshold have no wordCount triple, so the left
+    join emits real NULL bindings (operators/bgp.bgp_match optionals=)."""
+    from .operators.bgp import bgp_match
+    return bgp_match(_kg_sparse_graph(spark, sf_dir),
+                     _BGP_OPTIONAL_REQUIRED,
+                     optionals=_BGP_OPTIONAL_GROUPS)
+
+
+def _kg_bgp_filter(spark, sf_dir):
+    """SPARQL FILTER: the star BGP constrained by expression strings that
+    BOTH engines execute verbatim ('lang = en', length(name) > 5) — the
+    filter lands post-join but Catalyst pushes it into the pattern scans
+    (audited in test_plans)."""
+    from .operators.bgp import bgp_match
+    return bgp_match(_kg_microdata_triples(spark, sf_dir),
+                     _BGP_FILTER_PATTERNS, filters=_BGP_FILTER_EXPRS)
+
+
+def _kg_bgp_union(spark, sf_dir):
+    """SPARQL UNION: name-or-(language+wordCount) branches with different
+    variable sets — branch-missing vars NULL-pad (SPARQL unbound), bag
+    semantics (operators/bgp.bgp_union_match)."""
+    from .operators.bgp import bgp_union_match
+    return bgp_union_match(_kg_sparse_graph(spark, sf_dir),
+                           _BGP_UNION_BRANCHES)
+
+
 def _graph_sql():
-    from .operators.bgp import bgp_sql
+    from .operators.bgp import bgp_sql, bgp_union_sql
     from .operators.graph import closure_sql, pagerank_sql
     return {
         "kg_bgp_star": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
                                _BGP_STAR_PATTERNS),
         "kg_bgp_path": bgp_sql(_KG_BGP_PATH_GRAPH_SQL, _BGP_PATH_PATTERNS),
+        "kg_bgp_optional": bgp_sql(_KG_SPARSE_GRAPH_SQL,
+                                   _BGP_OPTIONAL_REQUIRED,
+                                   optionals=_BGP_OPTIONAL_GROUPS),
+        "kg_bgp_filter": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
+                                 _BGP_FILTER_PATTERNS,
+                                 filters=_BGP_FILTER_EXPRS),
+        "kg_bgp_union": bgp_union_sql(_KG_SPARSE_GRAPH_SQL,
+                                      _BGP_UNION_BRANCHES),
         "graph_pagerank": pagerank_sql(_TREE_EDGES_SQL, n_iter=3,
                                        damping=0.85),
         "graph_closure_ancestors": closure_sql(_TREE_EDGES_SQL),
@@ -1825,6 +1903,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_quantiles": _corpus_length_quantiles,
     "kg_bgp_star": _kg_bgp_star,
     "kg_bgp_path": _kg_bgp_path,
+    "kg_bgp_optional": _kg_bgp_optional,
+    "kg_bgp_filter": _kg_bgp_filter,
+    "kg_bgp_union": _kg_bgp_union,
     "graph_pagerank": _graph_pagerank,
     "graph_closure_ancestors": _graph_closure_ancestors,
 }

@@ -94,6 +94,61 @@ def test_bgp_sql_matches_dataframe(spark):
     assert spark_out == ddb_out == [("s1", "ada"), ("s2", "bob")]
 
 
+def test_bgp_optional_emits_null_bindings(spark):
+    """SPARQL OPTIONAL: subjects without the optional triple survive with
+    NULL for the optional-only variable."""
+    t = _triples(spark, [("d1", "type", "Doc"), ("d1", "wc", "500"),
+                         ("d2", "type", "Doc")])
+    out = {tuple(r) for r in B.bgp_match(
+        t, [("?s", "type", "Doc")],
+        optionals=[[("?s", "wc", "?w")]]).collect()}
+    assert out == {("d1", "500"), ("d2", None)}
+
+
+def test_bgp_optional_disconnected_raises(spark):
+    t = _triples(spark, [("d1", "type", "Doc")])
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        B.bgp_match(t, [("?s", "type", "Doc")],
+                    optionals=[[("?x", "wc", "?w")]])
+
+
+def test_bgp_filter_applies_shared_expression(spark):
+    t = _triples(spark, [("d1", "name", "alpha"), ("d2", "name", "be")])
+    out = B.bgp_match(t, [("?s", "name", "?n")],
+                      filters=["length(n) > 2"]).collect()
+    assert [tuple(r) for r in out] == [("d1", "alpha")]
+
+
+def test_bgp_union_null_pads_branch_missing_vars(spark):
+    t = _triples(spark, [("d1", "name", "alpha"), ("d1", "lang", "en"),
+                         ("d1", "wc", "9")])
+    out = {tuple(r) for r in B.bgp_union_match(
+        t, [[("?s", "name", "?v")],
+            [("?s", "lang", "?v"), ("?s", "wc", "?w")]]).collect()}
+    assert out == {("d1", "alpha", None), ("d1", "en", "9")}
+
+
+def test_bgp_optional_filter_sql_parity(spark):
+    """OPTIONAL + FILTER through both emitters — same plan, two engines."""
+    import duckdb
+    rows = [("d1", "type", "Doc"), ("d1", "name", "alpha"),
+            ("d1", "wc", "500"),
+            ("d2", "type", "Doc"), ("d2", "name", "gamma"),
+            ("d3", "type", "Doc"), ("d3", "name", "no")]
+    req = [("?s", "type", "Doc"), ("?s", "name", "?n")]
+    opt = [[("?s", "wc", "?w")]]
+    filt = ["length(n) > 2"]
+    spark_out = sorted(map(tuple, B.bgp_match(
+        _triples(spark, rows), req, optionals=opt, filters=filt).collect()))
+    values = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in rows)
+    sql = B.bgp_sql(f"select * from (values {values}) v(subj, pred, obj)",
+                    req, optionals=opt, filters=filt)
+    ddb_out = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert spark_out == ddb_out == [("d1", "alpha", "500"),
+                                    ("d2", "gamma", None)]
+
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
