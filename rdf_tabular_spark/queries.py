@@ -1816,9 +1816,31 @@ def _kg_bgp_union(spark, sf_dir):
                            _BGP_UNION_BRANCHES)
 
 
+# property-path showcase: sibling-or-self (down one, up one) OR any
+# ancestor — exercises sequence, inverse, alternation, and closure in a
+# single expression compiled once for both engines.
+_PATH_EXPR = "parent/^parent | parent+"
+_TREE_TRIPLES_SQL = (f"select src as subj, 'parent' as pred, dst as obj "
+                     f"from ({_TREE_EDGES_SQL})")
+
+
+def _graph_path_expr(spark, sf_dir):
+    """SPARQL 1.1 property path over the doc hierarchy
+    (operators/paths.path_match): '{path}' — the same parsed AST emits the
+    DuckDB oracle SQL (paths.path_sql), recursive CTE for the closure
+    leg.""".format(path=_PATH_EXPR)
+    from .operators.paths import path_match
+    edges = _doc_tree_edges(spark, sf_dir)
+    triples = edges.select(F.col("src").alias("subj"),
+                           F.lit("parent").alias("pred"),
+                           F.col("dst").alias("obj"))
+    return path_match(triples, _PATH_EXPR)
+
+
 def _graph_sql():
     from .operators.bgp import bgp_sql, bgp_union_sql
     from .operators.graph import closure_sql, pagerank_sql
+    from .operators.paths import path_sql
     return {
         "kg_bgp_star": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
                                _BGP_STAR_PATTERNS),
@@ -1834,6 +1856,7 @@ def _graph_sql():
         "graph_pagerank": pagerank_sql(_TREE_EDGES_SQL, n_iter=3,
                                        damping=0.85),
         "graph_closure_ancestors": closure_sql(_TREE_EDGES_SQL),
+        "graph_path_expr": path_sql(_TREE_TRIPLES_SQL, _PATH_EXPR),
     }
 
 
@@ -1906,6 +1929,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_optional": _kg_bgp_optional,
     "kg_bgp_filter": _kg_bgp_filter,
     "kg_bgp_union": _kg_bgp_union,
+    "graph_path_expr": _graph_path_expr,
     "graph_pagerank": _graph_pagerank,
     "graph_closure_ancestors": _graph_closure_ancestors,
 }

@@ -1,0 +1,105 @@
+"""SPARQL 1.1 property paths (operators/paths.py): parser shape, SPARQL
+§9.1 semantics, and Spark↔DuckDB emitter parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from rdf_tabular_spark.operators import paths as P
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _values_sql(rows):
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in rows)
+    return f"select * from (values {vals}) v(subj, pred, obj)"
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def test_parse_precedence_alt_lowest():
+    # a/b|c+  ==  (a/b) | (c+)
+    ast = P.parse_path("a/b|c+")
+    assert isinstance(ast, P.Alt)
+    assert isinstance(ast.left, P.Seq)
+    assert isinstance(ast.right, P.Plus)
+
+
+def test_parse_inverse_binds_tighter_than_seq():
+    ast = P.parse_path("^a/b")
+    assert isinstance(ast, P.Seq)
+    assert isinstance(ast.left, P.Inv)
+
+
+def test_parse_parens_override():
+    ast = P.parse_path("a/(b|c)")
+    assert isinstance(ast, P.Seq)
+    assert isinstance(ast.right, P.Alt)
+
+
+def test_parse_angle_bracketed_iri_atom():
+    # bare tokens stop at the '/' operator, so full IRIs use SPARQL's
+    # <IRI> form where '/' is literal
+    ast = P.parse_path("<http://schema.org/name>/^<http://schema.org/name>")
+    assert isinstance(ast, P.Seq)
+    assert ast.left == P.Atom("http://schema.org/name")
+    assert isinstance(ast.right, P.Inv)
+
+
+def test_parse_bare_iri_with_slashes_rejected():
+    with pytest.raises(ValueError):
+        P.parse_path("http://schema.org/name")
+
+
+@pytest.mark.parametrize("bad", ["", "a|", "(a", "a)", "^", "a//b", "<oops"])
+def test_parse_errors(bad):
+    with pytest.raises(ValueError):
+        P.parse_path(bad)
+
+
+# ---------------------------------------------------------------------------
+# semantics
+# ---------------------------------------------------------------------------
+
+def test_seq_is_bag_alt_is_bag(spark):
+    # two derivations of (a, c) via p/q must both survive (SPARQL bag)
+    rows = [("a", "p", "m1"), ("a", "p", "m2"),
+            ("m1", "q", "c"), ("m2", "q", "c")]
+    out = P.path_match(_triples(spark, rows), "p/q").collect()
+    assert [tuple(r) for r in out] == [("a", "c"), ("a", "c")]
+
+
+def test_plus_is_set_semantics_on_cycle(spark):
+    # a→b→a cycle: + must terminate and emit distinct pairs only
+    rows = [("a", "p", "b"), ("b", "p", "a")]
+    out = {tuple(r) for r in P.path_match(_triples(spark, rows), "p+").collect()}
+    assert out == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
+
+
+def test_inverse_swaps_endpoints(spark):
+    rows = [("a", "p", "b")]
+    out = [tuple(r) for r in P.path_match(_triples(spark, rows), "^p").collect()]
+    assert out == [("b", "a")]
+
+
+# ---------------------------------------------------------------------------
+# emitter parity (same AST, two engines)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("path", [
+    "parent", "^parent", "parent/parent", "parent/^parent", "parent+",
+    "parent+|knows", "(parent|knows)/label", "^parent/parent | knows+",
+])
+def test_sql_emitter_matches_dataframe(spark, path):
+    rows = [("a", "parent", "b"), ("b", "parent", "c"),
+            ("d", "parent", "b"), ("a", "knows", "d"),
+            ("c", "label", "root")]
+    spark_out = sorted(
+        map(tuple, P.path_match(_triples(spark, rows), path).collect()))
+    ddb_out = sorted(duckdb.sql(P.path_sql(_values_sql(rows), path)).fetchall())
+    assert spark_out == ddb_out
