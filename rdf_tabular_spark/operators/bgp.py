@@ -293,3 +293,65 @@ def bgp_union_sql(triples_sql: str,
     setop = "\nunion\n" if distinct else "\nunion all\n"
     return (f"with t as ({triples_sql}),\n" + ",\n".join(subqs)
             + "\n" + setop.join(selects))
+
+
+def construct(triples: DataFrame, patterns: Sequence[Pattern],
+              template: Sequence[Pattern],
+              broadcast_patterns: Sequence[int] = (),
+              optionals: Sequence[Sequence[Pattern]] = (),
+              filters: Sequence[str] = ()) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: instantiate ``template`` triple patterns once
+    per WHERE-clause binding — the rule-based derivation primitive (e.g.
+    rdfs:subClassOf materialization, vocabulary mapping, edge reversal).
+    Bindings with an unbound (NULL, from OPTIONAL) variable in a template
+    pattern drop that pattern's instantiation, per SPARQL 1.1 §16.2.
+    Output is the standard (subj, pred, obj) shape, deduplicated —
+    CONSTRUCT produces a graph, and graphs are triple SETS.
+
+    Scale: the WHERE clause is one bgp_match; each template pattern is a
+    projection over its bindings (zero extra shuffles beyond the BGP
+    joins); the final distinct is the only added exchange — at 10^12
+    bindings feed the result through sinks/graph_store dedup-on-write
+    instead of collecting."""
+    bindings = bgp_match(triples, patterns,
+                         broadcast_patterns=broadcast_patterns,
+                         optionals=optionals, filters=filters)
+    parts = []
+    for s, p, o in template:
+        cols = [F.col(t[1:]) if _is_var(t) else F.lit(t) for t in (s, p, o)]
+        out = bindings.select(cols[0].alias("subj"), cols[1].alias("pred"),
+                              cols[2].alias("obj"))
+        for pos, t in zip(_POS, (s, p, o)):
+            if _is_var(t):
+                out = out.filter(F.col(pos).isNotNull())
+        parts.append(out)
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result.distinct()
+
+
+def construct_sql(triples_sql: str, patterns: Sequence[Pattern],
+                  template: Sequence[Pattern],
+                  optionals: Sequence[Sequence[Pattern]] = (),
+                  filters: Sequence[str] = ()) -> str:
+    """``construct`` as SQL (DuckDB oracle): the bgp_sql binding query as a
+    CTE, one SELECT per template pattern with NULL-binding rows filtered,
+    UNION (set semantics) across patterns."""
+    inner = bgp_sql(triples_sql, patterns, optionals=optionals,
+                    filters=filters)
+    selects = []
+    for s, p, o in template:
+        cols = []
+        conds = []
+        for pos, t in zip(_POS, (s, p, o)):
+            if _is_var(t):
+                cols.append(f"{t[1:]} as {pos}")
+                conds.append(f"{t[1:]} is not null")
+            else:
+                cols.append(f"'{t}' as {pos}")
+        where = (" where " + " and ".join(conds)) if conds else ""
+        selects.append(f"select {', '.join(cols)} from b{where}")
+    body = "\nunion all\n".join(selects)
+    return (f"with b as ({inner})\n"
+            f"select distinct subj, pred, obj from (\n{body}\n)")

@@ -1816,6 +1816,28 @@ def _kg_bgp_union(spark, sf_dir):
                            _BGP_UNION_BRANCHES)
 
 
+# CONSTRUCT: re-map the microdata vocabulary to a target ontology — each
+# WHERE binding instantiates the template; the OPTIONAL wordCount leg means
+# short docs drop the ex:length pattern (SPARQL §16.2 unbound-drop).
+_CONSTRUCT_TEMPLATE = [
+    ("?item", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+     "http://example.org/voc#Document"),
+    ("?item", "http://example.org/voc#label", "?name"),
+    ("?item", "http://example.org/voc#length", "?wc"),
+]
+
+
+def _kg_construct_derived(spark, sf_dir):
+    """SPARQL CONSTRUCT (operators/bgp.construct): vocabulary re-mapping
+    rule over the sparse graph; unbound OPTIONAL vars drop their template
+    pattern, output is a deduplicated triple set."""
+    from .operators.bgp import construct
+    return construct(_kg_sparse_graph(spark, sf_dir),
+                     _BGP_OPTIONAL_REQUIRED,
+                     _CONSTRUCT_TEMPLATE,
+                     optionals=_BGP_OPTIONAL_GROUPS)
+
+
 # property-path showcase: sibling-or-self (down one, up one) OR any
 # ancestor — exercises sequence, inverse, alternation, and closure in a
 # single expression compiled once for both engines.
@@ -1838,7 +1860,7 @@ def _graph_path_expr(spark, sf_dir):
 
 
 def _graph_sql():
-    from .operators.bgp import bgp_sql, bgp_union_sql
+    from .operators.bgp import bgp_sql, bgp_union_sql, construct_sql
     from .operators.graph import closure_sql, pagerank_sql
     from .operators.paths import path_sql
     return {
@@ -1857,6 +1879,9 @@ def _graph_sql():
                                        damping=0.85),
         "graph_closure_ancestors": closure_sql(_TREE_EDGES_SQL),
         "graph_path_expr": path_sql(_TREE_TRIPLES_SQL, _PATH_EXPR),
+        "kg_construct_derived": construct_sql(
+            _KG_SPARSE_GRAPH_SQL, _BGP_OPTIONAL_REQUIRED,
+            _CONSTRUCT_TEMPLATE, optionals=_BGP_OPTIONAL_GROUPS),
     }
 
 
@@ -1930,6 +1955,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_filter": _kg_bgp_filter,
     "kg_bgp_union": _kg_bgp_union,
     "graph_path_expr": _graph_path_expr,
+    "kg_construct_derived": _kg_construct_derived,
     "graph_pagerank": _graph_pagerank,
     "graph_closure_ancestors": _graph_closure_ancestors,
 }

@@ -149,6 +149,44 @@ def test_bgp_optional_filter_sql_parity(spark):
 
 
 
+def test_construct_drops_unbound_template_patterns(spark):
+    """SPARQL 16.2: a template pattern with an unbound variable is skipped
+    for that binding (not emitted with NULL)."""
+    t = _triples(spark, [("d1", "type", "Doc"), ("d1", "wc", "9"),
+                         ("d2", "type", "Doc")])
+    out = {tuple(r) for r in B.construct(
+        t, [("?s", "type", "Doc")],
+        [("?s", "kind", "document"), ("?s", "len", "?w")],
+        optionals=[[("?s", "wc", "?w")]]).collect()}
+    assert out == {("d1", "kind", "document"), ("d2", "kind", "document"),
+                   ("d1", "len", "9")}
+
+
+def test_construct_output_is_a_set(spark):
+    # two bindings instantiate the same triple -> one output row
+    t = _triples(spark, [("d1", "p", "a"), ("d1", "p", "b")])
+    out = B.construct(t, [("?s", "p", "?o")],
+                      [("?s", "type", "Thing")]).collect()
+    assert [tuple(r) for r in out] == [("d1", "type", "Thing")]
+
+
+def test_construct_sql_parity(spark):
+    import duckdb
+    rows = [("d1", "type", "Doc"), ("d1", "wc", "9"), ("d2", "type", "Doc")]
+    req = [("?s", "type", "Doc")]
+    tmpl = [("?s", "kind", "document"), ("?s", "len", "?w")]
+    opt = [[("?s", "wc", "?w")]]
+    spark_out = sorted(map(tuple, B.construct(
+        _triples(spark, rows), req, tmpl, optionals=opt).collect()))
+    values = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in rows)
+    sql = B.construct_sql(
+        f"select * from (values {values}) v(subj, pred, obj)",
+        req, tmpl, optionals=opt)
+    ddb_out = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert spark_out == ddb_out
+
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
