@@ -130,6 +130,7 @@ def _join_group(triples: DataFrame, patterns: Sequence[Pattern],
 def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
               broadcast_patterns: Sequence[int] = (),
               optionals: Sequence[Sequence[Pattern]] = (),
+              minus: Sequence[Sequence[Pattern]] = (),
               filters: Sequence[str] = (),
               distinct: bool = False) -> DataFrame:
     """Match a BGP against the triples DataFrame; returns one column per
@@ -149,7 +150,16 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
     is executed by both engines, so the oracle checks the semantics, not a
     transcription. Applied after all joins (simplified scoping: filters see
     the full binding row, incl. optional NULLs — SQL outer-WHERE
-    semantics)."""
+    semantics).
+
+    ``minus``: negation groups (SPARQL ``MINUS`` / the shared-variable
+    case of ``FILTER NOT EXISTS``): bindings that join a minus-group
+    binding on the shared variables are removed — one anti-join each,
+    the exact relational shape Spark executes as broadcast/shuffled
+    LeftAnti. Each group must share ≥1 variable with the required
+    patterns (a disjoint-domain MINUS removes nothing in SPARQL;
+    rejected here as almost-certainly a mistake). Applied after
+    OPTIONAL, before FILTER — both engines identically."""
     result = _join_group(triples, patterns, broadcast_patterns)
     bound = set(_group_vars(patterns))
     out_vars = _group_vars(patterns)
@@ -164,6 +174,16 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
         result = result.join(gdf, on=shared, how="left")
         bound |= set(gvars)
         out_vars += [v for v in gvars if v not in out_vars]
+    for group in minus:
+        gdf = _join_group(triples, group, ())
+        gvars = _group_vars(group)
+        shared = sorted(bound & set(gvars))
+        if not shared:
+            raise ValueError(
+                f"MINUS group {group} shares no variable with the bound "
+                f"set (disjoint-domain MINUS is a no-op in SPARQL)")
+        result = result.join(gdf.select(*shared), on=shared,
+                             how="left_anti")
     for f in filters:
         result = result.filter(F.expr(f))
     result = result.select(*out_vars)
@@ -208,13 +228,15 @@ def _group_join_sql(patterns: Sequence[Pattern], prefix: str) -> str:
 
 def bgp_sql(triples_sql: str, patterns: Sequence[Pattern],
             optionals: Sequence[Sequence[Pattern]] = (),
+            minus: Sequence[Sequence[Pattern]] = (),
             filters: Sequence[str] = (),
             distinct: bool = False) -> str:
     """The same plan as ``bgp_match``, emitted as ANSI SQL over a triples
     relation (CTE) — the DuckDB oracle generator. ``optionals`` become
-    ``left join`` of the group subquery on the shared variables;
-    ``filters`` are the identical expression strings appended as the outer
-    WHERE (exactly where bgp_match applies them)."""
+    ``left join`` of the group subquery on the shared variables; ``minus``
+    becomes ``anti join``; ``filters`` are the identical expression
+    strings appended as the outer WHERE (exactly where bgp_match applies
+    them)."""
     subqs = _group_ctes(patterns, "q")
     joins = _group_join_sql(patterns, "q")
     bound = set(_group_vars(patterns))
@@ -234,6 +256,19 @@ def bgp_sql(triples_sql: str, patterns: Sequence[Pattern],
         joins += f" left join og{g} using ({', '.join(shared)})"
         bound |= set(gvars)
         out_vars += [v for v in gvars if v not in out_vars]
+    for g, group in enumerate(minus):
+        gp = f"m{g}_"
+        subqs += _group_ctes(group, gp)
+        gvars = _group_vars(group)
+        shared = sorted(bound & set(gvars))
+        if not shared:
+            raise ValueError(
+                f"MINUS group {group} shares no variable with the bound "
+                f"set (disjoint-domain MINUS is a no-op in SPARQL)")
+        subqs.append(
+            f"mg{g} as (select {', '.join(shared)} "
+            f"from {_group_join_sql(group, gp)})")
+        joins += f" anti join mg{g} using ({', '.join(shared)})"
     where = (f"\nwhere {' and '.join(f'({f})' for f in filters)}"
              if filters else "")
     sel = "select distinct" if distinct else "select"

@@ -1807,6 +1807,16 @@ def _kg_bgp_filter(spark, sf_dir):
                      _BGP_FILTER_PATTERNS, filters=_BGP_FILTER_EXPRS)
 
 
+def _kg_bgp_minus(spark, sf_dir):
+    """SPARQL MINUS (negation-as-anti-join): CreativeWorks WITHOUT a
+    wordCount triple — the complement of the OPTIONAL query's bound rows
+    (operators/bgp.bgp_match minus=)."""
+    from .operators.bgp import bgp_match
+    return bgp_match(_kg_sparse_graph(spark, sf_dir),
+                     _BGP_OPTIONAL_REQUIRED,
+                     minus=_BGP_OPTIONAL_GROUPS)
+
+
 def _kg_bgp_union(spark, sf_dir):
     """SPARQL UNION: name-or-(language+wordCount) branches with different
     variable sets — branch-missing vars NULL-pad (SPARQL unbound), bag
@@ -1875,6 +1885,9 @@ def _graph_sql():
                                  filters=_BGP_FILTER_EXPRS),
         "kg_bgp_union": bgp_union_sql(_KG_SPARSE_GRAPH_SQL,
                                       _BGP_UNION_BRANCHES),
+        "kg_bgp_minus": bgp_sql(_KG_SPARSE_GRAPH_SQL,
+                                _BGP_OPTIONAL_REQUIRED,
+                                minus=_BGP_OPTIONAL_GROUPS),
         "graph_pagerank": pagerank_sql(_TREE_EDGES_SQL, n_iter=3,
                                        damping=0.85),
         "graph_closure_ancestors": closure_sql(_TREE_EDGES_SQL),
@@ -1954,6 +1967,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_optional": _kg_bgp_optional,
     "kg_bgp_filter": _kg_bgp_filter,
     "kg_bgp_union": _kg_bgp_union,
+    "kg_bgp_minus": _kg_bgp_minus,
     "graph_path_expr": _graph_path_expr,
     "kg_construct_derived": _kg_construct_derived,
     "graph_pagerank": _graph_pagerank,

@@ -149,6 +149,39 @@ def test_bgp_optional_filter_sql_parity(spark):
 
 
 
+def test_bgp_minus_removes_matching_bindings(spark):
+    """SPARQL MINUS: bindings joining a minus-group binding on shared
+    variables are removed (anti-join)."""
+    t = _triples(spark, [("d1", "type", "Doc"), ("d1", "wc", "9"),
+                         ("d2", "type", "Doc")])
+    out = [tuple(r) for r in B.bgp_match(
+        t, [("?s", "type", "Doc")],
+        minus=[[("?s", "wc", "?w")]]).collect()]
+    assert out == [("d2",)]
+
+
+def test_bgp_minus_disjoint_raises(spark):
+    t = _triples(spark, [("d1", "type", "Doc")])
+    with pytest.raises(ValueError, match="MINUS"):
+        B.bgp_match(t, [("?s", "type", "Doc")],
+                    minus=[[("?x", "wc", "?w")]])
+
+
+def test_bgp_minus_sql_parity(spark):
+    import duckdb
+    rows = [("d1", "type", "Doc"), ("d1", "wc", "9"), ("d2", "type", "Doc"),
+            ("d3", "type", "Doc"), ("d3", "wc", "1")]
+    req = [("?s", "type", "Doc")]
+    mns = [[("?s", "wc", "?w")]]
+    spark_out = sorted(map(tuple, B.bgp_match(
+        _triples(spark, rows), req, minus=mns).collect()))
+    values = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in rows)
+    sql = B.bgp_sql(f"select * from (values {values}) v(subj, pred, obj)",
+                    req, minus=mns)
+    ddb_out = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert spark_out == ddb_out == [("d2",)]
+
+
 def test_construct_drops_unbound_template_patterns(spark):
     """SPARQL 16.2: a template pattern with an unbound variable is skipped
     for that binding (not emitted with NULL)."""
