@@ -108,14 +108,19 @@ def _group_vars(patterns: Sequence[Pattern]) -> list[str]:
 
 
 def _join_group(triples: DataFrame, patterns: Sequence[Pattern],
-                broadcast_patterns: Sequence[int]) -> DataFrame:
+                broadcast_patterns: Sequence[int],
+                scan=None) -> DataFrame:
     """Inner-join compilation of one BGP group (the body of bgp_match
-    before OPTIONAL/FILTER extensions)."""
+    before OPTIONAL/FILTER extensions). ``scan(pattern) -> DataFrame``
+    overrides the triples relation per pattern — the hook graph-store
+    reads use to substitute a partition-pruned scan for constant-predicate
+    patterns (sinks/graph_store.bgp_match_store)."""
     order = plan_bgp(patterns)
     result: DataFrame | None = None
     bound: set[str] = set()
     for idx in order:
-        df = _pattern_df(triples, patterns[idx])
+        rel = scan(patterns[idx]) if scan is not None else triples
+        df = _pattern_df(rel, patterns[idx])
         if idx in broadcast_patterns:
             df = F.broadcast(df)
         if result is None:
@@ -132,7 +137,8 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
               optionals: Sequence[Sequence[Pattern]] = (),
               minus: Sequence[Sequence[Pattern]] = (),
               filters: Sequence[str] = (),
-              distinct: bool = False) -> DataFrame:
+              distinct: bool = False,
+              scan=None) -> DataFrame:
     """Match a BGP against the triples DataFrame; returns one column per
     variable (bag semantics, like SPARQL SELECT without DISTINCT unless
     ``distinct``). ``broadcast_patterns`` lists original pattern indices
@@ -160,11 +166,11 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
     patterns (a disjoint-domain MINUS removes nothing in SPARQL;
     rejected here as almost-certainly a mistake). Applied after
     OPTIONAL, before FILTER — both engines identically."""
-    result = _join_group(triples, patterns, broadcast_patterns)
+    result = _join_group(triples, patterns, broadcast_patterns, scan=scan)
     bound = set(_group_vars(patterns))
     out_vars = _group_vars(patterns)
     for group in optionals:
-        gdf = _join_group(triples, group, ())
+        gdf = _join_group(triples, group, (), scan=scan)
         gvars = _group_vars(group)
         shared = sorted(bound & set(gvars))
         if not shared:
@@ -175,7 +181,7 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
         bound |= set(gvars)
         out_vars += [v for v in gvars if v not in out_vars]
     for group in minus:
-        gdf = _join_group(triples, group, ())
+        gdf = _join_group(triples, group, (), scan=scan)
         gvars = _group_vars(group)
         shared = sorted(bound & set(gvars))
         if not shared:

@@ -219,6 +219,33 @@ def read_predicate(spark: SparkSession, root: str, pred: str,
             .filter(F.col("pred") == pred)
 
 
+def bgp_match_store(spark: SparkSession, root: str, patterns,
+                    batches: Optional[list[str]] = None,
+                    pred_buckets: int = DEFAULT_PRED_BUCKETS,
+                    **kwargs) -> DataFrame:
+    """SPARQL BGP directly against the graph store with PARTITION-PRUNED
+    pattern scans: each constant-predicate pattern reads via
+    :func:`read_predicate` (SALT/pred_buckets = 25% of partition dirs,
+    independent of store size), while variable-predicate patterns fall
+    back to the full live-set scan. At 10^12 triples this is the
+    difference between a BGP whose every leg scans the graph and one
+    whose legs each touch only their predicate's buckets. ``kwargs``
+    pass through to operators/bgp.bgp_match (optionals/minus/filters/
+    broadcast_patterns/distinct) — OPTIONAL and MINUS group scans prune
+    the same way."""
+    from ..operators.bgp import bgp_match
+    full = read_graph(spark, root, batches=batches)
+
+    def scan(pattern: tuple) -> DataFrame:
+        pred = pattern[1]
+        if not pred.startswith("?"):
+            return read_predicate(spark, root, pred, batches=batches,
+                                  pred_buckets=pred_buckets)
+        return full
+
+    return bgp_match(full, patterns, scan=scan, **kwargs)
+
+
 def write_canonical_map_version(mapping: DataFrame, root: str,
                                 batch_id: str) -> str:
     """Write one version of the global subject-canonicalization map WITHOUT

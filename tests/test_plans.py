@@ -333,3 +333,29 @@ def test_bgp_filter_pushes_into_pattern_scan(spark, tmp_path):
                               ("?i", "inLanguage", "?lang")],
                           filters=["lang = 'en'"]))
     assert "EqualTo(obj,en)" in p, "FILTER must push into the scan"
+
+
+def test_bgp_match_store_prunes_per_pattern(spark, tmp_path):
+    """BGP over the graph store: every constant-predicate pattern leg must
+    scan through read_predicate's pred_bucket PartitionFilters, and the
+    result must equal the unpruned bgp_match over the full store read."""
+    from rdf_tabular_spark.operators.bgp import bgp_match
+    from rdf_tabular_spark.sinks.graph_store import (bgp_match_store,
+                                                     materialize, read_graph)
+    from rdf_tabular_spark.sources.pages import pages_from_documents
+    from rdf_tabular_spark.web import microdata_to_triples
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    triples = microdata_to_triples(pages_from_documents(docs))
+    root = str(tmp_path / "store")
+    materialize(triples, root, "b1")
+    pats = [("?d", "http://schema.org/name", "?name"),
+            ("?d", "http://schema.org/inLanguage", "?lang")]
+    df = bgp_match_store(spark, root, pats)
+    p = plan_of(df)
+    assert len(re.findall(r"PartitionFilters: \[.*pred_bucket", p)) == 2, \
+        "both pattern legs must carry pred_bucket pruning"
+    expected = sorted(map(tuple, bgp_match(
+        read_graph(spark, root).select("subj", "pred", "obj"),
+        pats).collect()))
+    assert sorted(map(tuple, df.collect())) == expected
+    assert len(expected) == 50
