@@ -193,6 +193,33 @@ def transitive_closure(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     return paths
 
 
+def transitive_closure_doubling(edges: DataFrame,
+                                max_iter: int = 20) -> DataFrame:
+    """Transitive closure by PATH DOUBLING — the deep-graph scale tier the
+    semi-naive docstring points at: after round k the accumulator holds all
+    paths of length ≤ 2^k, so a 10^6-deep chain closes in 20 rounds instead
+    of 10^6. Each round self-joins the accumulator with itself (quadratic
+    intermediate vs semi-naive's delta×E — the classic trade: fewer, fatter
+    rounds; right when depth, not breadth, is the problem). Terminates when
+    a round adds nothing. Same result set as :func:`transitive_closure`
+    (pytest-asserted on random graphs)."""
+    paths = edges.select("src", "dst").distinct().localCheckpoint()
+    for _ in range(max_iter):
+        doubled = (paths.select(F.col("src").alias("p_src"),
+                                F.col("dst").alias("mid"))
+                   .join(paths.select(F.col("src").alias("mid"),
+                                      F.col("dst").alias("p_dst")), "mid")
+                   .select(F.col("p_src").alias("src"),
+                           F.col("p_dst").alias("dst"))
+                   .distinct()
+                   .join(paths, ["src", "dst"], "left_anti")
+                   .localCheckpoint())
+        if doubled.isEmpty():
+            break
+        paths = paths.unionByName(doubled).localCheckpoint()
+    return paths
+
+
 def closure_sql(edges_sql: str) -> str:
     """Transitive closure as a recursive CTE (DuckDB oracle) — UNION
     (not UNION ALL) mirrors the operator's distinct/anti-join dedup."""

@@ -1837,6 +1837,16 @@ _CONSTRUCT_TEMPLATE = [
 ]
 
 
+def _kg_bgp_agg(spark, sf_dir):
+    """SPARQL SELECT + GROUP BY over BGP bindings (aggregation pushes into
+    the binding relation — map-side partial counts, vocabulary-sized
+    output): docs per language with the lexical-min name."""
+    from .operators.bgp import bgp_match
+    b = bgp_match(_kg_microdata_triples(spark, sf_dir), _BGP_STAR_PATTERNS)
+    return b.groupBy("lang").agg(F.count("*").alias("n_docs"),
+                                 F.min("name").alias("first_name"))
+
+
 def _kg_construct_derived(spark, sf_dir):
     """SPARQL CONSTRUCT (operators/bgp.construct): vocabulary re-mapping
     rule over the sparse graph; unbound OPTIONAL vars drop their template
@@ -1854,6 +1864,14 @@ def _kg_construct_derived(spark, sf_dir):
 _PATH_EXPR = "parent/^parent | parent+"
 _TREE_TRIPLES_SQL = (f"select src as subj, 'parent' as pred, dst as obj "
                      f"from ({_TREE_EDGES_SQL})")
+
+
+def _graph_closure_doubling(spark, sf_dir):
+    """Deep-graph closure scale tier: path doubling (2^k path lengths per
+    round, log2(depth) rounds — operators/graph.transitive_closure_doubling)
+    over the same doc hierarchy; same oracle as the semi-naive tier."""
+    from .operators.graph import transitive_closure_doubling
+    return transitive_closure_doubling(_doc_tree_edges(spark, sf_dir))
 
 
 def _graph_path_expr(spark, sf_dir):
@@ -1891,10 +1909,15 @@ def _graph_sql():
         "graph_pagerank": pagerank_sql(_TREE_EDGES_SQL, n_iter=3,
                                        damping=0.85),
         "graph_closure_ancestors": closure_sql(_TREE_EDGES_SQL),
+        "graph_closure_doubling": closure_sql(_TREE_EDGES_SQL),
         "graph_path_expr": path_sql(_TREE_TRIPLES_SQL, _PATH_EXPR),
         "kg_construct_derived": construct_sql(
             _KG_SPARSE_GRAPH_SQL, _BGP_OPTIONAL_REQUIRED,
             _CONSTRUCT_TEMPLATE, optionals=_BGP_OPTIONAL_GROUPS),
+        "kg_bgp_agg": (
+            "select lang, count(*) as n_docs, min(name) as first_name "
+            f"from ({bgp_sql(_KG_MICRODATA_TRIPLES_SQL, _BGP_STAR_PATTERNS)})"
+            " group by lang"),
     }
 
 
@@ -1968,7 +1991,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_filter": _kg_bgp_filter,
     "kg_bgp_union": _kg_bgp_union,
     "kg_bgp_minus": _kg_bgp_minus,
+    "kg_bgp_agg": _kg_bgp_agg,
     "graph_path_expr": _graph_path_expr,
+    "graph_closure_doubling": _graph_closure_doubling,
     "kg_construct_derived": _kg_construct_derived,
     "graph_pagerank": _graph_pagerank,
     "graph_closure_ancestors": _graph_closure_ancestors,

@@ -301,3 +301,23 @@ def test_closure_diamond_dedups(spark):
     out = G.transitive_closure(df)
     assert out.count() == out.distinct().count()
     assert set(map(tuple, out.collect())) == _ref_closure(edges)
+
+
+def test_closure_doubling_equals_semi_naive(spark):
+    import random
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(12)]
+    edges = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(18)}
+    e = spark.createDataFrame(sorted(edges), "src string, dst string")
+    a = {tuple(r) for r in G.transitive_closure(e).collect()}
+    b = {tuple(r) for r in G.transitive_closure_doubling(e).collect()}
+    assert a == b and a
+
+
+def test_closure_doubling_deep_chain_few_rounds(spark):
+    # a 40-deep chain closes within max_iter=6 (2^6 = 64 >= 40) -- the
+    # whole point of the doubling tier
+    e = spark.createDataFrame([(f"v{i}", f"v{i+1}") for i in range(40)],
+                              "src string, dst string")
+    out = G.transitive_closure_doubling(e, max_iter=6)
+    assert out.count() == 40 * 41 // 2
