@@ -1,0 +1,118 @@
+"""spark-submit entry point: SPARQL-style queries against a graph store.
+
+The read-side companion of jobs/extract.py — a user who materialized a
+store queries it from the same cluster tooling:
+
+    ZIP=$(python -c "from rdf_tabular_spark.session import package_zip_path;
+                     print(package_zip_path())")
+    spark-submit --master <cluster> --py-files "$ZIP" \\
+        rdf_tabular_spark/jobs/query.py --store s3://kg/graph \\
+        --bgp '?d <http://schema.org/name> ?n . ?d <http://schema.org/inLanguage> ?l' \\
+        [--optional '?d <http://schema.org/wordCount> ?w'] \\
+        [--minus '...'] [--filter "l = 'en'"] [--distinct] \\
+        [--as-of 2024-06-01T00:00:00] [--out s3://results/q1] [--show N]
+
+    ... --path 'mentions/<http://schema.org/name>' ...   # property path
+
+Pattern syntax: triple patterns separated by ' . ' (SPARQL group shape);
+terms are '?var', '<IRI>' (angle brackets stripped), or a bare token.
+Constant-predicate patterns read partition-pruned via
+sinks/graph_store.bgp_match_store; --as-of time-travels to the batches
+committed at or before that ISO timestamp. Without --out, prints a result
+count plus the first --show rows as one JSON line (driver-side sample
+only — the query itself runs distributed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_patterns(text: str) -> list[tuple[str, str, str]]:
+    """' . '-separated triple patterns; '<IRI>' brackets are stripped so
+    IRIs with any characters work, bare tokens and ?vars pass through."""
+    pats = []
+    for part in text.split(" . "):
+        terms = part.split()
+        if len(terms) != 3:
+            raise ValueError(
+                f"pattern {part!r} must have exactly 3 terms "
+                f"(subj pred obj), got {len(terms)}")
+        pats.append(tuple(
+            t[1:-1] if t.startswith("<") and t.endswith(">") else t
+            for t in terms))
+    return pats
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="query a triple graph store")
+    p.add_argument("--store", required=True, help="graph-store root")
+    kind = p.add_mutually_exclusive_group(required=True)
+    kind.add_argument("--bgp", help="triple patterns, ' . '-separated")
+    kind.add_argument("--path", help="property-path expression "
+                                     "(operators/paths grammar)")
+    p.add_argument("--optional", action="append", default=[],
+                   help="OPTIONAL pattern group (repeatable)")
+    p.add_argument("--minus", action="append", default=[],
+                   help="MINUS pattern group (repeatable)")
+    p.add_argument("--filter", action="append", default=[],
+                   help="FILTER expression over variables (repeatable)")
+    p.add_argument("--distinct", action="store_true")
+    p.add_argument("--as-of", default=None,
+                   help="time-travel: batches committed at or before this "
+                        "ISO-8601 instant")
+    p.add_argument("--out", default=None, help="write results as parquet")
+    p.add_argument("--show", type=int, default=10,
+                   help="rows to sample into the JSON summary (no --out)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    b = (SparkSession.builder.appName("kg-query")
+         .config("spark.sql.adaptive.enabled", "true"))
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions",
+                     str(args.shuffle_partitions))
+    spark = b.getOrCreate()
+    from rdf_tabular_spark.session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    from rdf_tabular_spark.sinks.graph_store import (bgp_match_store,
+                                                     read_graph,
+                                                     snapshots_as_of)
+
+    batches = snapshots_as_of(args.store, args.as_of) if args.as_of else None
+    if args.bgp:
+        result = bgp_match_store(
+            spark, args.store, parse_patterns(args.bgp),
+            batches=batches,
+            optionals=[parse_patterns(t) for t in args.optional],
+            minus=[parse_patterns(t) for t in args.minus],
+            filters=args.filter, distinct=args.distinct)
+    else:
+        from rdf_tabular_spark.operators.paths import path_match
+        triples = read_graph(spark, args.store, batches=batches) \
+            .select("subj", "pred", "obj")
+        result = path_match(triples, args.path)
+        if args.distinct:
+            result = result.distinct()
+
+    if args.out:
+        result.write.mode("overwrite").parquet(args.out)
+        summary = {"n_rows": spark.read.parquet(args.out).count(),
+                   "columns": result.columns, "out": args.out}
+    else:
+        sample = [r.asDict() for r in result.limit(args.show).collect()]
+        summary = {"n_rows": result.count(), "columns": result.columns,
+                   "sample": sample}
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -68,3 +68,42 @@ def test_extract_job_compact_after(spark, tmp_path):
     assert not _os.path.isdir(_os.path.join(out_root, "data", "batch=c1"))
     m1_again = main(["--synth", "60", "--batch-id", "c1", *base])
     assert m1_again["status"] == "expired"     # resubmission skipped
+
+
+def test_query_job_bgp_and_path(spark, tmp_path):
+    """jobs/query.py: extract a store in-process, then run a BGP (with
+    FILTER + MINUS) and a property path against it via the job's main()
+    (the spark-submit packaging surface is covered by the extract test —
+    query.py uses the same zip/session machinery)."""
+    import sys
+    sys.path.insert(0, REPO)
+    from rdf_tabular_spark.jobs.extract import main as extract_main
+    from rdf_tabular_spark.jobs.query import main as query_main
+
+    out_root = str(tmp_path / "graph")
+    extract_main(["--synth", "90", "--out", out_root, "--batch-id", "q1",
+                  "--no-canonicalize", "--shuffle-partitions", "8"])
+
+    res = query_main([
+        "--store", out_root,
+        "--bgp", "?s <http://schema.org/name> ?n",
+        "--show", "3"])
+    assert res["columns"] == ["s", "n"]
+    assert res["n_rows"] > 0
+    assert len(res["sample"]) == 3
+
+    # MINUS removes everything that also has a containsPlace triple
+    res_minus = query_main([
+        "--store", out_root,
+        "--bgp", "?s <http://schema.org/name> ?n",
+        "--minus", "?s <http://schema.org/containsPlace> ?p"])
+    assert res_minus["n_rows"] < res["n_rows"] or res_minus["n_rows"] == 0
+
+    # property path: name|containsPlace endpoints, written to parquet
+    out = str(tmp_path / "res")
+    res_path = query_main([
+        "--store", out_root,
+        "--path", "<http://schema.org/name>|<http://schema.org/containsPlace>",
+        "--out", out])
+    assert res_path["n_rows"] >= res["n_rows"]
+    assert spark.read.parquet(out).columns == ["src", "dst"]
