@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter", action="append", default=[],
                    help="FILTER expression over variables (repeatable)")
     p.add_argument("--distinct", action="store_true")
+    p.add_argument("--ask", action="store_true",
+                   help="SPARQL ASK: print {\"ask\": true|false} instead "
+                        "of bindings (early-out, no full evaluation)")
     p.add_argument("--as-of", default=None,
                    help="time-travel: batches committed at or before this "
                         "ISO-8601 instant")
@@ -102,6 +105,10 @@ def main(argv: list[str] | None = None) -> dict:
         if args.distinct:
             result = result.distinct()
 
+    if args.ask:
+        summary = {"ask": not result.isEmpty()}
+        print(json.dumps(summary))
+        return summary
     if args.out:
         result.write.mode("overwrite").parquet(args.out)
         summary = {"n_rows": spark.read.parquet(args.out).count(),

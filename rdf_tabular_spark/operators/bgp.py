@@ -396,3 +396,13 @@ def construct_sql(triples_sql: str, patterns: Sequence[Pattern],
     body = "\nunion all\n".join(selects)
     return (f"with b as ({inner})\n"
             f"select distinct subj, pred, obj from (\n{body}\n)")
+
+
+def ask(triples: DataFrame, patterns: Sequence[Pattern],
+        **kwargs) -> bool:
+    """SPARQL ``ASK``: does the BGP have at least one solution? Early-out
+    via isEmpty (one task per partition until a hit, no full count) —
+    the query form the reference uses to validate its own provenance
+    output (rdf-tabular spec/reader_spec.rb:125-158). ``kwargs`` pass
+    through to bgp_match (optionals/minus/filters/scan)."""
+    return not bgp_match(triples, patterns, **kwargs).isEmpty()

@@ -114,6 +114,53 @@ def test_prov_block(spark):
                      "http://www.w3.org/ns/csvw#tabularMetadata"}
 
 
+def test_prov_ask_query(spark):
+    """The reference validates its provenance with a SPARQL ASK
+    (spec/reader_spec.rb:131-147: an Activity with dateTime-typed
+    start/end and a qualifiedUsage whose hadRole is
+    csvEncodedTabularData) — the same ASK runs here through
+    operators/bgp.ask, with the DATATYPE() filter expressed as patterns
+    over a reified datatype view (one extra (lexical, spark:datatype, dt)
+    triple per typed literal)."""
+    from rdf_tabular_spark.csvw.model import load_metadata
+    from rdf_tabular_spark.operators.bgp import ask
+    from rdf_tabular_spark.pipeline import table_to_triples
+
+    meta = load_metadata(os.path.join(DATA, "tree-ops.csv-metadata.json"),
+                         base=BASE + "tree-ops.csv-metadata.json",
+                         resolver=resolver)
+    df = table_to_triples(
+        spark, meta, resolver,
+        prov_times=("2024-01-01T00:00:00Z", "2024-01-01T00:00:05Z"),
+        metadata_files=[BASE + "tree-ops.csv-metadata.json"])
+    from pyspark.sql import functions as F
+    t = df.select("subj", "pred", "obj").unionByName(
+        df.filter(F.col("obj_datatype").isNotNull())
+          .select(F.col("obj").alias("subj"),
+                  F.lit("spark:datatype").alias("pred"),
+                  F.col("obj_datatype").alias("obj")))
+    PROV = "http://www.w3.org/ns/prov#"
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+    CSVW = "http://www.w3.org/ns/csvw#"
+    prov_ask = [
+        ("?res", PROV + "activity", "?act"),
+        ("?act", RDF_TYPE, PROV + "Activity"),
+        ("?act", PROV + "startedAtTime", "?start"),
+        ("?act", PROV + "endedAtTime", "?end"),
+        ("?start", "spark:datatype", XSD_DT),
+        ("?end", "spark:datatype", XSD_DT),
+        ("?act", PROV + "qualifiedUsage", "?usage"),
+        ("?usage", RDF_TYPE, PROV + "Usage"),
+        ("?usage", PROV + "Entity", "?csv"),
+        ("?usage", PROV + "hadRole", CSVW + "csvEncodedTabularData"),
+    ]
+    assert ask(t, prov_ask)
+    # and the negative: no usage carries a bogus role
+    assert not ask(t, prov_ask[:-1] + [
+        ("?usage", PROV + "hadRole", CSVW + "noSuchRole")])
+
+
 def test_validation_mode_errors_df(spark, tmp_path):
     """Data-level validate mode: cell errors as a DataFrame
     (reference: validate! + Cell#errors)."""

@@ -99,6 +99,16 @@ def test_query_job_bgp_and_path(spark, tmp_path):
         "--minus", "?s <http://schema.org/containsPlace> ?p"])
     assert res_minus["n_rows"] < res["n_rows"] or res_minus["n_rows"] == 0
 
+    # ASK: early-out boolean
+    res_ask = query_main([
+        "--store", out_root, "--ask",
+        "--bgp", "?s <http://schema.org/name> ?n"])
+    assert res_ask == {"ask": True}
+    res_ask2 = query_main([
+        "--store", out_root, "--ask",
+        "--bgp", "?s <http://schema.org/noSuchPred> ?n"])
+    assert res_ask2 == {"ask": False}
+
     # property path: name|containsPlace endpoints, written to parquet
     out = str(tmp_path / "res")
     res_path = query_main([
