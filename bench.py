@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "text_pii_scrub",
     "pack_sequences",
     "corpus_curated",
+    "kg_bgp_star",
+    "graph_closure_ancestors",
 ]
 
 

@@ -1671,7 +1671,7 @@ def _kg_bgp_star(spark, sf_dir):
     The oracle SQL is emitted from the SAME join plan (bgp_sql) — one
     source of truth, two engines."""
     from .operators.bgp import bgp_match
-    return bgp_match(_kg_microdata_triples(spark, sf_dir),
+    return bgp_match(_kg_microdata_triples(spark, sf_dir).persist(),
                      _BGP_STAR_PATTERNS)
 
 
@@ -1784,7 +1784,10 @@ def _kg_sparse_graph(spark, sf_dir):
                  F.lit("#item")).alias("subj"),
         F.lit(_WORDCOUNT_PRED).alias("pred"),
         F.col("n_chars").cast("string").alias("obj"))
-    return _kg_microdata_triples(spark, sf_dir).unionByName(wc)
+    # persist: every BGP pattern leg scans this relation — without it each
+    # leg re-runs the Arrow extraction kernel (materialized stores don't
+    # have this problem; unmaterialized extraction DAGs do)
+    return _kg_microdata_triples(spark, sf_dir).unionByName(wc).persist()
 
 
 def _kg_bgp_optional(spark, sf_dir):
@@ -1803,7 +1806,7 @@ def _kg_bgp_filter(spark, sf_dir):
     filter lands post-join but Catalyst pushes it into the pattern scans
     (audited in test_plans)."""
     from .operators.bgp import bgp_match
-    return bgp_match(_kg_microdata_triples(spark, sf_dir),
+    return bgp_match(_kg_microdata_triples(spark, sf_dir).persist(),
                      _BGP_FILTER_PATTERNS, filters=_BGP_FILTER_EXPRS)
 
 
@@ -1842,7 +1845,8 @@ def _kg_bgp_agg(spark, sf_dir):
     the binding relation — map-side partial counts, vocabulary-sized
     output): docs per language with the lexical-min name."""
     from .operators.bgp import bgp_match
-    b = bgp_match(_kg_microdata_triples(spark, sf_dir), _BGP_STAR_PATTERNS)
+    b = bgp_match(_kg_microdata_triples(spark, sf_dir).persist(),
+                  _BGP_STAR_PATTERNS)
     return b.groupBy("lang").agg(F.count("*").alias("n_docs"),
                                  F.min("name").alias("first_name"))
 
