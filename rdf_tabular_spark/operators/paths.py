@@ -32,8 +32,10 @@ Grammar (whitespace-insensitive)::
     seq  := unary ('/' unary)*
     unary:= '^' unary | postfix
     postfix := primary '+'?
-    primary := '(' alt ')' | IRI-atom (any run of chars except /|^+() and
-               whitespace)
+    primary := '(' alt ')' | '!' negset | atom
+    negset  := atom | '(' atom ('|' atom)* ')'
+    atom    := '<' any-chars '>' | bare token (any run of chars except
+               /|^+()! and whitespace)
 """
 
 from __future__ import annotations
@@ -51,6 +53,15 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Atom:
     pred: str
+
+
+@dataclass(frozen=True)
+class NegSet:
+    """SPARQL negated property set ``!(p1|p2|...)`` — any predicate NOT in
+    the set (forward direction only; SPARQL's ^-inside-! form is not
+    offered). Note this is the one path form that cannot push a positive
+    predicate filter to the scan — it reads every predicate bucket."""
+    preds: tuple
 
 
 @dataclass(frozen=True)
@@ -75,7 +86,7 @@ class Plus:
     child: object
 
 
-_SPECIAL = set("/|^+()")
+_SPECIAL = set("/|^+()!")
 
 
 class _Parser:
@@ -133,13 +144,8 @@ class _Parser:
             node = Plus(node)
         return node
 
-    def _primary(self):
-        if self._peek() == "(":
-            self._eat("(")
-            node = self._alt()
-            self._eat(")")
-            return node
-        if self._peek() == "<":      # SPARQL <IRI> atom — '/' etc. literal
+    def _atom(self) -> Atom:
+        if self._peek() == "<":
             self.pos += 1
             end = self.text.find(">", self.pos)
             if end < 0:
@@ -161,6 +167,25 @@ class _Parser:
                 f"{self.text!r}")
         return Atom(self.text[start:self.pos])
 
+    def _primary(self):
+        if self._peek() == "!":
+            self._eat("!")
+            if self._peek() == "(":
+                self._eat("(")
+                preds = [self._atom().pred]
+                while self._peek() == "|":
+                    self._eat("|")
+                    preds.append(self._atom().pred)
+                self._eat(")")
+                return NegSet(tuple(preds))
+            return NegSet((self._atom().pred,))
+        if self._peek() == "(":
+            self._eat("(")
+            node = self._alt()
+            self._eat(")")
+            return node
+        return self._atom()
+
 
 def parse_path(text: str):
     """Path expression string → AST (see module grammar)."""
@@ -174,6 +199,10 @@ def parse_path(text: str):
 def _compile_df(node, triples: DataFrame) -> DataFrame:
     if isinstance(node, Atom):
         return (triples.filter(F.col("pred") == F.lit(node.pred))
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")))
+    if isinstance(node, NegSet):
+        return (triples.filter(~F.col("pred").isin(list(node.preds)))
                 .select(F.col("subj").alias("src"),
                         F.col("obj").alias("dst")))
     if isinstance(node, Inv):
@@ -213,6 +242,10 @@ def _compile_sql(node, ctes: list[str], counter: list[int]) -> str:
     if isinstance(node, Atom):
         ctes.append(f"{name} as (select subj as src, obj as dst from t "
                     f"where pred = '{node.pred}')")
+    elif isinstance(node, NegSet):
+        in_list = ", ".join(f"'{p}'" for p in node.preds)
+        ctes.append(f"{name} as (select subj as src, obj as dst from t "
+                    f"where pred not in ({in_list}))")
     elif isinstance(node, Inv):
         c = _compile_sql(node.child, ctes, counter)
         ctes.append(f"{name} as (select dst as src, src as dst from {c})")

@@ -16,7 +16,11 @@ from rdf_tabular_spark.operators import paths as P
 
 _PREDS = ["p", "q", "r"]
 
-_atoms = st.sampled_from(_PREDS).map(P.Atom)
+_atoms = st.one_of(
+    st.sampled_from(_PREDS).map(P.Atom),
+    st.lists(st.sampled_from(_PREDS), min_size=1, max_size=2, unique=True)
+      .map(lambda ps: P.NegSet(tuple(ps))),
+)
 
 
 def _extend(children):
@@ -36,6 +40,8 @@ def _unparse(node) -> str:
     parse(unparse(x)) == x regardless of precedence)."""
     if isinstance(node, P.Atom):
         return node.pred
+    if isinstance(node, P.NegSet):
+        return "!(" + "|".join(node.preds) + ")"
     if isinstance(node, P.Inv):
         return f"^({_unparse(node.child)})"
     if isinstance(node, P.Plus):
@@ -56,6 +62,8 @@ def _ref_eval(node, edges: list[tuple[str, str, str]]) -> Counter:
     """SPARQL §9.1 reference: bag for atom/^///|, set for +."""
     if isinstance(node, P.Atom):
         return Counter((s, o) for s, p, o in edges if p == node.pred)
+    if isinstance(node, P.NegSet):
+        return Counter((s, o) for s, p, o in edges if p not in node.preds)
     if isinstance(node, P.Inv):
         return Counter((d, s) for (s, d), n in
                        _ref_eval(node.child, edges).items()

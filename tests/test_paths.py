@@ -103,3 +103,23 @@ def test_sql_emitter_matches_dataframe(spark, path):
         map(tuple, P.path_match(_triples(spark, rows), path).collect()))
     ddb_out = sorted(duckdb.sql(P.path_sql(_values_sql(rows), path)).fetchall())
     assert spark_out == ddb_out
+
+
+def test_negated_property_set(spark):
+    rows = [("a", "p", "b"), ("a", "q", "c"), ("a", "r", "d")]
+    out = {tuple(r) for r in P.path_match(
+        _triples(spark, rows), "!(p|q)").collect()}
+    assert out == {("a", "d")}
+    # single-predicate form, composed with sequence
+    out2 = {tuple(r) for r in P.path_match(
+        _triples(spark, rows + [("b", "r", "e")]), "!q/r").collect()}
+    assert out2 == {("a", "e")}
+
+
+def test_negset_sql_parity():
+    import duckdb
+    rows = [("a", "p", "b"), ("a", "q", "c"), ("b", "r", "a")]
+    sql = P.path_sql(_values_sql(rows), "(!p)+")
+    out = sorted(duckdb.sql(sql).fetchall())
+    # non-p edges: a-q->c, b-r->a; closure adds b->c
+    assert out == [("a", "c"), ("b", "a"), ("b", "c")]
