@@ -41,6 +41,12 @@ Pattern = tuple[str, str, str]
 _POS = ("subj", "pred", "obj")
 
 
+def _sq(term: str) -> str:
+    """SQL string literal for a constant term (single quotes doubled — the
+    one escape ANSI, DuckDB, and Spark SQL all share)."""
+    return "'" + term.replace("'", "''") + "'"
+
+
 def _is_var(term: str) -> bool:
     return term.startswith("?")
 
@@ -214,7 +220,7 @@ def _group_ctes(patterns: Sequence[Pattern], prefix: str) -> list[str]:
                     first_pos[var] = pos
                     sel.append(f"{pos} as {var}")
             else:
-                conds.append(f"{pos} = '{term}'")
+                conds.append(f"{pos} = {_sq(term)}")
         where = (" where " + " and ".join(conds)) if conds else ""
         subqs.append(
             f"{prefix}{qi} as (select {', '.join(sel)} from t{where})")
@@ -390,7 +396,7 @@ def construct_sql(triples_sql: str, patterns: Sequence[Pattern],
                 cols.append(f"{t[1:]} as {pos}")
                 conds.append(f"{t[1:]} is not null")
             else:
-                cols.append(f"'{t}' as {pos}")
+                cols.append(f"{_sq(t)} as {pos}")
         where = (" where " + " and ".join(conds)) if conds else ""
         selects.append(f"select {', '.join(cols)} from b{where}")
     body = "\nunion all\n".join(selects)

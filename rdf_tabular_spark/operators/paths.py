@@ -45,6 +45,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .bgp import _sq
+
 
 # ---------------------------------------------------------------------------
 # AST + parser
@@ -241,9 +243,9 @@ def _compile_sql(node, ctes: list[str], counter: list[int]) -> str:
     counter[0] += 1
     if isinstance(node, Atom):
         ctes.append(f"{name} as (select subj as src, obj as dst from t "
-                    f"where pred = '{node.pred}')")
+                    f"where pred = {_sq(node.pred)})")
     elif isinstance(node, NegSet):
-        in_list = ", ".join(f"'{p}'" for p in node.preds)
+        in_list = ", ".join(_sq(p) for p in node.preds)
         ctes.append(f"{name} as (select subj as src, obj as dst from t "
                     f"where pred not in ({in_list}))")
     elif isinstance(node, Inv):

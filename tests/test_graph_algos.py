@@ -321,3 +321,17 @@ def test_closure_doubling_deep_chain_few_rounds(spark):
                               "src string, dst string")
     out = G.transitive_closure_doubling(e, max_iter=6)
     assert out.count() == 40 * 41 // 2
+
+
+def test_bgp_sql_escapes_quoted_constants(spark):
+    """A constant term containing a single quote must survive both
+    emitters (SQL literals are doubled-quote escaped)."""
+    import duckdb
+    rows = [("s", "p", "O'Brien"), ("s2", "p", "other")]
+    pats = [("?x", "p", "O'Brien")]
+    spark_out = [tuple(r) for r in B.bgp_match(
+        _triples(spark, rows), pats).collect()]
+    tsql = ("select * from (values ('s', 'p', 'O''Brien'), "
+            "('s2', 'p', 'other')) v(subj, pred, obj)")
+    ddb_out = duckdb.sql(B.bgp_sql(tsql, pats)).fetchall()
+    assert spark_out == ddb_out == [("s",)]
