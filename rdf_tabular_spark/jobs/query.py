@@ -13,6 +13,9 @@ store queries it from the same cluster tooling:
         [--as-of 2024-06-01T00:00:00] [--out s3://results/q1] [--show N]
 
     ... --path 'mentions/<http://schema.org/name>' ...   # property path
+    ... --bgp '...' --construct '?s <voc#label> ?n' \
+        --derive-batch-id rule-2024-06-01 --rule-id name-label   # CONSTRUCT
+        # without --derive-batch-id the derived triples go to --out/stdout
 
 Pattern syntax: triple patterns separated by ' . ' (SPARQL group shape);
 terms are '?var', '<IRI>' (angle brackets stripped), or a bare token.
@@ -63,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ask", action="store_true",
                    help="SPARQL ASK: print {\"ask\": true|false} instead "
                         "of bindings (early-out, no full evaluation)")
+    p.add_argument("--construct", default=None, metavar="TEMPLATE",
+                   help="CONSTRUCT template patterns (' . '-separated); "
+                        "with --derive-batch-id the derived triples commit "
+                        "back into the store as a rule batch")
+    p.add_argument("--derive-batch-id", default=None)
+    p.add_argument("--rule-id", default="construct")
     p.add_argument("--as-of", default=None,
                    help="time-travel: batches committed at or before this "
                         "ISO-8601 instant")
@@ -90,7 +99,30 @@ def main(argv: list[str] | None = None) -> dict:
                                                      snapshots_as_of)
 
     batches = snapshots_as_of(args.store, args.as_of) if args.as_of else None
-    if args.bgp:
+    if args.construct:
+        if not args.bgp:
+            raise SystemExit("--construct requires --bgp WHERE patterns")
+        from rdf_tabular_spark.sinks.graph_store import derive_batch
+        if args.derive_batch_id:
+            manifest = derive_batch(
+                spark, args.store, parse_patterns(args.bgp),
+                parse_patterns(args.construct), args.derive_batch_id,
+                rule_id=args.rule_id, batches=batches,
+                optionals=[parse_patterns(t) for t in args.optional],
+                minus=[parse_patterns(t) for t in args.minus],
+                filters=args.filter)
+            print(json.dumps(manifest))
+            return manifest
+        from rdf_tabular_spark.operators.bgp import construct
+        triples3 = read_graph(spark, args.store, batches=batches) \
+            .select("subj", "pred", "obj")
+        result = construct(
+            triples3, parse_patterns(args.bgp),
+            parse_patterns(args.construct),
+            optionals=[parse_patterns(t) for t in args.optional],
+            minus=[parse_patterns(t) for t in args.minus],
+            filters=args.filter)
+    elif args.bgp:
         result = bgp_match_store(
             spark, args.store, parse_patterns(args.bgp),
             batches=batches,

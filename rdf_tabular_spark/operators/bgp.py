@@ -346,7 +346,9 @@ def construct(triples: DataFrame, patterns: Sequence[Pattern],
               template: Sequence[Pattern],
               broadcast_patterns: Sequence[int] = (),
               optionals: Sequence[Sequence[Pattern]] = (),
-              filters: Sequence[str] = ()) -> DataFrame:
+              minus: Sequence[Sequence[Pattern]] = (),
+              filters: Sequence[str] = (),
+              scan=None) -> DataFrame:
     """SPARQL ``CONSTRUCT``: instantiate ``template`` triple patterns once
     per WHERE-clause binding — the rule-based derivation primitive (e.g.
     rdfs:subClassOf materialization, vocabulary mapping, edge reversal).
@@ -362,7 +364,8 @@ def construct(triples: DataFrame, patterns: Sequence[Pattern],
     instead of collecting."""
     bindings = bgp_match(triples, patterns,
                          broadcast_patterns=broadcast_patterns,
-                         optionals=optionals, filters=filters)
+                         optionals=optionals, minus=minus,
+                         filters=filters, scan=scan)
     parts = []
     for s, p, o in template:
         cols = [F.col(t[1:]) if _is_var(t) else F.lit(t) for t in (s, p, o)]
@@ -381,12 +384,13 @@ def construct(triples: DataFrame, patterns: Sequence[Pattern],
 def construct_sql(triples_sql: str, patterns: Sequence[Pattern],
                   template: Sequence[Pattern],
                   optionals: Sequence[Sequence[Pattern]] = (),
+                  minus: Sequence[Sequence[Pattern]] = (),
                   filters: Sequence[str] = ()) -> str:
     """``construct`` as SQL (DuckDB oracle): the bgp_sql binding query as a
     CTE, one SELECT per template pattern with NULL-binding rows filtered,
     UNION (set semantics) across patterns."""
     inner = bgp_sql(triples_sql, patterns, optionals=optionals,
-                    filters=filters)
+                    minus=minus, filters=filters)
     selects = []
     for s, p, o in template:
         cols = []

@@ -246,6 +246,50 @@ def bgp_match_store(spark: SparkSession, root: str, patterns,
     return bgp_match(full, patterns, scan=scan, **kwargs)
 
 
+def derive_batch(spark: SparkSession, root: str, patterns,
+                 template, batch_id: str,
+                 rule_id: str = "construct",
+                 batches: Optional[list[str]] = None,
+                 pred_buckets: int = DEFAULT_PRED_BUCKETS,
+                 **bgp_kwargs) -> dict:
+    """Rule materialization: run a SPARQL CONSTRUCT against the store
+    (WHERE legs partition-pruned via :func:`bgp_match_store`) and commit
+    the derived triples as a NEW batch whose manifest lineage names the
+    rule — inferred triples stay distinguishable from extracted ones, can
+    be time-traveled around, and are expired by recomputing the rule
+    rather than re-crawling. Idempotent per ``batch_id`` like any other
+    materialize. Template constants are typed by shape (``http(s)://`` or
+    ``_:`` objects are IRIs/bnodes, everything else a plain literal) —
+    rules needing datatyped literals belong in the extraction mapping,
+    not here."""
+    from ..operators.bgp import bgp_match, construct
+    bindings_graph = read_graph(spark, root, batches=batches) \
+        .select("subj", "pred", "obj")
+
+    def scan(pattern: tuple) -> DataFrame:
+        pred = pattern[1]
+        if not pred.startswith("?"):
+            return read_predicate(spark, root, pred, batches=batches,
+                                  pred_buckets=pred_buckets)
+        return bindings_graph
+
+    derived = construct(bindings_graph, patterns, template,
+                        scan=scan, **bgp_kwargs)
+    full = derived.select(
+        "subj", "pred", "obj",
+        F.col("obj").rlike("^(https?://|_:)").alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(f"rule:{rule_id}").alias("table_url"),
+        F.lit(0).cast("long").alias("source_num"))
+    return materialize(full, root, batch_id,
+                       lineage={"source": "rule", "rule_id": rule_id,
+                                "patterns": [list(p) for p in patterns],
+                                "template": [list(t) for t in template],
+                                "input_batches": batches},
+                       pred_buckets=pred_buckets)
+
+
 def write_canonical_map_version(mapping: DataFrame, root: str,
                                 batch_id: str) -> str:
     """Write one version of the global subject-canonicalization map WITHOUT

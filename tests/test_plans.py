@@ -359,3 +359,39 @@ def test_bgp_match_store_prunes_per_pattern(spark, tmp_path):
         pats).collect()))
     assert sorted(map(tuple, df.collect())) == expected
     assert len(expected) == 50
+
+
+def test_derive_batch_rule_materialization(spark, tmp_path):
+    """CONSTRUCT → store round trip: the derived batch commits with rule
+    lineage, is idempotent, and its triples answer subsequent BGPs
+    together with the extracted ones."""
+    from rdf_tabular_spark.operators.bgp import ask
+    from rdf_tabular_spark.sinks.graph_store import (derive_batch,
+                                                     materialize,
+                                                     read_graph)
+    from rdf_tabular_spark.sources.pages import pages_from_documents
+    from rdf_tabular_spark.web import microdata_to_triples
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    triples = microdata_to_triples(pages_from_documents(docs))
+    root = str(tmp_path / "store")
+    materialize(triples, root, "b1")
+
+    NAME = "http://schema.org/name"
+    m = derive_batch(
+        spark, root,
+        patterns=[("?s", NAME, "?n")],
+        template=[("?s", "http://example.org/voc#label", "?n")],
+        batch_id="rule1", rule_id="name-to-label")
+    assert m["status"] == "committed" and m["n_triples"] == 30
+    assert m["lineage"]["source"] == "rule"
+    assert m["lineage"]["rule_id"] == "name-to-label"
+    # idempotent resubmission
+    m2 = derive_batch(spark, root, patterns=[("?s", NAME, "?n")],
+                      template=[("?s", "http://example.org/voc#label", "?n")],
+                      batch_id="rule1")
+    assert m2["n_triples"] == 30
+    # derived triples live in the same graph and answer queries
+    g = read_graph(spark, root).select("subj", "pred", "obj")
+    assert g.count() == triples.count() + 30
+    assert ask(g, [("?s", "http://example.org/voc#label", "?n"),
+                   ("?s", NAME, "?n")])

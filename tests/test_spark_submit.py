@@ -109,6 +109,19 @@ def test_query_job_bgp_and_path(spark, tmp_path):
         "--bgp", "?s <http://schema.org/noSuchPred> ?n"])
     assert res_ask2 == {"ask": False}
 
+    # CONSTRUCT --derive-batch-id: rule batch lands in the store
+    res_rule = query_main([
+        "--store", out_root,
+        "--bgp", "?s <http://schema.org/name> ?n",
+        "--construct", "?s <http://example.org/voc#label> ?n",
+        "--derive-batch-id", "r1", "--rule-id", "name-label"])
+    assert res_rule["status"] == "committed"
+    assert res_rule["lineage"]["rule_id"] == "name-label"
+    res_after = query_main([
+        "--store", out_root, "--ask",
+        "--bgp", "?s <http://example.org/voc#label> ?n"])
+    assert res_after == {"ask": True}
+
     # property path: name|containsPlace endpoints, written to parquet
     out = str(tmp_path / "res")
     res_path = query_main([
