@@ -61,17 +61,35 @@ def _vars(pattern: Pattern) -> list[str]:
     return out
 
 
-def plan_bgp(patterns: Sequence[Pattern]) -> list[int]:
+def plan_bgp(patterns: Sequence[Pattern],
+             pred_counts: dict | None = None) -> list[int]:
     """Join order as indices into ``patterns``: start from the pattern with
     the most constants (most selective under the classic bound-term
     heuristic), then repeatedly pick the most-constant pattern that shares
     at least one variable with the already-joined set. Raises ValueError if
-    the BGP is disconnected (the join would be a cartesian product)."""
+    the BGP is disconnected (the join would be a cartesian product).
+
+    ``pred_counts`` upgrades the bound-term heuristic to STATISTICS-DRIVEN
+    ordering: a ``{predicate: triple_count}`` map (vocabulary-sized —
+    operators/graph.predicate_stats collects it in one pass) breaks ties
+    among equally-bound patterns by ascending cardinality, so a
+    10-row-predicate leg anchors the join tree before a 10^9-row one.
+    Join order never changes results (the operators are joins/filters),
+    so the stats-free oracle plan stays a valid cross-check."""
     if not patterns:
         raise ValueError("empty BGP")
     n_const = [sum(0 if _is_var(t) else 1 for t in p) for p in patterns]
-    order = [max(range(len(patterns)),
-                 key=lambda i: (n_const[i], -i))]
+
+    def card(i: int) -> int:
+        if pred_counts is None:
+            return 0
+        pred = patterns[i][1]
+        if _is_var(pred):
+            return sum(pred_counts.values())     # unbound pred = full graph
+        return pred_counts.get(pred, 0)
+
+    key = (lambda i: (n_const[i], -card(i), -i))
+    order = [max(range(len(patterns)), key=key)]
     bound = set(_vars(patterns[order[0]]))
     remaining = [i for i in range(len(patterns)) if i != order[0]]
     while remaining:
@@ -80,7 +98,7 @@ def plan_bgp(patterns: Sequence[Pattern]) -> list[int]:
             raise ValueError(
                 f"disconnected BGP: patterns {remaining} share no variable "
                 f"with the joined set {sorted(bound)} (cartesian product)")
-        nxt = max(connected, key=lambda i: (n_const[i], -i))
+        nxt = max(connected, key=key)
         order.append(nxt)
         bound |= set(_vars(patterns[nxt]))
         remaining.remove(nxt)
@@ -115,13 +133,13 @@ def _group_vars(patterns: Sequence[Pattern]) -> list[str]:
 
 def _join_group(triples: DataFrame, patterns: Sequence[Pattern],
                 broadcast_patterns: Sequence[int],
-                scan=None) -> DataFrame:
+                scan=None, pred_counts: dict | None = None) -> DataFrame:
     """Inner-join compilation of one BGP group (the body of bgp_match
     before OPTIONAL/FILTER extensions). ``scan(pattern) -> DataFrame``
     overrides the triples relation per pattern — the hook graph-store
     reads use to substitute a partition-pruned scan for constant-predicate
     patterns (sinks/graph_store.bgp_match_store)."""
-    order = plan_bgp(patterns)
+    order = plan_bgp(patterns, pred_counts=pred_counts)
     result: DataFrame | None = None
     bound: set[str] = set()
     for idx in order:
@@ -144,7 +162,7 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
               minus: Sequence[Sequence[Pattern]] = (),
               filters: Sequence[str] = (),
               distinct: bool = False,
-              scan=None) -> DataFrame:
+              scan=None, pred_counts: dict | None = None) -> DataFrame:
     """Match a BGP against the triples DataFrame; returns one column per
     variable (bag semantics, like SPARQL SELECT without DISTINCT unless
     ``distinct``). ``broadcast_patterns`` lists original pattern indices
@@ -172,11 +190,13 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
     patterns (a disjoint-domain MINUS removes nothing in SPARQL;
     rejected here as almost-certainly a mistake). Applied after
     OPTIONAL, before FILTER — both engines identically."""
-    result = _join_group(triples, patterns, broadcast_patterns, scan=scan)
+    result = _join_group(triples, patterns, broadcast_patterns, scan=scan,
+                         pred_counts=pred_counts)
     bound = set(_group_vars(patterns))
     out_vars = _group_vars(patterns)
     for group in optionals:
-        gdf = _join_group(triples, group, (), scan=scan)
+        gdf = _join_group(triples, group, (), scan=scan,
+                          pred_counts=pred_counts)
         gvars = _group_vars(group)
         shared = sorted(bound & set(gvars))
         if not shared:
@@ -187,7 +207,8 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
         bound |= set(gvars)
         out_vars += [v for v in gvars if v not in out_vars]
     for group in minus:
-        gdf = _join_group(triples, group, (), scan=scan)
+        gdf = _join_group(triples, group, (), scan=scan,
+                          pred_counts=pred_counts)
         gvars = _group_vars(group)
         shared = sorted(bound & set(gvars))
         if not shared:

@@ -219,6 +219,17 @@ def read_predicate(spark: SparkSession, root: str, pred: str,
             .filter(F.col("pred") == pred)
 
 
+def predicate_counts(spark: SparkSession, root: str,
+                     batches: Optional[list[str]] = None) -> dict:
+    """One-pass {pred: triple_count} over the live store — vocabulary-
+    sized, safe to collect; feed to bgp_match_store(pred_counts=...) for
+    statistics-driven join ordering. At 10^12 triples compute it once per
+    compaction epoch and cache; the scan reads only the pred column."""
+    g = read_graph(spark, root, batches=batches)
+    return {r["pred"]: r["n"] for r in
+            g.groupBy("pred").agg(F.count("*").alias("n")).collect()}
+
+
 def bgp_match_store(spark: SparkSession, root: str, patterns,
                     batches: Optional[list[str]] = None,
                     pred_buckets: int = DEFAULT_PRED_BUCKETS,

@@ -335,3 +335,25 @@ def test_bgp_sql_escapes_quoted_constants(spark):
             "('s2', 'p', 'other')) v(subj, pred, obj)")
     ddb_out = duckdb.sql(B.bgp_sql(tsql, pats)).fetchall()
     assert spark_out == ddb_out == [("s",)]
+
+
+def test_plan_bgp_statistics_driven_ordering():
+    """With predicate cardinalities the planner anchors the join tree on
+    the smallest leg; without them it falls back to bound-term + index."""
+    pats = [("?x", "big", "?y"), ("?x", "small", "?z")]
+    assert B.plan_bgp(pats) == [0, 1]
+    assert B.plan_bgp(pats, pred_counts={"big": 1_000_000, "small": 10}) \
+        == [1, 0]
+    # an unbound-predicate leg estimates as the whole graph -> last
+    pats2 = [("?x", "?p", "?y"), ("?x", "small", "?z")]
+    assert B.plan_bgp(pats2, pred_counts={"small": 10})[0] == 1
+
+
+def test_bgp_match_pred_counts_same_results(spark):
+    rows = [("a", "big", "b"), ("a", "small", "c"), ("b", "small", "a")]
+    pats = [("?x", "big", "?y"), ("?x", "small", "?z")]
+    t = _triples(spark, rows)
+    plain = sorted(map(tuple, B.bgp_match(t, pats).collect()))
+    stats = sorted(map(tuple, B.bgp_match(
+        t, pats, pred_counts={"big": 9, "small": 1}).collect()))
+    assert plain == stats == [("a", "b", "c")]

@@ -395,3 +395,15 @@ def test_derive_batch_rule_materialization(spark, tmp_path):
     assert g.count() == triples.count() + 30
     assert ask(g, [("?s", "http://example.org/voc#label", "?n"),
                    ("?s", NAME, "?n")])
+    # statistics-driven planning end-to-end: counts include the rule batch
+    # and feed the join order without changing results
+    from rdf_tabular_spark.sinks.graph_store import (bgp_match_store,
+                                                     predicate_counts)
+    pc = predicate_counts(spark, root)
+    assert pc["http://example.org/voc#label"] == 30
+    pats = [("?s", NAME, "?n"),
+            ("?s", "http://example.org/voc#label", "?n")]
+    with_stats = sorted(map(tuple, bgp_match_store(
+        spark, root, pats, pred_counts=pc).collect()))
+    without = sorted(map(tuple, bgp_match_store(spark, root, pats).collect()))
+    assert with_stats == without and len(with_stats) == 30
