@@ -194,14 +194,21 @@ def hyperplane_signs(vec: Column, dim: int, n_planes: int = 16) -> Column:
     2^31 - 1 ∈ [-1, 1) — a seeded integer-hash plane, reproducible in SQL.
     sign bit p = (dot(vec, plane_p) >= 0).
     """
+    # One aggregate/zip_with fold per plane, NOT dim*n_planes explicit sum
+    # terms: the expanded expression blows janino's 64KB codegen method
+    # limit (Spark logs "Failed to compile" and silently falls back to
+    # interpreted eval — 5-20x slower at scale). The fold adds with the
+    # same left association (init 0.0 + t0 == t0 in IEEE except -0.0,
+    # which the >= 0 sign test treats identically), so signatures stay
+    # bit-equal to the oracle's explicit-sum SQL.
     out = F.lit(0).cast("long")
     for p in range(n_planes):
-        terms = None
-        for i in range(dim):
-            w = float(((p * dim + i) * 2654435761) % (1 << 32)) / float(1 << 31) - 1.0
-            t = F.element_at(vec, i + 1) * F.lit(w)
-            terms = t if terms is None else terms + t
-        out = out + (terms >= 0).cast("long") * F.lit(1 << p)
+        ws = [float(((p * dim + i) * 2654435761) % (1 << 32))
+              / float(1 << 31) - 1.0 for i in range(dim)]
+        plane = F.array(*[F.lit(w) for w in ws])
+        dot = F.aggregate(F.zip_with(vec, plane, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        out = out + (dot >= 0).cast("long") * F.lit(1 << p)
     return out
 
 
