@@ -220,6 +220,55 @@ def transitive_closure_doubling(edges: DataFrame,
     return paths
 
 
+def describe(triples: DataFrame, seeds: DataFrame,
+             max_depth: int = 32) -> DataFrame:
+    """SPARQL ``DESCRIBE`` as Concise Bounded Description (CBD, the
+    de-facto standard answer shape): every triple whose subject is a seed,
+    plus — recursively — the triples of blank-node objects reached from
+    described triples (bnodes have no global identity, so their subtree IS
+    part of the description; IRI objects are boundaries). ``seeds`` is a
+    one-column DataFrame of subject terms.
+
+    Spark shape: semi-naive frontier expansion — each round joins the NEW
+    bnode frontier against the triples (subject-bucketed stores co-locate
+    this join), localCheckpointed like transitive_closure. Depth =
+    longest bnode chain (CSVW emits depth ≤ 2: row bnode → list bnode),
+    so rounds stay single-digit on real mappings."""
+    node_col = seeds.columns[0]
+    visited = (seeds.select(F.col(node_col).alias("node")).distinct()
+               .localCheckpoint())
+    frontier = visited
+    out: DataFrame | None = None
+    for _ in range(max_depth):
+        step = (triples.join(frontier,
+                             triples["subj"] == frontier["node"])
+                .select("subj", "pred", "obj").localCheckpoint())
+        out = step if out is None else out.unionByName(step)
+        new = (step.filter(F.col("obj").startswith("_:"))
+               .select(F.col("obj").alias("node")).distinct()
+               .join(visited, "node", "left_anti").localCheckpoint())
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new).localCheckpoint()
+        frontier = new
+    return out
+
+
+def describe_sql(triples_sql: str, seeds_sql: str) -> str:
+    """``describe`` as SQL (DuckDB oracle): recursive CTE over the
+    bnode-object reachability, then a semijoin back to the triples."""
+    return f"""
+with recursive t as ({triples_sql}),
+seeds as ({seeds_sql}),
+reach as (
+  select node from seeds
+  union
+  select t.obj as node from reach r join t on t.subj = r.node
+  where t.obj like '_:%')
+select t.subj, t.pred, t.obj from t join reach on t.subj = reach.node
+"""
+
+
 def closure_sql(edges_sql: str) -> str:
     """Transitive closure as a recursive CTE (DuckDB oracle) — UNION
     (not UNION ALL) mirrors the operator's distinct/anti-join dedup."""

@@ -1829,6 +1829,54 @@ def _kg_bgp_union(spark, sf_dir):
                            _BGP_UNION_BRANCHES)
 
 
+# DESCRIBE (CBD): two-level blank-node stats graph — doc → _:stats →
+# _:detail — so the bounded description genuinely iterates (depth 2),
+# exactly the shape CSVW row/list bnodes produce.
+_DESCRIBE_GRAPH_SQL = f"""
+select {DOC_URL_SQL} as subj, 'http://example.org/voc#hasStats' as pred,
+       '_:s' || doc_id as obj from documents
+union all
+select '_:s' || doc_id, 'http://example.org/voc#nChars',
+       cast(n_chars as varchar) from documents
+union all
+select '_:s' || doc_id, 'http://example.org/voc#detail',
+       '_:t' || doc_id from documents
+union all
+select '_:t' || doc_id, 'http://example.org/voc#source',
+       source from documents
+"""
+_DESCRIBE_SEEDS_SQL = (f"select {DOC_URL_SQL} as node from documents "
+                       "where lang = 'en'")
+
+
+def _kg_describe_docs(spark, sf_dir):
+    """SPARQL DESCRIBE as Concise Bounded Description
+    (operators/graph.describe): English docs' triples plus their
+    transitive blank-node subtrees (2 bnode hops); oracle = recursive
+    bnode-reachability CTE + semijoin."""
+    from .operators.graph import describe
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://pages.example.org/doc/"), F.col("doc_id"))
+    V = "http://example.org/voc#"
+    triples = (
+        docs.select(url.alias("subj"), F.lit(V + "hasStats").alias("pred"),
+                    F.concat(F.lit("_:s"), F.col("doc_id")).alias("obj"))
+        .unionByName(docs.select(
+            F.concat(F.lit("_:s"), F.col("doc_id")).alias("subj"),
+            F.lit(V + "nChars").alias("pred"),
+            F.col("n_chars").cast("string").alias("obj")))
+        .unionByName(docs.select(
+            F.concat(F.lit("_:s"), F.col("doc_id")).alias("subj"),
+            F.lit(V + "detail").alias("pred"),
+            F.concat(F.lit("_:t"), F.col("doc_id")).alias("obj")))
+        .unionByName(docs.select(
+            F.concat(F.lit("_:t"), F.col("doc_id")).alias("subj"),
+            F.lit(V + "source").alias("pred"),
+            F.col("source").alias("obj")))).persist()
+    seeds = docs.filter(F.col("lang") == "en").select(url.alias("node"))
+    return describe(triples, seeds)
+
+
 # CONSTRUCT: re-map the microdata vocabulary to a target ontology — each
 # WHERE binding instantiates the template; the OPTIONAL wordCount leg means
 # short docs drop the ex:length pattern (SPARQL §16.2 unbound-drop).
@@ -1893,7 +1941,7 @@ def _graph_path_expr(spark, sf_dir):
 
 def _graph_sql():
     from .operators.bgp import bgp_sql, bgp_union_sql, construct_sql
-    from .operators.graph import closure_sql, pagerank_sql
+    from .operators.graph import closure_sql, describe_sql, pagerank_sql
     from .operators.paths import path_sql
     return {
         "kg_bgp_star": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
@@ -1918,6 +1966,8 @@ def _graph_sql():
         "kg_construct_derived": construct_sql(
             _KG_SPARSE_GRAPH_SQL, _BGP_OPTIONAL_REQUIRED,
             _CONSTRUCT_TEMPLATE, optionals=_BGP_OPTIONAL_GROUPS),
+        "kg_describe_docs": describe_sql(_DESCRIBE_GRAPH_SQL,
+                                         _DESCRIBE_SEEDS_SQL),
         "kg_bgp_agg": (
             "select lang, count(*) as n_docs, min(name) as first_name "
             f"from ({bgp_sql(_KG_MICRODATA_TRIPLES_SQL, _BGP_STAR_PATTERNS)})"
@@ -1996,6 +2046,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_union": _kg_bgp_union,
     "kg_bgp_minus": _kg_bgp_minus,
     "kg_bgp_agg": _kg_bgp_agg,
+    "kg_describe_docs": _kg_describe_docs,
     "graph_path_expr": _graph_path_expr,
     "graph_closure_doubling": _graph_closure_doubling,
     "kg_construct_derived": _kg_construct_derived,

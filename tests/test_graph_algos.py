@@ -357,3 +357,40 @@ def test_bgp_match_pred_counts_same_results(spark):
     stats = sorted(map(tuple, B.bgp_match(
         t, pats, pred_counts={"big": 9, "small": 1}).collect()))
     assert plain == stats == [("a", "b", "c")]
+
+
+def test_describe_cbd_bnode_closure(spark):
+    """DESCRIBE must pull the seed's triples plus transitive bnode
+    subtrees, and stop at IRI boundaries."""
+    t = _triples(spark, [
+        ("http://d/1", "stats", "_:s1"),
+        ("_:s1", "n", "42"),
+        ("_:s1", "next", "_:s2"),
+        ("_:s2", "deep", "ok"),
+        ("_:s1", "link", "http://other"),     # IRI object: boundary
+        ("http://other", "secret", "x"),       # must NOT be described
+        ("http://d/2", "stats", "_:z1"),       # unseeded subject
+    ])
+    seeds = spark.createDataFrame([("http://d/1",)], "node string")
+    out = {tuple(r) for r in G.describe(t, seeds).collect()}
+    assert out == {("http://d/1", "stats", "_:s1"),
+                   ("_:s1", "n", "42"),
+                   ("_:s1", "next", "_:s2"),
+                   ("_:s2", "deep", "ok"),
+                   ("_:s1", "link", "http://other")}
+
+
+def test_describe_sql_parity(spark):
+    import duckdb
+    rows = [("http://d/1", "stats", "_:s1"), ("_:s1", "n", "42"),
+            ("http://d/2", "stats", "_:z1"), ("_:z1", "m", "7")]
+    seeds = spark.createDataFrame([("http://d/1",)], "node string")
+    spark_out = sorted(map(tuple, G.describe(
+        _triples(spark, rows), seeds).collect()))
+    values = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in rows)
+    sql = G.describe_sql(
+        f"select * from (values {values}) v(subj, pred, obj)",
+        "select 'http://d/1' as node")
+    ddb_out = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert spark_out == ddb_out == [("_:s1", "n", "42"),
+                                    ("http://d/1", "stats", "_:s1")]
