@@ -38,3 +38,15 @@ def test_two_stage_count_matches_plain_groupby(spark):
     got = {r["host"]: r["n"] for r in
            two_stage_count(pages, "host", spread_col="url").collect()}
     assert got == expect
+
+
+def test_salted_key_spreads_within_bound(spark):
+    from pyspark.sql import functions as F
+    from rdf_tabular_spark.operators.skew import salted_key
+    df = spark.createDataFrame([("h", f"u{i}") for i in range(50)],
+                               "host string, url string")
+    out = df.select(salted_key(F.col("host"), F.col("url"), salt=4)
+                    .alias("k"))
+    keys = {r["k"] for r in out.collect()}
+    assert keys <= {f"h#{i}" for i in range(4)}
+    assert len(keys) > 1        # content hash actually spreads

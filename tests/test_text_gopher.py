@@ -93,3 +93,10 @@ def test_remove_repeated_lines_below_threshold_kept(spark):
     out = {r["doc_id"]: r["clean_text"] for r in
            remove_repeated_lines(docs, min_docs=3).collect()}
     assert out[1] == "a\ntwice" and out[2] == "b\ntwice"  # only 2 docs
+
+
+def test_avg_token_len(spark):
+    from pyspark.sql import functions as F
+    from rdf_tabular_spark.operators.text import avg_token_len
+    df = spark.createDataFrame([("ab abcd",)], "t string")
+    assert df.select(avg_token_len(F.col("t"))).first()[0] == 3.0
