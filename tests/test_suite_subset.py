@@ -1,7 +1,14 @@
 """Vendored CSVW conformance-suite subset (reference: spec/suite_spec.rb:10-74
-runs the W3C suite over the network; these 63 entries are local fixtures
+runs the W3C suite over the network; these 75 entries are local fixtures
 modeled on the same entry types — ToRdf eval, ToJson eval, positive/negative
 validation — authored from the CSVW spec semantics, in tests/suite/).
+
+test064-075 (r3 cont.): hexBinary/base64Binary, string format regex
+(positive + violation), doubleQuote=false backslash escapes, table-level
+suppressOutput in a group, ordered separator lists as rdf:List chains,
+anyURI typed literals, JSON array serialization of separator columns,
+inherited-lang restriction validation, aboutUrl fan-in subjects,
+minLength violations, percent-suffixed numerics.
 
 Round-3 additions (test030+) target the previously untested corners:
 datatype minimum/maximum facets on numerics AND dates/times (positive +
