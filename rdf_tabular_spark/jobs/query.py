@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--as-of", default=None,
                    help="time-travel: batches committed at or before this "
                         "ISO-8601 instant")
+    p.add_argument("--order-by", default=None, metavar="VAR[:desc]",
+                   help="sort bindings before --limit/--show (TakeOrdered "
+                        "when combined with --limit — no full sort)")
+    p.add_argument("--limit", type=int, default=None)
     p.add_argument("--out", default=None, help="write results as parquet")
     p.add_argument("--show", type=int, default=10,
                    help="rows to sample into the JSON summary (no --out)")
@@ -141,6 +145,13 @@ def main(argv: list[str] | None = None) -> dict:
         summary = {"ask": not result.isEmpty()}
         print(json.dumps(summary))
         return summary
+    if args.order_by:
+        col, _, direction = args.order_by.partition(":")
+        from pyspark.sql import functions as F
+        result = result.orderBy(
+            F.col(col).desc() if direction == "desc" else F.col(col))
+    if args.limit is not None:
+        result = result.limit(args.limit)
     if args.out:
         result.write.mode("overwrite").parquet(args.out)
         summary = {"n_rows": spark.read.parquet(args.out).count(),

@@ -109,6 +109,15 @@ def test_query_job_bgp_and_path(spark, tmp_path):
         "--bgp", "?s <http://schema.org/noSuchPred> ?n"])
     assert res_ask2 == {"ask": False}
 
+    # ORDER BY + LIMIT: top-k bindings without a full sort
+    res_top = query_main([
+        "--store", out_root,
+        "--bgp", "?s <http://schema.org/name> ?n",
+        "--order-by", "n:desc", "--limit", "2"])
+    assert res_top["n_rows"] == 2
+    names = [r["n"] for r in res_top["sample"]]
+    assert names == sorted(names, reverse=True)
+
     # CONSTRUCT --derive-batch-id: rule batch lands in the store
     res_rule = query_main([
         "--store", out_root,
