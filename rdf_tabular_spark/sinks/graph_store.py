@@ -219,6 +219,24 @@ def read_predicate(spark: SparkSession, root: str, pred: str,
             .filter(F.col("pred") == pred)
 
 
+def write_bucketed_table(triples: DataFrame, table: str,
+                         n_buckets: int = 64) -> None:
+    """Subject co-location tier: persist (subj, pred, obj) as a Spark
+    BUCKETED table (``bucketBy(subj)`` + sorted — the warehouse-table
+    analogue of Iceberg's ``bucket(N, subj)`` partition transform). Star
+    BGPs — the dominant SPARQL shape, k patterns sharing a subject
+    variable — then self-join WITHOUT ANY EXCHANGE: every pattern leg
+    reads pre-partitioned and pre-sorted on the join key, so a k-pattern
+    star costs k pruned scans + zero shuffles (plan-audited:
+    test_plans.test_bucketed_star_bgp_no_exchange). At 10^12 triples this
+    removes the largest remaining query-time cost; the trade is a bucketed
+    rewrite per compaction epoch, which is when you'd rewrite anyway."""
+    (triples.select("subj", "pred", "obj")
+     .write.mode("overwrite")
+     .bucketBy(n_buckets, "subj").sortBy("subj")
+     .saveAsTable(table))
+
+
 def predicate_counts(spark: SparkSession, root: str,
                      batches: Optional[list[str]] = None) -> dict:
     """One-pass {pred: triple_count} over the live store — vocabulary-

@@ -407,3 +407,36 @@ def test_derive_batch_rule_materialization(spark, tmp_path):
         spark, root, pats, pred_counts=pc).collect()))
     without = sorted(map(tuple, bgp_match_store(spark, root, pats).collect()))
     assert with_stats == without and len(with_stats) == 30
+
+
+def test_bucketed_star_bgp_no_exchange(spark, tmp_path):
+    """Star BGP over the subject-bucketed table tier must plan with ZERO
+    Exchange operators — both pattern legs read pre-partitioned and
+    pre-sorted on the shared subject variable. This validates the
+    co-location claim the BGP module's scale notes make."""
+    from rdf_tabular_spark.operators.bgp import bgp_match
+    from rdf_tabular_spark.sinks.graph_store import write_bucketed_table
+    from rdf_tabular_spark.sources.pages import pages_from_documents
+    from rdf_tabular_spark.web import microdata_to_triples
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    triples = microdata_to_triples(pages_from_documents(docs))
+    write_bucketed_table(triples, "t_bgp_bucketed", n_buckets=8)
+    try:
+        b = spark.table("t_bgp_bucketed")
+        pats = [("?s", "http://schema.org/name", "?n"),
+                ("?s", "http://schema.org/inLanguage", "?l")]
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            q = bgp_match(b, pats)
+            p = plan_of(q)
+            assert "Exchange" not in p, "bucketed star BGP must not shuffle"
+            assert q.count() == 40
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # parity with the unbucketed path
+        plain = sorted(map(tuple, bgp_match(
+            triples.select("subj", "pred", "obj"), pats).collect()))
+        assert sorted(map(tuple, bgp_match(b, pats).collect())) == plain
+    finally:
+        spark.sql("drop table if exists t_bgp_bucketed")
