@@ -1,0 +1,71 @@
+"""spark-submit entry point: serialize a graph store to an RDF format.
+
+The store's parquet layout is the processing format; interchange happens
+here (reference counterpart: script/parse picks an RDF.rb writer by
+extension — rdf-tabular script/parse:16-25):
+
+    spark-submit --py-files "$ZIP" rdf_tabular_spark/jobs/export.py \\
+        --store s3://kg/graph --format nt --out s3://exports/graph-nt \\
+        [--as-of 2024-06-01T00:00:00] [--predicate <IRI>]
+
+Formats: ``nt`` (one statement per line — the bulk format), ``ttl``
+(subject-grouped Turtle — the readable one). ``--predicate`` exports one
+predicate's triples via the partition-pruned read path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="export a graph store to RDF")
+    p.add_argument("--store", required=True)
+    p.add_argument("--format", choices=("nt", "ttl"), default="nt")
+    p.add_argument("--out", required=True)
+    p.add_argument("--as-of", default=None)
+    p.add_argument("--predicate", default=None,
+                   help="export only this predicate (pruned scan)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("kg-export")
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions",
+                     str(args.shuffle_partitions))
+    spark = b.getOrCreate()
+    from rdf_tabular_spark.session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    from rdf_tabular_spark.sinks.graph_store import (read_graph,
+                                                     read_predicate,
+                                                     snapshots_as_of)
+
+    batches = snapshots_as_of(args.store, args.as_of) if args.as_of else None
+    if args.predicate:
+        g = read_predicate(spark, args.store, args.predicate,
+                           batches=batches)
+    else:
+        g = read_graph(spark, args.store, batches=batches)
+    # the store schema is a superset of the triple schema (adds
+    # support/bucket/batch columns); the sinks select what they serialize
+    if args.format == "nt":
+        from rdf_tabular_spark.sinks.ntriples import write_ntriples
+        write_ntriples(g, args.out)
+    else:
+        from rdf_tabular_spark.sinks.turtle_sink import write_turtle
+        write_turtle(g, args.out)
+    n = spark.read.text(args.out).count()
+    summary = {"out": args.out, "format": args.format, "n_lines": n}
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -139,3 +139,31 @@ def test_query_job_bgp_and_path(spark, tmp_path):
         "--out", out])
     assert res_path["n_rows"] >= res["n_rows"]
     assert spark.read.parquet(out).columns == ["src", "dst"]
+
+
+def test_export_job_formats(spark, tmp_path):
+    """jobs/export.py: store -> N-Triples and Turtle, with --predicate
+    using the pruned read path."""
+    import sys
+    sys.path.insert(0, REPO)
+    from rdf_tabular_spark.jobs.export import main as export_main
+    from rdf_tabular_spark.jobs.extract import main as extract_main
+
+    out_root = str(tmp_path / "graph")
+    extract_main(["--synth", "60", "--out", out_root, "--batch-id", "e1",
+                  "--no-canonicalize", "--shuffle-partitions", "8"])
+
+    nt = str(tmp_path / "nt")
+    res = export_main(["--store", out_root, "--format", "nt", "--out", nt])
+    assert res["n_lines"] > 0
+    line = spark.read.text(nt).first()["value"]
+    assert line.endswith(" .") and line.count(" ") >= 3
+
+    ttl = str(tmp_path / "ttl")
+    res2 = export_main(["--store", out_root, "--format", "ttl",
+                        "--out", ttl,
+                        "--predicate", "http://schema.org/name"])
+    assert 0 < res2["n_lines"] <= res["n_lines"]
+    blocks = [r["value"] for r in spark.read.text(ttl).collect()]
+    assert all("schema.org/name" in b or not b.startswith("<")
+               for b in blocks if b)
