@@ -47,8 +47,17 @@ def _sq(term: str) -> str:
     return "'" + term.replace("'", "''") + "'"
 
 
-def _is_var(term: str) -> bool:
-    return term.startswith("?")
+def _is_var(term) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _is_path(term) -> bool:
+    """A parsed property-path AST in predicate position (SPARQL allows a
+    path wherever a predicate IRI may stand). The AST — not a string — is
+    the marker, so IRIs containing path-operator characters ('/', '+')
+    are never misread."""
+    from .paths import PATH_NODE_TYPES
+    return isinstance(term, PATH_NODE_TYPES)
 
 
 def _vars(pattern: Pattern) -> list[str]:
@@ -84,8 +93,10 @@ def plan_bgp(patterns: Sequence[Pattern],
         if pred_counts is None:
             return 0
         pred = patterns[i][1]
-        if _is_var(pred):
-            return sum(pred_counts.values())     # unbound pred = full graph
+        if _is_var(pred) or _is_path(pred):
+            # unbound pred = full graph; a path's closure can likewise
+            # reach far beyond any one predicate's count — schedule late
+            return sum(pred_counts.values())
         return pred_counts.get(pred, 0)
 
     key = (lambda i: (n_const[i], -card(i), -i))
@@ -107,7 +118,25 @@ def plan_bgp(patterns: Sequence[Pattern],
 
 def _pattern_df(triples: DataFrame, pattern: Pattern) -> DataFrame:
     """One triple pattern → filter constants / same-variable equalities,
-    project variable positions to variable-named columns."""
+    project variable positions to variable-named columns. A path AST in
+    predicate position evaluates via paths.path_match and binds its
+    (src, dst) endpoints to the subject/object terms."""
+    if _is_path(pattern[1]):
+        from .paths import path_match
+        rel = path_match(triples.select("subj", "pred", "obj"), pattern[1])
+        df = rel
+        first_pos: dict[str, str] = {}
+        for pos, term in zip(("src", "dst"), (pattern[0], pattern[2])):
+            if _is_var(term):
+                var = term[1:]
+                if var in first_pos:     # (?x, path, ?x) — cycle endpoints
+                    df = df.filter(F.col(pos) == F.col(first_pos[var]))
+                else:
+                    first_pos[var] = pos
+            else:
+                df = df.filter(F.col(pos) == F.lit(term))
+        return df.select(*[F.col(pos).alias(v)
+                           for v, pos in first_pos.items()])
     df = triples
     first_pos: dict[str, str] = {}
     for pos, term in zip(_POS, pattern):
@@ -223,16 +252,42 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
     return result.distinct() if distinct else result
 
 
-def _group_ctes(patterns: Sequence[Pattern], prefix: str) -> list[str]:
+def _group_ctes(patterns: Sequence[Pattern], prefix: str,
+                triples_sql: str | None = None) -> list[str]:
     """Per-pattern scan CTEs (``{prefix}0``, ``{prefix}1``, ...) in the
-    plan_bgp join order."""
+    plan_bgp join order. A path-AST predicate nests the paths.path_sql
+    query (over ``triples_sql`` — the inner WITH shadows the outer ``t``,
+    which both engines scope innermost-first)."""
     order = plan_bgp(patterns)
     subqs: list[str] = []
     for qi, idx in enumerate(order):
-        sel: list[str] = []
-        conds: list[str] = []
-        first_pos: dict[str, str] = {}
-        for pos, term in zip(_POS, patterns[idx]):
+        pattern = patterns[idx]
+        if _is_path(pattern[1]):
+            from .paths import path_sql
+            if triples_sql is None:
+                raise ValueError(
+                    "path predicate requires the group's triples_sql")
+            inner = path_sql(triples_sql, pattern[1])
+            sel, conds = [], []
+            first_pos: dict[str, str] = {}
+            for pos, term in zip(("src", "dst"), (pattern[0], pattern[2])):
+                if _is_var(term):
+                    var = term[1:]
+                    if var in first_pos:
+                        conds.append(f"{pos} = {first_pos[var]}")
+                    else:
+                        first_pos[var] = pos
+                        sel.append(f"{pos} as {var}")
+                else:
+                    conds.append(f"{pos} = {_sq(term)}")
+            where = (" where " + " and ".join(conds)) if conds else ""
+            subqs.append(f"{prefix}{qi} as (select {', '.join(sel)} "
+                         f"from ({inner}) path_rel{where})")
+            continue
+        sel = []
+        conds = []
+        first_pos = {}
+        for pos, term in zip(_POS, pattern):
             if _is_var(term):
                 var = term[1:]
                 if var in first_pos:
@@ -270,13 +325,13 @@ def bgp_sql(triples_sql: str, patterns: Sequence[Pattern],
     becomes ``anti join``; ``filters`` are the identical expression
     strings appended as the outer WHERE (exactly where bgp_match applies
     them)."""
-    subqs = _group_ctes(patterns, "q")
+    subqs = _group_ctes(patterns, "q", triples_sql=triples_sql)
     joins = _group_join_sql(patterns, "q")
     bound = set(_group_vars(patterns))
     out_vars = _group_vars(patterns)
     for g, group in enumerate(optionals):
         gp = f"g{g}_"
-        subqs += _group_ctes(group, gp)
+        subqs += _group_ctes(group, gp, triples_sql=triples_sql)
         gvars = _group_vars(group)
         subqs.append(
             f"og{g} as (select {', '.join(gvars)} "
@@ -291,7 +346,7 @@ def bgp_sql(triples_sql: str, patterns: Sequence[Pattern],
         out_vars += [v for v in gvars if v not in out_vars]
     for g, group in enumerate(minus):
         gp = f"m{g}_"
-        subqs += _group_ctes(group, gp)
+        subqs += _group_ctes(group, gp, triples_sql=triples_sql)
         gvars = _group_vars(group)
         shared = sorted(bound & set(gvars))
         if not shared:

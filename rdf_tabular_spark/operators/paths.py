@@ -226,10 +226,12 @@ def _compile_df(node, triples: DataFrame) -> DataFrame:
     raise TypeError(f"unknown path node {node!r}")
 
 
-def path_match(triples: DataFrame, path: str) -> DataFrame:
+def path_match(triples: DataFrame, path) -> DataFrame:
     """Evaluate a property path → ``(src, dst)`` endpoint pairs (bag
-    semantics except inside ``+``, per SPARQL 1.1 §9.1)."""
-    return _compile_df(parse_path(path), triples)
+    semantics except inside ``+``, per SPARQL 1.1 §9.1). ``path`` is an
+    expression string or an already-parsed AST node."""
+    ast = parse_path(path) if isinstance(path, str) else path
+    return _compile_df(ast, triples)
 
 
 # ---------------------------------------------------------------------------
@@ -273,10 +275,16 @@ def _compile_sql(node, ctes: list[str], counter: list[int]) -> str:
     return name
 
 
-def path_sql(triples_sql: str, path: str) -> str:
+def path_sql(triples_sql: str, path) -> str:
     """``path_match`` as SQL over a triples relation — the DuckDB oracle
-    generator (same AST, second emitter)."""
+    generator (same AST, second emitter). ``path`` is a string or AST."""
+    ast = parse_path(path) if isinstance(path, str) else path
     ctes: list[str] = [f"t as ({triples_sql})"]
-    final = _compile_sql(parse_path(path), ctes, [0])
+    final = _compile_sql(ast, ctes, [0])
     return ("with recursive " + ",\n".join(ctes)
             + f"\nselect src, dst from {final}")
+
+
+# The AST node types, exported so BGP patterns can carry a parsed path in
+# predicate position (operators/bgp accepts these as pattern terms).
+PATH_NODE_TYPES = (Atom, NegSet, Inv, Seq, Alt, Plus)

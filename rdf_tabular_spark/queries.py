@@ -1939,6 +1939,46 @@ def _graph_path_expr(spark, sf_dir):
     return path_match(triples, _PATH_EXPR)
 
 
+# path-in-BGP: tree 'parent' triples + per-doc language triples on the
+# same subjects, so a path predicate and a plain pattern share variables.
+_TREE_LANG_GRAPH_SQL = f"""
+{_TREE_TRIPLES_SQL}
+union all
+select {DOC_URL_SQL} as subj, 'hasLang' as pred, lang as obj from documents
+"""
+
+
+def _tree_lang_graph(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    prefix = "http://pages.example.org/doc/"
+    edges = _doc_tree_edges(spark, sf_dir)
+    tree = edges.select(F.col("src").alias("subj"),
+                        F.lit("parent").alias("pred"),
+                        F.col("dst").alias("obj"))
+    langs = docs.select(
+        F.concat(F.lit(prefix), F.col("doc_id")).alias("subj"),
+        F.lit("hasLang").alias("pred"), F.col("lang").alias("obj"))
+    return tree.unionByName(langs).persist()
+
+
+_PATH_BGP_PATTERNS = None  # built lazily: needs the parsed path AST
+
+
+def _path_bgp_patterns():
+    from .operators.paths import parse_path
+    return [("?d", parse_path("parent+"), "?anc"),
+            ("?anc", "hasLang", "?l")]
+
+
+def _kg_bgp_path_expr(spark, sf_dir):
+    """Property path INSIDE a BGP (SPARQL path-in-predicate-position):
+    ancestors via 'parent+' joined with each ancestor's language — the
+    path AST is the pattern term, so IRIs containing '/' are never
+    misparsed (operators/bgp._is_path)."""
+    from .operators.bgp import bgp_match
+    return bgp_match(_tree_lang_graph(spark, sf_dir), _path_bgp_patterns())
+
+
 def _graph_sql():
     from .operators.bgp import bgp_sql, bgp_union_sql, construct_sql
     from .operators.graph import closure_sql, describe_sql, pagerank_sql
@@ -1962,6 +2002,8 @@ def _graph_sql():
                                        damping=0.85),
         "graph_closure_ancestors": closure_sql(_TREE_EDGES_SQL),
         "graph_closure_doubling": closure_sql(_TREE_EDGES_SQL),
+        "kg_bgp_path_expr": bgp_sql(_TREE_LANG_GRAPH_SQL,
+                                    _path_bgp_patterns()),
         "graph_path_expr": path_sql(_TREE_TRIPLES_SQL, _PATH_EXPR),
         "kg_construct_derived": construct_sql(
             _KG_SPARSE_GRAPH_SQL, _BGP_OPTIONAL_REQUIRED,
@@ -2049,6 +2091,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_describe_docs": _kg_describe_docs,
     "graph_path_expr": _graph_path_expr,
     "graph_closure_doubling": _graph_closure_doubling,
+    "kg_bgp_path_expr": _kg_bgp_path_expr,
     "kg_construct_derived": _kg_construct_derived,
     "graph_pagerank": _graph_pagerank,
     "graph_closure_ancestors": _graph_closure_ancestors,

@@ -394,3 +394,29 @@ def test_describe_sql_parity(spark):
     ddb_out = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     assert spark_out == ddb_out == [("_:s1", "n", "42"),
                                     ("http://d/1", "stats", "_:s1")]
+
+
+def test_bgp_path_predicate_parity(spark):
+    """A parsed path AST in predicate position: evaluated via path_match,
+    joined with plain patterns on shared variables — both emitters."""
+    import duckdb
+    from rdf_tabular_spark.operators.paths import parse_path
+    rows = [("a", "parent", "b"), ("b", "parent", "c"),
+            ("c", "label", "root")]
+    pats = [("?x", parse_path("parent+"), "?a"), ("?a", "label", "?l")]
+    spark_out = sorted(map(tuple, B.bgp_match(
+        _triples(spark, rows), pats).collect()))
+    values = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in rows)
+    sql = B.bgp_sql(f"select * from (values {values}) v(subj, pred, obj)",
+                    pats)
+    ddb_out = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert spark_out == ddb_out == [("a", "c", "root"), ("b", "c", "root")]
+
+
+def test_bgp_path_predicate_constant_endpoint(spark):
+    from rdf_tabular_spark.operators.paths import parse_path
+    rows = [("a", "parent", "b"), ("b", "parent", "c")]
+    out = [tuple(r) for r in B.bgp_match(
+        _triples(spark, rows), [("?x", parse_path("parent+"), "c")])
+        .collect()]
+    assert sorted(out) == [("a",), ("b",)]
