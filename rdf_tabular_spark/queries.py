@@ -1961,9 +1961,6 @@ def _tree_lang_graph(spark, sf_dir):
     return tree.unionByName(langs).persist()
 
 
-_PATH_BGP_PATTERNS = None  # built lazily: needs the parsed path AST
-
-
 def _path_bgp_patterns():
     from .operators.paths import parse_path
     return [("?d", parse_path("parent+"), "?anc"),
