@@ -10,12 +10,14 @@ the oracle checks semantics rather than a transcription.
 
 Semantics follow SPARQL 1.1 §9.1 (path evaluation): ``/``, ``|``, ``^``
 are bag-preserving (duplicates from multiple derivations survive), while
-``+`` is SET semantics (distinct reachable pairs — the W3C definition that
-guarantees termination on cyclic graphs). ``*`` (zero-or-more) is not
-offered: its zero-length leg ranges over *all graph terms*, which at
-10^12 triples is a full-vocabulary cross sweep — callers who need
-reflexivity union the identity pairs over their (always smaller) node
-domain explicitly.
+``+``, ``*``, ``?`` are SET semantics (distinct pairs — the W3C
+duplicate-free definition that guarantees termination on cyclic graphs).
+The zero-length leg of ``*``/``?`` follows ZeroLengthPath: it matches
+every *term of the graph* paired with itself (all subjects and objects of
+the input relation), so ``p*`` = identity-over-nodes ∪ ``p+``. Cost at
+10^12 triples: the node domain is ONE two-column distinct over the scan
+(subj ∪ obj) — linear, not a cross sweep — but it does read every
+predicate bucket, so prefer ``+`` when reflexivity isn't needed.
 
 Scale notes (10^12 triples):
 - An atom ``p`` is a predicate-constant filter — it pushes to the
@@ -31,11 +33,11 @@ Grammar (whitespace-insensitive)::
     alt  := seq ('|' seq)*
     seq  := unary ('/' unary)*
     unary:= '^' unary | postfix
-    postfix := primary '+'?
+    postfix := primary ('+' | '*' | '?')*
     primary := '(' alt ')' | '!' negset | atom
     negset  := atom | '(' atom ('|' atom)* ')'
     atom    := '<' any-chars '>' | bare token (any run of chars except
-               /|^+()! and whitespace)
+               /|^+*?()! and whitespace)
 """
 
 from __future__ import annotations
@@ -88,7 +90,21 @@ class Plus:
     child: object
 
 
-_SPECIAL = set("/|^+()!")
+@dataclass(frozen=True)
+class Star:
+    """``p*`` — zero-or-more: identity over all graph terms ∪ ``p+``
+    (SPARQL 1.1 ZeroOrMorePath, duplicate-free)."""
+    child: object
+
+
+@dataclass(frozen=True)
+class Opt:
+    """``p?`` — zero-or-one: identity over all graph terms ∪ ``p``
+    (SPARQL 1.1 ZeroOrOnePath, duplicate-free)."""
+    child: object
+
+
+_SPECIAL = set("/|^+*?()!")
 
 
 class _Parser:
@@ -141,9 +157,10 @@ class _Parser:
 
     def _postfix(self):
         node = self._primary()
-        while self._peek() == "+":
-            self._eat("+")
-            node = Plus(node)
+        while self._peek() in ("+", "*", "?"):
+            ch = self._peek()
+            self._eat(ch)
+            node = {"+": Plus, "*": Star, "?": Opt}[ch](node)
         return node
 
     def _atom(self) -> Atom:
@@ -198,6 +215,16 @@ def parse_path(text: str):
 # DataFrame compiler
 # ---------------------------------------------------------------------------
 
+def _identity_df(triples: DataFrame) -> DataFrame:
+    """ZeroLengthPath (SPARQL 1.1 §18.4): every term of the graph paired
+    with itself — one two-column distinct over the scan, the linear-cost
+    node sweep documented in the module header."""
+    nodes = (triples.select(F.col("subj").alias("src"))
+             .unionByName(triples.select(F.col("obj").alias("src")))
+             .distinct())
+    return nodes.select("src", F.col("src").alias("dst"))
+
+
 def _compile_df(node, triples: DataFrame) -> DataFrame:
     if isinstance(node, Atom):
         return (triples.filter(F.col("pred") == F.lit(node.pred))
@@ -223,6 +250,13 @@ def _compile_df(node, triples: DataFrame) -> DataFrame:
     if isinstance(node, Plus):
         from .graph import transitive_closure
         return transitive_closure(_compile_df(node.child, triples))
+    if isinstance(node, Star):
+        from .graph import transitive_closure
+        plus = transitive_closure(_compile_df(node.child, triples))
+        return _identity_df(triples).unionByName(plus).distinct()
+    if isinstance(node, Opt):
+        child = _compile_df(node.child, triples).select("src", "dst")
+        return _identity_df(triples).unionByName(child).distinct()
     raise TypeError(f"unknown path node {node!r}")
 
 
@@ -270,6 +304,24 @@ def _compile_sql(node, ctes: list[str], counter: list[int]) -> str:
         ctes.append(f"{name} as (select src, dst from {c} "
                     f"union select r.src, e.dst from {name} r "
                     f"join {c} e on r.dst = e.src)")
+    elif isinstance(node, (Star, Opt)):
+        c = _compile_sql(node.child, ctes, counter)
+        if isinstance(node, Star):
+            closure = f"{name}_plus"
+            ctes.append(f"{closure} as (select src, dst from {c} "
+                        f"union select r.src, e.dst from {closure} r "
+                        f"join {c} e on r.dst = e.src)")
+            c = closure
+        # ZeroLengthPath identity over every graph term, ∪ the child
+        # (Opt) / its closure (Star); explicit DISTINCT over UNION ALL =
+        # the duplicate-free W3C semantics shared with the DataFrame
+        # compiler's distinct(). (Not chained UNION: inside WITH RECURSIVE,
+        # DuckDB 1.0 gives any UNION-bearing CTE anchor/recursive-part
+        # semantics and stops deduplicating across the branches.)
+        ctes.append(f"{name} as (select distinct src, dst from ("
+                    f"select subj as src, subj as dst from t "
+                    f"union all select obj, obj from t "
+                    f"union all select src, dst from {c}))")
     else:
         raise TypeError(f"unknown path node {node!r}")
     return name
@@ -287,4 +339,4 @@ def path_sql(triples_sql: str, path) -> str:
 
 # The AST node types, exported so BGP patterns can carry a parsed path in
 # predicate position (operators/bgp accepts these as pattern terms).
-PATH_NODE_TYPES = (Atom, NegSet, Inv, Seq, Alt, Plus)
+PATH_NODE_TYPES = (Atom, NegSet, Inv, Seq, Alt, Plus, Star, Opt)

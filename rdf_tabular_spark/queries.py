@@ -1976,6 +1976,30 @@ def _kg_bgp_path_expr(spark, sf_dir):
     return bgp_match(_tree_lang_graph(spark, sf_dir), _path_bgp_patterns())
 
 
+# zero-or-more / zero-or-one showcases (SPARQL 1.1 ZeroOrMorePath /
+# ZeroOrOnePath): 'parent*/hasLang' = the language of self-OR-any-ancestor
+# (the zero-length leg pairs every graph term with itself, so docs with no
+# parent still reach their own hasLang edge); 'parent?/hasLang' = self or
+# one hop up only.
+_PATH_STAR_EXPR = "parent*/hasLang"
+_PATH_OPT_EXPR = "parent?/hasLang"
+
+
+def _graph_path_star(spark, sf_dir):
+    """Zero-or-more property path (operators/paths Star): identity over
+    all graph terms ∪ 'parent+' closure, then one hop over hasLang —
+    same AST emits the recursive-CTE DuckDB oracle."""
+    from .operators.paths import path_match
+    return path_match(_tree_lang_graph(spark, sf_dir), _PATH_STAR_EXPR)
+
+
+def _graph_path_opt(spark, sf_dir):
+    """Zero-or-one property path (operators/paths Opt): duplicate-free
+    identity ∪ single 'parent' hop, then hasLang."""
+    from .operators.paths import path_match
+    return path_match(_tree_lang_graph(spark, sf_dir), _PATH_OPT_EXPR)
+
+
 def _graph_sql():
     from .operators.bgp import bgp_sql, bgp_union_sql, construct_sql
     from .operators.graph import closure_sql, describe_sql, pagerank_sql
@@ -2002,6 +2026,8 @@ def _graph_sql():
         "kg_bgp_path_expr": bgp_sql(_TREE_LANG_GRAPH_SQL,
                                     _path_bgp_patterns()),
         "graph_path_expr": path_sql(_TREE_TRIPLES_SQL, _PATH_EXPR),
+        "graph_path_star": path_sql(_TREE_LANG_GRAPH_SQL, _PATH_STAR_EXPR),
+        "graph_path_opt": path_sql(_TREE_LANG_GRAPH_SQL, _PATH_OPT_EXPR),
         "kg_construct_derived": construct_sql(
             _KG_SPARSE_GRAPH_SQL, _BGP_OPTIONAL_REQUIRED,
             _CONSTRUCT_TEMPLATE, optionals=_BGP_OPTIONAL_GROUPS),
@@ -2087,6 +2113,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_agg": _kg_bgp_agg,
     "kg_describe_docs": _kg_describe_docs,
     "graph_path_expr": _graph_path_expr,
+    "graph_path_star": _graph_path_star,
+    "graph_path_opt": _graph_path_opt,
     "graph_closure_doubling": _graph_closure_doubling,
     "kg_bgp_path_expr": _kg_bgp_path_expr,
     "kg_construct_derived": _kg_construct_derived,

@@ -27,6 +27,8 @@ def _extend(children):
     return st.one_of(
         children.map(P.Inv),
         children.map(P.Plus),
+        children.map(P.Star),
+        children.map(P.Opt),
         st.tuples(children, children).map(lambda t: P.Seq(*t)),
         st.tuples(children, children).map(lambda t: P.Alt(*t)),
     )
@@ -46,6 +48,10 @@ def _unparse(node) -> str:
         return f"^({_unparse(node.child)})"
     if isinstance(node, P.Plus):
         return f"({_unparse(node.child)})+"
+    if isinstance(node, P.Star):
+        return f"({_unparse(node.child)})*"
+    if isinstance(node, P.Opt):
+        return f"({_unparse(node.child)})?"
     if isinstance(node, P.Seq):
         return f"({_unparse(node.left)}/{_unparse(node.right)})"
     if isinstance(node, P.Alt):
@@ -59,7 +65,8 @@ def test_unparse_parse_roundtrip(ast):
 
 
 def _ref_eval(node, edges: list[tuple[str, str, str]]) -> Counter:
-    """SPARQL §9.1 reference: bag for atom/^///|, set for +."""
+    """SPARQL §9.1 reference: bag for atom/^///|, set for +/*/?
+    (ZeroLengthPath identity ranges over all graph terms)."""
     if isinstance(node, P.Atom):
         return Counter((s, o) for s, p, o in edges if p == node.pred)
     if isinstance(node, P.NegSet):
@@ -88,6 +95,13 @@ def _ref_eval(node, edges: list[tuple[str, str, str]]) -> Counter:
             if not new:
                 return Counter(dict.fromkeys(closure, 1))
             closure |= new
+    if isinstance(node, (P.Star, P.Opt)):
+        ident = {(n, n) for s, p, o in edges for n in (s, o)}
+        if isinstance(node, P.Star):
+            child = set(_ref_eval(P.Plus(node.child), edges))
+        else:
+            child = set(_ref_eval(node.child, edges))
+        return Counter(dict.fromkeys(ident | child, 1))
     raise TypeError(node)
 
 

@@ -87,6 +87,32 @@ def test_inverse_swaps_endpoints(spark):
     assert out == [("b", "a")]
 
 
+def test_star_includes_zero_length_over_all_graph_terms(spark):
+    # ZeroLengthPath (SPARQL 1.1 §18.4): p* pairs every term of the GRAPH
+    # with itself — including 'x', which has no p-edge at all.
+    rows = [("a", "p", "b"), ("c", "q", "x")]
+    out = {tuple(r) for r in
+           P.path_match(_triples(spark, rows), "p*").collect()}
+    assert out == {("a", "a"), ("b", "b"), ("c", "c"), ("x", "x"),
+                   ("a", "b")}
+
+
+def test_opt_is_identity_union_child_distinct(spark):
+    # p? on a self-loop: the (a, a) identity pair and the (a, a) edge
+    # collapse to ONE row (duplicate-free W3C semantics).
+    rows = [("a", "p", "a"), ("a", "p", "b")]
+    out = sorted(tuple(r) for r in
+                 P.path_match(_triples(spark, rows), "p?").collect())
+    assert out == [("a", "a"), ("a", "b"), ("b", "b")]
+
+
+def test_star_terminates_on_cycle(spark):
+    rows = [("a", "p", "b"), ("b", "p", "a")]
+    out = {tuple(r) for r in
+           P.path_match(_triples(spark, rows), "p*").collect()}
+    assert out == {("a", "a"), ("b", "b"), ("a", "b"), ("b", "a")}
+
+
 # ---------------------------------------------------------------------------
 # emitter parity (same AST, two engines)
 # ---------------------------------------------------------------------------
@@ -94,6 +120,7 @@ def test_inverse_swaps_endpoints(spark):
 @pytest.mark.parametrize("path", [
     "parent", "^parent", "parent/parent", "parent/^parent", "parent+",
     "parent+|knows", "(parent|knows)/label", "^parent/parent | knows+",
+    "parent*", "parent?", "parent*/label", "(^parent)?|knows*",
 ])
 def test_sql_emitter_matches_dataframe(spark, path):
     rows = [("a", "parent", "b"), ("b", "parent", "c"),
