@@ -160,6 +160,19 @@ def _group_vars(patterns: Sequence[Pattern]) -> list[str]:
     return out
 
 
+def _sql_lit(v) -> str:
+    """SQL literal for a VALUES cell (str / int / float / bool / None) —
+    rendered identically for the DuckDB oracle and, via F.lit on the
+    DataFrame side, for Spark."""
+    if v is None:
+        return "cast(null as varchar)"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return _sq(v)
+    return repr(v)
+
+
 def _join_group(triples: DataFrame, patterns: Sequence[Pattern],
                 broadcast_patterns: Sequence[int],
                 scan=None, pred_counts: dict | None = None) -> DataFrame:
@@ -188,7 +201,10 @@ def _join_group(triples: DataFrame, patterns: Sequence[Pattern],
 def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
               broadcast_patterns: Sequence[int] = (),
               optionals: Sequence[Sequence[Pattern]] = (),
+              values: tuple | None = None,
+              exists: Sequence[Sequence[Pattern]] = (),
               minus: Sequence[Sequence[Pattern]] = (),
+              binds: Sequence[tuple] = (),
               filters: Sequence[str] = (),
               distinct: bool = False,
               scan=None, pred_counts: dict | None = None) -> DataFrame:
@@ -217,8 +233,30 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
     the exact relational shape Spark executes as broadcast/shuffled
     LeftAnti. Each group must share ≥1 variable with the required
     patterns (a disjoint-domain MINUS removes nothing in SPARQL;
-    rejected here as almost-certainly a mistake). Applied after
-    OPTIONAL, before FILTER — both engines identically."""
+    rejected here as almost-certainly a mistake).
+
+    ``values``: SPARQL ``VALUES`` inline data as ``(columns, rows)`` —
+    column names without '?', rows as tuples of str/int/float/bool/None
+    (None = SPARQL UNDEF: NULL never joins, so an UNDEF cell's row only
+    survives via its other columns — document per-column UNDEF is not
+    offered). Joined on the columns shared with the bound set (the tiny
+    inline table broadcasts); with NO shared column SPARQL prescribes the
+    cross product, executed as a broadcast cross join. Columns not already
+    bound extend the output schema.
+
+    ``exists``: SPARQL ``FILTER EXISTS`` groups — bindings survive iff
+    the group has ≥1 solution joining on the shared variables; one
+    LeftSemi join each (the dual of ``minus``). Must share ≥1 variable
+    (a disjoint EXISTS is constant true/false — almost certainly a
+    mistake, rejected).
+
+    ``binds``: SPARQL ``BIND (expr AS ?var)`` as ``(var, sql_expr)``
+    pairs over the shared Spark∩DuckDB ANSI subset (same contract as
+    ``filters`` — the identical string runs in both engines). Applied in
+    order; later binds and all filters see earlier bind columns.
+
+    Application order (both engines, identically): required joins →
+    OPTIONAL → VALUES → EXISTS → MINUS → BIND → FILTER → project."""
     result = _join_group(triples, patterns, broadcast_patterns, scan=scan,
                          pred_counts=pred_counts)
     bound = set(_group_vars(patterns))
@@ -235,6 +273,28 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
         result = result.join(gdf, on=shared, how="left")
         bound |= set(gvars)
         out_vars += [v for v in gvars if v not in out_vars]
+    if values is not None:
+        vcols, vrows = values
+        vdf = triples.sparkSession.createDataFrame(
+            [tuple(r) for r in vrows], schema=list(vcols))
+        shared = sorted(bound & set(vcols))
+        if shared:
+            result = result.join(F.broadcast(vdf), on=shared, how="inner")
+        else:
+            result = result.crossJoin(F.broadcast(vdf))
+        bound |= set(vcols)
+        out_vars += [v for v in vcols if v not in out_vars]
+    for group in exists:
+        gdf = _join_group(triples, group, (), scan=scan,
+                          pred_counts=pred_counts)
+        gvars = _group_vars(group)
+        shared = sorted(bound & set(gvars))
+        if not shared:
+            raise ValueError(
+                f"EXISTS group {group} shares no variable with the bound "
+                f"set (constant-valued EXISTS)")
+        result = result.join(gdf.select(*shared), on=shared,
+                             how="left_semi")
     for group in minus:
         gdf = _join_group(triples, group, (), scan=scan,
                           pred_counts=pred_counts)
@@ -246,6 +306,13 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
                 f"set (disjoint-domain MINUS is a no-op in SPARQL)")
         result = result.join(gdf.select(*shared), on=shared,
                              how="left_anti")
+    for var, expr in binds:
+        if var in out_vars:
+            raise ValueError(
+                f"BIND target {var!r} is already bound (SPARQL requires a "
+                f"fresh variable)")
+        result = result.withColumn(var, F.expr(expr))
+        out_vars.append(var)
     for f in filters:
         result = result.filter(F.expr(f))
     result = result.select(*out_vars)
@@ -316,13 +383,19 @@ def _group_join_sql(patterns: Sequence[Pattern], prefix: str) -> str:
 
 def bgp_sql(triples_sql: str, patterns: Sequence[Pattern],
             optionals: Sequence[Sequence[Pattern]] = (),
+            values: tuple | None = None,
+            exists: Sequence[Sequence[Pattern]] = (),
             minus: Sequence[Sequence[Pattern]] = (),
+            binds: Sequence[tuple] = (),
             filters: Sequence[str] = (),
             distinct: bool = False) -> str:
     """The same plan as ``bgp_match``, emitted as ANSI SQL over a triples
     relation (CTE) — the DuckDB oracle generator. ``optionals`` become
-    ``left join`` of the group subquery on the shared variables; ``minus``
-    becomes ``anti join``; ``filters`` are the identical expression
+    ``left join`` of the group subquery on the shared variables; ``values``
+    a VALUES-list CTE joined (or cross-joined) exactly as the DataFrame
+    side; ``exists`` becomes ``semi join``; ``minus`` becomes ``anti
+    join``; ``binds`` wrap the join query in projection layers (each layer
+    sees the previous binds); ``filters`` are the identical expression
     strings appended as the outer WHERE (exactly where bgp_match applies
     them)."""
     subqs = _group_ctes(patterns, "q", triples_sql=triples_sql)
@@ -344,6 +417,32 @@ def bgp_sql(triples_sql: str, patterns: Sequence[Pattern],
         joins += f" left join og{g} using ({', '.join(shared)})"
         bound |= set(gvars)
         out_vars += [v for v in gvars if v not in out_vars]
+    if values is not None:
+        vcols, vrows = values
+        rows_sql = ", ".join(
+            "(" + ", ".join(_sql_lit(c) for c in row) + ")" for row in vrows)
+        subqs.append(f"vals as (select * from (values {rows_sql}) "
+                     f"v({', '.join(vcols)}))")
+        shared = sorted(bound & set(vcols))
+        if shared:
+            joins += f" join vals using ({', '.join(shared)})"
+        else:
+            joins += " cross join vals"
+        bound |= set(vcols)
+        out_vars += [v for v in vcols if v not in out_vars]
+    for g, group in enumerate(exists):
+        gp = f"e{g}_"
+        subqs += _group_ctes(group, gp, triples_sql=triples_sql)
+        gvars = _group_vars(group)
+        shared = sorted(bound & set(gvars))
+        if not shared:
+            raise ValueError(
+                f"EXISTS group {group} shares no variable with the bound "
+                f"set (constant-valued EXISTS)")
+        subqs.append(
+            f"eg{g} as (select {', '.join(shared)} "
+            f"from {_group_join_sql(group, gp)})")
+        joins += f" semi join eg{g} using ({', '.join(shared)})"
     for g, group in enumerate(minus):
         gp = f"m{g}_"
         subqs += _group_ctes(group, gp, triples_sql=triples_sql)
@@ -357,12 +456,24 @@ def bgp_sql(triples_sql: str, patterns: Sequence[Pattern],
             f"mg{g} as (select {', '.join(shared)} "
             f"from {_group_join_sql(group, gp)})")
         joins += f" anti join mg{g} using ({', '.join(shared)})"
+    src = joins
+    if binds:
+        subqs.append(f"base0 as (select {', '.join(out_vars)} from {joins})")
+        for i, (var, expr) in enumerate(binds):
+            if var in out_vars:
+                raise ValueError(
+                    f"BIND target {var!r} is already bound (SPARQL requires "
+                    f"a fresh variable)")
+            subqs.append(f"base{i + 1} as "
+                         f"(select *, {expr} as {var} from base{i})")
+            out_vars.append(var)
+        src = f"base{len(binds)}"
     where = (f"\nwhere {' and '.join(f'({f})' for f in filters)}"
              if filters else "")
     sel = "select distinct" if distinct else "select"
     return (f"with t as ({triples_sql}),\n"
             + ",\n".join(subqs)
-            + f"\n{sel} {', '.join(out_vars)} from {joins}{where}")
+            + f"\n{sel} {', '.join(out_vars)} from {src}{where}")
 
 
 def bgp_union_match(triples: DataFrame,

@@ -1976,6 +1976,47 @@ def _kg_bgp_path_expr(spark, sf_dir):
     return bgp_match(_tree_lang_graph(spark, sf_dir), _path_bgp_patterns())
 
 
+# SPARQL VALUES / BIND / EXISTS over the same graphs. The inline table,
+# bind expressions, and filter strings are the shared source of truth —
+# bgp_match consumes them as DataFrame ops, bgp_sql renders the identical
+# strings for DuckDB.
+_BGP_VALUES = (["lang", "lang_label"],
+               [("en", "English"), ("fr", "French")])
+_BGP_BINDS = [("name_len", "length(name)"),
+              ("name_band",
+               "case when name_len > 12 then 'long' else 'short' end")]
+_BGP_BIND_FILTERS = ["name_len > 3"]
+
+
+def _kg_bgp_values(spark, sf_dir):
+    """SPARQL VALUES (operators/bgp.bgp_match values=): the star BGP
+    joined with a broadcast inline table that both restricts ?lang to two
+    languages and extends each row with a display label."""
+    from .operators.bgp import bgp_match
+    return bgp_match(_kg_microdata_triples(spark, sf_dir).persist(),
+                     _BGP_STAR_PATTERNS, values=_BGP_VALUES)
+
+
+def _kg_bgp_bind(spark, sf_dir):
+    """SPARQL BIND (operators/bgp.bgp_match binds=): two computed
+    variables — the second referencing the first, the FILTER referencing
+    both engines' identical expression strings."""
+    from .operators.bgp import bgp_match
+    return bgp_match(_kg_microdata_triples(spark, sf_dir).persist(),
+                     _BGP_STAR_PATTERNS, binds=_BGP_BINDS,
+                     filters=_BGP_BIND_FILTERS)
+
+
+def _kg_bgp_exists(spark, sf_dir):
+    """SPARQL FILTER EXISTS (operators/bgp.bgp_match exists=): items
+    that DO carry the sparse wordCount predicate — one LeftSemi join,
+    the dual of kg_bgp_minus over the identical groups."""
+    from .operators.bgp import bgp_match
+    return bgp_match(_kg_sparse_graph(spark, sf_dir),
+                     _BGP_OPTIONAL_REQUIRED,
+                     exists=_BGP_OPTIONAL_GROUPS)
+
+
 # zero-or-more / zero-or-one showcases (SPARQL 1.1 ZeroOrMorePath /
 # ZeroOrOnePath): 'parent*/hasLang' = the language of self-OR-any-ancestor
 # (the zero-length leg pairs every graph term with itself, so docs with no
@@ -2019,6 +2060,14 @@ def _graph_sql():
         "kg_bgp_minus": bgp_sql(_KG_SPARSE_GRAPH_SQL,
                                 _BGP_OPTIONAL_REQUIRED,
                                 minus=_BGP_OPTIONAL_GROUPS),
+        "kg_bgp_values": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
+                                 _BGP_STAR_PATTERNS, values=_BGP_VALUES),
+        "kg_bgp_bind": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
+                               _BGP_STAR_PATTERNS, binds=_BGP_BINDS,
+                               filters=_BGP_BIND_FILTERS),
+        "kg_bgp_exists": bgp_sql(_KG_SPARSE_GRAPH_SQL,
+                                 _BGP_OPTIONAL_REQUIRED,
+                                 exists=_BGP_OPTIONAL_GROUPS),
         "graph_pagerank": pagerank_sql(_TREE_EDGES_SQL, n_iter=3,
                                        damping=0.85),
         "graph_closure_ancestors": closure_sql(_TREE_EDGES_SQL),
@@ -2110,6 +2159,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_filter": _kg_bgp_filter,
     "kg_bgp_union": _kg_bgp_union,
     "kg_bgp_minus": _kg_bgp_minus,
+    "kg_bgp_values": _kg_bgp_values,
+    "kg_bgp_bind": _kg_bgp_bind,
+    "kg_bgp_exists": _kg_bgp_exists,
     "kg_bgp_agg": _kg_bgp_agg,
     "kg_describe_docs": _kg_describe_docs,
     "graph_path_expr": _graph_path_expr,

@@ -182,6 +182,88 @@ def test_bgp_minus_sql_parity(spark):
     assert spark_out == ddb_out == [("d2",)]
 
 
+def test_bgp_values_restricts_and_extends(spark):
+    """SPARQL VALUES: shared column restricts, unshared column extends."""
+    t = _triples(spark, [("d1", "lang", "en"), ("d2", "lang", "fr"),
+                         ("d3", "lang", "de")])
+    out = sorted(map(tuple, B.bgp_match(
+        t, [("?s", "lang", "?l")],
+        values=(["l", "label"],
+                [("en", "English"), ("fr", "French")])).collect()))
+    assert out == [("d1", "en", "English"), ("d2", "fr", "French")]
+
+
+def test_bgp_values_undef_cell_never_joins(spark):
+    """None = SPARQL UNDEF; NULL never joins, so the UNDEF row drops."""
+    t = _triples(spark, [("d1", "lang", "en")])
+    out = [tuple(r) for r in B.bgp_match(
+        t, [("?s", "lang", "?l")],
+        values=(["l"], [("en",), (None,)])).collect()]
+    assert out == [("d1", "en")]
+
+
+def test_bgp_values_disjoint_is_cross_product(spark):
+    t = _triples(spark, [("d1", "lang", "en"), ("d2", "lang", "fr")])
+    out = B.bgp_match(t, [("?s", "lang", "?l")],
+                      values=(["tag"], [("a",), ("b",)]))
+    assert out.count() == 4
+
+
+def test_bgp_exists_keeps_only_matching(spark):
+    t = _triples(spark, [("d1", "type", "Doc"), ("d1", "wc", "9"),
+                         ("d2", "type", "Doc")])
+    out = [tuple(r) for r in B.bgp_match(
+        t, [("?s", "type", "Doc")],
+        exists=[[("?s", "wc", "?w")]]).collect()]
+    assert out == [("d1",)]
+
+
+def test_bgp_exists_never_multiplies_rows(spark):
+    # two wc edges on d1: semi-join must still emit d1 ONCE
+    t = _triples(spark, [("d1", "type", "Doc"), ("d1", "wc", "9"),
+                         ("d1", "wc", "7")])
+    out = [tuple(r) for r in B.bgp_match(
+        t, [("?s", "type", "Doc")],
+        exists=[[("?s", "wc", "?w")]]).collect()]
+    assert out == [("d1",)]
+
+
+def test_bgp_bind_chained_and_filtered(spark):
+    t = _triples(spark, [("d1", "name", "ab"), ("d2", "name", "abcdef")])
+    out = [tuple(r) for r in B.bgp_match(
+        t, [("?s", "name", "?n")],
+        binds=[("n_len", "length(n)"),
+               ("band", "case when n_len > 3 then 'long' else 'short' end")],
+        filters=["n_len > 2"]).collect()]
+    assert out == [("d2", "abcdef", 6, "long")]
+
+
+def test_bgp_bind_rebind_rejected(spark):
+    t = _triples(spark, [("d1", "name", "ab")])
+    with pytest.raises(ValueError, match="already bound"):
+        B.bgp_match(t, [("?s", "name", "?n")], binds=[("n", "upper(n)")])
+
+
+def test_bgp_values_exists_bind_sql_parity(spark):
+    import duckdb
+    rows = [("d1", "type", "Doc"), ("d1", "lang", "en"), ("d1", "wc", "9"),
+            ("d2", "type", "Doc"), ("d2", "lang", "fr"),
+            ("d3", "type", "Doc"), ("d3", "lang", "en"), ("d3", "wc", "2")]
+    req = [("?s", "type", "Doc"), ("?s", "lang", "?l")]
+    kwargs = dict(values=(["l", "label"], [("en", "English")]),
+                  exists=[[("?s", "wc", "?w")]],
+                  binds=[("tag", "l || '-' || label")],
+                  filters=["length(tag) > 3"])
+    spark_out = sorted(map(tuple, B.bgp_match(
+        _triples(spark, rows), req, **kwargs).collect()))
+    values = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in rows)
+    sql = B.bgp_sql(f"select * from (values {values}) v(subj, pred, obj)",
+                    req, **kwargs)
+    ddb_out = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert spark_out == ddb_out == [("d1", "en", "English", "en-English"),
+                                    ("d3", "en", "English", "en-English")]
+
+
 def test_construct_drops_unbound_template_patterns(spark):
     """SPARQL 16.2: a template pattern with an unbound variable is skipped
     for that binding (not emitted with NULL)."""
