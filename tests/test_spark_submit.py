@@ -167,3 +167,34 @@ def test_export_job_formats(spark, tmp_path):
     blocks = [r["value"] for r in spark.read.text(ttl).collect()]
     assert all("schema.org/name" in b or not b.startswith("<")
                for b in blocks if b)
+
+
+def test_import_job_roundtrip(spark, tmp_path):
+    """jobs/import_rdf.py: export a store to nt AND ttl, import each into
+    a fresh store — same triple count both ways (interchange closure),
+    idempotent on batch-id re-run."""
+    import sys
+    sys.path.insert(0, REPO)
+    from rdf_tabular_spark.jobs.export import main as export_main
+    from rdf_tabular_spark.jobs.extract import main as extract_main
+    from rdf_tabular_spark.jobs.import_rdf import main as import_main
+    from rdf_tabular_spark.sinks.graph_store import read_graph
+
+    out_root = str(tmp_path / "graph")
+    m = extract_main(["--synth", "60", "--out", out_root, "--batch-id",
+                      "i1", "--no-canonicalize", "--shuffle-partitions",
+                      "8"])
+    n_src = m["n_triples"]
+
+    for fmt in ("nt", "ttl"):
+        dump = str(tmp_path / f"dump_{fmt}")
+        export_main(["--store", out_root, "--format", fmt, "--out", dump])
+        store2 = str(tmp_path / f"graph_{fmt}")
+        res = import_main(["--in", dump, "--format", fmt,
+                           "--store", store2, "--batch-id", "b1"])
+        assert res["n_triples"] == n_src, fmt
+        assert read_graph(spark, store2).count() == n_src
+        # idempotent resume: the same batch-id is a committed no-op
+        res2 = import_main(["--in", dump, "--format", fmt,
+                            "--store", store2, "--batch-id", "b1"])
+        assert res2["n_triples"] == n_src

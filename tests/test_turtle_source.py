@@ -1,0 +1,92 @@
+"""Distributed Turtle source (sources/turtle_source.py): per-file Arrow
+kernel over a binaryFile scan. write_turtle → read_turtle must be
+isomorphic (P = R = 1.0), bnode labels must be file-scoped, and bad
+documents must be skipped/reported, not fatal."""
+
+from __future__ import annotations
+
+import os
+
+from rdf_tabular_spark.pipeline import csvw_to_triples
+from rdf_tabular_spark.rdfio.compare import df_to_terms, triple_pr
+from rdf_tabular_spark.sinks.turtle_sink import write_turtle
+from rdf_tabular_spark.sources.turtle_source import (read_turtle,
+                                                     read_turtle_errors)
+
+DATA = "/root/reference/spec/data"
+BASE = "http://example.org/"
+
+
+def _resolver(url: str) -> str:
+    if url.startswith(BASE):
+        return os.path.join(DATA, url[len(BASE):])
+    return url
+
+
+def test_read_turtle_roundtrip_pipeline_output(spark, tmp_path):
+    df = csvw_to_triples(spark, DATA + "/tree-ops.csv-metadata.json",
+                         base=BASE + "tree-ops.csv-metadata.json",
+                         resolver=_resolver)
+    out = str(tmp_path / "ttl")
+    write_turtle(df, out)
+    back = read_turtle(spark, out)
+    pr = triple_pr(df_to_terms(back.collect()), df_to_terms(df.collect()))
+    assert pr.precision == 1.0 and pr.recall == 1.0, (pr.missing, pr.extra)
+    # lineage: every row carries its source file
+    assert back.filter("table_url is null").count() == 0
+
+
+def test_read_turtle_literal_fidelity(spark, tmp_path):
+    p = tmp_path / "lit.ttl"
+    p.write_text(
+        '<http://s> <http://p> "caf\\u00e9"@fr .\n'
+        '<http://s> <http://q> '
+        '"7"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://s> <http://r> "plain" .\n')
+    rows = {(r.pred, r.obj, r.obj_is_iri, r.obj_datatype, r.obj_lang)
+            for r in read_turtle(spark, str(p)).collect()}
+    assert rows == {
+        ("http://p", "café", False, None, "fr"),
+        ("http://q", "7", False,
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("http://r", "plain", False, None, None)}
+
+
+def test_read_turtle_prefixes_and_groups(spark, tmp_path):
+    p = tmp_path / "pfx.ttl"
+    p.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:s a ex:Doc ;\n    ex:name \"n1\", \"n2\" .\n")
+    rows = {(r.subj, r.pred, r.obj)
+            for r in read_turtle(spark, str(p)).collect()}
+    assert rows == {
+        ("http://ex.org/s",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://ex.org/Doc"),
+        ("http://ex.org/s", "http://ex.org/name", "n1"),
+        ("http://ex.org/s", "http://ex.org/name", "n2")}
+
+
+def test_read_turtle_bnode_labels_are_file_scoped(spark, tmp_path):
+    # the same label in two documents is two distinct RDF nodes
+    (tmp_path / "a.ttl").write_text('_:b0 <http://p> "x" .\n')
+    (tmp_path / "b.ttl").write_text('_:b0 <http://p> "x" .\n')
+    df = read_turtle(spark, str(tmp_path))
+    subjects = {r.subj for r in df.collect()}
+    assert len(subjects) == 2
+    assert all(s.startswith("_:f") for s in subjects)
+    # deterministic per file: a re-read maps labels identically
+    assert {r.subj for r in read_turtle(spark, str(tmp_path)).collect()} \
+        == subjects
+
+
+def test_read_turtle_skips_bad_file_and_reports(spark, tmp_path):
+    (tmp_path / "good.ttl").write_text('<http://s> <http://p> "ok" .\n')
+    (tmp_path / "bad.ttl").write_text('<http://s> <http://p "unclosed .\n')
+    df = read_turtle(spark, str(tmp_path))
+    assert [r.obj for r in df.collect()] == ["ok"]
+    errs = read_turtle_errors(spark, str(tmp_path)).collect()
+    assert len(errs) == 1 and errs[0].file.endswith("bad.ttl")
+    import pytest
+    with pytest.raises(Exception):
+        read_turtle(spark, str(tmp_path), strict=True).collect()
