@@ -2017,6 +2017,44 @@ def _kg_bgp_exists(spark, sf_dir):
                      exists=_BGP_OPTIONAL_GROUPS)
 
 
+# RDFS inference (operators/inference.py): the microdata graph plus a
+# small CSVW-ish vocabulary — name is a subproperty of rdfs:label,
+# CreativeWork a subclass of Thing, inLanguage domain'd — and the ρdf
+# rules materialize the entailed triples. The schema triples are the
+# shared source of truth (one python list renders both engines' input).
+_RDFS_SCHEMA_TRIPLES = [
+    ("http://schema.org/name", "http://www.w3.org/2000/01/rdf-schema#subPropertyOf",
+     "http://www.w3.org/2000/01/rdf-schema#label"),
+    ("http://schema.org/CreativeWork", "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+     "http://schema.org/Thing"),
+    ("http://schema.org/Thing", "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+     "http://www.w3.org/2000/01/rdf-schema#Resource"),
+    ("http://schema.org/inLanguage", "http://www.w3.org/2000/01/rdf-schema#domain",
+     "http://schema.org/CreativeWork"),
+    ("http://schema.org/inLanguage", "http://www.w3.org/2000/01/rdf-schema#range",
+     "http://schema.org/Language"),
+]
+
+_RDFS_GRAPH_SQL = (
+    _KG_MICRODATA_TRIPLES_SQL
+    + " union all select * from (values "
+    + ", ".join("('%s', '%s', '%s')" % t for t in _RDFS_SCHEMA_TRIPLES)
+    + ") rdfs_schema(subj, pred, obj)")
+
+
+def _kg_rdfs_derived(spark, sf_dir):
+    """RDFS ρdf materialization (operators/inference.rdfs_materialize):
+    schema collected driver-side (vocabulary-sized), instance entailment
+    as broadcast joins only — derived triples, deduplicated, minus the
+    asserted input. Oracle: inference.rdfs_sql recursive CTEs."""
+    from .operators.inference import rdfs_materialize
+    schema_df = spark.createDataFrame(
+        _RDFS_SCHEMA_TRIPLES, ["subj", "pred", "obj"])
+    g = (_kg_microdata_triples(spark, sf_dir).select("subj", "pred", "obj")
+         .unionByName(schema_df).persist())
+    return rdfs_materialize(g)
+
+
 # zero-or-more / zero-or-one showcases (SPARQL 1.1 ZeroOrMorePath /
 # ZeroOrOnePath): 'parent*/hasLang' = the language of self-OR-any-ancestor
 # (the zero-length leg pairs every graph term with itself, so docs with no
@@ -2044,6 +2082,7 @@ def _graph_path_opt(spark, sf_dir):
 def _graph_sql():
     from .operators.bgp import bgp_sql, bgp_union_sql, construct_sql
     from .operators.graph import closure_sql, describe_sql, pagerank_sql
+    from .operators.inference import rdfs_sql
     from .operators.paths import path_sql
     return {
         "kg_bgp_star": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
@@ -2080,6 +2119,7 @@ def _graph_sql():
         "kg_construct_derived": construct_sql(
             _KG_SPARSE_GRAPH_SQL, _BGP_OPTIONAL_REQUIRED,
             _CONSTRUCT_TEMPLATE, optionals=_BGP_OPTIONAL_GROUPS),
+        "kg_rdfs_derived": rdfs_sql(_RDFS_GRAPH_SQL),
         "kg_describe_docs": describe_sql(_DESCRIBE_GRAPH_SQL,
                                          _DESCRIBE_SEEDS_SQL),
         "kg_bgp_agg": (
@@ -2170,6 +2210,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_closure_doubling": _graph_closure_doubling,
     "kg_bgp_path_expr": _kg_bgp_path_expr,
     "kg_construct_derived": _kg_construct_derived,
+    "kg_rdfs_derived": _kg_rdfs_derived,
     "graph_pagerank": _graph_pagerank,
     "graph_closure_ancestors": _graph_closure_ancestors,
 }
