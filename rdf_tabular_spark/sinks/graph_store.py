@@ -319,6 +319,34 @@ def derive_batch(spark: SparkSession, root: str, patterns,
                        pred_buckets=pred_buckets)
 
 
+def infer_rdfs_batch(spark: SparkSession, root: str, batch_id: str,
+                     batches: Optional[list[str]] = None,
+                     schema_cap: int = 1_000_000,
+                     pred_buckets: int = DEFAULT_PRED_BUCKETS) -> dict:
+    """RDFS materialization as store maintenance: close the live graph
+    under the ρdf rules (operators/inference.rdfs_materialize — schema
+    driver-side, instance pass broadcast-join-only) and commit the NEW
+    triples as a lineage-tagged batch, exactly like a CONSTRUCT rule
+    (:func:`derive_batch`). Entailed triples are expired/recomputed, never
+    re-crawled; idempotent per ``batch_id``."""
+    from ..operators.inference import rdfs_materialize
+    g = read_graph(spark, root, batches=batches) \
+        .select("subj", "pred", "obj")
+    derived = rdfs_materialize(g, schema_cap=schema_cap)
+    full = derived.select(
+        "subj", "pred", "obj",
+        F.col("obj").rlike("^(https?://|_:)").alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit("rule:rdfs").alias("table_url"),
+        F.lit(0).cast("long").alias("source_num"))
+    return materialize(full, root, batch_id,
+                       lineage={"source": "rule", "rule_id": "rdfs",
+                                "rules": "rdfs2,3,5,7,9,11",
+                                "input_batches": batches},
+                       pred_buckets=pred_buckets)
+
+
 def write_canonical_map_version(mapping: DataFrame, root: str,
                                 batch_id: str) -> str:
     """Write one version of the global subject-canonicalization map WITHOUT

@@ -190,3 +190,29 @@ def test_spark_matches_naive_fixpoint(spark, rows):
     else:
         df = I.rdfs_materialize(_triples(spark, [("x", "p", "y")]).limit(0))
     assert {tuple(r) for r in df.collect()} == expected
+
+
+def test_infer_rdfs_batch_commits_lineage(spark, tmp_path):
+    """Store maintenance surface: entailment lands as a lineage-tagged
+    batch, idempotent per batch-id, and reads back with the graph."""
+    from pyspark.sql import functions as F
+
+    from rdf_tabular_spark.sinks.graph_store import (infer_rdfs_batch,
+                                                     materialize, read_graph)
+    root = str(tmp_path / "g")
+    rows = [("C", SUB_C, "D"), ("x", TYPE, "C"), ("x", "p", "y")]
+    base = _triples(spark, rows).select(
+        "subj", "pred", "obj",
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit("t").alias("table_url"), F.lit(0).cast("long").alias("source_num"))
+    materialize(base, root, "b1")
+    m = infer_rdfs_batch(spark, root, "rdfs1")
+    assert m["n_triples"] == 1          # x type D
+    assert m["lineage"]["rule_id"] == "rdfs"
+    g = {(r.subj, r.pred, r.obj) for r in read_graph(spark, root).collect()}
+    assert ("x", TYPE, "D") in g
+    # idempotent: same batch-id re-run is a committed no-op
+    m2 = infer_rdfs_batch(spark, root, "rdfs1")
+    assert m2["n_triples"] == m["n_triples"]
