@@ -39,6 +39,15 @@ from pyspark.sql import functions as F
 
 Pattern = tuple[str, str, str]
 _POS = ("subj", "pred", "obj")
+_POS4 = ("graph", "subj", "pred", "obj")
+
+
+def _positions(pattern) -> tuple:
+    """SPARQL ``GRAPH`` support: a 4-term pattern is a QUAD —
+    ``(graph, subj, pred, obj)`` — matched against a relation that carries
+    a ``graph`` column (the graph store exposes the source document as
+    table_url; batch ids work too). 3-term patterns stay triples."""
+    return _POS4 if len(pattern) == 4 else _POS
 
 
 def _sq(term: str) -> str:
@@ -92,7 +101,7 @@ def plan_bgp(patterns: Sequence[Pattern],
     def card(i: int) -> int:
         if pred_counts is None:
             return 0
-        pred = patterns[i][1]
+        pred = patterns[i][-2]
         if _is_var(pred) or _is_path(pred):
             # unbound pred = full graph; a path's closure can likewise
             # reach far beyond any one predicate's count — schedule late
@@ -117,11 +126,17 @@ def plan_bgp(patterns: Sequence[Pattern],
 
 
 def _pattern_df(triples: DataFrame, pattern: Pattern) -> DataFrame:
-    """One triple pattern → filter constants / same-variable equalities,
-    project variable positions to variable-named columns. A path AST in
-    predicate position evaluates via paths.path_match and binds its
-    (src, dst) endpoints to the subject/object terms."""
-    if _is_path(pattern[1]):
+    """One triple/quad pattern → filter constants / same-variable
+    equalities, project variable positions to variable-named columns. A
+    path AST in predicate position evaluates via paths.path_match and
+    binds its (src, dst) endpoints to the subject/object terms (3-term
+    patterns only — a graph-scoped path would need per-graph closure)."""
+    if _is_path(pattern[-2]):
+        if len(pattern) == 4:
+            raise ValueError(
+                "property paths are not supported in quad patterns "
+                "(closure would need per-graph evaluation); scope the "
+                "graph with a plain quad pattern and join")
         from .paths import path_match
         rel = path_match(triples.select("subj", "pred", "obj"), pattern[1])
         df = rel
@@ -139,7 +154,7 @@ def _pattern_df(triples: DataFrame, pattern: Pattern) -> DataFrame:
                            for v, pos in first_pos.items()])
     df = triples
     first_pos: dict[str, str] = {}
-    for pos, term in zip(_POS, pattern):
+    for pos, term in zip(_positions(pattern), pattern):
         if _is_var(term):
             var = term[1:]
             if var in first_pos:          # (?x, p, ?x) — join within the row
@@ -329,7 +344,10 @@ def _group_ctes(patterns: Sequence[Pattern], prefix: str,
     subqs: list[str] = []
     for qi, idx in enumerate(order):
         pattern = patterns[idx]
-        if _is_path(pattern[1]):
+        if _is_path(pattern[-2]):
+            if len(pattern) == 4:
+                raise ValueError(
+                    "property paths are not supported in quad patterns")
             from .paths import path_sql
             if triples_sql is None:
                 raise ValueError(
@@ -354,7 +372,7 @@ def _group_ctes(patterns: Sequence[Pattern], prefix: str,
         sel = []
         conds = []
         first_pos = {}
-        for pos, term in zip(_POS, pattern):
+        for pos, term in zip(_positions(pattern), pattern):
             if _is_var(term):
                 var = term[1:]
                 if var in first_pos:

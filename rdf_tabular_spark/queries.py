@@ -1976,6 +1976,40 @@ def _kg_bgp_path_expr(spark, sf_dir):
     return bgp_match(_tree_lang_graph(spark, sf_dir), _path_bgp_patterns())
 
 
+# SPARQL GRAPH (quads): 4-term patterns over (graph, subj, pred, obj),
+# graph = the source document (table_url — per-triple provenance the
+# kernel already carries). Both patterns share ?g AND ?item, so the join
+# requires the type and name to come from the SAME document.
+_BGP_GRAPH_PATTERNS = [
+    ("?g", "?item", _RDF_TYPE, "http://schema.org/CreativeWork"),
+    ("?g", "?item", _LABEL_PRED, "?name"),
+]
+
+_KG_MICRODATA_QUADS_SQL = f"""
+select {DOC_URL_SQL} as graph, {DOC_URL_SQL} || '#item' as subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' as pred,
+       'http://schema.org/CreativeWork' as obj from documents
+union all
+select {DOC_URL_SQL}, {DOC_URL_SQL} || '#item', 'http://schema.org/name',
+       'doc ' || doc_id from documents
+union all
+select {DOC_URL_SQL}, {DOC_URL_SQL} || '#item',
+       'http://schema.org/inLanguage', lang from documents
+"""
+
+
+def _kg_bgp_graph(spark, sf_dir):
+    """SPARQL GRAPH: quad patterns (operators/bgp 4-term support) over
+    microdata quads whose graph is the extracting page — binds ?g and
+    joins within-document."""
+    from .operators.bgp import bgp_match
+    from .web import microdata_to_triples
+    quads = (microdata_to_triples(_kg_pages(spark, sf_dir))
+             .select(F.col("table_url").alias("graph"),
+                     "subj", "pred", "obj").persist())
+    return bgp_match(quads, _BGP_GRAPH_PATTERNS)
+
+
 # SPARQL VALUES / BIND / EXISTS over the same graphs. The inline table,
 # bind expressions, and filter strings are the shared source of truth —
 # bgp_match consumes them as DataFrame ops, bgp_sql renders the identical
@@ -2099,6 +2133,8 @@ def _graph_sql():
         "kg_bgp_minus": bgp_sql(_KG_SPARSE_GRAPH_SQL,
                                 _BGP_OPTIONAL_REQUIRED,
                                 minus=_BGP_OPTIONAL_GROUPS),
+        "kg_bgp_graph": bgp_sql(_KG_MICRODATA_QUADS_SQL,
+                                _BGP_GRAPH_PATTERNS),
         "kg_bgp_values": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
                                  _BGP_STAR_PATTERNS, values=_BGP_VALUES),
         "kg_bgp_bind": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
@@ -2199,6 +2235,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_filter": _kg_bgp_filter,
     "kg_bgp_union": _kg_bgp_union,
     "kg_bgp_minus": _kg_bgp_minus,
+    "kg_bgp_graph": _kg_bgp_graph,
     "kg_bgp_values": _kg_bgp_values,
     "kg_bgp_bind": _kg_bgp_bind,
     "kg_bgp_exists": _kg_bgp_exists,

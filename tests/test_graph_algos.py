@@ -264,6 +264,50 @@ def test_bgp_values_exists_bind_sql_parity(spark):
                                     ("d3", "en", "English", "en-English")]
 
 
+def _quads(spark, rows):
+    return spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj string")
+
+
+def test_quad_pattern_binds_graph_variable(spark):
+    rows = [("g1", "s1", "type", "Doc"), ("g1", "s1", "name", "a"),
+            ("g2", "s2", "type", "Doc"), ("g3", "s2", "name", "b")]
+    # type and name must come from the SAME graph: s2's name is in g3
+    out = sorted(map(tuple, B.bgp_match(
+        _quads(spark, rows),
+        [("?g", "?s", "type", "Doc"), ("?g", "?s", "name", "?n")])
+        .collect()))
+    assert out == [("g1", "s1", "a")]
+
+
+def test_quad_constant_graph_filters(spark):
+    rows = [("g1", "s1", "p", "x"), ("g2", "s1", "p", "y")]
+    out = [tuple(r) for r in B.bgp_match(
+        _quads(spark, rows), [("g2", "?s", "p", "?o")]).collect()]
+    assert out == [("s1", "y")]
+
+
+def test_quad_sql_parity(spark):
+    import duckdb
+    rows = [("g1", "s1", "type", "Doc"), ("g1", "s1", "name", "a"),
+            ("g2", "s2", "type", "Doc"), ("g3", "s2", "name", "b")]
+    pats = [("?g", "?s", "type", "Doc"), ("?g", "?s", "name", "?n")]
+    spark_out = sorted(map(tuple, B.bgp_match(
+        _quads(spark, rows), pats).collect()))
+    values = ", ".join(f"('{g}', '{s}', '{p}', '{o}')"
+                       for g, s, p, o in rows)
+    sql = B.bgp_sql(
+        f"select * from (values {values}) v(graph, subj, pred, obj)", pats)
+    assert spark_out == sorted(map(tuple, duckdb.sql(sql).fetchall()))
+
+
+def test_quad_path_predicate_rejected(spark):
+    from rdf_tabular_spark.operators.paths import parse_path
+    with pytest.raises(ValueError, match="quad"):
+        B.bgp_match(_quads(spark, [("g", "s", "p", "o")]),
+                    [("?g", "?s", parse_path("p+"), "?o")])
+
+
 def test_construct_drops_unbound_template_patterns(spark):
     """SPARQL 16.2: a template pattern with an unbound variable is skipped
     for that binding (not emitted with NULL)."""
