@@ -13,6 +13,9 @@ store queries it from the same cluster tooling:
         [--as-of 2024-06-01T00:00:00] [--out s3://results/q1] [--show N]
 
     ... --path 'mentions/<http://schema.org/name>' ...   # property path
+    ... --values '{"columns": ["l"], "rows": [["en"], ["fr"]]}' \
+        --bind 'n_len=length(n)' --exists '?d <voc#wordCount> ?w' ...
+    ... --infer-rdfs --derive-batch-id rdfs-2024-06-01   # RDFS entailment
     ... --bgp '...' --construct '?s <voc#label> ?n' \
         --derive-batch-id rule-2024-06-01 --rule-id name-label   # CONSTRUCT
         # without --derive-batch-id the derived triples go to --out/stdout
@@ -56,10 +59,22 @@ def build_parser() -> argparse.ArgumentParser:
     kind.add_argument("--bgp", help="triple patterns, ' . '-separated")
     kind.add_argument("--path", help="property-path expression "
                                      "(operators/paths grammar)")
+    kind.add_argument("--infer-rdfs", action="store_true",
+                      help="materialize RDFS entailment (rules rdfs2/3/5/"
+                           "7/9/11) over the store; commits as a rule "
+                           "batch via --derive-batch-id")
     p.add_argument("--optional", action="append", default=[],
                    help="OPTIONAL pattern group (repeatable)")
+    p.add_argument("--values", default=None, metavar="JSON",
+                   help='SPARQL VALUES inline data: '
+                        '{"columns": ["l"], "rows": [["en"], ["fr"]]}')
+    p.add_argument("--exists", action="append", default=[],
+                   help="FILTER EXISTS pattern group (repeatable)")
     p.add_argument("--minus", action="append", default=[],
                    help="MINUS pattern group (repeatable)")
+    p.add_argument("--bind", action="append", default=[],
+                   metavar="VAR=EXPR",
+                   help="BIND a computed variable (repeatable, in order)")
     p.add_argument("--filter", action="append", default=[],
                    help="FILTER expression over variables (repeatable)")
     p.add_argument("--distinct", action="store_true")
@@ -103,6 +118,25 @@ def main(argv: list[str] | None = None) -> dict:
                                                      snapshots_as_of)
 
     batches = snapshots_as_of(args.store, args.as_of) if args.as_of else None
+
+    algebra: dict = {}
+    if args.values:
+        v = json.loads(args.values)
+        algebra["values"] = (list(v["columns"]),
+                             [tuple(r) for r in v["rows"]])
+    if args.exists:
+        algebra["exists"] = [parse_patterns(t) for t in args.exists]
+    if args.bind:
+        algebra["binds"] = [tuple(x.split("=", 1)) for x in args.bind]
+
+    if args.infer_rdfs:
+        if not args.derive_batch_id:
+            raise SystemExit("--infer-rdfs requires --derive-batch-id")
+        from rdf_tabular_spark.sinks.graph_store import infer_rdfs_batch
+        manifest = infer_rdfs_batch(spark, args.store,
+                                    args.derive_batch_id, batches=batches)
+        print(json.dumps(manifest))
+        return manifest
     if args.construct:
         if not args.bgp:
             raise SystemExit("--construct requires --bgp WHERE patterns")
@@ -114,7 +148,7 @@ def main(argv: list[str] | None = None) -> dict:
                 rule_id=args.rule_id, batches=batches,
                 optionals=[parse_patterns(t) for t in args.optional],
                 minus=[parse_patterns(t) for t in args.minus],
-                filters=args.filter)
+                filters=args.filter, **algebra)
             print(json.dumps(manifest))
             return manifest
         from rdf_tabular_spark.operators.bgp import construct
@@ -125,14 +159,14 @@ def main(argv: list[str] | None = None) -> dict:
             parse_patterns(args.construct),
             optionals=[parse_patterns(t) for t in args.optional],
             minus=[parse_patterns(t) for t in args.minus],
-            filters=args.filter)
+            filters=args.filter, **algebra)
     elif args.bgp:
         result = bgp_match_store(
             spark, args.store, parse_patterns(args.bgp),
             batches=batches,
             optionals=[parse_patterns(t) for t in args.optional],
             minus=[parse_patterns(t) for t in args.minus],
-            filters=args.filter, distinct=args.distinct)
+            filters=args.filter, distinct=args.distinct, **algebra)
     else:
         from rdf_tabular_spark.operators.paths import path_match
         triples = read_graph(spark, args.store, batches=batches) \

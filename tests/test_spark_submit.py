@@ -198,3 +198,75 @@ def test_import_job_roundtrip(spark, tmp_path):
         res2 = import_main(["--in", dump, "--format", fmt,
                             "--store", store2, "--batch-id", "b1"])
         assert res2["n_triples"] == n_src
+
+
+def test_query_job_values_bind_exists_infer(spark, tmp_path):
+    """jobs/query.py new algebra flags: --values restricts+extends,
+    --bind computes, --exists semi-joins, --infer-rdfs commits an
+    entailment batch."""
+    import sys
+    sys.path.insert(0, REPO)
+    from rdf_tabular_spark.jobs.extract import main as extract_main
+    from rdf_tabular_spark.jobs.query import main as query_main
+
+    out_root = str(tmp_path / "graph")
+    extract_main(["--synth", "90", "--out", out_root, "--batch-id", "v1",
+                  "--no-canonicalize", "--shuffle-partitions", "8"])
+
+    base = query_main([
+        "--store", out_root,
+        "--bgp", "?s <http://schema.org/name> ?n"])
+
+    # --values: restrict ?n to one known name and extend with a label
+    known = base["sample"][0]["n"]
+    res_v = query_main([
+        "--store", out_root,
+        "--bgp", "?s <http://schema.org/name> ?n",
+        "--values", json.dumps({"columns": ["n", "tag"],
+                                "rows": [[known, "hit"]]})])
+    assert res_v["columns"] == ["s", "n", "tag"]
+    assert res_v["n_rows"] >= 1
+    assert all(r["n"] == known and r["tag"] == "hit"
+               for r in res_v["sample"])
+
+    # --bind + --filter over the bind var
+    res_b = query_main([
+        "--store", out_root,
+        "--bgp", "?s <http://schema.org/name> ?n",
+        "--bind", "n_len=length(n)", "--filter", "n_len > 0"])
+    assert res_b["columns"] == ["s", "n", "n_len"]
+    assert res_b["n_rows"] == base["n_rows"]
+
+    # --exists: dual of minus — the two partition the base rows
+    res_e = query_main([
+        "--store", out_root,
+        "--bgp", "?s <http://schema.org/name> ?n",
+        "--exists", "?s <http://schema.org/containsPlace> ?p"])
+    res_m = query_main([
+        "--store", out_root,
+        "--bgp", "?s <http://schema.org/name> ?n",
+        "--minus", "?s <http://schema.org/containsPlace> ?p"])
+    assert res_e["n_rows"] + res_m["n_rows"] == base["n_rows"]
+
+    # --infer-rdfs: seed a subclass statement, entail, verify via ASK
+    from pyspark.sql import functions as F
+    from rdf_tabular_spark.sinks.graph_store import materialize
+    typ = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    schema_rows = spark.createDataFrame(
+        [("http://schema.org/Place", sub, "http://example.org/Thing")],
+        ["subj", "pred", "obj"]).select(
+        "subj", "pred", "obj", F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit("seed").alias("table_url"),
+        F.lit(0).cast("long").alias("source_num"))
+    materialize(schema_rows, out_root, "schema1")
+    res_i = query_main(["--store", out_root, "--infer-rdfs",
+                        "--derive-batch-id", "rdfs1"])
+    assert res_i["status"] == "committed"
+    assert res_i["lineage"]["rule_id"] == "rdfs"
+    res_ask = query_main([
+        "--store", out_root, "--ask",
+        "--bgp", f"?s <{typ}> <http://example.org/Thing>"])
+    assert res_ask == {"ask": (res_i["n_triples"] > 0)}
