@@ -261,16 +261,26 @@ def bgp_match_store(spark: SparkSession, root: str, patterns,
     whose legs each touch only their predicate's buckets. ``kwargs``
     pass through to operators/bgp.bgp_match (optionals/minus/filters/
     broadcast_patterns/distinct) — OPTIONAL and MINUS group scans prune
-    the same way."""
+    the same way.
+
+    GRAPH quads: a 4-term pattern's ``graph`` position binds the triple's
+    source document (the store's table_url lineage column) — per-document
+    scoping costs nothing extra, the column is already in every scan.
+    Path-AST predicates fall back to the full scan (the closure crosses
+    predicates, so per-predicate pruning can't apply)."""
     from ..operators.bgp import bgp_match
     full = read_graph(spark, root, batches=batches)
 
     def scan(pattern: tuple) -> DataFrame:
-        pred = pattern[1]
-        if not pred.startswith("?"):
-            return read_predicate(spark, root, pred, batches=batches,
-                                  pred_buckets=pred_buckets)
-        return full
+        pred = pattern[-2]
+        if isinstance(pred, str) and not pred.startswith("?"):
+            rel = read_predicate(spark, root, pred, batches=batches,
+                                 pred_buckets=pred_buckets)
+        else:
+            rel = full
+        if len(pattern) == 4:
+            rel = rel.withColumn("graph", F.col("table_url"))
+        return rel
 
     return bgp_match(full, patterns, scan=scan, **kwargs)
 

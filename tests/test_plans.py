@@ -440,3 +440,32 @@ def test_bucketed_star_bgp_no_exchange(spark, tmp_path):
         assert sorted(map(tuple, bgp_match(b, pats).collect())) == plain
     finally:
         spark.sql("drop table if exists t_bgp_bucketed")
+
+
+def test_bgp_match_store_quads_bind_source_document(spark, tmp_path):
+    """GRAPH quads over the store: the graph position binds table_url (the
+    extracting page), constant-pred legs STILL prune, and within-document
+    joins behave like the ad-hoc quad relation."""
+    from pyspark.sql import functions as F
+    from rdf_tabular_spark.operators.bgp import bgp_match
+    from rdf_tabular_spark.sinks.graph_store import (bgp_match_store,
+                                                     materialize, read_graph)
+    from rdf_tabular_spark.sources.pages import pages_from_documents
+    from rdf_tabular_spark.web import microdata_to_triples
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    triples = microdata_to_triples(pages_from_documents(docs))
+    root = str(tmp_path / "store")
+    materialize(triples, root, "b1")
+    pats = [("?g", "?d", "http://schema.org/name", "?name"),
+            ("?g", "?d", "http://schema.org/inLanguage", "?lang")]
+    df = bgp_match_store(spark, root, pats)
+    p = plan_of(df)
+    assert len(re.findall(r"PartitionFilters: \[.*pred_bucket", p)) == 2, \
+        "quad legs must keep pred_bucket pruning"
+    rows = df.collect()
+    assert len(rows) == 40
+    assert all(r.g.startswith("http://") for r in rows)
+    expected = sorted(map(tuple, bgp_match(
+        read_graph(spark, root).withColumn("graph", F.col("table_url"))
+        .select("graph", "subj", "pred", "obj"), pats).collect()))
+    assert sorted(map(tuple, rows)) == expected
