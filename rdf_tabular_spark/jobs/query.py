@@ -36,16 +36,18 @@ import json
 import sys
 
 
-def parse_patterns(text: str) -> list[tuple[str, str, str]]:
-    """' . '-separated triple patterns; '<IRI>' brackets are stripped so
-    IRIs with any characters work, bare tokens and ?vars pass through."""
+def parse_patterns(text: str) -> list[tuple]:
+    """' . '-separated patterns; '<IRI>' brackets are stripped so IRIs
+    with any characters work, bare tokens and ?vars pass through. 3 terms
+    = a triple pattern; 4 terms = a GRAPH quad (graph subj pred obj) whose
+    graph position binds the statement's source document (table_url)."""
     pats = []
     for part in text.split(" . "):
         terms = part.split()
-        if len(terms) != 3:
+        if len(terms) not in (3, 4):
             raise ValueError(
-                f"pattern {part!r} must have exactly 3 terms "
-                f"(subj pred obj), got {len(terms)}")
+                f"pattern {part!r} must have 3 terms (subj pred obj) or 4 "
+                f"(graph subj pred obj), got {len(terms)}")
         pats.append(tuple(
             t[1:-1] if t.startswith("<") and t.endswith(">") else t
             for t in terms))

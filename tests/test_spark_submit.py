@@ -270,3 +270,26 @@ def test_query_job_values_bind_exists_infer(spark, tmp_path):
         "--store", out_root, "--ask",
         "--bgp", f"?s <{typ}> <http://example.org/Thing>"])
     assert res_ask == {"ask": (res_i["n_triples"] > 0)}
+
+
+def test_query_job_graph_quads(spark, tmp_path):
+    """4-term CLI patterns: ?g binds the source document; a constant graph
+    term scopes the query to one document."""
+    import sys
+    sys.path.insert(0, REPO)
+    from rdf_tabular_spark.jobs.extract import main as extract_main
+    from rdf_tabular_spark.jobs.query import main as query_main
+
+    out_root = str(tmp_path / "graph")
+    extract_main(["--synth", "60", "--out", out_root, "--batch-id", "g1",
+                  "--no-canonicalize", "--shuffle-partitions", "8"])
+    res = query_main([
+        "--store", out_root,
+        "--bgp", "?g ?s <http://schema.org/name> ?n"])
+    assert res["columns"] == ["g", "s", "n"]
+    assert res["n_rows"] > 0
+    one_graph = res["sample"][0]["g"]
+    res_scoped = query_main([
+        "--store", out_root,
+        "--bgp", f"<{one_graph}> ?s <http://schema.org/name> ?n"])
+    assert 0 < res_scoped["n_rows"] < res["n_rows"]
