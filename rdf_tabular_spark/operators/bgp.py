@@ -494,6 +494,42 @@ def bgp_sql(triples_sql: str, patterns: Sequence[Pattern],
             + f"\n{sel} {', '.join(out_vars)} from {src}{where}")
 
 
+def bgp_agg(triples: DataFrame, patterns: Sequence[Pattern],
+            group_by: Sequence[str], aggs: Sequence[tuple],
+            having: Sequence[str] = (), **kwargs) -> DataFrame:
+    """SPARQL SELECT aggregation over BGP bindings: GROUP BY the given
+    variables, compute ``aggs`` as ``(alias, sql_expr)`` pairs (the
+    shared Spark∩DuckDB ANSI subset — count/sum/min/max/avg over
+    variables, same contract as filters/binds), then apply ``having``
+    expressions, which see the aliases (SPARQL HAVING). ``kwargs`` pass
+    to bgp_match. One extra shuffle (the groupBy) over the BGP result —
+    partial aggregation is map-side, so the exchange carries groups,
+    not bindings."""
+    bindings = bgp_match(triples, patterns, **kwargs)
+    out = bindings.groupBy(*group_by).agg(
+        *[F.expr(expr).alias(alias) for alias, expr in aggs])
+    for h in having:
+        out = out.filter(F.expr(h))
+    return out
+
+
+def bgp_agg_sql(triples_sql: str, patterns: Sequence[Pattern],
+                group_by: Sequence[str], aggs: Sequence[tuple],
+                having: Sequence[str] = (), **kwargs) -> str:
+    """``bgp_agg`` as SQL (DuckDB oracle). HAVING is emitted as an outer
+    WHERE over the aggregated subquery so alias references behave
+    identically in both engines (post-aggregation filter — the SPARQL
+    semantics)."""
+    inner = bgp_sql(triples_sql, patterns, **kwargs)
+    cols = list(group_by) + [f"{expr} as {alias}" for alias, expr in aggs]
+    q = (f"select {', '.join(cols)} from ({inner}) b "
+         f"group by {', '.join(group_by)}")
+    if having:
+        conds = " and ".join(f"({h})" for h in having)
+        q = f"select * from ({q}) g where {conds}"
+    return q
+
+
 def bgp_union_match(triples: DataFrame,
                     branches: Sequence[Sequence[Pattern]],
                     distinct: bool = False) -> DataFrame:

@@ -1976,6 +1976,26 @@ def _kg_bgp_path_expr(spark, sf_dir):
     return bgp_match(_tree_lang_graph(spark, sf_dir), _path_bgp_patterns())
 
 
+# SPARQL SELECT aggregation with HAVING (operators/bgp.bgp_agg): group
+# the star BGP's bindings by language, aggregate, and post-filter on the
+# aggregate aliases — the group_by/aggs/having specs are the shared
+# source of truth for both engines.
+_BGP_AGG_GROUP = ["lang"]
+_BGP_AGG_AGGS = [("n_docs", "count(*)"),
+                 ("max_name_len", "max(length(name))")]
+_BGP_AGG_HAVING = ["n_docs >= 80"]
+
+
+def _kg_bgp_having(spark, sf_dir):
+    """GROUP BY + HAVING over BGP bindings: one map-side-combined shuffle
+    on the group keys; HAVING sees aggregate aliases (post-aggregation
+    filter, SPARQL semantics)."""
+    from .operators.bgp import bgp_agg
+    return bgp_agg(_kg_microdata_triples(spark, sf_dir).persist(),
+                   _BGP_STAR_PATTERNS, _BGP_AGG_GROUP, _BGP_AGG_AGGS,
+                   having=_BGP_AGG_HAVING)
+
+
 # SPARQL GRAPH (quads): 4-term patterns over (graph, subj, pred, obj),
 # graph = the source document (table_url — per-triple provenance the
 # kernel already carries). Both patterns share ?g AND ?item, so the join
@@ -2114,7 +2134,8 @@ def _graph_path_opt(spark, sf_dir):
 
 
 def _graph_sql():
-    from .operators.bgp import bgp_sql, bgp_union_sql, construct_sql
+    from .operators.bgp import (bgp_agg_sql, bgp_sql, bgp_union_sql,
+                                construct_sql)
     from .operators.graph import closure_sql, describe_sql, pagerank_sql
     from .operators.inference import rdfs_sql
     from .operators.paths import path_sql
@@ -2135,6 +2156,10 @@ def _graph_sql():
                                 minus=_BGP_OPTIONAL_GROUPS),
         "kg_bgp_graph": bgp_sql(_KG_MICRODATA_QUADS_SQL,
                                 _BGP_GRAPH_PATTERNS),
+        "kg_bgp_having": bgp_agg_sql(_KG_MICRODATA_TRIPLES_SQL,
+                                     _BGP_STAR_PATTERNS, _BGP_AGG_GROUP,
+                                     _BGP_AGG_AGGS,
+                                     having=_BGP_AGG_HAVING),
         "kg_bgp_values": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
                                  _BGP_STAR_PATTERNS, values=_BGP_VALUES),
         "kg_bgp_bind": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
@@ -2236,6 +2261,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_union": _kg_bgp_union,
     "kg_bgp_minus": _kg_bgp_minus,
     "kg_bgp_graph": _kg_bgp_graph,
+    "kg_bgp_having": _kg_bgp_having,
     "kg_bgp_values": _kg_bgp_values,
     "kg_bgp_bind": _kg_bgp_bind,
     "kg_bgp_exists": _kg_bgp_exists,

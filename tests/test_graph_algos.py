@@ -546,3 +546,22 @@ def test_bgp_path_predicate_constant_endpoint(spark):
         _triples(spark, rows), [("?x", parse_path("parent+"), "c")])
         .collect()]
     assert sorted(out) == [("a",), ("b",)]
+
+
+def test_bgp_agg_group_having_sql_parity(spark):
+    import duckdb
+    rows = [("d1", "lang", "en"), ("d2", "lang", "en"), ("d3", "lang", "fr"),
+            ("d1", "name", "abc"), ("d2", "name", "defgh"),
+            ("d3", "name", "x")]
+    pats = [("?s", "lang", "?l"), ("?s", "name", "?n")]
+    group, aggs = ["l"], [("n_docs", "count(*)"),
+                          ("max_len", "max(length(n))")]
+    having = ["n_docs >= 2"]
+    out = [tuple(r) for r in B.bgp_agg(
+        _triples(spark, rows), pats, group, aggs, having=having).collect()]
+    assert out == [("en", 2, 5)]
+    values = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in rows)
+    sql = B.bgp_agg_sql(
+        f"select * from (values {values}) v(subj, pred, obj)",
+        pats, group, aggs, having=having)
+    assert sorted(map(tuple, duckdb.sql(sql).fetchall())) == out
