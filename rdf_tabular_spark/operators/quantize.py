@@ -1,0 +1,153 @@
+"""Product quantization (PQ) for memory-bound ANN at corpus scale.
+
+At 10^12 vectors the embeddings themselves are the bottleneck: 64 float32
+dims = 256 B/vector = 256 TB just to hold the corpus. PQ (Jégou, Douze,
+Schmid, "Product quantization for nearest neighbor search", TPAMI 2011)
+slices each vector into ``m`` contiguous subvectors, k-means-quantizes
+each subspace independently, and stores only the ``m`` one-byte codes —
+a 64x compression here — while queries score candidates with an
+asymmetric distance computation (ADC): a driver-side m×k lookup table of
+(query-subvector → centroid) distances, then per-candidate score =
+sum of m table lookups. The scan touches ONLY the codes column.
+
+Determinism contract (same as operators/similarity.ivf_fit_deterministic):
+md5-bucket init + Lloyd refinements with driver-collected means, ties to
+the lowest code — every step is a closed-form relational computation, so
+the DuckDB oracle (queries._pq_topk_sql) REPLAYS the fit, the encoding,
+and the ADC scoring from the same loop structure and the whole tier is
+oracle-checkable end to end.
+
+Scale notes:
+- Fit state is m×k×(dim/m) doubles — tiny; at 100 TB you fit on a sample
+  and encode distributively (m codegen'd argmin expressions per vector,
+  zero shuffles).
+- Encoding is one narrow projection; the codes table is what you store
+  (alongside or instead of the raw vectors).
+- ADC search is a broadcast of an m×k literal table + one TakeOrdered —
+  zero shuffles, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _as_double
+
+
+def _subvec(vec_col: str, s: int, sub: int):
+    """1-based contiguous slice for subspace ``s`` (length ``sub``)."""
+    return F.slice(_as_double(F.col(vec_col)), s * sub + 1, sub)
+
+
+def pq_fit_deterministic(df: DataFrame, m: int = 4, k: int = 16,
+                         n_iter: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         dim: int | None = None):
+    """Fit ``m`` independent deterministic sub-quantizers and encode.
+
+    Returns ``(codes_df, codebooks)``: codes_df = (id_col, codes
+    array<int> length m), codebooks[s][c] = centroid (list of dim/m
+    floats). Raises if a code cell empties (lower k or more data —
+    loud beats silently degenerate codebooks)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    init_cell = (F.conv(F.substring(
+        F.md5(F.col(id_col).cast("string").cast("binary")), 16, 1), 16, 10)
+        .cast("int") % k)
+
+    codebooks: list[list[list[float]]] = []
+    code_cols = []
+    for s in range(m):
+        vec_s = _subvec(vec_col, s, sub)
+        assigned = df.select(F.col(id_col), vec_s.alias("v"),
+                             init_cell.alias("cell"))
+        cents: dict[int, list[float]] = {}
+        for it in range(n_iter):
+            rows = (assigned
+                    .select("cell", F.posexplode("v").alias("d", "x"))
+                    .groupBy("cell", "d").agg(F.avg("x").alias("mu"))
+                    .collect())
+            bycell: dict[int, dict[int, float]] = {}
+            for r in rows:
+                bycell.setdefault(r["cell"], {})[r["d"]] = r["mu"]
+            missing = sorted(set(range(k)) - set(bycell))
+            if missing and it == 0:
+                raise ValueError(
+                    f"empty init cell(s) in subspace {s}: {missing}; "
+                    f"lower k or use more data")
+            new_cents = {c: [bycell[c][d] for d in range(sub)]
+                         for c in sorted(bycell)}
+            for c in missing:
+                # a cell emptied during Lloyd: keep its previous centroid
+                # (standard kmeans practice; deterministic, and the SQL
+                # oracle carries the same row forward)
+                new_cents[c] = cents[c]
+            cents = new_cents
+            assigned = df.select(
+                F.col(id_col), vec_s.alias("v"),
+                _argmin_code(vec_s, cents).alias("cell"))
+        codebooks.append([cents[c] for c in sorted(cents)])
+        code_cols.append(_argmin_code(vec_s, cents).alias(f"c{s}"))
+
+    codes_df = df.select(
+        F.col(id_col),
+        F.array(*[c for c in code_cols]).alias("codes"))
+    return codes_df, codebooks
+
+
+def _argmin_code(vec_s, cents: dict[int, list[float]]):
+    """Nearest-centroid code as an array_min over (dist, code) structs —
+    sequential left-assoc distance fold (IEEE-identical to the oracle's
+    list_sum), ties to the lowest code (struct ordering)."""
+    structs = []
+    for c in sorted(cents):
+        cent_lit = F.array(*[F.lit(v) for v in cents[c]])
+        d2 = F.aggregate(
+            F.zip_with(vec_s, cent_lit, lambda x, mu: (x - mu) * (x - mu)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        structs.append(F.struct(d2.alias("dist"), F.lit(c).alias("code")))
+    return F.array_min(F.array(*structs))["code"]
+
+
+def adc_table(codebooks, query_vec: list[float]) -> list[list[float]]:
+    """Driver-side ADC lookup table: table[s][c] = squared L2 distance from
+    the query's subvector s to codebook centroid c. Python floats are IEEE
+    doubles and the sum is sequential — bit-identical to the engines'
+    left-assoc folds."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    tab = []
+    for s in range(m):
+        q_s = query_vec[s * sub:(s + 1) * sub]
+        row = []
+        for cent in codebooks[s]:
+            acc = 0.0
+            for x, mu in zip(q_s, cent):
+                acc = acc + (x - mu) * (x - mu)
+            row.append(acc)
+        tab.append(row)
+    return tab
+
+
+def pq_search(codes_df: DataFrame, codebooks, query_vec: list[float],
+              topk: int = 10, id_col: str = "vec_id",
+              exclude_id=None) -> DataFrame:
+    """ADC top-k over the CODES table (the raw vectors are never read):
+    approx squared-L2 = sum_s table[s][codes[s]], one broadcast literal
+    2-D array + TakeOrdered. Ascending distance, ties to the lowest id."""
+    tab = adc_table(codebooks, query_vec)
+    tab_lit = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in tab])
+    approx = F.aggregate(
+        F.zip_with(F.col("codes"), tab_lit,
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    out = codes_df.select(F.col(id_col),
+                          F.round(approx, 4).alias("approx_dist"))
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.col("approx_dist").asc(), F.col(id_col)).limit(topk)

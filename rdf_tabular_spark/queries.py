@@ -1098,6 +1098,88 @@ order by sim desc, vec_id limit {topk}
 """
 
 
+def _ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/quantize.py): deterministic
+    per-subspace k-means (md5 init + Lloyd, same contract as the trained
+    IVF), one-byte codes per subspace, asymmetric-distance top-k over the
+    CODES table only — the memory-bound scale path (the 10^12-vector
+    corpus holds m bytes/vector, not dim floats). The oracle REPLAYS the
+    fit + encode + ADC relationally (_pq_topk_sql)."""
+    from .operators.quantize import pq_fit_deterministic, pq_search
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, books = pq_fit_deterministic(emb, m=_PQ_M, k=_PQ_K,
+                                        n_iter=_PQ_ITER, dim=EMB_DIM)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_search(codes, books, qv, topk=10, exclude_id=0)
+
+
+_PQ_M, _PQ_K, _PQ_ITER = 4, 16, 2
+
+
+def _pq_topk_sql(m: int = None, k: int = None, n_iter: int = None,
+                 topk: int = 10, dim: int = EMB_DIM) -> str:
+    """DuckDB mirror of pq_fit_deterministic + pq_search, generated by the
+    same loop structure per subspace (init → [means → argmin]×n_iter),
+    then codes joined with per-subspace query-distance tables and summed
+    left-assoc in subspace order — the exact ADC fold pq_search executes.
+    Mean drift between engines' avg() is absorbed by argmin stability and
+    round(·, 4), the contract proven by the trained-IVF oracle."""
+    m, k, n_iter = m or _PQ_M, k or _PQ_K, n_iter or _PQ_ITER
+    sub = dim // m
+    ctes = []
+    for s in range(m):
+        svec = (f"list_transform(range(1, {sub + 1}), d -> "
+                f"embedding[{s * sub} + d]::double)")
+        ctes.append(
+            f"s{s}a0 as (select vec_id, {svec} as v, "
+            f"('0x' || substring(md5(cast(vec_id as varchar)), 16, 1))::int "
+            f"% {k} as cell from embeddings)")
+        for t in range(1, n_iter + 1):
+            means = (f"select cell, list(mu order by d) as cent "
+                     f"from (select cell, d, avg(v[d]) as mu "
+                     f"from s{s}a{t - 1}, range(1, {sub + 1}) t(d) "
+                     f"group by cell, d) group by cell")
+            if t == 1:
+                ctes.append(f"s{s}c1 as ({means})")
+            else:
+                # carry forward centroids of cells that emptied during
+                # Lloyd — mirrors pq_fit_deterministic exactly (no-op
+                # when every cell stays populated)
+                ctes.append(
+                    f"s{s}c{t} as (select * from ({means}) "
+                    f"union all select cell, cent from s{s}c{t - 1} "
+                    f"where cell not in (select cell from ({means})))")
+            dist = (f"list_sum(list_transform(range(1, {sub + 1}), d -> "
+                    f"(x.v[d] - c.cent[d]) * (x.v[d] - c.cent[d])))")
+            ctes.append(
+                f"s{s}a{t} as (select vec_id, v, cell from ("
+                f"select x.vec_id, x.v, c.cell, "
+                f"row_number() over (partition by x.vec_id "
+                f"order by {dist}, c.cell) as rn "
+                f"from s{s}a0 x cross join s{s}c{t} c) where rn = 1)")
+        qsvec = (f"list_transform(range(1, {sub + 1}), d -> "
+                 f"embedding[{s * sub} + d]::double)")
+        ctes.append(f"q{s} as (select {qsvec} as qv from embeddings "
+                    f"where vec_id = 0)")
+        qdist = (f"list_sum(list_transform(range(1, {sub + 1}), d -> "
+                 f"(q.qv[d] - c.cent[d]) * (q.qv[d] - c.cent[d])))")
+        ctes.append(f"qd{s} as (select c.cell as code, {qdist} as dq "
+                    f"from s{s}c{n_iter} c, q{s} q)")
+    joins = f"s0a{n_iter} x0"
+    for s in range(1, m):
+        joins += f" join s{s}a{n_iter} x{s} using (vec_id)"
+    for s in range(m):
+        joins += f" join qd{s} d{s} on d{s}.code = x{s}.cell"
+    total = "0.0"
+    for s in range(m):
+        total = f"({total} + d{s}.dq)"
+    return (f"with {', '.join(ctes)}\n"
+            f"select vec_id, round({total}, 4) as approx_dist\n"
+            f"from {joins} where vec_id <> 0\n"
+            f"order by approx_dist, vec_id limit {topk}")
+
+
 def _ann_lsh_bucket_topk(spark, sf_dir):
     """LSH-bucketed ANN: cosine top-k restricted to the query's hyperplane
     bucket (the same deterministic planes the oracle recomputes)."""
@@ -2235,6 +2317,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_multiprobe_topk": _ann_lsh_multiprobe_topk,
     "dedup_embedding_lsh_pairs": _dedup_embedding_lsh_pairs,
     "ann_ivf_trained_topk": _ann_ivf_trained_topk,
+    "ann_pq_topk": _ann_pq_topk,
     "multimodal_features": _multimodal_features,
     "multimodal_resize": _multimodal_resize,
     "multimodal_frames": _multimodal_frames,
@@ -2330,6 +2413,7 @@ _ORACLES: dict[str, str] = {
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),
+    "ann_pq_topk": _pq_topk_sql(),
     "text_pii_scrub": _TEXT_PII_SCRUB_SQL,
     "sample_stratified": _SAMPLE_STRATIFIED_SQL,
     "pack_sequences": _PACK_SEQUENCES_SQL,
