@@ -133,6 +133,78 @@ def adc_table(codebooks, query_vec: list[float]) -> list[list[float]]:
     return tab
 
 
+def ivfpq_fit(df: DataFrame, coarse_k: int = 8, coarse_iter: int = 2,
+              m: int = 4, k: int = 16, pq_iter: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int | None = None):
+    """IVF+PQ (the FAISS IVFPQ architecture, Jégou et al. 2011 §V):
+    deterministic coarse quantizer assigns each vector a cell, the PQ
+    codebooks quantize the RESIDUAL (vector − its cell centroid) — the
+    residual distribution is far tighter than the raw one, so the same
+    byte budget quantizes much finer. Returns
+    ``(encoded_df(id, cell, codes), coarse_centroids, codebooks)``.
+
+    Every step keeps the closed-form relational contract, so the DuckDB
+    oracle replays coarse fit → residuals → PQ fit → encode end to end."""
+    from .similarity import ivf_fit_deterministic
+    spark = df.sparkSession
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    assigned, coarse = ivf_fit_deterministic(
+        df, k=coarse_k, n_iter=coarse_iter, id_col=id_col,
+        vec_col=vec_col, dim=dim)
+    cent_df = F.broadcast(spark.createDataFrame(
+        [(c, coarse[c]) for c in range(coarse_k)], ["cell", "cent"]))
+    resid = (assigned.join(cent_df, "cell")
+             .select(F.col(id_col), F.col("cell"),
+                     F.zip_with(_as_double(F.col(vec_col)), F.col("cent"),
+                                lambda x, mu: x - mu).alias("resid")))
+    # the PQ fit collects m×pq_iter mean tables from this frame — without
+    # a persist each collect replays the whole coarse fit upstream
+    resid = resid.persist()
+    codes_df, codebooks = pq_fit_deterministic(
+        resid, m=m, k=k, n_iter=pq_iter, id_col=id_col, vec_col="resid",
+        dim=dim)
+    encoded = resid.select(id_col, "cell").join(codes_df, id_col)
+    return encoded, coarse, codebooks
+
+
+def ivfpq_search(encoded: DataFrame, coarse, codebooks,
+                 query_vec: list[float], topk: int = 10, n_probe: int = 3,
+                 id_col: str = "vec_id", exclude_id=None) -> DataFrame:
+    """Probe the ``n_probe`` nearest coarse cells; within them, ADC on the
+    residual codes with a PER-CELL lookup table (the query's residual
+    depends on the cell's centroid). The n_probe×m×k tables are
+    driver-sized, shipped as one broadcast join on cell — candidates'
+    raw vectors are never read. Ascending distance, ties to lowest id."""
+    spark = encoded.sparkSession
+
+    def d2(c):
+        acc = 0.0
+        for a, b in zip(c, query_vec):
+            acc = acc + (a - b) * (a - b)
+        return acc
+
+    probe = sorted(range(len(coarse)),
+                   key=lambda i: (d2(coarse[i]), i))[:n_probe]
+    rows = []
+    for c in probe:
+        q_res = [a - b for a, b in zip(query_vec, coarse[c])]
+        rows.append((c, adc_table(codebooks, q_res)))
+    tab_df = F.broadcast(spark.createDataFrame(rows, ["cell", "tab"]))
+    approx = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("tab"),
+                   lambda code, row: F.element_at(row, code + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    out = (encoded.filter(F.col("cell").isin(probe))
+           .join(tab_df, "cell")
+           .select(F.col(id_col), F.col("cell"),
+                   F.round(approx, 4).alias("approx_dist")))
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.col("approx_dist").asc(), F.col(id_col)).limit(topk)
+
+
 def pq_search(codes_df: DataFrame, codebooks, query_vec: list[float],
               topk: int = 10, id_col: str = "vec_id",
               exclude_id=None) -> DataFrame:

@@ -1180,6 +1180,125 @@ def _pq_topk_sql(m: int = None, k: int = None, n_iter: int = None,
             f"order by approx_dist, vec_id limit {topk}")
 
 
+def _ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ (operators/quantize.ivfpq_fit/search — the FAISS IVFPQ
+    shape): coarse cells prune the scan, PQ codes over RESIDUALS score
+    candidates without touching raw vectors. The oracle replays coarse
+    fit → residuals → PQ fit → per-cell ADC relationally."""
+    from .operators.quantize import ivfpq_fit, ivfpq_search
+    emb = _t(spark, sf_dir, "embeddings")
+    encoded, coarse, books = ivfpq_fit(
+        emb, coarse_k=_PQ_COARSE_K, coarse_iter=_PQ_ITER,
+        m=_PQ_M, k=_PQ_K, pq_iter=_PQ_ITER, dim=EMB_DIM)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfpq_search(encoded, coarse, books, qv, topk=10,
+                        n_probe=_PQ_NPROBE, exclude_id=0)
+
+
+_PQ_COARSE_K, _PQ_NPROBE = 8, 3
+
+
+def _ivfpq_topk_sql(coarse_k: int = None, m: int = None, k: int = None,
+                    n_iter: int = None, n_probe: int = None,
+                    topk: int = 10, dim: int = EMB_DIM) -> str:
+    """DuckDB mirror of ivfpq_fit + ivfpq_search: the coarse CTE chain is
+    _ivf_trained_sql's (same loop), then residuals, the PQ replay of
+    _pq_topk_sql over them, cell probing, and PER-CELL query-residual
+    distance tables joined on (cell, code) — summed left-assoc in
+    subspace order exactly like the zip_with/aggregate fold."""
+    coarse_k = coarse_k or _PQ_COARSE_K
+    m, k = m or _PQ_M, k or _PQ_K
+    n_iter, n_probe = n_iter or _PQ_ITER, n_probe or _PQ_NPROBE
+    sub = dim // m
+    ctes = [f"a0 as (select vec_id, embedding, "
+            f"('0x' || substring(md5(cast(vec_id as varchar)), 16, 1))::int "
+            f"% {coarse_k} as cell from embeddings)"]
+    prev = "a0"
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"c{t} as (select cell, list(mu order by d) as cent from ("
+            f"select cell, d, avg(embedding[d]::double) as mu "
+            f"from {prev}, range(1, {dim + 1}) t(d) "
+            f"group by cell, d) group by cell)")
+        dist = (f"list_sum(list_transform(range(1, {dim + 1}), d -> "
+                f"(x.embedding[d]::double - c.cent[d]) * "
+                f"(x.embedding[d]::double - c.cent[d])))")
+        ctes.append(
+            f"a{t} as (select vec_id, embedding, cell from ("
+            f"select x.vec_id, x.embedding, c.cell, "
+            f"row_number() over (partition by x.vec_id "
+            f"order by {dist}, c.cell) as rn "
+            f"from a0 x cross join c{t} c) where rn = 1)")
+        prev = f"a{t}"
+    ctes.append(
+        f"r as (select x.vec_id, x.cell, "
+        f"list_transform(range(1, {dim + 1}), d -> "
+        f"x.embedding[d]::double - c.cent[d]) as rv "
+        f"from {prev} x join c{n_iter} c using (cell))")
+    # PQ replay over residuals (same loop as _pq_topk_sql, source = r)
+    for s in range(m):
+        svec = (f"list_transform(range(1, {sub + 1}), d -> "
+                f"rv[{s * sub} + d])")
+        ctes.append(
+            f"s{s}a0 as (select vec_id, {svec} as v, "
+            f"('0x' || substring(md5(cast(vec_id as varchar)), 16, 1))::int "
+            f"% {k} as cell from r)")
+        for t in range(1, n_iter + 1):
+            means = (f"select cell, list(mu order by d) as cent "
+                     f"from (select cell, d, avg(v[d]) as mu "
+                     f"from s{s}a{t - 1}, range(1, {sub + 1}) t(d) "
+                     f"group by cell, d) group by cell")
+            if t == 1:
+                ctes.append(f"s{s}c1 as ({means})")
+            else:
+                ctes.append(
+                    f"s{s}c{t} as (select * from ({means}) "
+                    f"union all select cell, cent from s{s}c{t - 1} "
+                    f"where cell not in (select cell from ({means})))")
+            dist = (f"list_sum(list_transform(range(1, {sub + 1}), d -> "
+                    f"(x.v[d] - c.cent[d]) * (x.v[d] - c.cent[d])))")
+            ctes.append(
+                f"s{s}a{t} as (select vec_id, v, cell from ("
+                f"select x.vec_id, x.v, c.cell, "
+                f"row_number() over (partition by x.vec_id "
+                f"order by {dist}, c.cell) as rn "
+                f"from s{s}a0 x cross join s{s}c{t} c) where rn = 1)")
+    ctes.append("q as (select embedding as qv from embeddings "
+                "where vec_id = 0)")
+    qdist = (f"list_sum(list_transform(range(1, {dim + 1}), d -> "
+             f"(q.qv[d]::double - c.cent[d]) * "
+             f"(q.qv[d]::double - c.cent[d])))")
+    ctes.append(f"probe as (select c.cell from c{n_iter} c, q "
+                f"order by {qdist}, c.cell limit {n_probe})")
+    ctes.append(
+        f"qr as (select c.cell, list_transform(range(1, {dim + 1}), d -> "
+        f"q.qv[d]::double - c.cent[d]) as qrv from c{n_iter} c, q "
+        f"where c.cell in (select cell from probe))")
+    for s in range(m):
+        qd = (f"list_sum(list_transform(range(1, {sub + 1}), d -> "
+              f"(qr.qrv[{s * sub} + d] - pc.cent[d]) * "
+              f"(qr.qrv[{s * sub} + d] - pc.cent[d])))")
+        ctes.append(f"qd{s} as (select qr.cell, pc.cell as code, {qd} as dq "
+                    f"from qr cross join s{s}c{n_iter} pc)")
+    joins = f"r r2"
+    for s in range(m):
+        joins += f" join s{s}a{n_iter} x{s} using (vec_id)"
+    for s in range(m):
+        joins += (f" join qd{s} d{s} on d{s}.cell = r2.cell "
+                  f"and d{s}.code = x{s}.cell")
+    total = "0.0"
+    for s in range(m):
+        total = f"({total} + d{s}.dq)"
+    return (f"with {', '.join(ctes)}\n"
+            f"select r2.vec_id as vec_id, r2.cell as cell, "
+            f"round({total}, 4) as approx_dist\n"
+            f"from {joins}\n"
+            f"where r2.vec_id <> 0 "
+            f"and r2.cell in (select cell from probe)\n"
+            f"order by approx_dist, vec_id limit {topk}")
+
+
 def _ann_lsh_bucket_topk(spark, sf_dir):
     """LSH-bucketed ANN: cosine top-k restricted to the query's hyperplane
     bucket (the same deterministic planes the oracle recomputes)."""
@@ -2318,6 +2437,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh_pairs": _dedup_embedding_lsh_pairs,
     "ann_ivf_trained_topk": _ann_ivf_trained_topk,
     "ann_pq_topk": _ann_pq_topk,
+    "ann_ivfpq_topk": _ann_ivfpq_topk,
     "multimodal_features": _multimodal_features,
     "multimodal_resize": _multimodal_resize,
     "multimodal_frames": _multimodal_frames,
@@ -2414,6 +2534,7 @@ _ORACLES: dict[str, str] = {
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),
     "ann_pq_topk": _pq_topk_sql(),
+    "ann_ivfpq_topk": _ivfpq_topk_sql(),
     "text_pii_scrub": _TEXT_PII_SCRUB_SQL,
     "sample_stratified": _SAMPLE_STRATIFIED_SQL,
     "pack_sequences": _PACK_SEQUENCES_SQL,

@@ -91,3 +91,26 @@ def test_pq_adc_finds_near_duplicate_and_carries_signal(spark):
     got_ids = [r["vec_id"] for r in top if r["vec_id"] != 99999]
     adc_mean = sum(truth[i] for i in got_ids) / len(got_ids)
     assert adc_mean < corpus_mean - 0.15, (adc_mean, corpus_mean)
+
+
+def test_ivfpq_duplicate_wins_and_probe_prunes(spark):
+    """IVF+PQ: an exact duplicate of the query lands in the query's cell
+    and wins through residual codes; results come only from the n_probe
+    nearest cells (scan pruning)."""
+    from rdf_tabular_spark.operators.quantize import ivfpq_fit, ivfpq_search
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("embedding"))
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.unionByName(
+        spark.createDataFrame([(99999, q)], ["vec_id", "embedding"]))
+    encoded, coarse, books = ivfpq_fit(corpus, coarse_k=8, coarse_iter=2,
+                                       m=4, k=16, pq_iter=2, dim=64)
+    top = ivfpq_search(encoded, coarse, books, q, topk=10, n_probe=3,
+                       exclude_id=0).collect()
+    assert top[0]["vec_id"] == 99999
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, q))
+    probe = set(sorted(range(8), key=lambda i: (d2(coarse[i]), i))[:3])
+    assert {r["cell"] for r in top} <= probe
