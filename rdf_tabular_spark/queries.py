@@ -1180,6 +1180,39 @@ def _pq_topk_sql(m: int = None, k: int = None, n_iter: int = None,
             f"order by approx_dist, vec_id limit {topk}")
 
 
+def _ann_pq_rerank_topk(spark, sf_dir):
+    """The production ANN cascade: PQ/ADC generates a cheap candidate set
+    (top-50 through the codes — no raw vectors), then ONLY those 50 rows
+    re-rank by exact cosine. At 10^12 vectors this is the architecture:
+    approximate recall from bytes, exact precision on a constant-size
+    remainder. Oracle nests _pq_topk_sql as the candidate CTE."""
+    from .operators.quantize import pq_fit_deterministic, pq_search
+    emb = _t(spark, sf_dir, "embeddings").persist()
+    codes, books = pq_fit_deterministic(emb, m=_PQ_M, k=_PQ_K,
+                                        n_iter=_PQ_ITER, dim=EMB_DIM)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cands = pq_search(codes, books, qv, topk=50, exclude_id=0) \
+        .select("vec_id")
+    qlit = F.array(*[F.lit(x) for x in qv])
+    from .operators.similarity import _as_double, cosine_sim
+    exact = (emb.join(F.broadcast(cands), "vec_id")
+             .select("vec_id",
+                     F.round(cosine_sim(_as_double(F.col("embedding")),
+                                        qlit), 4).alias("sim")))
+    return exact.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(10)
+
+
+def _pq_rerank_sql(topk: int = 10, n_cands: int = 50) -> str:
+    return (f"with cands as ({_pq_topk_sql(topk=n_cands)}),\n"
+            f"q as (select embedding as qv from embeddings "
+            f"where vec_id = 0)\n"
+            f"select e.vec_id as vec_id, "
+            f"round({_cos_sql('e.embedding', 'qv')}, 4) as sim\n"
+            f"from embeddings e join cands using (vec_id), q\n"
+            f"order by sim desc, vec_id limit {topk}")
+
+
 def _ann_ivfpq_topk(spark, sf_dir):
     """IVF+PQ (operators/quantize.ivfpq_fit/search — the FAISS IVFPQ
     shape): coarse cells prune the scan, PQ codes over RESIDUALS score
@@ -2438,6 +2471,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_trained_topk": _ann_ivf_trained_topk,
     "ann_pq_topk": _ann_pq_topk,
     "ann_ivfpq_topk": _ann_ivfpq_topk,
+    "ann_pq_rerank_topk": _ann_pq_rerank_topk,
     "multimodal_features": _multimodal_features,
     "multimodal_resize": _multimodal_resize,
     "multimodal_frames": _multimodal_frames,
@@ -2535,6 +2569,7 @@ _ORACLES: dict[str, str] = {
     "ann_ivf_trained_topk": _ivf_trained_sql(),
     "ann_pq_topk": _pq_topk_sql(),
     "ann_ivfpq_topk": _ivfpq_topk_sql(),
+    "ann_pq_rerank_topk": _pq_rerank_sql(),
     "text_pii_scrub": _TEXT_PII_SCRUB_SQL,
     "sample_stratified": _SAMPLE_STRATIFIED_SQL,
     "pack_sequences": _PACK_SEQUENCES_SQL,
