@@ -88,16 +88,11 @@ def parse_ntriples_line(line: str) -> Optional[tuple]:
             True, None, None)
 
 
-def read_ntriples(spark: SparkSession, path: str,
-                  strict: bool = False) -> DataFrame:
-    """.nt file/dir/glob → triples DataFrame (TRIPLE_SCHEMA; table_url =
-    the source line's file is not tracked — callers needing lineage wrap
-    with ``input_file_name`` upstream). ``strict=True`` raises on the first
-    malformed line; the default skips them (count them via
-    :func:`read_ntriples_errors`)."""
-    from ..session import ensure_package_on_executors
-    ensure_package_on_executors(spark)
-
+def nt_lines_kernel(strict: bool = False):
+    """Arrow kernel: a batch of raw ``value`` lines → TRIPLE_SCHEMA rows.
+    Shared by the batch reader and the streaming ingest (the kernel is
+    engine-agnostic: mapInPandas applies it to static and streaming
+    DataFrames alike)."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype",
                 "obj_lang", "table_url", "source_num"]
@@ -113,8 +108,20 @@ def read_ntriples(spark: SparkSession, path: str,
                 if t is not None:
                     out.append(t + (None, 0))
             yield pd.DataFrame(out, columns=cols)
+    return kernel
 
-    return spark.read.text(path).mapInPandas(kernel, schema=TRIPLE_SCHEMA)
+
+def read_ntriples(spark: SparkSession, path: str,
+                  strict: bool = False) -> DataFrame:
+    """.nt file/dir/glob → triples DataFrame (TRIPLE_SCHEMA; table_url =
+    the source line's file is not tracked — callers needing lineage wrap
+    with ``input_file_name`` upstream). ``strict=True`` raises on the first
+    malformed line; the default skips them (count them via
+    :func:`read_ntriples_errors`)."""
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    return spark.read.text(path).mapInPandas(nt_lines_kernel(strict),
+                                             schema=TRIPLE_SCHEMA)
 
 
 def read_ntriples_errors(spark: SparkSession, path: str) -> DataFrame:

@@ -154,3 +154,44 @@ def test_stream_curate_pages(spark, tmp_path):
     assert all(v != "duplicate" for v in batch.values())
     assert stream == batch
     assert "lang_mismatch" in set(batch.values())  # rules really fire
+
+
+def test_stream_ntriples_to_store_exactly_once(spark, tmp_path):
+    """Streaming RDF ingest: nt files -> graph store with manifest-
+    idempotent epoch commits; a re-run with the same checkpoint ingests
+    only NEW files, and the committed manifests carry stream lineage."""
+    import glob
+    import json
+
+    from rdf_tabular_spark.sinks.graph_store import read_graph
+    from rdf_tabular_spark.streaming.ingest import stream_ntriples_to_store
+
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "nt_in")
+    store = os.path.join(tmp, "graph")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "a.nt"), "w") as f:
+        for i in range(30):
+            f.write(f"<http://s/{i}> <http://p> \"v{i}\" .\n")
+
+    q = stream_ntriples_to_store(spark, in_dir, store, ckpt)
+    q.awaitTermination(120)
+    assert read_graph(spark, store).count() == 30
+
+    # second drop: only the new file lands, as a new epoch batch
+    with open(os.path.join(in_dir, "b.nt"), "w") as f:
+        for i in range(30, 45):
+            f.write(f"<http://s/{i}> <http://p> \"v{i}\" .\n")
+    q = stream_ntriples_to_store(spark, in_dir, store, ckpt)
+    q.awaitTermination(120)
+    g = read_graph(spark, store)
+    assert g.count() == 45
+    assert g.select("subj").distinct().count() == 45
+
+    manifests = sorted(glob.glob(os.path.join(store, "_manifests",
+                                              "stream-*.json")))
+    assert len(manifests) >= 2
+    with open(manifests[0]) as f:
+        m = json.load(f)
+    assert m["lineage"]["source"] == "stream"
