@@ -59,43 +59,48 @@ def pq_fit_deterministic(df: DataFrame, m: int = 4, k: int = 16,
         F.md5(F.col(id_col).cast("string").cast("binary")), 16, 1), 16, 10)
         .cast("int") % k)
 
-    codebooks: list[list[list[float]]] = []
-    code_cols = []
-    for s in range(m):
-        vec_s = _subvec(vec_col, s, sub)
-        assigned = df.select(F.col(id_col), vec_s.alias("v"),
-                             init_cell.alias("cell"))
-        cents: dict[int, list[float]] = {}
-        for it in range(n_iter):
-            rows = (assigned
-                    .select("cell", F.posexplode("v").alias("d", "x"))
-                    .groupBy("cell", "d").agg(F.avg("x").alias("mu"))
-                    .collect())
-            bycell: dict[int, dict[int, float]] = {}
-            for r in rows:
-                bycell.setdefault(r["cell"], {})[r["d"]] = r["mu"]
-            missing = sorted(set(range(k)) - set(bycell))
+    # All m sub-quantizers advance in ONE aggregation per Lloyd iteration
+    # (subspaces are independent, so their means group side by side on
+    # (s, cell, d)): n_iter+1 Spark actions total instead of m*n_iter —
+    # at small batch sizes the fit is plan/compile-bound, not data-bound.
+    v_all = _as_double(F.col(vec_col))
+    cur = df.select(F.col(id_col), v_all.alias("v"),
+                    F.array_repeat(init_cell, m).alias("cells"))
+    cents_all: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    s_of_d = F.floor(F.col("d") / sub).cast("int")
+    for it in range(n_iter):
+        rows = (cur.select("cells", F.posexplode("v").alias("d", "x"))
+                .select(s_of_d.alias("s"),
+                        F.element_at("cells", s_of_d + 1).alias("cell"),
+                        (F.col("d") % sub).alias("dd"), F.col("x"))
+                .groupBy("s", "cell", "dd").agg(F.avg("x").alias("mu"))
+                .collect())
+        bys: list[dict[int, dict[int, float]]] = [dict() for _ in range(m)]
+        for r in rows:
+            bys[r["s"]].setdefault(r["cell"], {})[r["dd"]] = r["mu"]
+        for s in range(m):
+            missing = sorted(set(range(k)) - set(bys[s]))
             if missing and it == 0:
                 raise ValueError(
                     f"empty init cell(s) in subspace {s}: {missing}; "
                     f"lower k or use more data")
-            new_cents = {c: [bycell[c][d] for d in range(sub)]
-                         for c in sorted(bycell)}
+            new_cents = {c: [bys[s][c][d] for d in range(sub)]
+                         for c in sorted(bys[s])}
             for c in missing:
                 # a cell emptied during Lloyd: keep its previous centroid
                 # (standard kmeans practice; deterministic, and the SQL
                 # oracle carries the same row forward)
-                new_cents[c] = cents[c]
-            cents = new_cents
-            assigned = df.select(
-                F.col(id_col), vec_s.alias("v"),
-                _argmin_code(vec_s, cents).alias("cell"))
-        codebooks.append([cents[c] for c in sorted(cents)])
-        code_cols.append(_argmin_code(vec_s, cents).alias(f"c{s}"))
+                new_cents[c] = cents_all[s][c]
+            cents_all[s] = new_cents
+        cur = df.select(
+            F.col(id_col), v_all.alias("v"),
+            F.array(*[
+                _argmin_code(F.slice(v_all, s * sub + 1, sub), cents_all[s])
+                for s in range(m)]).alias("cells"))
 
-    codes_df = df.select(
-        F.col(id_col),
-        F.array(*[c for c in code_cols]).alias("codes"))
+    codes_df = cur.select(F.col(id_col), F.col("cells").alias("codes"))
+    codebooks = [[cents_all[s][c] for c in sorted(cents_all[s])]
+                 for s in range(m)]
     return codes_df, codebooks
 
 
