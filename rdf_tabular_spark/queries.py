@@ -2367,13 +2367,121 @@ def _graph_path_opt(spark, sf_dir):
     return path_match(_tree_lang_graph(spark, sf_dir), _PATH_OPT_EXPR)
 
 
+# owl:sameAs tier (operators/owl.py): every document item gets a
+# stable-ID alias, and every third doc an additional mirror alias — the
+# chains a–b and b–c assert no a–c edge, so canonicalization exercises
+# transitivity through the connected-components mapping (never a
+# materialized quadratic closure). Canon = lexical min of the class
+# ('http://id…' < 'http://m…' < 'http://pages…').
+_OWL_ITEM_IRI_SQL = DOC_URL_SQL + " || '#item'"
+_OWL_ID_IRI_SQL = "'http://id.example.org/doc/' || doc_id"
+_OWL_MIRROR_IRI_SQL = "'http://m.example.org/doc/' || doc_id"
+_OWL_SAMEAS_GRAPH_SQL = f"""
+{_KG_MICRODATA_TRIPLES_SQL}
+union all
+select {_OWL_ITEM_IRI_SQL} as subj,
+       'http://www.w3.org/2002/07/owl#sameAs' as pred,
+       {_OWL_ID_IRI_SQL} as obj from documents
+union all
+select {_OWL_ID_IRI_SQL} as subj,
+       'http://www.w3.org/2002/07/owl#sameAs' as pred,
+       {_OWL_MIRROR_IRI_SQL} as obj from documents where doc_id % 3 = 0
+"""
+
+
+def _owl_sameas_graph(spark, sf_dir):
+    from .operators.owl import OWL_SAMEAS
+    docs = _t(spark, sf_dir, "documents")
+    prefix = "http://pages.example.org/doc/"
+    item = F.concat(F.lit(prefix), F.col("doc_id"), F.lit("#item"))
+    idi = F.concat(F.lit("http://id.example.org/doc/"), F.col("doc_id"))
+    mir = F.concat(F.lit("http://m.example.org/doc/"), F.col("doc_id"))
+    links1 = docs.select(item.alias("subj"),
+                         F.lit(OWL_SAMEAS).alias("pred"), idi.alias("obj"))
+    links2 = (docs.filter(F.col("doc_id") % 3 == 0)
+              .select(idi.alias("subj"), F.lit(OWL_SAMEAS).alias("pred"),
+                      mir.alias("obj")))
+    return (_kg_microdata_triples(spark, sf_dir)
+            .unionByName(links1).unionByName(links2).persist())
+
+
+def _kg_sameas_mapping(spark, sf_dir):
+    """owl:sameAs equivalence classes as a (term, canon) mapping —
+    connected components over the symmetric edge set (operators/owl
+    .sameas_mapping), the WebPIE canonical-representative design; oracle
+    = recursive-CTE reachability + min(reachable)."""
+    from .operators.owl import sameas_mapping
+    return sameas_mapping(_owl_sameas_graph(spark, sf_dir))
+
+
+def _kg_sameas_canonical(spark, sf_dir):
+    """Graph canonicalized under owl:sameAs: subj/obj rewritten to class
+    representatives via two broadcast joins, sameAs statements absorbed,
+    duplicates collapsed (operators/owl.sameas_rewrite)."""
+    from .operators.owl import sameas_rewrite
+    return sameas_rewrite(_owl_sameas_graph(spark, sf_dir))
+
+
+# pD* property-rule tier: the doc hierarchy plus a small property schema —
+# 'parent' is transitive with inverse 'child', odd docs assert a one-way
+# 'related' edge whose SymmetricProperty declaration derives the reverse.
+_OWL_RULES_SCHEMA_TRIPLES = [
+    ("parent", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+     "http://www.w3.org/2002/07/owl#TransitiveProperty"),
+    ("parent", "http://www.w3.org/2002/07/owl#inverseOf", "child"),
+    ("related", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+     "http://www.w3.org/2002/07/owl#SymmetricProperty"),
+]
+
+_OWL_RULES_GRAPH_SQL = (
+    _TREE_TRIPLES_SQL
+    + f" union all select {DOC_URL_SQL} as subj, 'related' as pred, "
+    "'http://pages.example.org/doc/' || (doc_id - 1) as obj "
+    "from documents where doc_id % 2 = 1"
+    + " union all select * from (values "
+    + ", ".join("('%s', '%s', '%s')" % t for t in _OWL_RULES_SCHEMA_TRIPLES)
+    + ") owl_schema(subj, pred, obj)")
+
+
+def _owl_rules_graph(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    prefix = "http://pages.example.org/doc/"
+    edges = _doc_tree_edges(spark, sf_dir)
+    tree = edges.select(F.col("src").alias("subj"),
+                        F.lit("parent").alias("pred"),
+                        F.col("dst").alias("obj"))
+    related = (docs.filter(F.col("doc_id") % 2 == 1)
+               .select(F.concat(F.lit(prefix), F.col("doc_id")).alias("subj"),
+                       F.lit("related").alias("pred"),
+                       F.concat(F.lit(prefix),
+                                F.col("doc_id") - 1).alias("obj")))
+    schema_df = spark.createDataFrame(_OWL_RULES_SCHEMA_TRIPLES,
+                                      ["subj", "pred", "obj"])
+    return tree.unionByName(related).unionByName(schema_df).persist()
+
+
+def _kg_owl_derived(spark, sf_dir):
+    """pD* one-pass property rules (operators/owl.owl_horst_materialize):
+    inverseOf and SymmetricProperty as broadcast joins, TransitiveProperty
+    as a per-predicate semi-naive closure — derived triples minus the
+    asserted input; oracle = owl.owl_horst_sql (recursive CTE keyed by
+    predicate over the same rule-extended edge set)."""
+    from .operators.owl import owl_horst_materialize
+    return owl_horst_materialize(_owl_rules_graph(spark, sf_dir))
+
+
 def _graph_sql():
     from .operators.bgp import (bgp_agg_sql, bgp_sql, bgp_union_sql,
                                 construct_sql)
     from .operators.graph import closure_sql, describe_sql, pagerank_sql
     from .operators.inference import rdfs_sql
+    from .operators.owl import (owl_horst_sql, sameas_mapping_sql,
+                                sameas_rewrite_sql)
     from .operators.paths import path_sql
     return {
+        "kg_sameas_mapping": sameas_mapping_sql(_OWL_SAMEAS_GRAPH_SQL),
+        "kg_sameas_canonical": sameas_rewrite_sql(_OWL_SAMEAS_GRAPH_SQL),
+        "kg_owl_derived": owl_horst_sql(_OWL_RULES_GRAPH_SQL),
         "kg_bgp_star": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
                                _BGP_STAR_PATTERNS),
         "kg_bgp_path": bgp_sql(_KG_BGP_PATH_GRAPH_SQL, _BGP_PATH_PATTERNS),
@@ -2513,6 +2621,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_rdfs_derived": _kg_rdfs_derived,
     "graph_pagerank": _graph_pagerank,
     "graph_closure_ancestors": _graph_closure_ancestors,
+    "kg_sameas_mapping": _kg_sameas_mapping,
+    "kg_sameas_canonical": _kg_sameas_canonical,
+    "kg_owl_derived": _kg_owl_derived,
 }
 
 _ORACLES: dict[str, str] = {
