@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     kind.add_argument("--bgp", help="triple patterns, ' . '-separated")
     kind.add_argument("--path", help="property-path expression "
                                      "(operators/paths grammar)")
+    kind.add_argument("--infer-owl", action="store_true",
+                      help="materialize pD* property rules (inverseOf/"
+                           "Symmetric/Transitive) as a derived batch")
+    kind.add_argument("--merge-sameas", action="store_true",
+                      help="fold owl:sameAs statements into the global "
+                           "canonical map (no batch rewrite)")
     kind.add_argument("--infer-rdfs", action="store_true",
                       help="materialize RDFS entailment (rules rdfs2/3/5/"
                            "7/9/11) over the store; commits as a rule "
@@ -137,6 +143,22 @@ def main(argv: list[str] | None = None) -> dict:
         from rdf_tabular_spark.sinks.graph_store import infer_rdfs_batch
         manifest = infer_rdfs_batch(spark, args.store,
                                     args.derive_batch_id, batches=batches)
+        print(json.dumps(manifest))
+        return manifest
+    if args.infer_owl:
+        if not args.derive_batch_id:
+            raise SystemExit("--infer-owl requires --derive-batch-id")
+        from rdf_tabular_spark.sinks.graph_store import infer_owl_batch
+        manifest = infer_owl_batch(spark, args.store,
+                                   args.derive_batch_id, batches=batches)
+        print(json.dumps(manifest))
+        return manifest
+    if args.merge_sameas:
+        if not args.derive_batch_id:
+            raise SystemExit("--merge-sameas requires --derive-batch-id")
+        from rdf_tabular_spark.sinks.graph_store import update_sameas_map
+        manifest = update_sameas_map(spark, args.store,
+                                     args.derive_batch_id, batches=batches)
         print(json.dumps(manifest))
         return manifest
     if args.construct:

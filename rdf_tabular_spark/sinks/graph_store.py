@@ -357,6 +357,62 @@ def infer_rdfs_batch(spark: SparkSession, root: str, batch_id: str,
                        pred_buckets=pred_buckets)
 
 
+def infer_owl_batch(spark: SparkSession, root: str, batch_id: str,
+                    batches: Optional[list[str]] = None,
+                    schema_cap: int = 100_000,
+                    pred_buckets: int = DEFAULT_PRED_BUCKETS) -> dict:
+    """pD* property-rule materialization as store maintenance (sibling of
+    :func:`infer_rdfs_batch`): close the live graph under inverseOf /
+    SymmetricProperty / TransitiveProperty (operators/owl
+    .owl_horst_materialize — rule schema driver-side, instance pass
+    broadcast-join-only plus per-transitive-predicate semi-naive closure)
+    and commit the NEW triples as a lineage-tagged batch. owl:sameAs is
+    deliberately NOT materialized here — identities fold into the global
+    canonical map via :func:`update_sameas_map` instead (the WebPIE
+    canonical-representative design)."""
+    from ..operators.owl import owl_horst_materialize
+    g = read_graph(spark, root, batches=batches) \
+        .select("subj", "pred", "obj")
+    derived = owl_horst_materialize(g, schema_cap=schema_cap)
+    full = derived.select(
+        "subj", "pred", "obj",
+        F.col("obj").rlike("^(https?://|_:)").alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit("rule:owl-horst").alias("table_url"),
+        F.lit(0).cast("long").alias("source_num"))
+    return materialize(full, root, batch_id,
+                       lineage={"source": "rule", "rule_id": "owl-horst",
+                                "rules": "rdfp3,rdfp4,rdfp8ax,rdfp8bx",
+                                "input_batches": batches},
+                       pred_buckets=pred_buckets)
+
+
+def update_sameas_map(spark: SparkSession, root: str, batch_id: str,
+                      batches: Optional[list[str]] = None,
+                      driver_threshold: int = 200_000) -> dict:
+    """Fold the live graph's ``owl:sameAs`` statements into the global
+    canonical map and commit the new version.
+
+    Equivalence classes (connected components over the symmetric sameAs
+    edge set, operators/owl.sameas_mapping) merge union-find-style with
+    the CURRENT map (components.merge_mappings), so identities learned
+    across maintenance runs converge to one global representative without
+    rewriting any committed batch — :func:`read_graph_canonical` applies
+    the result at read time, and :func:`compact` can bake it in."""
+    from ..operators.components import merge_mappings
+    from ..operators.owl import sameas_mapping
+    g = read_graph(spark, root, batches=batches) \
+        .select("subj", "pred", "obj")
+    new = sameas_mapping(g, driver_threshold=driver_threshold) \
+        .select(F.col("term").alias("id"),
+                F.col("canon").alias("canonical_id"))
+    prior = load_canonical_map(spark, root)
+    merged = new if prior is None else merge_mappings([prior, new])
+    save_canonical_map(merged, root, batch_id)
+    return {"batch_id": batch_id, "n_terms": merged.count()}
+
+
 def write_canonical_map_version(mapping: DataFrame, root: str,
                                 batch_id: str) -> str:
     """Write one version of the global subject-canonicalization map WITHOUT

@@ -100,3 +100,75 @@ def test_schema_cap_guard(spark):
     g = _g(spark, [(f"p{i}", RDF_TYPE, OWL_SYMMETRIC) for i in range(10)])
     with pytest.raises(ValueError, match="schema_cap"):
         owl_horst_materialize(g, schema_cap=5)
+
+
+def _store_rows(spark, rows):
+    from pyspark.sql import functions as F
+    return _g(spark, rows).select(
+        "subj", "pred", "obj", F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit("t").alias("table_url"),
+        F.lit(0).cast("long").alias("source_num"))
+
+
+def test_infer_owl_batch_commits_lineage(spark, tmp_path):
+    from rdf_tabular_spark.sinks.graph_store import (infer_owl_batch,
+                                                     materialize, read_graph)
+    root = str(tmp_path / "g")
+    materialize(_store_rows(spark, [("parent", OWL_INVERSE, "child"),
+                                    ("a", "parent", "b")]), root, "b1")
+    m = infer_owl_batch(spark, root, "owl1")
+    assert m["n_triples"] == 1
+    assert m["lineage"]["rule_id"] == "owl-horst"
+    g = {(r.subj, r.pred, r.obj) for r in read_graph(spark, root).collect()}
+    assert ("b", "child", "a") in g
+    # idempotent per batch-id
+    m2 = infer_owl_batch(spark, root, "owl1")
+    assert m2["n_triples"] == m["n_triples"]
+
+
+def test_update_sameas_map_merges_across_runs(spark, tmp_path):
+    """Identities learned in later batches merge union-find-style with the
+    CURRENT map: b1 asserts a~b, b2 asserts b~c — after the second update
+    every term reads through to 'a', with no batch rewritten."""
+    from rdf_tabular_spark.sinks.graph_store import (materialize,
+                                                     read_graph_canonical,
+                                                     update_sameas_map)
+    root = str(tmp_path / "g")
+    materialize(_store_rows(spark, [("a", OWL_SAMEAS, "b"),
+                                    ("b", "name", "N")]), root, "b1")
+    update_sameas_map(spark, root, "m1")
+    g1 = {(r.subj, r.pred, r.obj)
+          for r in read_graph_canonical(spark, root)
+          .select("subj", "pred", "obj").collect()}
+    assert ("a", "name", "N") in g1
+    materialize(_store_rows(spark, [("b", OWL_SAMEAS, "c"),
+                                    ("c", "knows", "d")]), root, "b2")
+    m = update_sameas_map(spark, root, "m2")
+    assert m["n_terms"] == 3
+    g2 = {(r.subj, r.pred, r.obj)
+          for r in read_graph_canonical(spark, root)
+          .select("subj", "pred", "obj").collect()}
+    assert ("a", "knows", "d") in g2
+
+
+def test_query_job_owl_modes(spark, tmp_path):
+    """CLI surface: --infer-owl commits a derived batch; --merge-sameas
+    folds identities into the canonical map."""
+    from rdf_tabular_spark.jobs.query import main as query_main
+    from rdf_tabular_spark.sinks.graph_store import (load_canonical_map,
+                                                     materialize)
+    root = str(tmp_path / "g")
+    materialize(_store_rows(spark, [("p", RDF_TYPE, OWL_TRANSITIVE),
+                                    ("a", "p", "b"), ("b", "p", "c"),
+                                    ("a", OWL_SAMEAS, "z")]), root, "b1")
+    m = query_main(["--store", root, "--infer-owl",
+                    "--derive-batch-id", "owl1"])
+    assert m["n_triples"] == 1          # (a, p, c)
+    m2 = query_main(["--store", root, "--merge-sameas",
+                     "--derive-batch-id", "m1"])
+    assert m2["n_terms"] == 2
+    cmap = {r.id: r.canonical_id
+            for r in load_canonical_map(spark, root).collect()}
+    assert cmap == {"a": "a", "z": "a"}
