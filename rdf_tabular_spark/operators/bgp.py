@@ -494,20 +494,48 @@ def bgp_sql(triples_sql: str, patterns: Sequence[Pattern],
             + f"\n{sel} {', '.join(out_vars)} from {src}{where}")
 
 
+def _norm_aggs(aggs: Sequence[tuple]) -> list[tuple]:
+    """Normalize agg specs → ``(alias, spark_expr, duck_expr)``.
+
+    2-tuples ``(alias, sql_expr)`` are raw expressions in the shared
+    Spark∩DuckDB ANSI subset (count/sum/min/max/avg, count(distinct x);
+    SPARQL SAMPLE is ``min(x)`` — deterministic where the spec allows any
+    element). 3/4-tuples ``(alias, 'group_concat', var[, sep])`` cover
+    SPARQL GROUP_CONCAT, the one aggregate whose SQL spelling diverges:
+    Spark ``concat_ws(sep, sort_array(collect_list(var)))`` vs DuckDB
+    ``string_agg(var, sep order by var)`` — both sort, so the
+    concatenation order (unspecified in SPARQL) is pinned identically."""
+    out = []
+    for a in aggs:
+        if len(a) == 2:
+            alias, expr = a
+            out.append((alias, expr, expr))
+            continue
+        alias, fn, var = a[0], a[1], a[2]
+        if fn != "group_concat":
+            raise ValueError(f"unknown structured aggregate: {fn}")
+        sep = a[3] if len(a) > 3 else " "
+        out.append((
+            alias,
+            f"concat_ws('{sep}', sort_array(collect_list({var})))",
+            f"string_agg({var}, '{sep}' order by {var})"))
+    return out
+
+
 def bgp_agg(triples: DataFrame, patterns: Sequence[Pattern],
             group_by: Sequence[str], aggs: Sequence[tuple],
             having: Sequence[str] = (), **kwargs) -> DataFrame:
     """SPARQL SELECT aggregation over BGP bindings: GROUP BY the given
-    variables, compute ``aggs`` as ``(alias, sql_expr)`` pairs (the
-    shared Spark∩DuckDB ANSI subset — count/sum/min/max/avg over
-    variables, same contract as filters/binds), then apply ``having``
+    variables, compute ``aggs`` (see :func:`_norm_aggs` — raw shared-SQL
+    pairs plus structured GROUP_CONCAT), then apply ``having``
     expressions, which see the aliases (SPARQL HAVING). ``kwargs`` pass
     to bgp_match. One extra shuffle (the groupBy) over the BGP result —
     partial aggregation is map-side, so the exchange carries groups,
     not bindings."""
     bindings = bgp_match(triples, patterns, **kwargs)
     out = bindings.groupBy(*group_by).agg(
-        *[F.expr(expr).alias(alias) for alias, expr in aggs])
+        *[F.expr(spark_expr).alias(alias)
+          for alias, spark_expr, _ in _norm_aggs(aggs)])
     for h in having:
         out = out.filter(F.expr(h))
     return out
@@ -521,13 +549,52 @@ def bgp_agg_sql(triples_sql: str, patterns: Sequence[Pattern],
     identically in both engines (post-aggregation filter — the SPARQL
     semantics)."""
     inner = bgp_sql(triples_sql, patterns, **kwargs)
-    cols = list(group_by) + [f"{expr} as {alias}" for alias, expr in aggs]
+    cols = list(group_by) + [f"{duck_expr} as {alias}"
+                             for alias, _, duck_expr in _norm_aggs(aggs)]
     q = (f"select {', '.join(cols)} from ({inner}) b "
          f"group by {', '.join(group_by)}")
     if having:
         conds = " and ".join(f"({h})" for h in having)
         q = f"select * from ({q}) g where {conds}"
     return q
+
+
+def bgp_subselect(triples: DataFrame, patterns: Sequence[Pattern],
+                  sub_patterns: Sequence[Pattern],
+                  group_by: Sequence[str], aggs: Sequence[tuple],
+                  having: Sequence[str] = (),
+                  broadcast_sub: bool = True, **kwargs) -> DataFrame:
+    """SPARQL 1.1 §12 subquery: an inner aggregating SELECT evaluated
+    independently, its result joined to the outer BGP's bindings on the
+    variables it projects (SPARQL joins solution mappings on shared
+    variables — here the inner projection is ``group_by`` + aliases, and
+    only ``group_by`` can be shared since aliases are fresh).
+
+    Scale: the classic use is per-group statistics decorating row-level
+    bindings ("each doc with its language's doc count"). The inner result
+    has one row per group — vocabulary-sized next to the outer bindings —
+    so it broadcast-joins by default; pass ``broadcast_sub=False`` when
+    the group domain is corpus-sized. ``kwargs`` go to the OUTER
+    bgp_match."""
+    outer = bgp_match(triples, patterns, **kwargs)
+    inner = bgp_agg(triples, sub_patterns, group_by, aggs, having=having)
+    if broadcast_sub:
+        inner = F.broadcast(inner)
+    return outer.join(inner, on=list(group_by))
+
+
+def bgp_subselect_sql(triples_sql: str, patterns: Sequence[Pattern],
+                      sub_patterns: Sequence[Pattern],
+                      group_by: Sequence[str], aggs: Sequence[tuple],
+                      having: Sequence[str] = (), **kwargs) -> str:
+    """``bgp_subselect`` as SQL (DuckDB oracle): outer binding query
+    joined USING(group vars) to the aggregated inner query."""
+    outer = bgp_sql(triples_sql, patterns, **kwargs)
+    inner = bgp_agg_sql(triples_sql, sub_patterns, group_by, aggs,
+                        having=having)
+    using = ", ".join(group_by)
+    return (f"select * from ({outer}) o join ({inner}) i "
+            f"using ({using})")
 
 
 def bgp_union_match(triples: DataFrame,

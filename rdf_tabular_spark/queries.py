@@ -2230,6 +2230,39 @@ def _kg_bgp_having(spark, sf_dir):
                    having=_BGP_AGG_HAVING)
 
 
+# SPARQL GROUP_CONCAT / COUNT(DISTINCT) / SAMPLE: the aggregate forms
+# beyond plain count/sum — GROUP_CONCAT is the one whose SQL spelling
+# diverges per engine (bgp._norm_aggs pins order by sorting in both);
+# SAMPLE is min() (deterministic choice where SPARQL allows any element).
+_BGP_GC_AGGS = [("n_names", "count(distinct name)"),
+                ("sample_name", "min(name)"),
+                ("names_cat", "group_concat", "name", ";")]
+
+
+def _kg_bgp_group_concat(spark, sf_dir):
+    """GROUP_CONCAT + COUNT(DISTINCT) + SAMPLE per language over the
+    microdata BGP (operators/bgp.bgp_agg structured aggregates)."""
+    from .operators.bgp import bgp_agg
+    return bgp_agg(_kg_microdata_triples(spark, sf_dir).persist(),
+                   _BGP_STAR_PATTERNS, _BGP_AGG_GROUP, _BGP_GC_AGGS)
+
+
+# SPARQL 1.1 §12 subquery: per-group statistics decorating row-level
+# bindings — every doc joined to its language's doc count.
+_BGP_SUB_PATTERNS = [("?d", "http://schema.org/inLanguage", "?lang")]
+_BGP_SUB_AGGS = [("n_docs", "count(*)")]
+
+
+def _kg_bgp_subselect(spark, sf_dir):
+    """Subquery (operators/bgp.bgp_subselect): inner SELECT aggregates
+    docs per language; its one-row-per-group result broadcast-joins the
+    outer star bindings on ?lang."""
+    from .operators.bgp import bgp_subselect
+    return bgp_subselect(_kg_microdata_triples(spark, sf_dir).persist(),
+                         _BGP_STAR_PATTERNS, _BGP_SUB_PATTERNS,
+                         _BGP_AGG_GROUP, _BGP_SUB_AGGS)
+
+
 # SPARQL GRAPH (quads): 4-term patterns over (graph, subj, pred, obj),
 # graph = the source document (table_url — per-triple provenance the
 # kernel already carries). Both patterns share ?g AND ?item, so the join
@@ -2471,8 +2504,8 @@ def _kg_owl_derived(spark, sf_dir):
 
 
 def _graph_sql():
-    from .operators.bgp import (bgp_agg_sql, bgp_sql, bgp_union_sql,
-                                construct_sql)
+    from .operators.bgp import (bgp_agg_sql, bgp_sql, bgp_subselect_sql,
+                                bgp_union_sql, construct_sql)
     from .operators.graph import closure_sql, describe_sql, pagerank_sql
     from .operators.inference import rdfs_sql
     from .operators.owl import (owl_horst_sql, sameas_mapping_sql,
@@ -2482,6 +2515,14 @@ def _graph_sql():
         "kg_sameas_mapping": sameas_mapping_sql(_OWL_SAMEAS_GRAPH_SQL),
         "kg_sameas_canonical": sameas_rewrite_sql(_OWL_SAMEAS_GRAPH_SQL),
         "kg_owl_derived": owl_horst_sql(_OWL_RULES_GRAPH_SQL),
+        "kg_bgp_group_concat": bgp_agg_sql(_KG_MICRODATA_TRIPLES_SQL,
+                                           _BGP_STAR_PATTERNS,
+                                           _BGP_AGG_GROUP, _BGP_GC_AGGS),
+        "kg_bgp_subselect": bgp_subselect_sql(_KG_MICRODATA_TRIPLES_SQL,
+                                              _BGP_STAR_PATTERNS,
+                                              _BGP_SUB_PATTERNS,
+                                              _BGP_AGG_GROUP,
+                                              _BGP_SUB_AGGS),
         "kg_bgp_star": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
                                _BGP_STAR_PATTERNS),
         "kg_bgp_path": bgp_sql(_KG_BGP_PATH_GRAPH_SQL, _BGP_PATH_PATTERNS),
@@ -2624,6 +2665,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sameas_mapping": _kg_sameas_mapping,
     "kg_sameas_canonical": _kg_sameas_canonical,
     "kg_owl_derived": _kg_owl_derived,
+    "kg_bgp_group_concat": _kg_bgp_group_concat,
+    "kg_bgp_subselect": _kg_bgp_subselect,
 }
 
 _ORACLES: dict[str, str] = {

@@ -469,3 +469,15 @@ def test_bgp_match_store_quads_bind_source_document(spark, tmp_path):
         read_graph(spark, root).withColumn("graph", F.col("table_url"))
         .select("graph", "subj", "pred", "obj"), pats).collect()))
     assert sorted(map(tuple, rows)) == expected
+
+
+def test_bgp_subselect_broadcasts_inner(spark):
+    """The subquery's one-row-per-group aggregate must broadcast onto the
+    outer bindings — shuffling the outer binding stream on the group key
+    would add a corpus-sized exchange at 10^12 triples."""
+    p = plan_of(Q.queries()["kg_bgp_subselect"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    # the outer->inner join itself must not introduce a hash-partition
+    # exchange on the group key (lang)
+    assert not re.search(r"Exchange hashpartitioning\(lang", p), \
+        "subselect join shuffled the outer bindings"
