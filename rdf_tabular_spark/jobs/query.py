@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="query a triple graph store")
     p.add_argument("--store", required=True, help="graph-store root")
     kind = p.add_mutually_exclusive_group(required=True)
+    kind.add_argument("--sparql", help="full SPARQL query string "
+                      "(SELECT/ASK/CONSTRUCT; see rdf_tabular_spark/"
+                      "sparql.py for the supported subset)")
     kind.add_argument("--bgp", help="triple patterns, ' . '-separated")
     kind.add_argument("--path", help="property-path expression "
                                      "(operators/paths grammar)")
@@ -161,7 +164,18 @@ def main(argv: list[str] | None = None) -> dict:
                                      args.derive_batch_id, batches=batches)
         print(json.dumps(manifest))
         return manifest
-    if args.construct:
+    if args.sparql:
+        from pyspark.sql import functions as F
+
+        from rdf_tabular_spark.sparql import query_df
+        triples = read_graph(spark, args.store, batches=batches).select(
+            F.col("table_url").alias("graph"), "subj", "pred", "obj")
+        result = query_df(triples, args.sparql)
+        if isinstance(result, bool):
+            summary = {"ask": result}
+            print(json.dumps(summary))
+            return summary
+    elif args.construct:
         if not args.bgp:
             raise SystemExit("--construct requires --bgp WHERE patterns")
         from rdf_tabular_spark.sinks.graph_store import derive_batch

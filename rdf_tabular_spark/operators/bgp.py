@@ -551,8 +551,9 @@ def bgp_agg_sql(triples_sql: str, patterns: Sequence[Pattern],
     inner = bgp_sql(triples_sql, patterns, **kwargs)
     cols = list(group_by) + [f"{duck_expr} as {alias}"
                              for alias, _, duck_expr in _norm_aggs(aggs)]
-    q = (f"select {', '.join(cols)} from ({inner}) b "
-         f"group by {', '.join(group_by)}")
+    q = f"select {', '.join(cols)} from ({inner}) b"
+    if group_by:
+        q += f" group by {', '.join(group_by)}"
     if having:
         conds = " and ".join(f"({h})" for h in having)
         q = f"select * from ({q}) g where {conds}"

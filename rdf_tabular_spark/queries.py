@@ -2263,6 +2263,44 @@ def _kg_bgp_subselect(spark, sf_dir):
                          _BGP_AGG_GROUP, _BGP_SUB_AGGS)
 
 
+# SPARQL text front-end (rdf_tabular_spark/sparql.py): the SAME query
+# string parses once and compiles to both engines — the oracle checks the
+# full text→algebra→plan chain, not a hand-built mirror.
+_SPARQL_SELECT_QUERY = """
+PREFIX schema: <http://schema.org/>
+SELECT ?item ?name ?lang WHERE {
+  ?item a schema:CreativeWork ; schema:name ?name .
+  OPTIONAL { ?item schema:inLanguage ?lang }
+  FILTER(STRLEN(?name) > 5)
+}
+"""
+
+_SPARQL_AGG_QUERY = """
+PREFIX schema: <http://schema.org/>
+SELECT ?lang (COUNT(*) AS ?n_docs)
+       (GROUP_CONCAT(?name; SEPARATOR=";") AS ?names)
+WHERE { ?item schema:inLanguage ?lang ; schema:name ?name }
+GROUP BY ?lang
+HAVING(?n_docs >= 2)
+"""
+
+
+def _kg_sparql_select(spark, sf_dir):
+    """SPARQL string → bgp_match via the text front-end (prefixes, 'a',
+    ';' blocks, OPTIONAL, FILTER with STRLEN translation)."""
+    from .sparql import query_df
+    return query_df(_kg_microdata_triples(spark, sf_dir).persist(),
+                    _SPARQL_SELECT_QUERY)
+
+
+def _kg_sparql_agg(spark, sf_dir):
+    """SPARQL aggregate string → bgp_agg via the text front-end
+    (GROUP_CONCAT with separator, COUNT(*), HAVING over aliases)."""
+    from .sparql import query_df
+    return query_df(_kg_microdata_triples(spark, sf_dir).persist(),
+                    _SPARQL_AGG_QUERY)
+
+
 # SPARQL GRAPH (quads): 4-term patterns over (graph, subj, pred, obj),
 # graph = the source document (table_url — per-triple provenance the
 # kernel already carries). Both patterns share ?g AND ?item, so the join
@@ -2511,6 +2549,7 @@ def _graph_sql():
     from .operators.owl import (owl_horst_sql, sameas_mapping_sql,
                                 sameas_rewrite_sql)
     from .operators.paths import path_sql
+    from .sparql import query_sql as sparql_query_sql
     return {
         "kg_sameas_mapping": sameas_mapping_sql(_OWL_SAMEAS_GRAPH_SQL),
         "kg_sameas_canonical": sameas_rewrite_sql(_OWL_SAMEAS_GRAPH_SQL),
@@ -2523,6 +2562,10 @@ def _graph_sql():
                                               _BGP_SUB_PATTERNS,
                                               _BGP_AGG_GROUP,
                                               _BGP_SUB_AGGS),
+        "kg_sparql_select": sparql_query_sql(_KG_MICRODATA_TRIPLES_SQL,
+                                             _SPARQL_SELECT_QUERY),
+        "kg_sparql_agg": sparql_query_sql(_KG_MICRODATA_TRIPLES_SQL,
+                                          _SPARQL_AGG_QUERY),
         "kg_bgp_star": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
                                _BGP_STAR_PATTERNS),
         "kg_bgp_path": bgp_sql(_KG_BGP_PATH_GRAPH_SQL, _BGP_PATH_PATTERNS),
@@ -2667,6 +2710,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_owl_derived": _kg_owl_derived,
     "kg_bgp_group_concat": _kg_bgp_group_concat,
     "kg_bgp_subselect": _kg_bgp_subselect,
+    "kg_sparql_select": _kg_sparql_select,
+    "kg_sparql_agg": _kg_sparql_agg,
 }
 
 _ORACLES: dict[str, str] = {

@@ -1,0 +1,805 @@
+"""SPARQL 1.1 text front-end: parse query strings into the algebra the
+engine already executes (operators/bgp, operators/paths), and compile the
+SAME parsed form to (a) a DataFrame program and (b) DuckDB oracle SQL.
+
+The reference emits RDF for SPARQL stores (rdf-tabular README.md); the
+BGP/path/aggregate tiers cover the algebra, and this module closes the
+usability gap — a standard query string instead of hand-built pattern
+tuples. One recursive-descent pass produces a :class:`SparqlQuery`;
+``query_df`` routes it to bgp_match / bgp_agg / bgp_subselect /
+bgp_union_match / construct / ask, so the text layer adds ZERO execution
+paths — every plan property (broadcast subselects, predicate-pushdown
+scans, anti-join MINUS) is inherited from the audited operators.
+
+Supported subset (each feature maps 1:1 onto an existing operator):
+  SELECT [DISTINCT] ?v... | * | (AGG(...) AS ?a)...
+  ASK / CONSTRUCT { template } WHERE
+  WHERE { triples ; , .  OPTIONAL{} MINUS{} FILTER(expr)
+          FILTER [NOT] EXISTS{} BIND(expr AS ?v) VALUES ?v {...}
+          GRAPH term {}  { SELECT ... } (subquery)  {A} UNION {B} }
+  property paths in predicate position (operators/paths grammar)
+  GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET
+  PREFIX expansion; 'a' = rdf:type; UNDEF in VALUES
+
+FILTER/BIND/HAVING expressions translate to the shared Spark∩DuckDB ANSI
+subset (the bgp_match ``filters`` contract — one string, two engines):
+&&/||/! → and/or/not, STRLEN→length, CONTAINS→instr, STRSTARTS/STRENDS→
+left/right, BOUND→is-not-null, IF→case, xsd:integer/double casts.
+Functions with engine-divergent spellings (REGEX) are intentionally out.
+
+Out of scope (documented contract, not oversights): named-graph datasets
+via FROM (the graph store's ``batches=`` serves that role), DESCRIBE as
+text (operators/graph.describe is the API), federation (SERVICE),
+property paths in CONSTRUCT templates, expression ORDER BY keys.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.bgp import _sq
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_PATH_CHARS = set("/|^+*!()")
+
+_VAR_RE = re.compile(r"[?$]([A-Za-z_][A-Za-z0-9_]*)")
+_IRI_RE = re.compile(r"<([^<>\s]*)>")
+_PNAME_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_\-]*)?:([A-Za-z0-9_\-.]*)")
+_WORD_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_NUM_RE = re.compile(r"-?\d+(?:\.\d+)?")
+_STR_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
+# a run of path-able elements with no whitespace: IRIs, pnames/bare words,
+# and the path operators (used ONLY in predicate position)
+_PATH_RE = re.compile(
+    r"(?:<[^<>\s]*>|[A-Za-z_][A-Za-z0-9_\-]*(?::[A-Za-z0-9_\-.]*)?"
+    r"|[/|^+*?!()])+")
+
+
+@dataclass
+class SparqlQuery:
+    form: str                       # 'select' | 'ask' | 'construct'
+    distinct: bool = False
+    variables: list | None = None   # None = SELECT *
+    patterns: list = field(default_factory=list)
+    optionals: list = field(default_factory=list)
+    minus: list = field(default_factory=list)
+    exists: list = field(default_factory=list)
+    filters: list = field(default_factory=list)
+    binds: list = field(default_factory=list)
+    values: tuple | None = None
+    union_branches: list | None = None
+    template: list | None = None    # CONSTRUCT
+    group_by: list = field(default_factory=list)
+    aggs: list = field(default_factory=list)
+    having: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)   # (var, 'asc'|'desc')
+    limit: int | None = None
+    offset: int | None = None
+    subselect: dict | None = None   # {patterns, group_by, aggs, having}
+
+
+class SparqlError(ValueError):
+    pass
+
+
+class _Cursor:
+    """Raw-text cursor: regex-anchored accept/expect with whitespace and
+    comment skipping. Keyword matching is case-insensitive (SPARQL);
+    terms are case-sensitive."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+
+    def _skip(self) -> None:
+        t, n = self.text, len(self.text)
+        p = self.pos
+        while p < n:
+            c = t[p]
+            if c in " \t\r\n":
+                p += 1
+            elif c == "#":
+                while p < n and t[p] != "\n":
+                    p += 1
+            else:
+                break
+        self.pos = p
+
+    def eof(self) -> bool:
+        self._skip()
+        return self.pos >= len(self.text)
+
+    def peek(self, lit: str) -> bool:
+        self._skip()
+        return self.text.startswith(lit, self.pos)
+
+    def peek_kw(self, *kws: str) -> str | None:
+        self._skip()
+        m = _WORD_RE.match(self.text, self.pos)
+        if m and m.group(0).upper() in kws:
+            return m.group(0).upper()
+        return None
+
+    def accept(self, lit: str) -> bool:
+        if self.peek(lit):
+            self.pos += len(lit)
+            return True
+        return False
+
+    def accept_kw(self, *kws: str) -> str | None:
+        kw = self.peek_kw(*kws)
+        if kw:
+            self.pos += len(kw)
+            return kw
+        return None
+
+    def expect(self, lit: str) -> None:
+        if not self.accept(lit):
+            raise SparqlError(
+                f"expected {lit!r} at ...{self.text[self.pos:self.pos+40]!r}")
+
+    def match(self, rx: re.Pattern) -> re.Match | None:
+        self._skip()
+        m = rx.match(self.text, self.pos)
+        if m:
+            self.pos = m.end()
+        return m
+
+    def fail(self, what: str):
+        raise SparqlError(
+            f"expected {what} at ...{self.text[self.pos:self.pos+40]!r}")
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.c = _Cursor(text)
+        self.prefixes: dict[str, str] = {}
+
+    # ---------------------------------------------------------- terms
+
+    def _expand(self, pfx: str, local: str) -> str:
+        if pfx not in self.prefixes:
+            raise SparqlError(f"undeclared prefix {pfx!r}:")
+        return self.prefixes[pfx] + local
+
+    def term(self, allow_path: bool = False):
+        """One RDF term: variable, IRI, prefixed name, literal, number,
+        or 'a'. In predicate position (``allow_path``) a whitespace-free
+        run containing path operators parses via operators/paths."""
+        c = self.c
+        m = c.match(_VAR_RE)
+        if m:
+            return "?" + m.group(1)
+        if allow_path:
+            c._skip()
+            m = _PATH_RE.match(c.text, c.pos)
+            # path detection must ignore characters INSIDE <IRI> brackets
+            # (every http IRI contains '/')
+            if m and any(ch in _PATH_CHARS
+                         for ch in re.sub(r"<[^>]*>", "", m.group(0))):
+                c.pos = m.end()
+                # '?' ends _PATH_RE only as an operator; expand pnames
+                # inside the path string before handing to parse_path
+                from .operators.paths import parse_path
+                return parse_path(self._expand_path(m.group(0)))
+        m = c.match(_IRI_RE)
+        if m:
+            return m.group(1)
+        m = c.match(_STR_RE)
+        if m:
+            lit = re.sub(r"\\(.)", r"\1", m.group(1))
+            # language tags / datatypes on literals: the 3-col graph
+            # carries lexical forms only — accept and drop the suffix
+            if c.accept("^^"):
+                mm = c.match(_IRI_RE) or c.match(_PNAME_RE)
+                if not mm:
+                    c.fail("datatype IRI")
+            elif c.accept("@"):
+                if not c.match(_WORD_RE):
+                    c.fail("language tag")
+            return lit
+        m = c.match(_NUM_RE)
+        if m:
+            return m.group(0)
+        c._skip()
+        m = _PNAME_RE.match(c.text, c.pos)
+        if m:
+            c.pos = m.end()
+            return self._expand(m.group(1) or "", m.group(2))
+        m = c.match(_WORD_RE)
+        if m:
+            if m.group(0) == "a":
+                return RDF_TYPE
+            # extension: bare tokens as terms, matching the bare-token
+            # atoms the rest of the engine uses (paths grammar, pattern
+            # tuples over graphs with non-IRI predicates like 'parent')
+            return m.group(0)
+        c.fail("term")
+
+    def _expand_path(self, s: str) -> str:
+        def sub(m: re.Match) -> str:
+            return "<" + self._expand(m.group(1) or "", m.group(2)) + ">"
+        # IRIs pass through; pnames (with ':') expand to <IRI> atoms
+        out, i = [], 0
+        while i < len(s):
+            if s[i] == "<":
+                j = s.index(">", i) + 1
+                out.append(s[i:j])
+                i = j
+                continue
+            m = _PNAME_RE.match(s, i)
+            if m and ":" in m.group(0):
+                out.append(sub(m))
+                i = m.end()
+                continue
+            out.append(s[i])
+            i += 1
+        return "".join(out)
+
+    # ----------------------------------------------------- expressions
+
+    _FUNCS = {
+        "strlen": "length({0})",
+        "ucase": "upper({0})",
+        "lcase": "lower({0})",
+        "contains": "(instr({0}, {1}) > 0)",
+        "strstarts": "(left({0}, length({1})) = {1})",
+        "strends": "(right({0}, length({1})) = {1})",
+        "bound": "({0} is not null)",
+        "abs": "abs({0})",
+        "round": "round({0})",
+        "ceil": "ceil({0})",
+        "floor": "floor({0})",
+        "str": "({0})",
+        "if": "(case when {0} then {1} else {2} end)",
+        "coalesce": None,     # variadic, emitted directly
+        "concat": None,
+        "substr": None,
+    }
+    _CASTS = {
+        "http://www.w3.org/2001/XMLSchema#integer": "bigint",
+        "http://www.w3.org/2001/XMLSchema#int": "bigint",
+        "http://www.w3.org/2001/XMLSchema#long": "bigint",
+        "http://www.w3.org/2001/XMLSchema#double": "double",
+        "http://www.w3.org/2001/XMLSchema#decimal": "double",
+        "http://www.w3.org/2001/XMLSchema#float": "double",
+        "http://www.w3.org/2001/XMLSchema#boolean": "boolean",
+    }
+
+    def expr(self) -> str:
+        """Translate a SPARQL expression to the shared SQL subset
+        (precedence: || < && < ! < comparison < +- < */ < unary)."""
+        return self._or()
+
+    def _or(self) -> str:
+        left = self._and()
+        while self.c.accept("||"):
+            left = f"({left} or {self._and()})"
+        return left
+
+    def _and(self) -> str:
+        left = self._not()
+        while self.c.accept("&&"):
+            left = f"({left} and {self._not()})"
+        return left
+
+    def _not(self) -> str:
+        self.c._skip()
+        if (self.c.text.startswith("!", self.c.pos)
+                and not self.c.text.startswith("!=", self.c.pos)):
+            self.c.pos += 1
+            return f"(not {self._not()})"
+        return self._cmp()
+
+    def _cmp(self) -> str:
+        left = self._add()
+        for op, sql in (("<=", "<="), (">=", ">="), ("!=", "<>"),
+                        ("=", "="), ("<", "<"), (">", ">")):
+            if self.c.accept(op):
+                return f"({left} {sql} {self._add()})"
+        return left
+
+    def _add(self) -> str:
+        left = self._mul()
+        while True:
+            if self.c.accept("+"):
+                left = f"({left} + {self._mul()})"
+            elif self.c.accept("-"):
+                left = f"({left} - {self._mul()})"
+            else:
+                return left
+
+    def _mul(self) -> str:
+        left = self._primary()
+        while True:
+            if self.c.accept("*"):
+                left = f"({left} * {self._primary()})"
+            elif self.c.accept("/"):
+                left = f"({left} / {self._primary()})"
+            else:
+                return left
+
+    def _args(self) -> list[str]:
+        self.c.expect("(")
+        args = [self.expr()]
+        while self.c.accept(","):
+            args.append(self.expr())
+        self.c.expect(")")
+        return args
+
+    def _primary(self) -> str:
+        c = self.c
+        if c.accept("("):
+            e = self.expr()
+            c.expect(")")
+            return f"({e})"
+        m = c.match(_VAR_RE)
+        if m:
+            return m.group(1)
+        m = c.match(_STR_RE)
+        if m:
+            return _sq(re.sub(r"\\(.)", r"\1", m.group(1)))
+        m = c.match(_NUM_RE)
+        if m:
+            return m.group(0)
+        c._skip()
+        m = _PNAME_RE.match(c.text, c.pos)
+        if m and m.group(0) not in ("", ":"):
+            c.pos = m.end()
+            iri = self._expand(m.group(1) or "", m.group(2))
+            if iri in self._CASTS:
+                args = self._args()
+                return f"cast({args[0]} as {self._CASTS[iri]})"
+            raise SparqlError(f"unsupported function IRI <{iri}>")
+        m = c.match(_WORD_RE)
+        if m:
+            word = m.group(0)
+            lw = word.lower()
+            if lw in ("true", "false"):
+                return lw
+            if lw in self._FUNCS:
+                args = self._args()
+                tmpl = self._FUNCS[lw]
+                if tmpl is None:
+                    return f"{lw}({', '.join(args)})"
+                return tmpl.format(*args)
+            raise SparqlError(f"unsupported function {word!r}")
+        c.fail("expression")
+
+    # ------------------------------------------------------- aggregates
+
+    def _agg_spec(self, alias: str):
+        """One aggregate call → a bgp_agg aggs entry."""
+        c = self.c
+        kw = c.accept_kw("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
+                         "GROUP_CONCAT")
+        if not kw:
+            c.fail("aggregate function")
+        c.expect("(")
+        if kw == "COUNT" and c.accept("*"):
+            c.expect(")")
+            return (alias, "count(*)")
+        distinct = bool(c.accept_kw("DISTINCT"))
+        m = c.match(_VAR_RE)
+        if not m:
+            c.fail("aggregate variable")
+        var = m.group(1)
+        if kw == "GROUP_CONCAT":
+            sep = " "
+            if c.accept(";"):
+                if not c.accept_kw("SEPARATOR"):
+                    c.fail("SEPARATOR")
+                c.expect("=")
+                ms = c.match(_STR_RE)
+                if not ms:
+                    c.fail("separator string")
+                sep = re.sub(r"\\(.)", r"\1", ms.group(1))
+            c.expect(")")
+            return (alias, "group_concat", var, sep)
+        c.expect(")")
+        d = "distinct " if distinct else ""
+        fn = {"COUNT": "count", "SUM": "sum", "MIN": "min", "MAX": "max",
+              "AVG": "avg", "SAMPLE": "min"}[kw]
+        return (alias, f"{fn}({d}{var})")
+
+    # ----------------------------------------------------- group graph
+
+    def triples_block(self, sink: list, graph=None) -> None:
+        """subject (predicate object (',' object)*) (';' ...)* '.'?"""
+        subj = self.term()
+        while True:
+            pred = self.term(allow_path=True)
+            while True:
+                obj = self.term()
+                sink.append((graph, subj, pred, obj) if graph is not None
+                            else (subj, pred, obj))
+                if not self.c.accept(","):
+                    break
+            if self.c.accept(";"):
+                if self.c.peek("}") or self.c.peek("."):
+                    break
+                continue
+            break
+        self.c.accept(".")
+
+    def group(self, q: SparqlQuery) -> None:
+        c = self.c
+        c.expect("{")
+        while not c.accept("}"):
+            if c.peek("{"):
+                self._braced(q)
+                continue
+            kw = c.accept_kw("OPTIONAL", "MINUS", "FILTER", "BIND",
+                             "VALUES", "GRAPH")
+            if kw == "OPTIONAL":
+                q.optionals.append(self._plain_group())
+            elif kw == "MINUS":
+                q.minus.append(self._plain_group())
+            elif kw == "FILTER":
+                if c.accept_kw("EXISTS"):
+                    q.exists.append(self._plain_group())
+                elif c.accept_kw("NOT"):
+                    if not c.accept_kw("EXISTS"):
+                        c.fail("EXISTS")
+                    # FILTER NOT EXISTS: anti-join on shared variables —
+                    # identical to MINUS whenever the group shares ≥1
+                    # variable (bgp_match rejects the disjoint case both
+                    # forms disagree on)
+                    q.minus.append(self._plain_group())
+                else:
+                    q.filters.append(self.expr())
+            elif kw == "BIND":
+                c.expect("(")
+                e = self.expr()
+                if not c.accept_kw("AS"):
+                    c.fail("AS")
+                m = c.match(_VAR_RE)
+                if not m:
+                    c.fail("BIND variable")
+                c.expect(")")
+                q.binds.append((m.group(1), e))
+            elif kw == "VALUES":
+                q.values = self._values()
+            elif kw == "GRAPH":
+                g = self.term()
+                quads: list = []
+                c.expect("{")
+                while not c.peek("}"):
+                    self.triples_block(quads, graph=g)
+                c.expect("}")
+                q.patterns.extend(quads)
+            else:
+                self.triples_block(q.patterns)
+
+    def _braced(self, q: SparqlQuery) -> None:
+        """'{' ... — subquery, or a UNION chain of groups."""
+        c = self.c
+        save = c.pos
+        c.expect("{")
+        if c.peek_kw("SELECT"):
+            q.subselect = self._subselect()
+            c.expect("}")
+            return
+        c.pos = save
+        branches = [self._plain_group()]
+        while c.accept_kw("UNION"):
+            branches.append(self._plain_group())
+        if len(branches) == 1:
+            q.patterns.extend(branches[0])
+        else:
+            if q.union_branches is not None:
+                raise SparqlError("only one UNION chain per group")
+            q.union_branches = branches
+
+    def _plain_group(self) -> list:
+        """A nested group restricted to triple patterns (the shape the
+        algebra's optionals/minus/exists accept)."""
+        sub = SparqlQuery(form="select")
+        self.group(sub)
+        if (sub.optionals or sub.minus or sub.filters or sub.binds
+                or sub.values or sub.union_branches or sub.subselect
+                or sub.exists):
+            raise SparqlError(
+                "nested groups support triple patterns only (wrap complex "
+                "groups in a subquery)")
+        return sub.patterns
+
+    def _subselect(self) -> dict:
+        c = self.c
+        c.accept_kw("SELECT")
+        group_vars: list[str] = []
+        aggs: list = []
+        while True:
+            m = c.match(_VAR_RE)
+            if m:
+                group_vars.append(m.group(1))
+                continue
+            if c.peek("("):
+                c.expect("(")
+                aggs.append(self._agg_alias())
+                continue
+            break
+        if not c.accept_kw("WHERE"):
+            c.fail("WHERE")
+        sub = SparqlQuery(form="select")
+        self.group(sub)
+        if (sub.optionals or sub.minus or sub.filters or sub.binds
+                or sub.values or sub.union_branches or sub.subselect):
+            raise SparqlError("subquery WHERE supports triple patterns only")
+        group_by: list[str] = []
+        if c.accept_kw("GROUP"):
+            if not c.accept_kw("BY"):
+                c.fail("BY")
+            while True:
+                m = c.match(_VAR_RE)
+                if not m:
+                    break
+                group_by.append(m.group(1))
+        having: list[str] = []
+        if c.accept_kw("HAVING"):
+            c.expect("(")
+            having.append(self.expr())
+            c.expect(")")
+        if not group_by:
+            group_by = group_vars
+        if sorted(group_by) != sorted(group_vars):
+            raise SparqlError(
+                "subquery must project exactly its GROUP BY variables "
+                "plus aggregate aliases")
+        return {"patterns": sub.patterns, "group_by": group_by,
+                "aggs": aggs, "having": having}
+
+    def _agg_alias(self):
+        spec = self._agg_spec("_")
+        if not self.c.accept_kw("AS"):
+            self.c.fail("AS")
+        m = self.c.match(_VAR_RE)
+        if not m:
+            self.c.fail("alias variable")
+        self.c.expect(")")
+        return (m.group(1),) + tuple(spec[1:])
+
+    def _values(self) -> tuple:
+        c = self.c
+        cols: list[str] = []
+        if c.accept("("):
+            while True:
+                m = c.match(_VAR_RE)
+                if not m:
+                    break
+                cols.append(m.group(1))
+            c.expect(")")
+        else:
+            m = c.match(_VAR_RE)
+            if not m:
+                c.fail("VALUES variable")
+            cols.append(m.group(1))
+        rows: list[tuple] = []
+        c.expect("{")
+        while not c.accept("}"):
+            if len(cols) == 1 and not c.peek("("):
+                rows.append((self._values_cell(),))
+                continue
+            c.expect("(")
+            row = []
+            while not c.accept(")"):
+                row.append(self._values_cell())
+            if len(row) != len(cols):
+                raise SparqlError("VALUES row arity mismatch")
+            rows.append(tuple(row))
+        return (cols, rows)
+
+    def _values_cell(self):
+        if self.c.accept_kw("UNDEF"):
+            return None
+        return self.term()
+
+    # ----------------------------------------------------------- query
+
+    def parse(self) -> SparqlQuery:
+        c = self.c
+        while c.accept_kw("PREFIX"):
+            c._skip()
+            m = _PNAME_RE.match(c.text, c.pos)
+            if not m or m.group(2):
+                c.fail("prefix declaration")
+            c.pos = m.end()
+            mi = c.match(_IRI_RE)
+            if not mi:
+                c.fail("prefix IRI")
+            self.prefixes[m.group(1) or ""] = mi.group(1)
+        if c.accept_kw("ASK"):
+            q = SparqlQuery(form="ask")
+            c.accept_kw("WHERE")
+            self.group(q)
+        elif c.accept_kw("CONSTRUCT"):
+            q = SparqlQuery(form="construct", template=[])
+            c.expect("{")
+            while not c.peek("}"):
+                self.triples_block(q.template)
+            c.expect("}")
+            if not c.accept_kw("WHERE"):
+                c.fail("WHERE")
+            self.group(q)
+        elif c.accept_kw("SELECT"):
+            q = SparqlQuery(form="select")
+            q.distinct = bool(c.accept_kw("DISTINCT"))
+            c.accept_kw("REDUCED")
+            if c.accept("*"):
+                q.variables = None
+            else:
+                q.variables = []
+                while True:
+                    m = c.match(_VAR_RE)
+                    if m:
+                        q.variables.append(m.group(1))
+                        continue
+                    if c.peek("(") and not c.peek_kw("WHERE"):
+                        c.expect("(")
+                        spec = self._agg_alias()
+                        q.aggs.append(spec)
+                        q.variables.append(spec[0])
+                        continue
+                    break
+                if not q.variables:
+                    c.fail("projection")
+            c.accept_kw("WHERE")
+            self.group(q)
+            if c.accept_kw("GROUP"):
+                if not c.accept_kw("BY"):
+                    c.fail("BY")
+                while True:
+                    m = c.match(_VAR_RE)
+                    if not m:
+                        break
+                    q.group_by.append(m.group(1))
+            if c.accept_kw("HAVING"):
+                c.expect("(")
+                q.having.append(self.expr())
+                c.expect(")")
+            if c.accept_kw("ORDER"):
+                if not c.accept_kw("BY"):
+                    c.fail("BY")
+                while True:
+                    d = c.accept_kw("ASC", "DESC")
+                    if d:
+                        c.expect("(")
+                        m = c.match(_VAR_RE)
+                        c.expect(")")
+                    else:
+                        m = c.match(_VAR_RE)
+                    if not m:
+                        if d:
+                            c.fail("ORDER BY variable")
+                        break
+                    q.order_by.append((m.group(1),
+                                       (d or "ASC").lower()))
+            if c.accept_kw("LIMIT"):
+                m = c.match(_NUM_RE)
+                q.limit = int(m.group(0)) if m else c.fail("LIMIT count")
+            if c.accept_kw("OFFSET"):
+                m = c.match(_NUM_RE)
+                q.offset = int(m.group(0)) if m else c.fail("OFFSET count")
+        else:
+            c.fail("SELECT, ASK or CONSTRUCT")
+        if not c.eof():
+            c.fail("end of query")
+        if q.aggs and not q.group_by:
+            q.group_by = [v for v in (q.variables or [])
+                          if v not in {a[0] for a in q.aggs}]
+        return q
+
+
+def parse_sparql(text: str) -> SparqlQuery:
+    return _Parser(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# compilation — route the parsed form to the existing operators
+# ---------------------------------------------------------------------------
+
+def _match_kwargs(q: SparqlQuery) -> dict:
+    kw: dict = {}
+    if q.optionals:
+        kw["optionals"] = q.optionals
+    if q.minus:
+        kw["minus"] = q.minus
+    if q.exists:
+        kw["exists"] = q.exists
+    if q.filters:
+        kw["filters"] = q.filters
+    if q.binds:
+        kw["binds"] = q.binds
+    if q.values:
+        kw["values"] = q.values
+    return kw
+
+
+def query_df(triples: DataFrame, query, scan=None):
+    """Execute a SPARQL query (string or parsed :class:`SparqlQuery`)
+    over a (subj, pred, obj[, graph]) triples DataFrame. Returns a
+    DataFrame (SELECT/CONSTRUCT) or bool (ASK). ``scan`` passes through
+    to bgp_match for store-backed predicate-pruned scans."""
+    from .operators.bgp import (ask, bgp_agg, bgp_match, bgp_subselect,
+                                bgp_union_match, construct)
+    q = parse_sparql(query) if isinstance(query, str) else query
+    kw = _match_kwargs(q)
+    if scan is not None:
+        kw["scan"] = scan
+    if q.form == "ask":
+        return ask(triples, q.patterns, **kw)
+    if q.form == "construct":
+        return construct(triples, q.patterns, q.template, **kw)
+    if q.union_branches is not None:
+        if q.patterns or kw:
+            raise SparqlError("UNION must be the whole WHERE group")
+        out = bgp_union_match(triples, q.union_branches,
+                              distinct=q.distinct)
+    elif q.aggs:
+        out = bgp_agg(triples, q.patterns, q.group_by, q.aggs,
+                      having=q.having, **kw)
+    elif q.subselect is not None:
+        s = q.subselect
+        out = bgp_subselect(triples, q.patterns, s["patterns"],
+                            s["group_by"], s["aggs"],
+                            having=s["having"], **kw)
+    else:
+        out = bgp_match(triples, q.patterns, **kw)
+    if q.variables is not None:
+        out = out.select(*q.variables)
+    if q.distinct and q.union_branches is None:
+        out = out.distinct()
+    for var, direction in q.order_by:
+        out = out.orderBy(F.col(var).desc() if direction == "desc"
+                          else F.col(var))
+    if q.offset:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+def query_sql(triples_sql: str, query) -> str:
+    """The SAME parsed form as DuckDB SQL (oracle emitter) — SELECT and
+    CONSTRUCT forms. Modifier clauses append in standard SQL order."""
+    from .operators.bgp import (bgp_agg_sql, bgp_sql, bgp_subselect_sql,
+                                bgp_union_sql, construct_sql)
+    q = parse_sparql(query) if isinstance(query, str) else query
+    kw = _match_kwargs(q)
+    if q.form == "ask":
+        raise SparqlError("ASK has no tabular oracle form")
+    if q.form == "construct":
+        return construct_sql(triples_sql, q.patterns, q.template, **kw)
+    if q.union_branches is not None:
+        body = bgp_union_sql(triples_sql, q.union_branches,
+                             distinct=q.distinct)
+        distinct_done = True
+    elif q.aggs:
+        body = bgp_agg_sql(triples_sql, q.patterns, q.group_by, q.aggs,
+                           having=q.having, **kw)
+        distinct_done = False
+    elif q.subselect is not None:
+        s = q.subselect
+        body = bgp_subselect_sql(triples_sql, q.patterns, s["patterns"],
+                                 s["group_by"], s["aggs"],
+                                 having=s["having"], **kw)
+        distinct_done = False
+    else:
+        body = bgp_sql(triples_sql, q.patterns, **kw)
+        distinct_done = False
+    proj = "*" if q.variables is None else ", ".join(q.variables)
+    d = "distinct " if q.distinct and not distinct_done else ""
+    sql = f"select {d}{proj} from ({body}) sparql_q"
+    if q.order_by:
+        keys = ", ".join(f"{v} {d2}" for v, d2 in q.order_by)
+        sql += f" order by {keys}"
+    if q.limit is not None:
+        sql += f" limit {q.limit}"
+    if q.offset:
+        sql += f" offset {q.offset}"
+    return sql

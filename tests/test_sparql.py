@@ -1,0 +1,256 @@
+"""SPARQL text front-end (rdf_tabular_spark/sparql.py): parse standard
+query strings into the existing algebra and check BOTH compilers — the
+DataFrame program and the DuckDB SQL emission — produce identical results
+on the same graph (engine-vs-engine parity on every feature, the same
+contract the sf-level oracle harness enforces)."""
+
+import duckdb
+import pytest
+
+from rdf_tabular_spark.sparql import (SparqlError, parse_sparql, query_df,
+                                      query_sql)
+
+ROWS = [
+    ("d1", "rdf_type", "Doc"), ("d2", "rdf_type", "Doc"),
+    ("d3", "rdf_type", "Doc"), ("img1", "rdf_type", "Image"),
+    ("d1", "name", "alpha"), ("d2", "name", "beta"), ("d3", "name", "gamma"),
+    ("d1", "lang", "en"), ("d2", "lang", "en"), ("d3", "lang", "de"),
+    ("d1", "cites", "d2"), ("d2", "cites", "d3"),
+    ("d1", "wc", "120"), ("d2", "wc", "80"),
+]
+PFX = "PREFIX ex: <http://ex.org/> "
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    df = spark.createDataFrame(ROWS, "subj string, pred string, obj string")
+    return df.persist()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    vals = ", ".join("('%s','%s','%s')" % r for r in ROWS)
+    c.execute(f"create view g as select * from (values {vals}) "
+              f"t(subj, pred, obj)")
+    yield c
+    c.close()
+
+
+def both(graph, con, q):
+    """Run the query through BOTH compilers; return (spark_set, duck_set)
+    as order-insensitive row sets over identically-named columns."""
+    df = query_df(graph, q)
+    rel = con.execute(query_sql("select subj, pred, obj from g", q))
+    dcols = [d[0] for d in rel.description]
+    assert df.columns == dcols, (df.columns, dcols)
+    s = sorted(tuple(r) for r in df.collect())
+    d = sorted(tuple(r) for r in rel.fetchall())
+    return s, d
+
+
+def assert_parity(graph, con, q, n_rows=None):
+    s, d = both(graph, con, q)
+    assert s == d, f"engine mismatch for {q!r}:\n{s}\nvs\n{d}"
+    if n_rows is not None:
+        assert len(s) == n_rows, (len(s), n_rows)
+    return s
+
+
+def test_basic_bgp_semicolon_comma(graph, con):
+    rows = assert_parity(graph, con, """
+        SELECT ?s ?n WHERE { ?s rdf_type "Doc" ; name ?n . }""", 3)
+    assert ("d1", "alpha") in rows
+
+
+def test_prefix_a_and_iri_terms(spark, con):
+    g = spark.createDataFrame(
+        [("d1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+          "http://ex.org/Doc")], "subj string, pred string, obj string")
+    c = duckdb.connect()
+    c.execute("create view g as select 'd1' subj, "
+              "'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' pred, "
+              "'http://ex.org/Doc' obj")
+    q = PFX + "SELECT ?s WHERE { ?s a ex:Doc }"
+    s, d = (sorted(query_df(g, q).collect()),
+            sorted(c.execute(query_sql("select * from g", q)).fetchall()))
+    assert [tuple(r) for r in s] == d == [("d1",)]
+
+
+def test_filter_expression_translation(graph, con):
+    # &&, STRLEN, CONTAINS, xsd:integer cast all in one filter
+    q = ("PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+         'SELECT ?s WHERE { ?s name ?n ; wc ?w . '
+         'FILTER(STRLEN(?n) >= 4 && xsd:integer(?w) > 100) }')
+    assert assert_parity(graph, con, q, 1) == [("d1",)]
+
+
+def test_optional_and_bound(graph, con):
+    q = ('SELECT ?s ?w WHERE { ?s rdf_type "Doc" . '
+         'OPTIONAL { ?s wc ?w } }')
+    rows = assert_parity(graph, con, q, 3)
+    assert ("d3", None) in rows
+
+
+def test_minus_and_not_exists_agree(graph, con):
+    m = assert_parity(graph, con,
+                      'SELECT ?s WHERE { ?s rdf_type "Doc" . '
+                      'MINUS { ?s wc ?w } }', 1)
+    ne = assert_parity(graph, con,
+                       'SELECT ?s WHERE { ?s rdf_type "Doc" . '
+                       'FILTER NOT EXISTS { ?s wc ?w } }', 1)
+    assert m == ne == [("d3",)]
+
+
+def test_filter_exists(graph, con):
+    assert assert_parity(graph, con,
+                         'SELECT ?s WHERE { ?s rdf_type "Doc" . '
+                         'FILTER EXISTS { ?s wc ?w } }', 2)
+
+
+def test_bind_and_values(graph, con):
+    q = ('SELECT ?s ?n ?lab WHERE { ?s name ?n . '
+         'BIND(UCASE(?n) AS ?u) BIND(CONCAT(?u, "!") AS ?lab) '
+         'VALUES ?n { "alpha" "beta" } }')
+    rows = assert_parity(graph, con, q, 2)
+    assert ("d1", "alpha", "ALPHA!") in rows
+
+
+def test_values_undef_and_tuples(graph, con):
+    q = ('SELECT ?s ?n ?tag WHERE { ?s name ?n . '
+         'VALUES (?n ?tag) { ("alpha" "first") (UNDEF "none") } }')
+    # UNDEF never joins (NULL semantics documented on bgp_match)
+    assert assert_parity(graph, con, q, 1) == [("d1", "alpha", "first")]
+
+
+def test_property_path_predicate(graph, con):
+    rows = assert_parity(graph, con,
+                         "SELECT ?a ?b WHERE { ?a cites+ ?b }", 3)
+    assert ("d1", "d3") in rows
+
+
+def test_plain_iri_predicate_not_a_path(spark):
+    # '/' INSIDE <> must not trigger path parsing
+    g = spark.createDataFrame([("s", "http://ex.org/p", "o")],
+                              "subj string, pred string, obj string")
+    out = query_df(g, "SELECT ?s WHERE { ?s <http://ex.org/p> ?o }")
+    assert [tuple(r) for r in out.collect()] == [("s",)]
+
+
+def test_union(graph, con):
+    rows = assert_parity(graph, con, """
+        SELECT ?s WHERE { { ?s rdf_type "Image" } UNION { ?s lang "de" } }""",
+        2)
+    assert rows == [("d3",), ("img1",)]
+
+
+def test_aggregates_group_concat(graph, con):
+    q = ('SELECT ?l (COUNT(*) AS ?n) (GROUP_CONCAT(?n2; SEPARATOR=";") '
+         'AS ?names) WHERE { ?s lang ?l ; name ?n2 } GROUP BY ?l')
+    rows = assert_parity(graph, con, q, 2)
+    assert ("en", 2, "alpha;beta") in rows
+
+
+def test_global_aggregate_no_group(graph, con):
+    q = 'SELECT (COUNT(DISTINCT ?l) AS ?n) WHERE { ?s lang ?l }'
+    assert assert_parity(graph, con, q, 1) == [(2,)]
+
+
+def test_having(graph, con):
+    q = ('SELECT ?l (COUNT(*) AS ?n) WHERE { ?s lang ?l } '
+         'GROUP BY ?l HAVING(?n > 1)')
+    assert assert_parity(graph, con, q, 1) == [("en", 2)]
+
+
+def test_subquery(graph, con):
+    q = ("""SELECT ?s ?l ?n WHERE { ?s lang ?l .
+            { SELECT ?l (COUNT(*) AS ?n) WHERE { ?d lang ?l }
+              GROUP BY ?l } }""")
+    rows = assert_parity(graph, con, q, 3)
+    assert ("d3", "de", 1) in rows
+
+
+def test_order_limit_offset(graph, con):
+    q = 'SELECT ?n WHERE { ?s name ?n } ORDER BY DESC(?n) LIMIT 2 OFFSET 1'
+    df = query_df(graph, q)
+    assert [r.n for r in df.collect()] == ["beta", "alpha"]
+    d = con.execute(query_sql("select * from g", q)).fetchall()
+    assert [r[0] for r in d] == ["beta", "alpha"]
+
+
+def test_distinct(graph, con):
+    assert assert_parity(graph, con,
+                         "SELECT DISTINCT ?l WHERE { ?s lang ?l }", 2)
+
+
+def test_construct(graph, con):
+    q = ('CONSTRUCT { ?b cited_by ?a } WHERE { ?a cites ?b }')
+    rows = assert_parity(graph, con, q, 2)
+    assert ("d2", "cited_by", "d1") in rows
+
+
+def test_ask(graph):
+    assert query_df(graph, 'ASK { ?s lang "de" }') is True
+    assert query_df(graph, 'ASK { ?s lang "fr" }') is False
+
+
+def test_graph_quads(spark):
+    quads = spark.createDataFrame(
+        [("g1", "s", "p", "o"), ("g2", "s2", "p", "o2")],
+        "graph string, subj string, pred string, obj string")
+    out = query_df(quads, "SELECT ?g ?s WHERE { GRAPH ?g { ?s p ?o } }")
+    assert sorted(tuple(r) for r in out.collect()) \
+        == [("g1", "s"), ("g2", "s2")]
+
+
+def test_comments_and_literal_suffixes(graph, con):
+    q = ('SELECT ?s WHERE { # find the English docs\n'
+         '  ?s lang "en"@en }')
+    assert assert_parity(graph, con, q, 2)
+    q2 = ('PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+          'SELECT ?s WHERE { ?s wc "120"^^xsd:integer }')
+    assert assert_parity(graph, con, q2, 1) == [("d1",)]
+
+
+def test_parse_errors():
+    for bad in ["SELECT ?x WHERE { ?x }",            # incomplete triple
+                "SELECT WHERE { ?s ?p ?o }",         # empty projection
+                "PREFIX ex <http://x/> SELECT * WHERE { ?s ?p ?o }",
+                "SELECT ?x WHERE { ?s ex:p ?o }",    # undeclared prefix
+                "SELECT ?x WHERE { ?s ?p ?o } trailing"]:
+        with pytest.raises(SparqlError):
+            parse_sparql(bad)
+
+
+def test_unsupported_function_rejected():
+    with pytest.raises(SparqlError, match="unsupported function"):
+        parse_sparql('SELECT ?s WHERE { ?s name ?n . '
+                     'FILTER(REGEX(?n, "a")) }')
+
+
+def test_query_job_sparql_mode(spark, tmp_path):
+    """CLI surface: --sparql runs a full query string against the graph
+    store, including ASK and GRAPH (table_url exposed as ?g)."""
+    from pyspark.sql import functions as F
+
+    from rdf_tabular_spark.jobs.query import main as query_main
+    from rdf_tabular_spark.sinks.graph_store import materialize
+    root = str(tmp_path / "g")
+    base = spark.createDataFrame(ROWS, "subj string, pred string, obj string") \
+        .select("subj", "pred", "obj", F.lit(True).alias("obj_is_iri"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit("http://t.example/corpus").alias("table_url"),
+                F.lit(0).cast("long").alias("source_num"))
+    materialize(base, root, "b1")
+    res = query_main(["--store", root, "--sparql",
+                      'SELECT ?s ?n WHERE { ?s rdf_type "Doc" ; name ?n } '
+                      'ORDER BY ?n LIMIT 2'])
+    assert res["n_rows"] == 2
+    assert [r["n"] for r in res["sample"]] == ["alpha", "beta"]
+    res_ask = query_main(["--store", root, "--sparql",
+                          'ASK { ?s lang "de" }'])
+    assert res_ask == {"ask": True}
+    res_g = query_main(["--store", root, "--sparql",
+                        'SELECT DISTINCT ?g WHERE { GRAPH ?g { ?s name ?n } }'])
+    assert res_g["sample"] == [{"g": "http://t.example/corpus"}]
