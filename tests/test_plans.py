@@ -481,3 +481,13 @@ def test_bgp_subselect_broadcasts_inner(spark):
     # exchange on the group key (lang)
     assert not re.search(r"Exchange hashpartitioning\(lang", p), \
         "subselect join shuffled the outer bindings"
+
+
+def test_sameas_rewrite_broadcasts_mapping(spark):
+    """The sameAs canonical map covers only terms in sameAs statements —
+    a sliver of the graph — so both rewrite joins must broadcast; an
+    Exchange of the triple stream on subj/obj would shuffle the corpus."""
+    p = plan_of(Q.queries()["kg_sameas_canonical"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert not re.search(r"Exchange hashpartitioning\((subj|obj)", p), \
+        "sameas rewrite shuffled the triple stream"
