@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="query a triple graph store")
     p.add_argument("--store", required=True, help="graph-store root")
     kind = p.add_mutually_exclusive_group(required=True)
+    kind.add_argument("--update", help="SPARQL UPDATE string (INSERT/"
+                      "DELETE DATA, DELETE WHERE, INSERT/DELETE {t} "
+                      "WHERE {p}); requires --derive-batch-id")
     kind.add_argument("--sparql", help="full SPARQL query string "
                       "(SELECT/ASK/CONSTRUCT; see rdf_tabular_spark/"
                       "sparql.py for the supported subset)")
@@ -162,6 +165,14 @@ def main(argv: list[str] | None = None) -> dict:
         from rdf_tabular_spark.sinks.graph_store import update_sameas_map
         manifest = update_sameas_map(spark, args.store,
                                      args.derive_batch_id, batches=batches)
+        print(json.dumps(manifest))
+        return manifest
+    if args.update:
+        if not args.derive_batch_id:
+            raise SystemExit("--update requires --derive-batch-id")
+        from rdf_tabular_spark.sinks.graph_store import update_store
+        manifest = update_store(spark, args.store, args.derive_batch_id,
+                                args.update)
         print(json.dumps(manifest))
         return manifest
     if args.sparql:

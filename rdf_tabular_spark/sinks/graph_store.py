@@ -84,14 +84,27 @@ def committed_batches(root: str) -> set[str]:
 
 
 def live_batches(root: str) -> set[str]:
-    """Batch ids a default read must scan: committed batches minus those
-    shadowed by a committed compaction's ``replaces`` list. Liveness is
-    DERIVED from the compaction manifest, so a compaction becomes visible
-    — and its inputs invisible — in the single atomic rename that commits
-    it; there is no window where both (duplicates) or neither (loss) are
-    readable."""
+    """Batch ids a default read must scan: committed DATA batches minus
+    those shadowed by a committed compaction's ``replaces`` list (and
+    minus retraction batches, which live in their own tree — see
+    :func:`live_retractions`). Liveness is DERIVED from the compaction
+    manifest, so a compaction becomes visible — and its inputs invisible
+    — in the single atomic rename that commits it; there is no window
+    where both (duplicates) or neither (loss) are readable."""
     ms = _manifests(root)
-    committed = {m["batch_id"] for m in ms if m.get("status") == "committed"}
+    committed = {m["batch_id"] for m in ms if m.get("status") == "committed"
+                 and m.get("kind") != "retraction"}
+    shadowed = {b for m in ms if m.get("status") in ("committed", "expired")
+                for b in m.get("replaces", [])}
+    return committed - shadowed
+
+
+def live_retractions(root: str) -> set[str]:
+    """Committed retraction-batch ids not yet baked in by a full
+    compaction (which lists them in its ``replaces``)."""
+    ms = _manifests(root)
+    committed = {m["batch_id"] for m in ms if m.get("status") == "committed"
+                 and m.get("kind") == "retraction"}
     shadowed = {b for m in ms if m.get("status") in ("committed", "expired")
                 for b in m.get("replaces", [])}
     return committed - shadowed
@@ -160,7 +173,8 @@ def materialize(triples: DataFrame, root: str, batch_id: str,
 
 
 def read_graph(spark: SparkSession, root: str,
-               batches: Optional[list[str]] = None) -> DataFrame:
+               batches: Optional[list[str]] = None,
+               retractions: bool | list = True) -> DataFrame:
     """Load committed batches (partition-pruned scans via pred_bucket).
 
     ``batches`` restricts the read to a snapshot subset — the parquet-dir
@@ -172,17 +186,41 @@ def read_graph(spark: SparkSession, root: str,
     Default reads scan the LIVE set (committed minus compaction-shadowed);
     an explicit ``batches`` list may also name shadowed batches whose data
     still exists — that is what makes pre-compaction time travel work.
-    """
+
+    ``retractions``: True (default) applies the live retraction set — one
+    anti-join on (subj, pred, obj); retraction sets are edit-sized next
+    to the corpus, so AQE turns the anti-join into a broadcast. With an
+    explicit ``batches`` list, retraction ids named in THAT list apply
+    (time travel sees deletes as of the same snapshot). False skips
+    (compaction-internal and audit reads); a list applies exactly those
+    retraction batches."""
+    ms = {m["batch_id"]: m for m in _manifests(root)}
+    retraction_ids = {b for b, m in ms.items()
+                      if m.get("kind") == "retraction"}
     wanted = sorted(live_batches(root) if batches is None
-                    else (set(batches) & committed_batches(root)))
+                    else (set(batches) & committed_batches(root)
+                          - retraction_ids))
+    if retractions is True:
+        r_wanted = sorted(live_retractions(root) if batches is None
+                          else (set(batches) & retraction_ids))
+    elif retractions is False:
+        r_wanted = []
+    else:
+        r_wanted = sorted(retractions)
     if not wanted:
         from ..operators.triples import TRIPLE_SCHEMA
         return spark.createDataFrame([], TRIPLE_SCHEMA)
     paths = [os.path.join(root, "data", f"batch={b}") for b in wanted]
     # basePath keeps partition discovery rooted at data/ so the batch
     # partition column is inferred consistently across a path subset
-    return (spark.read.option("basePath", os.path.join(root, "data"))
-            .parquet(*paths))
+    g = (spark.read.option("basePath", os.path.join(root, "data"))
+         .parquet(*paths))
+    if r_wanted:
+        r = spark.read.parquet(*[ms[b]["path"] for b in r_wanted
+                                 if b in ms]) \
+            .select("subj", "pred", "obj").distinct()
+        g = g.join(r, ["subj", "pred", "obj"], "left_anti")
+    return g
 
 
 def snapshots_as_of(root: str, as_of: str) -> list[str]:
@@ -413,6 +451,115 @@ def update_sameas_map(spark: SparkSession, root: str, batch_id: str,
     return {"batch_id": batch_id, "n_terms": merged.count()}
 
 
+def retract_batch(spark: SparkSession, root: str, batch_id: str,
+                  triples: DataFrame,
+                  lineage: Optional[dict] = None) -> dict:
+    """SPARQL-UPDATE delete support on an append-only store: commit a
+    RETRACTION batch — a (subj, pred, obj) key set under
+    ``retractions/`` with a ``kind: retraction`` manifest. Committed
+    data batches are never rewritten (immutability + lineage + time
+    travel survive); reads subtract live retractions with one anti-join
+    (:func:`read_graph`), and a FULL :func:`compact` bakes them in and
+    shadows them — the Iceberg equality-delete-file design. Idempotent
+    per ``batch_id`` like :func:`materialize`."""
+    if batch_id in processed_batches(root):
+        with open(os.path.join(_manifest_dir(root),
+                               f"{batch_id}.json")) as f:
+            return json.load(f)
+    t0 = time.time()
+    out_path = os.path.join(root, "retractions", f"batch={batch_id}")
+    keys = triples.select("subj", "pred", "obj").distinct()
+    keys.write.mode("overwrite").parquet(out_path)
+    n = spark.read.parquet(out_path).count()
+    manifest = {
+        "batch_id": batch_id,
+        "status": "committed",
+        "kind": "retraction",
+        "path": out_path,
+        "n_triples": int(n),
+        "lineage": lineage or {},
+        "wall_seconds": round(time.time() - t0, 3),
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    mdir = _manifest_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".{batch_id}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, os.path.join(mdir, f"{batch_id}.json"))
+    return manifest
+
+
+def delete_where(spark: SparkSession, root: str, batch_id: str,
+                 patterns, batches: Optional[list[str]] = None,
+                 **kwargs) -> dict:
+    """SPARQL ``DELETE WHERE``: the matched instances of each pattern
+    (CONSTRUCT with the patterns as their own template) become one
+    retraction batch. ``kwargs`` pass to the BGP (optionals/filters...)."""
+    from ..operators.bgp import construct
+    g = read_graph(spark, root, batches=batches) \
+        .select("subj", "pred", "obj")
+    doomed = construct(g, patterns, patterns, **kwargs)
+    return retract_batch(spark, root, batch_id, doomed,
+                         lineage={"source": "delete_where",
+                                  "patterns": [list(p) for p in patterns]})
+
+
+def update_store(spark: SparkSession, root: str, batch_id: str,
+                 update: str) -> dict:
+    """Execute a SPARQL UPDATE string against the store:
+    ``INSERT DATA`` → materialized constant batch; ``DELETE DATA`` →
+    retraction of the listed triples; ``DELETE WHERE`` →
+    :func:`delete_where`; ``INSERT {t} WHERE {p}`` → derived batch
+    (CONSTRUCT rule); ``DELETE {t} WHERE {p}`` → retraction of the
+    instantiated template. Idempotent per ``batch_id`` throughout."""
+    from ..operators.bgp import construct
+    from ..sparql import parse_update
+    u = parse_update(update)
+    if u.op == "insert_data":
+        df = spark.createDataFrame(u.data, ["subj", "pred", "obj"]).select(
+            "subj", "pred", "obj",
+            F.col("obj").rlike("^(https?://|_:)").alias("obj_is_iri"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit("update:insert-data").alias("table_url"),
+            F.lit(0).cast("long").alias("source_num"))
+        return materialize(df, root, batch_id,
+                           lineage={"source": "insert_data"})
+    if u.op == "delete_data":
+        df = spark.createDataFrame(u.data, ["subj", "pred", "obj"])
+        return retract_batch(spark, root, batch_id, df,
+                             lineage={"source": "delete_data"})
+    if u.op == "delete_where":
+        return delete_where(spark, root, batch_id, u.patterns,
+                            **_update_kwargs(u))
+    g = read_graph(spark, root).select("subj", "pred", "obj")
+    derived = construct(g, u.patterns, u.template, **_update_kwargs(u))
+    if u.op == "delete_template":
+        return retract_batch(spark, root, batch_id, derived,
+                             lineage={"source": "delete_template"})
+    full = derived.select(
+        "subj", "pred", "obj",
+        F.col("obj").rlike("^(https?://|_:)").alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit("update:insert-where").alias("table_url"),
+        F.lit(0).cast("long").alias("source_num"))
+    return materialize(full, root, batch_id,
+                       lineage={"source": "insert_where"})
+
+
+def _update_kwargs(u) -> dict:
+    kw: dict = {}
+    if u.optionals:
+        kw["optionals"] = u.optionals
+    if u.minus:
+        kw["minus"] = u.minus
+    if u.filters:
+        kw["filters"] = u.filters
+    return kw
+
+
 def write_canonical_map_version(mapping: DataFrame, root: str,
                                 batch_id: str) -> str:
     """Write one version of the global subject-canonicalization map WITHOUT
@@ -509,7 +656,13 @@ def compact(spark: SparkSession, root: str,
         return None
     cid = compact_id or ("compact-" + "-".join(wanted[:4]) +
                          (f"-and-{len(wanted) - 4}" if len(wanted) > 4 else ""))
-    g = read_graph(spark, root, batches=wanted).drop("batch")
+    # retractions bake into the rewrite; they are shadowed (replaces)
+    # only on a FULL compaction — after a partial one they stay live, and
+    # re-applying them to the compacted batch is a no-op by construction
+    applied_retractions = sorted(live_retractions(root))
+    shadows = wanted + (applied_retractions if batches is None else [])
+    g = read_graph(spark, root, batches=wanted,
+                   retractions=applied_retractions).drop("batch")
     group_keys = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype",
                   "obj_lang"]
     if canonical:
@@ -529,9 +682,10 @@ def compact(spark: SparkSession, root: str,
                    F.sum("support").alias("support")))
     return materialize(merged, root, cid, dedup=False,
                        lineage={"compaction_of": wanted,
+                                "retractions_applied": applied_retractions,
                                 "canonical": canonical},
                        pred_buckets=pred_buckets,
-                       extra_manifest={"replaces": wanted})
+                       extra_manifest={"replaces": shadows})
 
 
 def expire_replaced(spark: SparkSession, root: str) -> list[str]:
@@ -548,7 +702,8 @@ def expire_replaced(spark: SparkSession, root: str) -> list[str]:
     for m in ms:
         b = m["batch_id"]
         if m.get("status") == "committed" and b in shadowed:
-            shutil.rmtree(os.path.join(root, "data", f"batch={b}"),
+            shutil.rmtree(m.get("path",
+                                os.path.join(root, "data", f"batch={b}")),
                           ignore_errors=True)
             m["status"] = "expired"
             m["expired_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",

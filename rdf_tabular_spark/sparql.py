@@ -699,6 +699,90 @@ def parse_sparql(text: str) -> SparqlQuery:
     return _Parser(text).parse()
 
 
+@dataclass
+class SparqlUpdate:
+    op: str          # insert_data | delete_data | delete_where |
+    #                  insert_where | delete_template
+    data: list = field(default_factory=list)        # ground triples
+    template: list = field(default_factory=list)
+    patterns: list = field(default_factory=list)
+    optionals: list = field(default_factory=list)
+    minus: list = field(default_factory=list)
+    filters: list = field(default_factory=list)
+
+
+def parse_update(text: str) -> SparqlUpdate:
+    """SPARQL 1.1 Update subset: INSERT DATA, DELETE DATA, DELETE WHERE,
+    INSERT {t} WHERE {p}, DELETE {t} WHERE {p}. Executed against the
+    graph store by sinks/graph_store.update_store (inserts = materialized
+    batches, deletes = retraction batches — the store is append-only)."""
+    p = _Parser(text)
+    c = p.c
+    while c.accept_kw("PREFIX"):
+        c._skip()
+        m = _PNAME_RE.match(c.text, c.pos)
+        if not m or m.group(2):
+            c.fail("prefix declaration")
+        c.pos = m.end()
+        mi = c.match(_IRI_RE)
+        if not mi:
+            c.fail("prefix IRI")
+        p.prefixes[m.group(1) or ""] = mi.group(1)
+    kw = c.accept_kw("INSERT", "DELETE")
+    if not kw:
+        c.fail("INSERT or DELETE")
+
+    def ground(triples: list) -> list:
+        for t in triples:
+            if any(isinstance(x, str) and x.startswith("?") for x in t):
+                raise SparqlError(f"{kw} DATA requires ground triples: {t}")
+        return triples
+
+    def block() -> list:
+        out: list = []
+        c.expect("{")
+        while not c.peek("}"):
+            p.triples_block(out)
+        c.expect("}")
+        return out
+
+    def where() -> SparqlQuery:
+        sub = SparqlQuery(form="select")
+        p.group(sub)
+        if (sub.exists or sub.binds or sub.values or sub.union_branches
+                or sub.subselect):
+            raise SparqlError(
+                "UPDATE WHERE supports patterns/OPTIONAL/MINUS/FILTER only")
+        return sub
+
+    if c.accept_kw("DATA"):
+        u = SparqlUpdate(op="insert_data" if kw == "INSERT"
+                         else "delete_data", data=ground(block()))
+    elif kw == "DELETE" and c.accept_kw("WHERE"):
+        sub = where()
+        for t in sub.patterns:
+            if not all(isinstance(x, str) for x in t):
+                raise SparqlError(
+                    "DELETE WHERE patterns double as the delete template —"
+                    " property paths are not allowed; use DELETE {t} WHERE")
+        u = SparqlUpdate(op="delete_where", patterns=sub.patterns,
+                         optionals=sub.optionals, minus=sub.minus,
+                         filters=sub.filters)
+    else:
+        tmpl = block()
+        if not c.accept_kw("WHERE"):
+            c.fail("WHERE")
+        sub = where()
+        u = SparqlUpdate(op="insert_where" if kw == "INSERT"
+                         else "delete_template",
+                         template=tmpl, patterns=sub.patterns,
+                         optionals=sub.optionals, minus=sub.minus,
+                         filters=sub.filters)
+    if not c.eof():
+        c.fail("end of update")
+    return u
+
+
 # ---------------------------------------------------------------------------
 # compilation — route the parsed form to the existing operators
 # ---------------------------------------------------------------------------
