@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     kind.add_argument("--infer-owl", action="store_true",
                       help="materialize pD* property rules (inverseOf/"
                            "Symmetric/Transitive) as a derived batch")
+    kind.add_argument("--refresh-rules", action="store_true",
+                      help="re-derive rule batches whose data inputs "
+                           "changed (incremental view maintenance)")
     kind.add_argument("--merge-sameas", action="store_true",
                       help="fold owl:sameAs statements into the global "
                            "canonical map (no batch rewrite)")
@@ -159,6 +162,15 @@ def main(argv: list[str] | None = None) -> dict:
                                    args.derive_batch_id, batches=batches)
         print(json.dumps(manifest))
         return manifest
+    if args.refresh_rules:
+        from rdf_tabular_spark.sinks.graph_store import refresh_rule_batches
+        manifests = refresh_rule_batches(spark, args.store)
+        summary = {"refreshed": [m["batch_id"] for m in manifests
+                                 if "skipped" not in m],
+                   "skipped": [m["batch_id"] for m in manifests
+                               if "skipped" in m]}
+        print(json.dumps(summary))
+        return summary
     if args.merge_sameas:
         if not args.derive_batch_id:
             raise SystemExit("--merge-sameas requires --derive-batch-id")

@@ -328,6 +328,8 @@ def derive_batch(spark: SparkSession, root: str, patterns,
                  rule_id: str = "construct",
                  batches: Optional[list[str]] = None,
                  pred_buckets: int = DEFAULT_PRED_BUCKETS,
+                 replaces: Optional[list[str]] = None,
+                 extra_lineage: Optional[dict] = None,
                  **bgp_kwargs) -> dict:
     """Rule materialization: run a SPARQL CONSTRUCT against the store
     (WHERE legs partition-pruned via :func:`bgp_match_store`) and commit
@@ -359,18 +361,34 @@ def derive_batch(spark: SparkSession, root: str, patterns,
         F.lit(None).cast("string").alias("obj_lang"),
         F.lit(f"rule:{rule_id}").alias("table_url"),
         F.lit(0).cast("long").alias("source_num"))
-    return materialize(full, root, batch_id,
-                       lineage={"source": "rule", "rule_id": rule_id,
-                                "patterns": [list(p) for p in patterns],
-                                "template": [list(t) for t in template],
-                                "input_batches": batches},
-                       pred_buckets=pred_buckets)
+    json_kwargs = {k: v for k, v in bgp_kwargs.items()
+                   if k in ("optionals", "minus", "filters")}
+    lineage = {"source": "rule", "rule_id": rule_id,
+               "patterns": [list(p) for p in patterns],
+               "template": [list(t) for t in template],
+               "input_batches": batches,
+               # staleness fingerprint for refresh_rule_batches: the
+               # exact live set this derivation read
+               "base_live": sorted((set(batches) if batches is not None
+                                    else live_batches(root))
+                                   - _rule_ids(root)),
+               "bgp_kwargs": {k: [list(map(list, g)) for g in v]
+                              if k in ("optionals", "minus") else list(v)
+                              for k, v in json_kwargs.items()},
+               "refreshable": len(json_kwargs) == len(bgp_kwargs)}
+    lineage.update(extra_lineage or {})
+    return materialize(full, root, batch_id, lineage=lineage,
+                       pred_buckets=pred_buckets,
+                       extra_manifest=({"replaces": replaces}
+                                       if replaces else None))
 
 
 def infer_rdfs_batch(spark: SparkSession, root: str, batch_id: str,
                      batches: Optional[list[str]] = None,
                      schema_cap: int = 1_000_000,
-                     pred_buckets: int = DEFAULT_PRED_BUCKETS) -> dict:
+                     pred_buckets: int = DEFAULT_PRED_BUCKETS,
+                     replaces: Optional[list[str]] = None,
+                     extra_lineage: Optional[dict] = None) -> dict:
     """RDFS materialization as store maintenance: close the live graph
     under the ρdf rules (operators/inference.rdfs_materialize — schema
     driver-side, instance pass broadcast-join-only) and commit the NEW
@@ -388,17 +406,25 @@ def infer_rdfs_batch(spark: SparkSession, root: str, batch_id: str,
         F.lit(None).cast("string").alias("obj_lang"),
         F.lit("rule:rdfs").alias("table_url"),
         F.lit(0).cast("long").alias("source_num"))
-    return materialize(full, root, batch_id,
-                       lineage={"source": "rule", "rule_id": "rdfs",
-                                "rules": "rdfs2,3,5,7,9,11",
-                                "input_batches": batches},
-                       pred_buckets=pred_buckets)
+    lineage = {"source": "rule", "rule_id": "rdfs",
+               "rules": "rdfs2,3,5,7,9,11",
+               "input_batches": batches,
+               "base_live": sorted((set(batches) if batches is not None
+                                    else live_batches(root))
+                                   - _rule_ids(root))}
+    lineage.update(extra_lineage or {})
+    return materialize(full, root, batch_id, lineage=lineage,
+                       pred_buckets=pred_buckets,
+                       extra_manifest=({"replaces": replaces}
+                                       if replaces else None))
 
 
 def infer_owl_batch(spark: SparkSession, root: str, batch_id: str,
                     batches: Optional[list[str]] = None,
                     schema_cap: int = 100_000,
-                    pred_buckets: int = DEFAULT_PRED_BUCKETS) -> dict:
+                    pred_buckets: int = DEFAULT_PRED_BUCKETS,
+                    replaces: Optional[list[str]] = None,
+                    extra_lineage: Optional[dict] = None) -> dict:
     """pD* property-rule materialization as store maintenance (sibling of
     :func:`infer_rdfs_batch`): close the live graph under inverseOf /
     SymmetricProperty / TransitiveProperty (operators/owl
@@ -419,11 +445,17 @@ def infer_owl_batch(spark: SparkSession, root: str, batch_id: str,
         F.lit(None).cast("string").alias("obj_lang"),
         F.lit("rule:owl-horst").alias("table_url"),
         F.lit(0).cast("long").alias("source_num"))
-    return materialize(full, root, batch_id,
-                       lineage={"source": "rule", "rule_id": "owl-horst",
-                                "rules": "rdfp3,rdfp4,rdfp8ax,rdfp8bx",
-                                "input_batches": batches},
-                       pred_buckets=pred_buckets)
+    lineage = {"source": "rule", "rule_id": "owl-horst",
+               "rules": "rdfp3,rdfp4,rdfp8ax,rdfp8bx",
+               "input_batches": batches,
+               "base_live": sorted((set(batches) if batches is not None
+                                    else live_batches(root))
+                                   - _rule_ids(root))}
+    lineage.update(extra_lineage or {})
+    return materialize(full, root, batch_id, lineage=lineage,
+                       pred_buckets=pred_buckets,
+                       extra_manifest=({"replaces": replaces}
+                                       if replaces else None))
 
 
 def update_sameas_map(spark: SparkSession, root: str, batch_id: str,
@@ -449,6 +481,83 @@ def update_sameas_map(spark: SparkSession, root: str, batch_id: str,
     merged = new if prior is None else merge_mappings([prior, new])
     save_canonical_map(merged, root, batch_id)
     return {"batch_id": batch_id, "n_terms": merged.count()}
+
+
+
+def _rule_ids(root: str) -> set[str]:
+    return {m["batch_id"] for m in _manifests(root)
+            if m.get("lineage", {}).get("source") == "rule"}
+
+
+def refresh_rule_batches(spark: SparkSession, root: str,
+                         force: bool = False) -> list[dict]:
+    """Incremental view maintenance for rule batches: re-derive every
+    live rule batch whose DATA inputs changed since its derivation.
+
+    Staleness test: the manifest's ``lineage.base_live`` fingerprint —
+    the non-rule (data) batches live when the rule ran — vs the current
+    data live set. Rule ids are excluded from the fingerprint on purpose:
+    refresh renames rule batches, and an id-sensitive fingerprint would
+    make two rules re-stale each other forever. A stale rule re-derives
+    over the FULL current live graph (other rules' current entailments
+    included) under a fresh id ``<root_id>-r<n>`` whose manifest
+    ``replaces`` the stale batch — the same atomic shadow flip compaction
+    uses, so readers never see zero or two versions of the entailment.
+    Rules whose extra BGP kwargs were not JSON-recorded
+    (``refreshable: false``) and pre-fingerprint manifests are skipped,
+    reported under ``"skipped"``.
+
+    Rule-on-rule towers (RDFS over OWL-derived triples): one pass
+    refreshes in sorted-id order, so a rule may read an upstream rule's
+    not-yet-refreshed batch; call once more with ``force=True`` (re-derive
+    all refreshables regardless of fingerprint) to settle a tower after
+    its data changes."""
+    out: list[dict] = []
+    ms = {m["batch_id"]: m for m in _manifests(root)}
+    for b in sorted(live_batches(root)):
+        lin = ms[b].get("lineage", {})
+        if lin.get("source") != "rule":
+            continue
+        if "base_live" not in lin:
+            out.append({"batch_id": b, "skipped": "no base_live "
+                        "fingerprint (pre-refresh manifest)"})
+            continue
+        base_now = sorted(live_batches(root) - _rule_ids(root))
+        if lin["base_live"] == base_now and not force:
+            continue
+        seq = int(lin.get("refresh_seq", 0)) + 1
+        root_id = lin.get("root_id", b)
+        new_id = f"{root_id}-r{seq}"
+        extra = {"root_id": root_id, "refresh_seq": seq}
+        rid = lin.get("rule_id")
+        graph_now = sorted(live_batches(root) - {b})
+        if rid == "rdfs":
+            out.append(infer_rdfs_batch(spark, root, new_id,
+                                        batches=graph_now, replaces=[b],
+                                        extra_lineage=extra))
+        elif rid == "owl-horst":
+            out.append(infer_owl_batch(spark, root, new_id,
+                                       batches=graph_now, replaces=[b],
+                                       extra_lineage=extra))
+        elif lin.get("patterns") and lin.get("template"):
+            if not lin.get("refreshable", False):
+                out.append({"batch_id": b, "skipped": "derivation kwargs "
+                            "not recorded; re-run the rule manually"})
+                continue
+            kw = lin.get("bgp_kwargs", {})
+            kwargs = {k: ([tuple(map(tuple, g)) for g in v]
+                          if k in ("optionals", "minus") else list(v))
+                      for k, v in kw.items()}
+            out.append(derive_batch(
+                spark, root,
+                [tuple(p) for p in lin["patterns"]],
+                [tuple(t) for t in lin["template"]],
+                new_id, rule_id=rid, batches=graph_now, replaces=[b],
+                extra_lineage=extra, **kwargs))
+        else:
+            out.append({"batch_id": b,
+                        "skipped": f"unknown rule kind {rid!r}"})
+    return out
 
 
 def retract_batch(spark: SparkSession, root: str, batch_id: str,

@@ -130,3 +130,70 @@ def test_query_job_update_mode(spark, tmp_path):
     res = query_main(["--store", root, "--sparql",
                       "SELECT ?s ?o WHERE { ?s p ?o }"])
     assert res["n_rows"] == 0
+
+
+TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+SUB_C = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+
+def test_refresh_rule_batches_on_new_data(spark, tmp_path):
+    """A new data batch makes the RDFS rule batch stale; refresh
+    re-derives it under <id>-r1 which atomically replaces the old one."""
+    from rdf_tabular_spark.sinks.graph_store import (infer_rdfs_batch,
+                                                     refresh_rule_batches)
+    root = str(tmp_path / "g")
+    materialize(_store_rows(spark, [("C", SUB_C, "D"), ("x", TYPE, "C")]),
+                root, "b1")
+    infer_rdfs_batch(spark, root, "rdfs1")
+    assert ("x", TYPE, "D") in _spo(read_graph(spark, root))
+    # no data change → no-op
+    assert refresh_rule_batches(spark, root) == []
+    # new instance data arrives → rule is stale
+    materialize(_store_rows(spark, [("y", TYPE, "C")]), root, "b2")
+    out = refresh_rule_batches(spark, root)
+    assert [m["batch_id"] for m in out] == ["rdfs1-r1"]
+    assert out[0]["replaces"] == ["rdfs1"]
+    assert live_batches(root) == {"b1", "b2", "rdfs1-r1"}
+    g = _spo(read_graph(spark, root))
+    assert ("y", TYPE, "D") in g and ("x", TYPE, "D") in g
+    # refreshed manifest carries a fresh fingerprint → second call no-op
+    assert refresh_rule_batches(spark, root) == []
+    # and a refresh of the refresh chains the id/replaces correctly
+    materialize(_store_rows(spark, [("z", TYPE, "C")]), root, "b3")
+    out2 = refresh_rule_batches(spark, root)
+    assert [m["batch_id"] for m in out2] == ["rdfs1-r2"]
+    assert out2[0]["replaces"] == ["rdfs1-r1"]
+    assert ("z", TYPE, "D") in _spo(read_graph(spark, root))
+
+
+def test_refresh_construct_rule_with_kwargs(spark, tmp_path):
+    """derive_batch rules refresh from their recorded patterns/template/
+    filters; the new derivation sees the new data."""
+    from rdf_tabular_spark.sinks.graph_store import (derive_batch,
+                                                     refresh_rule_batches)
+    root = str(tmp_path / "g")
+    materialize(_store_rows(spark, [("a", "p", "b"), ("a", "p", "skipme")]),
+                root, "b1")
+    derive_batch(spark, root, [("?s", "p", "?o")], [("?o", "rev", "?s")],
+                 "rule1", filters=['o <> \'skipme\''])
+    assert ("b", "rev", "a") in _spo(read_graph(spark, root))
+    materialize(_store_rows(spark, [("c", "p", "d")]), root, "b2")
+    out = refresh_rule_batches(spark, root)
+    assert [m["batch_id"] for m in out] == ["rule1-r1"]
+    g = _spo(read_graph(spark, root))
+    assert ("d", "rev", "c") in g and ("b", "rev", "a") in g
+    assert not any(t[0] == "skipme" for t in g)   # filter survived refresh
+
+
+def test_refresh_cli_mode(spark, tmp_path):
+    from rdf_tabular_spark.jobs.query import main as query_main
+    from rdf_tabular_spark.sinks.graph_store import infer_owl_batch
+    from rdf_tabular_spark.operators.owl import OWL_INVERSE
+    root = str(tmp_path / "g")
+    materialize(_store_rows(spark, [("parent", OWL_INVERSE, "child"),
+                                    ("a", "parent", "b")]), root, "b1")
+    infer_owl_batch(spark, root, "owl1")
+    materialize(_store_rows(spark, [("c", "parent", "d")]), root, "b2")
+    res = query_main(["--store", root, "--refresh-rules"])
+    assert res == {"refreshed": ["owl1-r1"], "skipped": []}
+    assert ("d", "child", "c") in _spo(read_graph(spark, root))
