@@ -144,7 +144,10 @@ def materialize(triples: DataFrame, root: str, batch_id: str,
     df.write.mode("overwrite").partitionBy("pred_bucket").parquet(out_path)
 
     spark = triples.sparkSession
-    written = spark.read.parquet(out_path)
+    # explicit schema: an all-empty batch (e.g. a rule that derived
+    # nothing yet) writes a dir with no part files, which schema
+    # inference cannot read back
+    written = spark.read.schema(df.schema).parquet(out_path)
     bucket_counts = {str(r["pred_bucket"]): r["n"] for r in
                      written.groupBy("pred_bucket").agg(F.count("*").alias("n")).collect()}
     manifest = {
@@ -216,8 +219,8 @@ def read_graph(spark: SparkSession, root: str,
     g = (spark.read.option("basePath", os.path.join(root, "data"))
          .parquet(*paths))
     if r_wanted:
-        r = spark.read.parquet(*[ms[b]["path"] for b in r_wanted
-                                 if b in ms]) \
+        r = spark.read.schema("subj string, pred string, obj string") \
+            .parquet(*[ms[b]["path"] for b in r_wanted if b in ms]) \
             .select("subj", "pred", "obj").distinct()
         g = g.join(r, ["subj", "pred", "obj"], "left_anti")
     return g
@@ -369,8 +372,7 @@ def derive_batch(spark: SparkSession, root: str, patterns,
                "input_batches": batches,
                # staleness fingerprint for refresh_rule_batches: the
                # exact live set this derivation read
-               "base_live": sorted((set(batches) if batches is not None
-                                    else live_batches(root))
+               "base_live": sorted(_rule_input_ids(root, batches)
                                    - _rule_ids(root)),
                "bgp_kwargs": {k: [list(map(list, g)) for g in v]
                               if k in ("optionals", "minus") else list(v)
@@ -409,8 +411,7 @@ def infer_rdfs_batch(spark: SparkSession, root: str, batch_id: str,
     lineage = {"source": "rule", "rule_id": "rdfs",
                "rules": "rdfs2,3,5,7,9,11",
                "input_batches": batches,
-               "base_live": sorted((set(batches) if batches is not None
-                                    else live_batches(root))
+               "base_live": sorted(_rule_input_ids(root, batches)
                                    - _rule_ids(root))}
     lineage.update(extra_lineage or {})
     return materialize(full, root, batch_id, lineage=lineage,
@@ -448,8 +449,7 @@ def infer_owl_batch(spark: SparkSession, root: str, batch_id: str,
     lineage = {"source": "rule", "rule_id": "owl-horst",
                "rules": "rdfp3,rdfp4,rdfp8ax,rdfp8bx",
                "input_batches": batches,
-               "base_live": sorted((set(batches) if batches is not None
-                                    else live_batches(root))
+               "base_live": sorted(_rule_input_ids(root, batches)
                                    - _rule_ids(root))}
     lineage.update(extra_lineage or {})
     return materialize(full, root, batch_id, lineage=lineage,
@@ -489,6 +489,16 @@ def _rule_ids(root: str) -> set[str]:
             if m.get("lineage", {}).get("source") == "rule"}
 
 
+def _rule_input_ids(root: str, batches) -> set[str]:
+    """The id set a rule derivation actually reads: an explicit snapshot
+    list verbatim, else the live data batches PLUS live retractions
+    (read_graph applies those by default, and a delete changes the
+    entailment — so retraction ids belong in the staleness
+    fingerprint)."""
+    return (set(batches) if batches is not None
+            else live_batches(root) | live_retractions(root))
+
+
 def refresh_rule_batches(spark: SparkSession, root: str,
                          force: bool = False) -> list[dict]:
     """Incremental view maintenance for rule batches: re-derive every
@@ -522,7 +532,8 @@ def refresh_rule_batches(spark: SparkSession, root: str,
             out.append({"batch_id": b, "skipped": "no base_live "
                         "fingerprint (pre-refresh manifest)"})
             continue
-        base_now = sorted(live_batches(root) - _rule_ids(root))
+        base_now = sorted((live_batches(root)
+                           | live_retractions(root)) - _rule_ids(root))
         if lin["base_live"] == base_now and not force:
             continue
         seq = int(lin.get("refresh_seq", 0)) + 1
@@ -530,7 +541,8 @@ def refresh_rule_batches(spark: SparkSession, root: str,
         new_id = f"{root_id}-r{seq}"
         extra = {"root_id": root_id, "refresh_seq": seq}
         rid = lin.get("rule_id")
-        graph_now = sorted(live_batches(root) - {b})
+        graph_now = sorted((live_batches(root)
+                            | live_retractions(root)) - {b})
         if rid == "rdfs":
             out.append(infer_rdfs_batch(spark, root, new_id,
                                         batches=graph_now, replaces=[b],
@@ -579,7 +591,8 @@ def retract_batch(spark: SparkSession, root: str, batch_id: str,
     out_path = os.path.join(root, "retractions", f"batch={batch_id}")
     keys = triples.select("subj", "pred", "obj").distinct()
     keys.write.mode("overwrite").parquet(out_path)
-    n = spark.read.parquet(out_path).count()
+    n = spark.read.schema("subj string, pred string, obj string") \
+        .parquet(out_path).count()
     manifest = {
         "batch_id": batch_id,
         "status": "committed",
@@ -708,7 +721,10 @@ def load_canonical_map(spark, root: str) -> Optional[DataFrame]:
         return None
     with open(cur) as f:
         v = f.read().strip()
-    return spark.read.parquet(os.path.join(root, "canonical_map", v))
+    # explicit schema: an empty map version writes a part-file-less dir,
+    # which schema inference cannot read back
+    return spark.read.schema("id string, canonical_id string") \
+        .parquet(os.path.join(root, "canonical_map", v))
 
 
 def read_subject(spark: SparkSession, root: str, subj: str,

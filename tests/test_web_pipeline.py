@@ -337,3 +337,68 @@ def test_graph_store_compaction(spark, tmp_path):
     assert {"b1", "b2", "b3-dup"} <= processed_batches(root)
     again = materialize(lo, root, "b1")  # resubmission -> skip, old manifest
     assert again["status"] == "expired"
+
+
+def test_kg_lifecycle_end_to_end(spark, tmp_path):
+    """The full KG lifecycle over one store: extract (stage 1-4) →
+    owl:sameAs fold into the canonical map → RDFS entailment batch →
+    SPARQL text query → UPDATE retraction → rule refresh on new data.
+    Every maintenance surface the engine ships, composed."""
+    from rdf_tabular_spark.jobs.query import main as query_main
+    from rdf_tabular_spark.sinks.graph_store import (infer_rdfs_batch,
+                                                     materialize,
+                                                     read_graph,
+                                                     read_graph_canonical,
+                                                     refresh_rule_batches,
+                                                     update_store,
+                                                     update_sameas_map)
+    from rdf_tabular_spark.sources.pages import synth_pages
+
+    root = str(tmp_path / "kg")
+    pages = synth_pages(spark, 40, seed=11)
+    web_pipeline(spark, pages, root, "crawl1",
+                 entity_dict=entity_dictionary())
+    n0 = read_graph(spark, root).count()
+    assert n0 > 0
+
+    # declare an identity + vocabulary via SPARQL UPDATE, fold sameAs
+    subj = read_graph(spark, root).select("subj").first()["subj"]
+    update_store(spark, root, "u1", f"""
+        INSERT DATA {{
+          <{subj}> <http://www.w3.org/2002/07/owl#sameAs> <http://ex.org/e1> .
+          <https://kg.example.org/ontology#mentions>
+            <http://www.w3.org/2000/01/rdf-schema#domain>
+            <http://ex.org/Document>
+        }}""")
+    update_sameas_map(spark, root, "m1")
+    canon = {r.id: r.canonical_id for r in
+             __import__("rdf_tabular_spark.sinks.graph_store",
+                        fromlist=["load_canonical_map"])
+             .load_canonical_map(spark, root).collect()}
+    assert canon[subj] == canon["http://ex.org/e1"]
+    assert read_graph_canonical(spark, root).count() <= n0 + 2
+
+    # entailment batch + SPARQL string query through the CLI
+    infer_rdfs_batch(spark, root, "rdfs1")
+    res = query_main(["--store", root, "--sparql",
+                      "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+                      "SELECT (COUNT(*) AS ?n) WHERE "
+                      "{ ?d rdf:type <http://ex.org/Document> }"])
+    n_typed = res["sample"][0]["n"]
+    assert n_typed > 0           # rdfs2 fired over #mentions statements
+
+    # retract one mention; the refresh re-derives entailment over the
+    # post-delete graph
+    doomed = read_graph(spark, root).filter(
+        "pred = 'https://kg.example.org/ontology#mentions'") \
+        .select("subj", "pred", "obj").first()
+    update_store(spark, root, "u2",
+                 f"DELETE DATA {{ <{doomed.subj}> <{doomed.pred}> "
+                 f"<{doomed.obj}> }}")
+    out = refresh_rule_batches(spark, root)
+    assert [m["batch_id"] for m in out] == ["rdfs1-r1"]
+    res2 = query_main(["--store", root, "--sparql",
+                       "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+                       "SELECT (COUNT(*) AS ?n) WHERE "
+                       "{ ?d rdf:type <http://ex.org/Document> }"])
+    assert res2["sample"][0]["n"] <= n_typed
