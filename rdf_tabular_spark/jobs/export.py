@@ -23,7 +23,7 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="export a graph store to RDF")
     p.add_argument("--store", required=True)
-    p.add_argument("--format", choices=("nt", "ttl"), default="nt")
+    p.add_argument("--format", choices=("nt", "nq", "ttl"), default="nt")
     p.add_argument("--out", required=True)
     p.add_argument("--as-of", default=None)
     p.add_argument("--predicate", default=None,
@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> dict:
     if args.format == "nt":
         from rdf_tabular_spark.sinks.ntriples import write_ntriples
         write_ntriples(g, args.out)
+    elif args.format == "nq":
+        from rdf_tabular_spark.sinks.ntriples import write_nquads
+        write_nquads(g, args.out)
     else:
         from rdf_tabular_spark.sinks.turtle_sink import write_turtle
         write_turtle(g, args.out)

@@ -23,7 +23,7 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="import RDF into a graph store")
     p.add_argument("--in", dest="src", required=True)
-    p.add_argument("--format", choices=("nt", "ttl"), default="nt")
+    p.add_argument("--format", choices=("nt", "nq", "ttl"), default="nt")
     p.add_argument("--store", required=True)
     p.add_argument("--batch-id", required=True)
     p.add_argument("--strict", action="store_true",
@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> dict:
     if args.format == "nt":
         from rdf_tabular_spark.sources.ntriples_source import read_ntriples
         triples = read_ntriples(spark, args.src, strict=args.strict)
+    elif args.format == "nq":
+        from rdf_tabular_spark.sources.ntriples_source import read_nquads
+        triples = read_nquads(spark, args.src, strict=args.strict)
     else:
         from rdf_tabular_spark.sources.turtle_source import read_turtle
         triples = read_turtle(spark, args.src, strict=args.strict)

@@ -52,3 +52,27 @@ def to_ntriples_lines(triples: DataFrame) -> DataFrame:
 
 def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     to_ntriples_lines(triples).write.mode(mode).text(path)
+
+
+def to_nquads_lines(triples: DataFrame,
+                    graph_col: str = "table_url") -> DataFrame:
+    """→ single-column ``line`` of N-Quads statements: the graph label
+    (``graph_col``, the store's per-statement provenance) becomes the 4th
+    term; NULL graphs serialize as default-graph (3-term) statements.
+    Round-trips with sources.ntriples_source.read_nquads."""
+    graph_term = F.when(F.col(graph_col).isNotNull(),
+                        _term(F.col(graph_col)))
+    return triples.select(
+        F.concat_ws(" ",
+                    _term(F.col("subj")),
+                    _term(F.col("pred")),
+                    _term(F.col("obj"), F.col("obj_is_iri"),
+                          F.col("obj_datatype"), F.col("obj_lang")),
+                    graph_term,
+                    F.lit(".")).alias("line")
+    )
+
+
+def write_nquads(triples: DataFrame, path: str, mode: str = "overwrite",
+                 graph_col: str = "table_url") -> None:
+    to_nquads_lines(triples, graph_col).write.mode(mode).text(path)
