@@ -1,0 +1,153 @@
+"""spark-submit entry point for the training-data curation pipeline.
+
+Composes the curation tier end-to-end over a documents parquet
+(``doc_id, text, lang, ...``), with per-stage metrics in one JSON line:
+
+  1. quality gate — Gopher rules + language-ID agreement + exact dedup
+     (operators/curate.curation_report; first failing rule is the reason)
+  2. near-dedup (``--near-dedup``) — MinHash signatures → LSH candidate
+     pairs → exact n-gram Jaccard verification → connected components →
+     drop non-representatives. The quadratic verifier touches only LSH
+     candidates, the drop set broadcasts into one anti-join: the document
+     payload never shuffles (SURVEY §2.9 composition).
+  3. decontamination (``--benchmark``) — drop documents sharing ≥ K word
+     n-grams with a benchmark parquet (text column)
+  4. PII scrub (``--scrub-pii``) — emails/phones/IPs masked in the text
+  5. sequence packing (``--pack-budget``) — (grp, seq_no) assignment for
+     ~budget-token training sequences
+
+Usage::
+
+  spark-submit --py-files rdf_tabular_spark.zip -m rdf_tabular_spark.jobs.curate \\
+      --in /data/documents.parquet --out /data/curated \\
+      --near-dedup --scrub-pii --pack-budget 2048
+
+Every stage is a narrow transformation or a single keyed shuffle;
+stage-wise counts land in the printed report so a 100 TB run shows where
+documents were lost without a second pass over the data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="curate a document corpus")
+    p.add_argument("--in", dest="src", required=True,
+                   help="documents parquet (doc_id, text, lang)")
+    p.add_argument("--out", required=True, help="curated output parquet")
+    p.add_argument("--near-dedup", action="store_true",
+                   help="MinHash-LSH + Jaccard-verified near-dup removal")
+    p.add_argument("--jaccard", type=float, default=0.5,
+                   help="verified-pair Jaccard threshold (default 0.5)")
+    p.add_argument("--num-perm", type=int, default=64)
+    p.add_argument("--num-bands", type=int, default=16)
+    p.add_argument("--benchmark", default=None,
+                   help="benchmark parquet (text) for decontamination")
+    p.add_argument("--contam-ngrams", type=int, default=8,
+                   help="shared word-3-gram count that flags contamination")
+    p.add_argument("--scrub-pii", action="store_true")
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="pack kept docs into ~N-token sequences")
+    p.add_argument("--report", default=None,
+                   help="also write the JSON report to this path")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    b = (SparkSession.builder.appName("corpus-curate")
+         .config("spark.sql.adaptive.enabled", "true"))
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions",
+                     str(args.shuffle_partitions))
+    spark = b.getOrCreate()
+    from rdf_tabular_spark.operators import curate as C
+    from rdf_tabular_spark.session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+
+    docs = spark.read.parquet(args.src)
+    report: dict = {"input": args.src, "n_input": docs.count()}
+
+    # 1. quality gate (gopher + langid + exact dedup) — one decision pass
+    decisions = C.curation_report(docs).persist()
+    report["reasons"] = {r["reason"]: r["n"] for r in
+                         decisions.groupBy("reason")
+                         .agg(F.count("*").alias("n")).collect()}
+    kept = docs.join(decisions.filter("keep").select("doc_id"), "doc_id")
+
+    # 2. near-dedup over the survivors only
+    if args.near_dedup:
+        from rdf_tabular_spark.operators import minhash as MH
+        from rdf_tabular_spark.operators.components import canonical_mapping
+        from rdf_tabular_spark.operators.text import word_ngrams
+        sigs = MH.minhash_signatures(
+            kept.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        "text"),
+            "doc_id", "text", num_perm=args.num_perm)
+        pairs = MH.lsh_candidate_pairs(sigs, num_bands=args.num_bands)
+        grams = kept.select(F.col("doc_id").cast("string").alias("id"),
+                            word_ngrams(F.col("text"), 3).alias("g"))
+        jac = (F.size(F.array_intersect("ga", "gb")).cast("double")
+               / F.size(F.array_union("ga", "gb")))
+        verified = (pairs
+                    .join(grams.withColumnsRenamed({"id": "a", "g": "ga"}),
+                          on="a")
+                    .join(grams.withColumnsRenamed({"id": "b", "g": "gb"}),
+                          on="b")
+                    .filter(jac >= args.jaccard)
+                    .select("a", "b"))
+        mapping = canonical_mapping(verified)
+        drop = (mapping.filter(F.col("id") != F.col("canonical_id"))
+                .select(F.col("id").cast(docs.schema["doc_id"].dataType)
+                        .alias("doc_id")))
+        n_drop = drop.count()
+        report["near_dup_dropped"] = n_drop
+        kept = kept.join(F.broadcast(drop), "doc_id", "left_anti")
+
+    # 3. benchmark decontamination
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        flags = C.flag_contamination(kept, bench, n=3)
+        contaminated = flags.filter(
+            F.col("n_overlap") >= args.contam_ngrams).select("doc_id")
+        n_contam = contaminated.count()
+        report["contaminated_dropped"] = n_contam
+        kept = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    # 4. PII scrub (text rewritten in place, counts reported)
+    if args.scrub_pii:
+        counts = C.pii_counts(F.col("text"))
+        totals = kept.agg(*[F.sum(c).alias(k)
+                            for k, c in counts.items()]).first()
+        report["pii_masked"] = {k: int(totals[k] or 0) for k in counts}
+        kept = kept.withColumn("text", C.scrub_pii(F.col("text")))
+
+    # 5. sequence packing
+    if args.pack_budget:
+        packed = C.pack_sequences(kept, budget=args.pack_budget)
+        kept = kept.join(packed.select("doc_id", "grp", "seq_no", "n_tok"),
+                         "doc_id")
+        report["n_sequences"] = (kept.select("grp", "seq_no")
+                                 .distinct().count())
+
+    kept.write.mode("overwrite").parquet(args.out)
+    decisions.unpersist()
+    report["n_kept"] = spark.read.parquet(args.out).count()
+    report["out"] = args.out
+    print(json.dumps(report))
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=2)
+    return report
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -150,3 +150,45 @@ def test_curation_report_reason_precedence(spark):
     assert out[2] == "lang_mismatch"
     assert out[3] == "gopher"
     assert out[4] == "keep"        # out-of-model language passes through
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    """jobs/curate.py over the sf0.001 documents table: quality gate +
+    near-dedup + PII scrub + packing, with a stage-wise report."""
+    from rdf_tabular_spark.jobs.curate import main as curate_main
+    out = str(tmp_path / "curated")
+    rpt = str(tmp_path / "report.json")
+    report = curate_main(["--in", "/root/testdata/sf0.001/documents.parquet",
+                          "--out", out, "--near-dedup", "--scrub-pii",
+                          "--pack-budget", "256", "--report", rpt])
+    assert report["n_input"] > 0
+    assert report["n_kept"] <= report["n_input"]
+    assert report["reasons"].get("keep", 0) > 0
+    assert "near_dup_dropped" in report and "pii_masked" in report
+    assert report["n_sequences"] > 0
+    curated = spark.read.parquet(out)
+    assert {"doc_id", "text", "grp", "seq_no", "n_tok"} <= set(curated.columns)
+    assert curated.count() == report["n_kept"]
+    import json as _json
+    with open(rpt) as f:
+        assert _json.load(f)["n_kept"] == report["n_kept"]
+
+
+def test_curate_job_decontamination(spark, tmp_path):
+    """--benchmark drops docs sharing enough 3-grams with the benchmark."""
+    from rdf_tabular_spark.jobs.curate import main as curate_main
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # benchmark = the exact text of one kept document → it must be dropped
+    from rdf_tabular_spark.operators.curate import curation_report
+    keep_ids = [r.doc_id for r in
+                curation_report(docs).filter("keep").limit(1).collect()]
+    bench = docs.filter(F.col("doc_id").isin(keep_ids)).select("text")
+    bpath = str(tmp_path / "bench.parquet")
+    bench.write.parquet(bpath)
+    out = str(tmp_path / "curated")
+    report = curate_main(["--in", "/root/testdata/sf0.001/documents.parquet",
+                          "--out", out, "--benchmark", bpath,
+                          "--contam-ngrams", "8"])
+    assert report["contaminated_dropped"] >= 1
+    curated = spark.read.parquet(out)
+    assert curated.filter(F.col("doc_id").isin(keep_ids)).count() == 0
