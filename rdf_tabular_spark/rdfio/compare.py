@@ -33,7 +33,10 @@ def _norm_literal(value: str, datatype: Optional[str], lang: Optional[str]) -> t
         return ("lit", value, "")
     if datatype in _NUMERIC:
         try:
-            return ("num", float(value))
+            f = float(value)
+            # NaN != NaN would make the same term compare unequal in the
+            # set diff — xsd:double NaN is ONE value, so key it by name
+            return ("num", "NaN") if f != f else ("num", f)
         except ValueError:
             pass
     if datatype == _XSD + "boolean":

@@ -302,6 +302,17 @@ class _Parser:
                         ("=", "="), ("<", "<"), (">", ">")):
             if self.c.accept(op):
                 return f"({left} {sql} {self._add()})"
+        neg = ""
+        if self.c.peek_kw("NOT"):
+            save = self.c.pos
+            self.c.accept_kw("NOT")
+            if not self.c.peek_kw("IN"):
+                self.c.pos = save
+                return left
+            neg = "not "
+        if self.c.accept_kw("IN"):
+            items = self._args()
+            return f"({left} {neg}in ({', '.join(items)}))"
         return left
 
     def _add(self) -> str:
@@ -630,6 +641,7 @@ class _Parser:
             q = SparqlQuery(form="select")
             q.distinct = bool(c.accept_kw("DISTINCT"))
             c.accept_kw("REDUCED")
+            proj_exprs = []
             if c.accept("*"):
                 q.variables = None
             else:
@@ -641,13 +653,35 @@ class _Parser:
                         continue
                     if c.peek("(") and not c.peek_kw("WHERE"):
                         c.expect("(")
-                        spec = self._agg_alias()
-                        q.aggs.append(spec)
-                        q.variables.append(spec[0])
+                        if c.peek_kw("COUNT", "SUM", "MIN", "MAX", "AVG",
+                                     "SAMPLE", "GROUP_CONCAT"):
+                            spec = self._agg_alias()
+                            q.aggs.append(spec)
+                            q.variables.append(spec[0])
+                        else:
+                            # projection expression (expr AS ?v) — BIND
+                            # sugar over each solution (pre-aggregation,
+                            # so mixing with aggregates is rejected at
+                            # the end of parse)
+                            e = self.expr()
+                            if not c.accept_kw("AS"):
+                                c.fail("AS")
+                            m = c.match(_VAR_RE)
+                            if not m:
+                                c.fail("alias variable")
+                            c.expect(")")
+                            q.binds.append((m.group(1), e))
+                            q.variables.append(m.group(1))
+                            proj_exprs.append(m.group(1))
                         continue
                     break
                 if not q.variables:
                     c.fail("projection")
+                if proj_exprs and q.aggs:
+                    raise SparqlError(
+                        "projection expressions cannot mix with "
+                        "aggregates (they evaluate pre-aggregation "
+                        "here); aggregate in a subquery instead")
             c.accept_kw("WHERE")
             self.group(q)
             if c.accept_kw("GROUP"):

@@ -254,3 +254,24 @@ def test_query_job_sparql_mode(spark, tmp_path):
     res_g = query_main(["--store", root, "--sparql",
                         'SELECT DISTINCT ?g WHERE { GRAPH ?g { ?s name ?n } }'])
     assert res_g["sample"] == [{"g": "http://t.example/corpus"}]
+
+
+def test_filter_in_and_not_in(graph, con):
+    q = 'SELECT ?s WHERE { ?s name ?n . FILTER(?n IN ("alpha", "gamma")) }'
+    assert assert_parity(graph, con, q, 2) == [("d1",), ("d3",)]
+    q2 = ('SELECT ?s WHERE { ?s name ?n . '
+          'FILTER(?n NOT IN ("alpha", "gamma")) }')
+    assert assert_parity(graph, con, q2, 1) == [("d2",)]
+
+
+def test_projection_expression(graph, con):
+    q = ('PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+         'SELECT ?s (xsd:integer(?w) * 2 AS ?w2) WHERE { ?s wc ?w }')
+    rows = assert_parity(graph, con, q, 2)
+    assert ("d1", 240) in rows
+
+
+def test_projection_expression_with_agg_rejected():
+    with pytest.raises(SparqlError, match="projection expressions"):
+        parse_sparql('SELECT (STRLEN(?n) AS ?l) (COUNT(*) AS ?c) '
+                     'WHERE { ?s name ?n }')
