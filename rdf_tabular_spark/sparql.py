@@ -12,8 +12,8 @@ paths — every plan property (broadcast subselects, predicate-pushdown
 scans, anti-join MINUS) is inherited from the audited operators.
 
 Supported subset (each feature maps 1:1 onto an existing operator):
-  SELECT [DISTINCT] ?v... | * | (AGG(...) AS ?a)...
-  ASK / CONSTRUCT { template } WHERE
+  SELECT [DISTINCT] ?v... | * | (AGG(...) AS ?a)... | (expr AS ?v)...
+  ASK / CONSTRUCT { template } WHERE / DESCRIBE <iri>...|?v WHERE (CBD)
   WHERE { triples ; , .  OPTIONAL{} MINUS{} FILTER(expr)
           FILTER [NOT] EXISTS{} BIND(expr AS ?v) VALUES ?v {...}
           GRAPH term {}  { SELECT ... } (subquery)  {A} UNION {B} }
@@ -28,9 +28,9 @@ left/right, BOUND→is-not-null, IF→case, xsd:integer/double casts.
 Functions with engine-divergent spellings (REGEX) are intentionally out.
 
 Out of scope (documented contract, not oversights): named-graph datasets
-via FROM (the graph store's ``batches=`` serves that role), DESCRIBE as
-text (operators/graph.describe is the API), federation (SERVICE),
-property paths in CONSTRUCT templates, expression ORDER BY keys.
+via FROM (the graph store's ``batches=`` serves that role), federation
+(SERVICE), property paths in CONSTRUCT templates, expression ORDER BY
+keys.
 """
 
 from __future__ import annotations
@@ -81,6 +81,7 @@ class SparqlQuery:
     limit: int | None = None
     offset: int | None = None
     subselect: dict | None = None   # {patterns, group_by, aggs, having}
+    describe_terms: list | None = None   # constants and/or ?vars
 
 
 class SparqlError(ValueError):
@@ -628,6 +629,35 @@ class _Parser:
             q = SparqlQuery(form="ask")
             c.accept_kw("WHERE")
             self.group(q)
+        elif c.accept_kw("DESCRIBE"):
+            # DESCRIBE <iri>... | DESCRIBE ?v WHERE {...} — answered as
+            # Concise Bounded Description (operators/graph.describe)
+            q = SparqlQuery(form="describe", describe_terms=[])
+            while True:
+                c._skip()
+                m = _VAR_RE.match(c.text, c.pos)
+                if m:
+                    c.pos = m.end()
+                    q.describe_terms.append("?" + m.group(1))
+                    continue
+                mi = c.match(_IRI_RE)
+                if mi:
+                    q.describe_terms.append(mi.group(1))
+                    continue
+                mp = _PNAME_RE.match(c.text, c.pos)
+                if mp and mp.group(0) not in ("", ":"):
+                    c.pos = mp.end()
+                    q.describe_terms.append(
+                        self._expand(mp.group(1) or "", mp.group(2)))
+                    continue
+                break
+            if not q.describe_terms:
+                c.fail("DESCRIBE term")
+            if c.accept_kw("WHERE"):
+                self.group(q)
+            vars_used = [t for t in q.describe_terms if t.startswith("?")]
+            if vars_used and not q.patterns:
+                c.fail("WHERE group binding the DESCRIBE variable")
         elif c.accept_kw("CONSTRUCT"):
             q = SparqlQuery(form="construct", template=[])
             c.expect("{")
@@ -851,6 +881,18 @@ def query_df(triples: DataFrame, query, scan=None):
         kw["scan"] = scan
     if q.form == "ask":
         return ask(triples, q.patterns, **kw)
+    if q.form == "describe":
+        from .operators.graph import describe
+        consts = [t for t in q.describe_terms if not t.startswith("?")]
+        seeds = None
+        if consts:
+            seeds = triples.sparkSession.createDataFrame(
+                [(t,) for t in consts], "node string")
+        for var in (t[1:] for t in q.describe_terms if t.startswith("?")):
+            bound = bgp_match(triples, q.patterns, **kw) \
+                .select(F.col(var).alias("node")).distinct()
+            seeds = bound if seeds is None else seeds.unionByName(bound)
+        return describe(triples.select("subj", "pred", "obj"), seeds)
     if q.form == "construct":
         return construct(triples, q.patterns, q.template, **kw)
     if q.union_branches is not None:
@@ -891,6 +933,15 @@ def query_sql(triples_sql: str, query) -> str:
     kw = _match_kwargs(q)
     if q.form == "ask":
         raise SparqlError("ASK has no tabular oracle form")
+    if q.form == "describe":
+        from .operators.graph import describe_sql
+        parts = [f"select {_sq(t)} as node"
+                 for t in q.describe_terms if not t.startswith("?")]
+        parts += [
+            f"select distinct {t[1:]} as node from "
+            f"({bgp_sql(triples_sql, q.patterns, **kw)})"
+            for t in q.describe_terms if t.startswith("?")]
+        return describe_sql(triples_sql, "\nunion all\n".join(parts))
     if q.form == "construct":
         return construct_sql(triples_sql, q.patterns, q.template, **kw)
     if q.union_branches is not None:

@@ -268,3 +268,48 @@ def stream_ntriples_to_store(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_pages_to_store(spark: SparkSession, input_dir: str,
+                          store_root: str, checkpoint_dir: str,
+                          default_meta: Optional[dict] = None,
+                          entity_dict: Optional[dict] = None,
+                          available_now: bool = True,
+                          max_files_per_trigger: Optional[int] = None,
+                          batch_prefix: str = "crawl"):
+    """Continuous KG construction: crawled pages land in ``input_dir``,
+    each micro-batch runs stages 1-2 (HTML extraction + CSVW triple
+    kernel + optional broadcast entity linking — all narrow, identical
+    to the batch path) and commits into the graph store under the
+    deterministic id ``{batch_prefix}-{epoch:08d}``.
+
+    Exactly-once by the same composition as
+    :func:`stream_ntriples_to_store`: file-source checkpoint assigns each
+    input file to one epoch, replays reuse the epoch id, and
+    ``materialize``'s manifest commit makes the re-run a no-op. Stage 3
+    (canonicalization) is deliberately NOT in the per-batch path — it is
+    cross-batch by nature; run ``update_sameas_map`` /
+    ``canonicalize_subjects``-derived map merges as periodic maintenance
+    (sinks/graph_store.merge_mappings), the lambda-architecture split the
+    north_rule's checkpoint/lineage design anticipates."""
+    from ..session import ensure_package_on_executors
+    from ..sinks.graph_store import materialize
+    from ..web import link_entities, pages_to_triples
+    ensure_package_on_executors(spark)
+    pages = read_page_stream(spark, input_dir, max_files_per_trigger)
+    triples = pages_to_triples(pages, default_meta=default_meta)
+    if entity_dict:
+        triples = triples.unionByName(link_entities(triples, entity_dict))
+
+    def commit(batch_df, epoch_id: int) -> None:
+        materialize(batch_df, store_root,
+                    f"{batch_prefix}-{epoch_id:08d}",
+                    lineage={"source": "stream-pages",
+                             "input_dir": input_dir, "epoch": epoch_id})
+
+    writer = (triples.writeStream
+              .foreachBatch(commit)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -275,3 +275,22 @@ def test_projection_expression_with_agg_rejected():
     with pytest.raises(SparqlError, match="projection expressions"):
         parse_sparql('SELECT (STRLEN(?n) AS ?l) (COUNT(*) AS ?c) '
                      'WHERE { ?s name ?n }')
+
+
+def test_describe_constants_and_bnode_closure(spark):
+    g = spark.createDataFrame(
+        [("d1", "p", "_:x"), ("_:x", "q", "leaf"), ("d2", "p", "o")],
+        "subj string, pred string, obj string")
+    out = query_df(g, "DESCRIBE <d1>")
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    # CBD: seed's triples plus the reachable bnode subtree
+    assert rows == {("d1", "p", "_:x"), ("_:x", "q", "leaf")}
+
+
+def test_describe_variable_where(graph, con):
+    q = 'DESCRIBE ?s WHERE { ?s lang "de" }'
+    s = sorted(tuple(r) for r in query_df(graph, q).collect())
+    d = sorted(con.execute(
+        query_sql("select subj, pred, obj from g", q)).fetchall())
+    assert s == d
+    assert ("d3", "name", "gamma") in s and ("d1", "name", "alpha") not in s

@@ -195,3 +195,40 @@ def test_stream_ntriples_to_store_exactly_once(spark, tmp_path):
     with open(manifests[0]) as f:
         m = json.load(f)
     assert m["lineage"]["source"] == "stream"
+
+
+def test_stream_pages_to_store_end_to_end(spark, tmp_path):
+    """Continuous KG construction: pages stream -> stage 1-2 extraction ->
+    store commits with epoch lineage; a second crawl drop lands as a new
+    epoch batch and the store query sees both."""
+    import glob
+    import json
+
+    from rdf_tabular_spark.sinks.graph_store import read_graph
+    from rdf_tabular_spark.streaming.ingest import stream_pages_to_store
+
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "pages_in")
+    store = os.path.join(tmp, "graph")
+    ckpt = os.path.join(tmp, "ckpt")
+    _write_batch(spark, tmp, "b1", 0, 20)
+
+    q = stream_pages_to_store(spark, in_dir, store, ckpt,
+                              default_meta=DOC_PAGE_META)
+    q.awaitTermination(180)
+    n1 = read_graph(spark, store).count()
+    assert n1 > 0
+
+    _write_batch(spark, tmp, "b2", 20, 30)
+    q = stream_pages_to_store(spark, in_dir, store, ckpt,
+                              default_meta=DOC_PAGE_META)
+    q.awaitTermination(180)
+    g = read_graph(spark, store)
+    assert g.count() > n1
+
+    manifests = sorted(glob.glob(os.path.join(store, "_manifests",
+                                              "crawl-*.json")))
+    assert len(manifests) >= 2
+    with open(manifests[0]) as f:
+        m = json.load(f)
+    assert m["lineage"]["source"] == "stream-pages"
