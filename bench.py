@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "corpus_curated",
     "kg_bgp_star",
     "graph_closure_ancestors",
+    # round-3 continuation tiers
+    "kg_sameas_canonical",
+    "kg_bgp_subselect",
+    "kg_sparql_agg",
 ]
 
 

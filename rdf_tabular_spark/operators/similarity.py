@@ -175,7 +175,6 @@ def ivf_search(assigned: DataFrame, centroids: list[list[float]],
     partition-pruned filter + the same TakeOrdered top-k as the exact path.
     Scanned fraction ≈ n_probe/k_cells of the corpus.
     """
-    import math
     def dist2(c):
         return sum((a - b) ** 2 for a, b in zip(c, query_vec))
     probe = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i]))[:n_probe]

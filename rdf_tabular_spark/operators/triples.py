@@ -28,7 +28,7 @@ from pyspark.sql.types import (BooleanType, LongType, StringType, StructField,
 
 from ..csvw import coerce
 from ..csvw.context import CSVW, RDF, XSD, Context
-from ..csvw.model import Dialect, Table, normalize_datatype
+from ..csvw.model import Table, normalize_datatype
 from ..csvw.uri_template import URITemplate
 
 TRIPLE_SCHEMA = StructType([

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .csvw.context import CSVW, DCAT, PROV, RDF, XSD, Context
 from .csvw.model import (Column, Dialect, Resolver, Table, TableGroup,
                          default_resolver, load_metadata)
-from .operators.triples import (TableMapping, compile_mapping, local_triples_df,
+from .operators.triples import (compile_mapping, local_triples_df,
                                 rows_to_triples, table_hash)
 from .sources.csv_source import read_header, read_rows
 

@@ -19,7 +19,7 @@ path.
 from __future__ import annotations
 
 import json
-from typing import Iterator, Optional
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StringType, StructField, StructType

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .csvw.model import load_metadata
-from .operators.triples import (TRIPLE_SCHEMA, TableMapping, TripleKernel,
+from .operators.triples import (TRIPLE_SCHEMA, TripleKernel,
                                 compile_mapping)
 from .session import ensure_package_on_executors
 
