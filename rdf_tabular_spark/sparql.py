@@ -214,7 +214,9 @@ class _Parser:
             return self._expand(m.group(1) or "", m.group(2))
         m = c.match(_WORD_RE)
         if m:
-            if m.group(0) == "a":
+            # 'a' = rdf:type ONLY in predicate position (SPARQL grammar:
+            # the keyword is a Verb production, never a subject/object)
+            if m.group(0) == "a" and allow_path:
                 return RDF_TYPE
             # extension: bare tokens as terms, matching the bare-token
             # atoms the rest of the engine uses (paths grammar, pattern
