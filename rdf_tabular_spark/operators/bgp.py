@@ -514,11 +514,11 @@ def _norm_aggs(aggs: Sequence[tuple]) -> list[tuple]:
         alias, fn, var = a[0], a[1], a[2]
         if fn != "group_concat":
             raise ValueError(f"unknown structured aggregate: {fn}")
-        sep = a[3] if len(a) > 3 else " "
+        sep = _sq(a[3] if len(a) > 3 else " ")
         out.append((
             alias,
-            f"concat_ws('{sep}', sort_array(collect_list({var})))",
-            f"string_agg({var}, '{sep}' order by {var})"))
+            f"concat_ws({sep}, sort_array(collect_list({var})))",
+            f"string_agg({var}, {sep} order by {var})"))
     return out
 
 
@@ -581,6 +581,10 @@ def bgp_subselect(triples: DataFrame, patterns: Sequence[Pattern],
     inner = bgp_agg(triples, sub_patterns, group_by, aggs, having=having)
     if broadcast_sub:
         inner = F.broadcast(inner)
+    if not group_by:
+        # scalar subquery (global aggregate): SPARQL joins the one-row
+        # mapping onto every outer solution — a broadcast cross join
+        return outer.crossJoin(inner)
     return outer.join(inner, on=list(group_by))
 
 
@@ -593,6 +597,8 @@ def bgp_subselect_sql(triples_sql: str, patterns: Sequence[Pattern],
     outer = bgp_sql(triples_sql, patterns, **kwargs)
     inner = bgp_agg_sql(triples_sql, sub_patterns, group_by, aggs,
                         having=having)
+    if not group_by:
+        return f"select * from ({outer}) o cross join ({inner}) i"
     using = ", ".join(group_by)
     return (f"select * from ({outer}) o join ({inner}) i "
             f"using ({using})")
@@ -657,7 +663,7 @@ def construct(triples: DataFrame, patterns: Sequence[Pattern],
               optionals: Sequence[Sequence[Pattern]] = (),
               minus: Sequence[Sequence[Pattern]] = (),
               filters: Sequence[str] = (),
-              scan=None) -> DataFrame:
+              scan=None, **kwargs) -> DataFrame:
     """SPARQL ``CONSTRUCT``: instantiate ``template`` triple patterns once
     per WHERE-clause binding — the rule-based derivation primitive (e.g.
     rdfs:subClassOf materialization, vocabulary mapping, edge reversal).
@@ -674,7 +680,7 @@ def construct(triples: DataFrame, patterns: Sequence[Pattern],
     bindings = bgp_match(triples, patterns,
                          broadcast_patterns=broadcast_patterns,
                          optionals=optionals, minus=minus,
-                         filters=filters, scan=scan)
+                         filters=filters, scan=scan, **kwargs)
     parts = []
     for s, p, o in template:
         cols = [F.col(t[1:]) if _is_var(t) else F.lit(t) for t in (s, p, o)]
@@ -694,12 +700,12 @@ def construct_sql(triples_sql: str, patterns: Sequence[Pattern],
                   template: Sequence[Pattern],
                   optionals: Sequence[Sequence[Pattern]] = (),
                   minus: Sequence[Sequence[Pattern]] = (),
-                  filters: Sequence[str] = ()) -> str:
+                  filters: Sequence[str] = (), **kwargs) -> str:
     """``construct`` as SQL (DuckDB oracle): the bgp_sql binding query as a
     CTE, one SELECT per template pattern with NULL-binding rows filtered,
     UNION (set semantics) across patterns."""
     inner = bgp_sql(triples_sql, patterns, optionals=optionals,
-                    minus=minus, filters=filters)
+                    minus=minus, filters=filters, **kwargs)
     selects = []
     for s, p, o in template:
         cols = []

@@ -160,6 +160,7 @@ def materialize(triples: DataFrame, root: str, batch_id: str,
         "lineage": lineage or {},
         "wall_seconds": round(time.time() - t0, 3),
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "commit_ns": time.time_ns(),
     }
     # extra keys (e.g. a compaction's `replaces` shadow list) must be in
     # the manifest at its FIRST atomic commit — adding them in a second
@@ -173,6 +174,23 @@ def materialize(triples: DataFrame, root: str, batch_id: str,
         json.dump(manifest, f, indent=2)
     os.replace(tmp, os.path.join(mdir, f"{batch_id}.json"))  # atomic commit
     return manifest
+
+
+def _store_schema():
+    """Full on-disk batch schema: the triple columns plus the lineage /
+    bucket columns materialize writes and the two partition columns the
+    dir layout encodes (pred_bucket from partitionBy, batch from the
+    path). Explicit so empty batches read back."""
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    from ..operators.triples import TRIPLE_SCHEMA
+    return StructType(list(TRIPLE_SCHEMA.fields) + [
+        StructField("support", LongType()),
+        StructField("subj_bucket", IntegerType()),
+        StructField("pred_bucket", IntegerType()),
+        StructField("batch", StringType()),
+    ])
 
 
 def read_graph(spark: SparkSession, root: str,
@@ -191,12 +209,20 @@ def read_graph(spark: SparkSession, root: str,
     still exists — that is what makes pre-compaction time travel work.
 
     ``retractions``: True (default) applies the live retraction set — one
-    anti-join on (subj, pred, obj); retraction sets are edit-sized next
-    to the corpus, so AQE turns the anti-join into a broadcast. With an
-    explicit ``batches`` list, retraction ids named in THAT list apply
-    (time travel sees deletes as of the same snapshot). False skips
-    (compaction-internal and audit reads); a list applies exactly those
-    retraction batches."""
+    anti-join on (subj, pred, obj) per commit-time group; retraction sets
+    are edit-sized next to the corpus, so AQE turns the anti-joins into
+    broadcasts. With an explicit ``batches`` list, retraction ids named
+    in THAT list are the candidates (time travel sees deletes as of the
+    same snapshot). False skips entirely (audit reads); a list supplies
+    the candidate set directly (compaction).
+
+    SPARQL-UPDATE sequencing: a retraction deletes what the graph held AT
+    ITS COMMIT TIME — a later re-insert of the same triple resurrects it.
+    Batch granularity: retraction r applies to data batch b iff
+    commit(b) <= commit(r) (``commit_ns`` when present; equal keys
+    delete). Data batches group by their applicable-retraction set
+    (normally just two groups: pre- and post-retraction batches), each
+    group anti-joins once, and the groups union."""
     ms = {m["batch_id"]: m for m in _manifests(root)}
     retraction_ids = {b for b, m in ms.items()
                       if m.get("kind") == "retraction"}
@@ -209,21 +235,44 @@ def read_graph(spark: SparkSession, root: str,
     elif retractions is False:
         r_wanted = []
     else:
-        r_wanted = sorted(retractions)
+        r_wanted = sorted(set(retractions) & set(ms))
     if not wanted:
         from ..operators.triples import TRIPLE_SCHEMA
         return spark.createDataFrame([], TRIPLE_SCHEMA)
-    paths = [os.path.join(root, "data", f"batch={b}") for b in wanted]
-    # basePath keeps partition discovery rooted at data/ so the batch
-    # partition column is inferred consistently across a path subset
-    g = (spark.read.option("basePath", os.path.join(root, "data"))
-         .parquet(*paths))
-    if r_wanted:
-        r = spark.read.schema("subj string, pred string, obj string") \
-            .parquet(*[ms[b]["path"] for b in r_wanted if b in ms]) \
-            .select("subj", "pred", "obj").distinct()
-        g = g.join(r, ["subj", "pred", "obj"], "left_anti")
-    return g
+
+    def commit_key(b: str):
+        return (ms[b].get("committed_at", ""), ms[b].get("commit_ns", 0))
+
+    def read_data(bs):
+        # explicit schema: schema inference cannot read a store whose
+        # only live batches are empty (a legal state — a rule that
+        # derived nothing, a fully-retracted compaction)
+        paths = [os.path.join(root, "data", f"batch={b}") for b in bs]
+        return (spark.read
+                .option("basePath", os.path.join(root, "data"))
+                .schema(_store_schema())
+                .parquet(*paths))
+
+    if not r_wanted:
+        return read_data(wanted)
+    groups = {}
+    for b in wanted:
+        appl = frozenset(r for r in r_wanted
+                         if commit_key(r) >= commit_key(b))
+        groups.setdefault(appl, []).append(b)
+    parts = []
+    for appl, bs in groups.items():
+        g = read_data(bs)
+        if appl:
+            r = spark.read.schema("subj string, pred string, obj string") \
+                .parquet(*[ms[b]["path"] for b in sorted(appl)]) \
+                .distinct()
+            g = g.join(r, ["subj", "pred", "obj"], "left_anti")
+        parts.append(g)
+    out = parts[0]
+    for p2 in parts[1:]:
+        out = out.unionByName(p2)
+    return out
 
 
 def snapshots_as_of(root: str, as_of: str) -> list[str]:
@@ -602,6 +651,7 @@ def retract_batch(spark: SparkSession, root: str, batch_id: str,
         "lineage": lineage or {},
         "wall_seconds": round(time.time() - t0, 3),
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "commit_ns": time.time_ns(),
     }
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)

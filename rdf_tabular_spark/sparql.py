@@ -45,11 +45,15 @@ from .operators.bgp import _sq
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
-_PATH_CHARS = set("/|^+*!()")
+_PATH_CHARS = set("/|^+*?!()")
 
 _VAR_RE = re.compile(r"[?$]([A-Za-z_][A-Za-z0-9_]*)")
 _IRI_RE = re.compile(r"<([^<>\s]*)>")
-_PNAME_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_\-]*)?:([A-Za-z0-9_\-.]*)")
+# PN_LOCAL may contain '.' but not END with one (SPARQL grammar) — a
+# trailing dot is the triple terminator, not part of the IRI
+_PNAME_RE = re.compile(
+    r"([A-Za-z_][A-Za-z0-9_\-]*)?:"
+    r"((?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)")
 _WORD_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _NUM_RE = re.compile(r"-?\d+(?:\.\d+)?")
 _STR_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
@@ -478,6 +482,8 @@ class _Parser:
                 c.expect(")")
                 q.binds.append((m.group(1), e))
             elif kw == "VALUES":
+                if q.values is not None:
+                    raise SparqlError("only one VALUES clause per group")
                 q.values = self._values()
             elif kw == "GRAPH":
                 g = self.term()
@@ -496,6 +502,8 @@ class _Parser:
         save = c.pos
         c.expect("{")
         if c.peek_kw("SELECT"):
+            if q.subselect is not None:
+                raise SparqlError("only one subquery per group")
             q.subselect = self._subselect()
             c.expect("}")
             return
@@ -758,6 +766,14 @@ class _Parser:
         if q.aggs and not q.group_by:
             q.group_by = [v for v in (q.variables or [])
                           if v not in {a[0] for a in q.aggs}]
+        if q.form != "select" and (q.subselect is not None
+                                   or q.union_branches is not None):
+            # the ASK/CONSTRUCT/DESCRIBE compilers route straight to their
+            # operators, which take a plain BGP — failing loudly beats
+            # silently dropping the subquery/UNION constraint
+            raise SparqlError(
+                f"{q.form.upper()} does not support subqueries or UNION "
+                f"groups (wrap in a SELECT and post-process)")
         return q
 
 
@@ -900,8 +916,10 @@ def query_df(triples: DataFrame, query, scan=None):
     if q.union_branches is not None:
         if q.patterns or kw:
             raise SparqlError("UNION must be the whole WHERE group")
-        out = bgp_union_match(triples, q.union_branches,
-                              distinct=q.distinct)
+        # DISTINCT applies AFTER projection (SPARQL §18.2.5) — dedup of
+        # full branch rows would leave duplicates when the projection
+        # narrows the columns, so it is applied below like any SELECT
+        out = bgp_union_match(triples, q.union_branches)
     elif q.aggs:
         out = bgp_agg(triples, q.patterns, q.group_by, q.aggs,
                       having=q.having, **kw)
@@ -914,7 +932,7 @@ def query_df(triples: DataFrame, query, scan=None):
         out = bgp_match(triples, q.patterns, **kw)
     if q.variables is not None:
         out = out.select(*q.variables)
-    if q.distinct and q.union_branches is None:
+    if q.distinct:
         out = out.distinct()
     for var, direction in q.order_by:
         out = out.orderBy(F.col(var).desc() if direction == "desc"
@@ -947,24 +965,19 @@ def query_sql(triples_sql: str, query) -> str:
     if q.form == "construct":
         return construct_sql(triples_sql, q.patterns, q.template, **kw)
     if q.union_branches is not None:
-        body = bgp_union_sql(triples_sql, q.union_branches,
-                             distinct=q.distinct)
-        distinct_done = True
+        body = bgp_union_sql(triples_sql, q.union_branches)
     elif q.aggs:
         body = bgp_agg_sql(triples_sql, q.patterns, q.group_by, q.aggs,
                            having=q.having, **kw)
-        distinct_done = False
     elif q.subselect is not None:
         s = q.subselect
         body = bgp_subselect_sql(triples_sql, q.patterns, s["patterns"],
                                  s["group_by"], s["aggs"],
                                  having=s["having"], **kw)
-        distinct_done = False
     else:
         body = bgp_sql(triples_sql, q.patterns, **kw)
-        distinct_done = False
     proj = "*" if q.variables is None else ", ".join(q.variables)
-    d = "distinct " if q.distinct and not distinct_done else ""
+    d = "distinct " if q.distinct else ""
     sql = f"select {d}{proj} from ({body}) sparql_q"
     if q.order_by:
         keys = ", ".join(f"{v} {d2}" for v, d2 in q.order_by)

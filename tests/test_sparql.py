@@ -294,3 +294,64 @@ def test_describe_variable_where(graph, con):
         query_sql("select subj, pred, obj from g", q)).fetchall())
     assert s == d
     assert ("d3", "name", "gamma") in s and ("d1", "name", "alpha") not in s
+
+
+def test_construct_with_bind_and_values(graph, con):
+    q = ('CONSTRUCT { ?s hasLen ?l } WHERE { ?s name ?n . '
+         'BIND(STRLEN(?n) AS ?l) VALUES ?n { "alpha" "beta" } }')
+    rows = assert_parity(graph, con, q, 2)
+    assert ("d1", "hasLen", 5) in rows or ("d1", "hasLen", "5") in rows
+
+
+def test_scalar_subquery_cross_joins(graph, con):
+    q = ('SELECT ?s ?total WHERE { ?s lang "en" . '
+         '{ SELECT (COUNT(*) AS ?total) WHERE { ?d lang ?l } } }')
+    rows = assert_parity(graph, con, q, 2)
+    assert all(r[1] == 3 for r in rows)
+
+
+def test_pname_trailing_dot_is_terminator():
+    q = parse_sparql('PREFIX ex: <http://ex/> '
+                     'SELECT * WHERE { ?s ex:p ex:b. }')
+    assert q.patterns == [("?s", "http://ex/p", "http://ex/b")]
+
+
+def test_zero_or_one_path_from_text(graph, con):
+    rows = assert_parity(graph, con,
+                         "SELECT ?a ?b WHERE { ?a cites? ?b }")
+    assert ("d1", "d2") in rows            # one hop
+    assert ("d1", "d1") in rows            # zero-length leg
+
+
+def test_distinct_after_projection_over_union(graph, con):
+    # both branches bind ?s=d1 via different second vars — DISTINCT must
+    # dedup the PROJECTED rows, not the full branch rows
+    q = ('SELECT DISTINCT ?s WHERE { { ?s name ?n } UNION { ?s wc ?w } }')
+    rows = assert_parity(graph, con, q)
+    assert rows == [("d1",), ("d2",), ("d3",)]
+
+
+def test_group_concat_separator_quoting(graph, con):
+    q = ("SELECT ?l (GROUP_CONCAT(?n; SEPARATOR=\"o'\") AS ?c) "
+         "WHERE { ?s lang ?l ; name ?n } GROUP BY ?l")
+    rows = assert_parity(graph, con, q, 2)
+    assert ("en", "alphao'beta") in rows
+
+
+def test_duplicate_values_and_subquery_rejected():
+    with pytest.raises(SparqlError, match="one VALUES"):
+        parse_sparql('SELECT * WHERE { ?s p ?o . VALUES ?o { "a" } '
+                     'VALUES ?s { "b" } }')
+    with pytest.raises(SparqlError, match="one subquery"):
+        parse_sparql('SELECT * WHERE { ?s p ?o . '
+                     '{ SELECT ?o (COUNT(*) AS ?n) WHERE { ?x p ?o } '
+                     'GROUP BY ?o } '
+                     '{ SELECT ?s (COUNT(*) AS ?m) WHERE { ?s p ?y } '
+                     'GROUP BY ?s } }')
+
+
+def test_ask_with_subquery_rejected():
+    with pytest.raises(SparqlError, match="ASK does not support"):
+        parse_sparql('ASK { ?s p ?o . '
+                     '{ SELECT ?o (COUNT(*) AS ?n) WHERE { ?x p ?o } '
+                     'GROUP BY ?o } }')

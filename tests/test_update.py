@@ -197,3 +197,32 @@ def test_refresh_cli_mode(spark, tmp_path):
     res = query_main(["--store", root, "--refresh-rules"])
     assert res == {"refreshed": ["owl1-r1"], "skipped": []}
     assert ("d", "child", "c") in _spo(read_graph(spark, root))
+
+
+def test_reinsert_after_delete_resurrects(spark, tmp_path):
+    """SPARQL UPDATE sequencing: DELETE then INSERT of the same triple
+    leaves it present (retractions bind to their commit time, not to the
+    triple forever)."""
+    import time as _t
+    root = str(tmp_path / "g")
+    materialize(_store_rows(spark, ROWS), root, "b1")
+    update_store(spark, root, "u1", "DELETE DATA { a p b }")
+    assert ("a", "p", "b") not in _spo(read_graph(spark, root))
+    _t.sleep(0.01)   # commit_ns orders sub-second sequences
+    update_store(spark, root, "u2", "INSERT DATA { a p b }")
+    g = _spo(read_graph(spark, root))
+    assert ("a", "p", "b") in g
+    # and the delete still holds for the ORIGINAL batch's other triples
+    assert ("b", "p", "c") in g
+
+
+def test_empty_only_store_reads_back(spark, tmp_path):
+    """A store whose only batch is empty (a rule that derived nothing)
+    must read back as an empty frame, not a schema-inference crash."""
+    root = str(tmp_path / "g")
+    empty = _store_rows(spark, []).limit(0)
+    m = materialize(empty, root, "b-empty")
+    assert m["n_triples"] == 0
+    g = read_graph(spark, root)
+    assert g.count() == 0
+    assert {"subj", "pred", "obj", "pred_bucket"} <= set(g.columns)
