@@ -129,3 +129,46 @@ def test_compilers_agree_on_random_graphs(fuzz_spark, spec, rows):
     assert cols == duck_cols
     assert spark_rows == duck_rows, (
         f"query {text!r} over {rows}:\n{spark_rows}\nvs\n{duck_rows}")
+
+
+@st.composite
+def _update_spec(draw):
+    op = draw(st.sampled_from(["insert_data", "delete_data",
+                               "delete_where", "insert_where",
+                               "delete_template"]))
+    triples = [(draw(st.sampled_from(_NODES)), draw(st.sampled_from(_PREDS)),
+                draw(st.sampled_from(_NODES)))
+               for _ in range(draw(st.integers(1, 3)))]
+    patterns = [draw(_pattern("x")) for _ in range(draw(st.integers(1, 2)))]
+    template = [("?x", draw(st.sampled_from(_PREDS)),
+                 draw(st.sampled_from(_NODES)))]
+    return op, triples, patterns, template
+
+
+def _render_update(spec) -> str:
+    op, triples, patterns, template = spec
+    data = " . ".join(f"{s} {p} {o}" for s, p, o in triples)
+    pats = " . ".join(f"{s} {p} {o}" for s, p, o in patterns)
+    tmpl = " . ".join(f"{s} {p} {o}" for s, p, o in template)
+    return {
+        "insert_data": f"INSERT DATA {{ {data} }}",
+        "delete_data": f"DELETE DATA {{ {data} }}",
+        "delete_where": f"DELETE WHERE {{ {pats} }}",
+        "insert_where": f"INSERT {{ {tmpl} }} WHERE {{ {pats} }}",
+        "delete_template": f"DELETE {{ {tmpl} }} WHERE {{ {pats} }}",
+    }[op]
+
+
+@given(_update_spec())
+@settings(max_examples=150, deadline=None)
+def test_update_render_parse_roundtrip(spec):
+    from rdf_tabular_spark.sparql import parse_update
+    op, triples, patterns, template = spec
+    u = parse_update(_render_update(spec))
+    assert u.op == op
+    if op in ("insert_data", "delete_data"):
+        assert u.data == triples
+    elif op == "delete_where":
+        assert u.patterns == patterns
+    else:
+        assert u.patterns == patterns and u.template == template

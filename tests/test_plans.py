@@ -491,3 +491,28 @@ def test_sameas_rewrite_broadcasts_mapping(spark):
     assert p.count("BroadcastHashJoin") >= 2
     assert not re.search(r"Exchange hashpartitioning\((subj|obj)", p), \
         "sameas rewrite shuffled the triple stream"
+
+
+def test_retraction_read_broadcasts_delete_set(spark, tmp_path):
+    """Retraction subtraction must reach the plan as a broadcast anti-join
+    of the edit-sized delete set — never a shuffle of the data stream."""
+    from pyspark.sql import functions as F
+
+    from rdf_tabular_spark.sinks.graph_store import (materialize,
+                                                     read_graph,
+                                                     retract_batch)
+    root = str(tmp_path / "g")
+    rows = [(f"s{i}", "p", f"o{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string") \
+        .select("subj", "pred", "obj", F.lit(True).alias("obj_is_iri"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit("t").alias("table_url"),
+                F.lit(0).cast("long").alias("source_num"))
+    materialize(df, root, "b1")
+    retract_batch(spark, root, "r1", spark.createDataFrame(
+        [("s1", "p", "o1")], "subj string, pred string, obj string"))
+    p = plan_of(read_graph(spark, root))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert not re.search(r"Exchange hashpartitioning\(subj", p), \
+        "retraction read shuffled the data stream"
