@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 DEFAULT_PRED_BUCKETS = 64
 DEFAULT_SALT = 16
 
+#: full RDF-term retraction key: SPARQL term equality distinguishes
+#: '42'^^xsd:integer from '42'@en from the IRI <42>
+TERM_KEY_COLS = ("subj", "pred", "obj", "obj_is_iri", "obj_datatype",
+                 "obj_lang")
+LEXICAL_KEY_COLS = ("subj", "pred", "obj")
+
 
 def with_buckets(triples: DataFrame, pred_buckets: int = DEFAULT_PRED_BUCKETS) -> DataFrame:
     """Add pred_bucket + subj_bucket partition columns. Hot predicates
@@ -193,6 +199,28 @@ def _store_schema():
     ])
 
 
+def _retraction_schema(key_cols) -> str:
+    """DDL schema for a retraction key set of the given arity (explicit
+    schema: an empty retraction batch must still read back)."""
+    types = {"subj": "string", "pred": "string", "obj": "string",
+             "obj_is_iri": "boolean", "obj_datatype": "string",
+             "obj_lang": "string"}
+    return ", ".join(f"{c} {types[c]}" for c in key_cols)
+
+
+def _anti_join_retractions(g: DataFrame, r: DataFrame, key_cols) -> DataFrame:
+    """Subtract a retraction key set. Lexical 3-col keys use a plain
+    name-list anti-join; full-term keys null-safe-compare the nullable
+    datatype/lang columns (``<=>`` keys still take the hash-join path)."""
+    if list(key_cols) == list(LEXICAL_KEY_COLS):
+        return g.join(r, ["subj", "pred", "obj"], "left_anti")
+    cond = None
+    for c in key_cols:
+        clause = g[c].eqNullSafe(r[c])
+        cond = clause if cond is None else cond & clause
+    return g.join(r, cond, "left_anti")
+
+
 def read_graph(spark: SparkSession, root: str,
                batches: Optional[list[str]] = None,
                retractions: bool | list = True) -> DataFrame:
@@ -260,14 +288,23 @@ def read_graph(spark: SparkSession, root: str,
         appl = frozenset(r for r in r_wanted
                          if commit_key(r) >= commit_key(b))
         groups.setdefault(appl, []).append(b)
+
+    def key_cols_of(rb: str) -> tuple:
+        # pre-term-key batches have no key_cols entry → lexical
+        return tuple(ms[rb].get("key_cols", LEXICAL_KEY_COLS))
+
     parts = []
     for appl, bs in groups.items():
         g = read_data(bs)
-        if appl:
-            r = spark.read.schema("subj string, pred string, obj string") \
-                .parquet(*[ms[b]["path"] for b in sorted(appl)]) \
+        # one anti-join per key arity present (normally exactly one)
+        by_arity: dict[tuple, list] = {}
+        for rb in sorted(appl):
+            by_arity.setdefault(key_cols_of(rb), []).append(rb)
+        for kc, rbs in by_arity.items():
+            r = spark.read.schema(_retraction_schema(kc)) \
+                .parquet(*[ms[b]["path"] for b in rbs]) \
                 .distinct()
-            g = g.join(r, ["subj", "pred", "obj"], "left_anti")
+            g = _anti_join_retractions(g, r, kc)
         parts.append(g)
     out = parts[0]
     for p2 in parts[1:]:
@@ -276,23 +313,31 @@ def read_graph(spark: SparkSession, root: str,
 
 
 def snapshots_as_of(root: str, as_of: str) -> list[str]:
-    """Batch ids committed at or before ISO-8601 time ``as_of``."""
-    mdir = _manifest_dir(root)
-    if not os.path.isdir(mdir):
-        return []
-    out = []
-    for fn in os.listdir(mdir):
-        if fn.endswith(".json"):
-            with open(os.path.join(mdir, fn)) as f:
-                m = json.load(f)
-            if m.get("status") == "committed" and m.get("committed_at", "") <= as_of:
-                out.append(m["batch_id"])
-    return sorted(out)
+    """Batch ids LIVE as of ISO-8601 time ``as_of``: committed at or
+    before ``as_of``, minus batches shadowed by any compaction (or other
+    ``replaces``-bearing manifest) that had itself committed by ``as_of``.
+    Without the shadow subtraction an as-of read spanning a compaction
+    would union both the compaction output and its still-committed inputs
+    and return every baked-in triple twice. A compaction that commits
+    AFTER ``as_of`` does not shadow — pre-compaction time travel still
+    sees the original batches (their data survives until
+    ``expire_replaced``)."""
+    ms = _manifests(root)
+    committed = {m["batch_id"] for m in ms
+                 if m.get("status") == "committed"
+                 and m.get("committed_at", "") <= as_of}
+    # mirror live_batches' replaces-derived shadowing, time-filtered; an
+    # 'expired' replacer was once a committed compaction <= its inputs'
+    # expiry, so its committed_at still gates the shadow
+    shadowed = {b for m in ms if m.get("status") in ("committed", "expired")
+                and m.get("committed_at", "") <= as_of
+                for b in m.get("replaces", [])}
+    return sorted(committed - shadowed)
 
 
 def read_predicate(spark: SparkSession, root: str, pred: str,
                    batches: Optional[list[str]] = None,
-                   pred_buckets: int = DEFAULT_PRED_BUCKETS) -> DataFrame:
+                   pred_buckets: Optional[int] = None) -> DataFrame:
     """Predicate-restricted read with PARTITION PRUNING: the salted
     pred_bucket scheme places a predicate's triples in exactly
     ``DEFAULT_SALT`` of the ``pred_buckets`` partitions (bucket =
@@ -301,9 +346,25 @@ def read_predicate(spark: SparkSession, root: str, pred: str,
     (= 16/64 = 25%) of the store instead of all of it, regardless of store
     size. The exact pred equality filter is pushed to the parquet scan on
     top of the pruning.
+
+    The bucket count is read from each committed batch's MANIFEST (the
+    value ``materialize`` recorded when it wrote that batch), not assumed:
+    a store written with a non-default count would otherwise silently drop
+    matching rows. Stores mixing bucket counts prune to the union of the
+    per-count bucket sets (correct, slightly wider scan). An explicit
+    ``pred_buckets`` argument is unioned in defensively.
     """
+    wanted_ids = set(batches) if batches is not None else None
+    counts = {m["pred_buckets"] for m in _manifests(root)
+              if m.get("pred_buckets") and m.get("status") == "committed"
+              and (wanted_ids is None or m["batch_id"] in wanted_ids)}
+    if pred_buckets is not None:
+        counts.add(pred_buckets)
+    if not counts:
+        counts = {DEFAULT_PRED_BUCKETS}
     h = spark.range(1).select(F.xxhash64(F.lit(pred)).alias("h")).first()["h"]
-    wanted = sorted({int((h + s) % pred_buckets) for s in range(DEFAULT_SALT)})
+    wanted = sorted({int((h + s) % n)
+                     for n in counts for s in range(DEFAULT_SALT)})
     g = read_graph(spark, root, batches=batches)
     return g.filter(F.col("pred_bucket").isin(wanted)) \
             .filter(F.col("pred") == pred)
@@ -625,28 +686,42 @@ def retract_batch(spark: SparkSession, root: str, batch_id: str,
                   triples: DataFrame,
                   lineage: Optional[dict] = None) -> dict:
     """SPARQL-UPDATE delete support on an append-only store: commit a
-    RETRACTION batch — a (subj, pred, obj) key set under
-    ``retractions/`` with a ``kind: retraction`` manifest. Committed
-    data batches are never rewritten (immutability + lineage + time
-    travel survive); reads subtract live retractions with one anti-join
-    (:func:`read_graph`), and a FULL :func:`compact` bakes them in and
-    shadows them — the Iceberg equality-delete-file design. Idempotent
-    per ``batch_id`` like :func:`materialize`."""
+    RETRACTION batch — a key set under ``retractions/`` with a
+    ``kind: retraction`` manifest. Committed data batches are never
+    rewritten (immutability + lineage + time travel survive); reads
+    subtract live retractions with one anti-join (:func:`read_graph`),
+    and a FULL :func:`compact` bakes them in and shadows them — the
+    Iceberg equality-delete-file design. Idempotent per ``batch_id``
+    like :func:`materialize`.
+
+    KEY CONTRACT: if ``triples`` carries the term columns
+    (obj_is_iri/obj_datatype/obj_lang), the retraction keys on the full
+    RDF term — '42'^^xsd:integer does NOT delete '42'@en (SPARQL
+    term-equality semantics). A bare (subj, pred, obj) input keys
+    LEXICALLY and deletes every term whose lexical form matches — this
+    is the contract for the 3-column SPARQL UPDATE front-end
+    (sparql.py drops datatype/lang at parse). The manifest records
+    ``key_cols`` so :func:`read_graph` applies each batch with the
+    arity it was written at."""
     if batch_id in processed_batches(root):
         with open(os.path.join(_manifest_dir(root),
                                f"{batch_id}.json")) as f:
             return json.load(f)
     t0 = time.time()
     out_path = os.path.join(root, "retractions", f"batch={batch_id}")
-    keys = triples.select("subj", "pred", "obj").distinct()
+    key_cols = (TERM_KEY_COLS
+                if set(TERM_KEY_COLS) <= set(triples.columns)
+                else LEXICAL_KEY_COLS)
+    keys = triples.select(*key_cols).distinct()
     keys.write.mode("overwrite").parquet(out_path)
-    n = spark.read.schema("subj string, pred string, obj string") \
+    n = spark.read.schema(_retraction_schema(key_cols)) \
         .parquet(out_path).count()
     manifest = {
         "batch_id": batch_id,
         "status": "committed",
         "kind": "retraction",
         "path": out_path,
+        "key_cols": list(key_cols),
         "n_triples": int(n),
         "lineage": lineage or {},
         "wall_seconds": round(time.time() - t0, 3),

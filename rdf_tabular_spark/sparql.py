@@ -816,7 +816,15 @@ def parse_update(text: str) -> SparqlUpdate:
 
     def ground(triples: list) -> list:
         for t in triples:
-            if any(isinstance(x, str) and x.startswith("?") for x in t):
+            # every term must be a plain string: a non-str term is a
+            # parsed property-path AST (e.g. '<a>/<b>' in predicate
+            # position), which would reach spark.createDataFrame and
+            # fail obscurely or infer a struct-typed pred
+            if any(not isinstance(x, str) for x in t):
+                raise SparqlError(
+                    f"{kw} DATA requires ground triples — property paths "
+                    f"are not allowed in DATA blocks: {t}")
+            if any(x.startswith("?") for x in t):
                 raise SparqlError(f"{kw} DATA requires ground triples: {t}")
         return triples
 

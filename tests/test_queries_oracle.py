@@ -48,9 +48,23 @@ def _canon(rows, cols):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def _assert_scalar_schema(qdf, name):
+    # The driver canonicalizes via pandas sort_values, which raises
+    # "unhashable type: 'list'" on array/map/struct cells — every
+    # registered query must project scalar columns only.
+    from pyspark.sql import types as ST
+    complex_cols = [f.name for f in qdf.schema.fields
+                    if isinstance(f.dataType,
+                                  (ST.ArrayType, ST.MapType, ST.StructType))]
+    assert not complex_cols, \
+        f"{name}: complex-typed output columns {complex_cols} break the " \
+        "driver's pandas canonicalizer — project scalars (concat_ws)"
+
+
 @pytest.mark.parametrize("name", sorted(Q.oracle_sql()))
 def test_query_matches_oracle(spark, ddb, name):
     qdf = Q.queries()[name](spark, SF_DIR)
+    _assert_scalar_schema(qdf, name)
     spark_cols = qdf.columns
     spark_rows = [tuple(r) for r in qdf.collect()]
 
@@ -71,6 +85,7 @@ def test_query_matches_oracle(spark, ddb, name):
 @pytest.mark.parametrize("name", sorted(set(Q.queries()) - set(Q.oracle_sql())))
 def test_rows_only_queries_run(spark, name):
     df = Q.queries()[name](spark, SF_DIR)
+    _assert_scalar_schema(df, name)
     assert df.count() >= 0
     assert len(df.columns) > 0
 

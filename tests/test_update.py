@@ -226,3 +226,92 @@ def test_empty_only_store_reads_back(spark, tmp_path):
     g = read_graph(spark, root)
     assert g.count() == 0
     assert {"subj", "pred", "obj", "pred_bucket"} <= set(g.columns)
+
+
+def test_as_of_read_spanning_compaction(spark, tmp_path):
+    """Regression (r4 advice): an as-of read AFTER a compaction must not
+    union the compaction output with its still-committed inputs — that
+    returned every baked-in triple twice."""
+    import time as _t
+    from rdf_tabular_spark.sinks.graph_store import snapshots_as_of
+    root = str(tmp_path / "g")
+    materialize(_store_rows(spark, ROWS[:2]), root, "b1")
+    materialize(_store_rows(spark, ROWS[2:]), root, "b2")
+    _t.sleep(1.1)  # committed_at is second-granularity
+    mid = _t.strftime("%Y-%m-%dT%H:%M:%SZ", _t.gmtime())
+    _t.sleep(1.1)
+    compact(spark, root)
+    _t.sleep(1.1)
+    after = _t.strftime("%Y-%m-%dT%H:%M:%SZ", _t.gmtime())
+
+    # as-of after the compaction: sees the compaction batch only
+    snap = snapshots_as_of(root, after)
+    g = read_graph(spark, root, batches=snap)
+    assert g.count() == len(ROWS), "baked-in triples must not double-count"
+    assert _spo(g) == set(ROWS)
+    # as-of between the input batches and the compaction: pre-compaction
+    # time travel sees the original batches exactly once
+    snap_mid = snapshots_as_of(root, mid)
+    assert set(snap_mid) == {"b1", "b2"}
+    g_mid = read_graph(spark, root, batches=snap_mid)
+    assert g_mid.count() == len(ROWS)
+
+
+def test_term_keyed_retraction(spark, tmp_path):
+    """SPARQL term equality on deletes: retracting '42'^^xsd:integer with
+    full term columns must NOT retract '42'@en, '42' plain, or an IRI
+    object with the same lexical form (store-level contract; the 3-col
+    SPARQL front-end keys lexically by documented design)."""
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        ("a", "p", "42", False, xsd_int, None),
+        ("a", "p", "42", False, None, "en"),
+        ("a", "p", "42", False, None, None),
+        ("a", "p", "42", True, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean,"
+              " obj_datatype string, obj_lang string").select(
+        "*", F.lit("t").alias("table_url"),
+        F.lit(0).cast("long").alias("source_num"))
+    root = str(tmp_path / "g")
+    materialize(df, root, "b1")
+
+    keys = spark.createDataFrame(
+        [("a", "p", "42", False, xsd_int, None)],
+        "subj string, pred string, obj string, obj_is_iri boolean,"
+        " obj_datatype string, obj_lang string")
+    m = retract_batch(spark, root, "r1", keys)
+    assert m["key_cols"] == ["subj", "pred", "obj", "obj_is_iri",
+                             "obj_datatype", "obj_lang"]
+    left = read_graph(spark, root).select(
+        "obj_is_iri", "obj_datatype", "obj_lang").collect()
+    terms = {(r.obj_is_iri, r.obj_datatype, r.obj_lang) for r in left}
+    assert (False, xsd_int, None) not in terms
+    assert terms == {(False, None, "en"), (False, None, None),
+                     (True, None, None)}
+
+    # a LEXICAL (3-col) retraction of the same key deletes every term
+    retract_batch(spark, root, "r2", spark.createDataFrame(
+        [("a", "p", "42")], "subj string, pred string, obj string"))
+    assert read_graph(spark, root).count() == 0
+
+
+def test_read_predicate_nondefault_buckets(spark, tmp_path):
+    """Regression (r4 advice): read_predicate must derive the bucket count
+    from each batch's manifest — a store written with a non-default count
+    silently dropped matching rows when the caller didn't repeat it."""
+    from rdf_tabular_spark.sinks.graph_store import read_predicate
+    root = str(tmp_path / "g")
+    materialize(_store_rows(spark, ROWS), root, "b1", pred_buckets=7)
+    got = read_predicate(spark, root, "p")  # no pred_buckets argument
+    assert _spo(got) == {("a", "p", "b"), ("b", "p", "c")}
+
+
+def test_update_data_rejects_property_paths():
+    """A whitespace-free property path in a DATA block ('<a>/<b>') parses
+    to a path AST — must be rejected loudly, not reach createDataFrame."""
+    with pytest.raises(SparqlError, match="property paths"):
+        parse_update("INSERT DATA { <urn:s> <urn:a>/<urn:b> <urn:o> }")
+    with pytest.raises(SparqlError, match="property paths"):
+        parse_update("DELETE DATA { <urn:s> <urn:a>|<urn:b> <urn:o> }")
