@@ -38,6 +38,38 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _qnorm(q: list[float]) -> float:
+    """Driver-side ||q||: left-assoc accumulation, bit-identical to the
+    engines' sequential folds over the same doubles."""
+    import math
+    acc = 0.0
+    for x in q:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def cosine_sim_const(a: Column, q: list[float]) -> Column:
+    """Cosine similarity against a CONSTANT query vector, fused: ONE
+    aggregate fold per row computes dot(a,q) and ||a||² together (struct
+    accumulator), and ||q|| is a driver-side literal — versus three
+    separate array passes per row, one of which re-derived the constant
+    query norm for every scored row (the r3 ann_cosine_topk bench
+    regression). Each component still accumulates left-to-right in the
+    same order as :func:`dot`, so results stay bit-identical to the
+    explicit-sum SQL oracle."""
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    zipped = F.zip_with(a, qlit,
+                        lambda x, y: F.struct((x * y).alias("d"),
+                                              (x * x).alias("n")))
+    folded = F.aggregate(
+        zipped,
+        F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("n")),
+        lambda acc, e: F.struct((acc["d"] + e["d"]).alias("d"),
+                                (acc["n"] + e["n"]).alias("n")),
+        lambda acc: acc["d"] / (F.sqrt(acc["n"]) * F.lit(_qnorm(q))))
+    return folded
+
+
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
@@ -54,16 +86,17 @@ def cosine_topk(df: DataFrame, query_id: int, k: int = 10,
                 extra_cols: tuple[str, ...] = ("label",)) -> DataFrame:
     """Brute-force cosine top-k vs the embedding of ``query_id``.
 
-    The query row is crossJoin(broadcast(...)) — replicated to every task,
-    zero shuffle for scoring; the ORDER BY … LIMIT k collapses to
-    TakeOrderedAndProject (per-partition top-k then driver merge of k·p
-    rows, never a full sort).
+    The query vector is fetched driver-side (one row) and embedded as a
+    LITERAL array — no join at all in the scoring stage; scoring is one
+    fused fold per row (:func:`cosine_sim_const`); the ORDER BY … LIMIT k
+    collapses to TakeOrderedAndProject (per-partition top-k then driver
+    merge of k·p rows, never a full sort).
     """
-    q = query_vector(df, query_id, id_col, vec_col)
+    q = [float(x) for x in
+         query_vector(df, query_id, id_col, vec_col).first()["q"]]
     scored = (df.filter(F.col(id_col) != query_id)
-              .crossJoin(F.broadcast(q))
               .select(F.col(id_col), *[F.col(c) for c in extra_cols],
-                      F.round(cosine_sim(_as_double(F.col(vec_col)), F.col("q")), 4)
+                      F.round(cosine_sim_const(_as_double(F.col(vec_col)), q), 4)
                       .alias("sim")))
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
@@ -78,11 +111,11 @@ def ivf_topk_per_cell(df: DataFrame, query_id: int, k: int = 3,
     cell key — at scale the table is already partitioned by cell, so the
     window runs shuffle-free.
     """
-    q = query_vector(df, query_id, id_col, vec_col)
+    q = [float(x) for x in
+         query_vector(df, query_id, id_col, vec_col).first()["q"]]
     scored = (df.filter(F.col(id_col) != query_id)
-              .crossJoin(F.broadcast(q))
               .select(F.col(id_col), F.col(cell_col),
-                      F.round(cosine_sim(_as_double(F.col(vec_col)), F.col("q")), 4)
+                      F.round(cosine_sim_const(_as_double(F.col(vec_col)), q), 4)
                       .alias("sim")))
     w = Window.partitionBy(cell_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -178,11 +211,12 @@ def ivf_search(assigned: DataFrame, centroids: list[list[float]],
     def dist2(c):
         return sum((a - b) ** 2 for a, b in zip(c, query_vec))
     probe = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i]))[:n_probe]
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = assigned.filter(F.col("cell").isin(probe))
     scored = cand.select(
         F.col(id_col), F.col("cell"),
-        F.round(cosine_sim(_as_double(F.col(vec_col)), qlit), 4).alias("sim"))
+        F.round(cosine_sim_const(_as_double(F.col(vec_col)),
+                                 [float(x) for x in query_vec]), 4)
+        .alias("sim"))
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
