@@ -155,6 +155,30 @@ def _check(type_name: str, key: str, value: Any, pv: Any, errors: list[str]) -> 
             f"expected {reason}")
 
 
+_TRANSFORMATION_PROPS = {"@type", "source", "targetFormat", "scriptFormat",
+                         "title", "url"}
+_TRANSFORMATION_REQUIRED = ("targetFormat", "scriptFormat")
+
+
+def _validate_transformation(tr: dict, errors: list[str]) -> None:
+    """Transformation description checks (reference: metadata.rb:1343-1371
+    PROPERTIES/REQUIRED + the generic validate! at metadata.rb:456-470):
+    only the class's properties are allowed, and targetFormat/scriptFormat
+    are required. Error strings mirror the reference's, including its
+    Ruby-array formatting and its quirk of printing the PRESENT required
+    keys in the missing-keys message."""
+    keys = [k for k in tr if k not in ("@id", "@context")
+            and ":" not in str(k)]
+    unexpected = [k for k in keys if k not in _TRANSFORMATION_PROPS]
+    if unexpected:
+        listing = "[" + ", ".join(f'"{k}"' for k in unexpected) + "]"
+        errors.append(f"Transformation has unexpected keys: {listing}")
+    present = [k for k in _TRANSFORMATION_REQUIRED if k in keys]
+    if present != list(_TRANSFORMATION_REQUIRED):
+        listing = "[" + ", ".join(f'"{k}"' for k in present) + "]"
+        errors.append(f"Transformation missing required keys: {listing}")
+
+
 def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None:
     own = {k: obj[k] for k in INHERITED if k in obj}
     for key, value in own.items():
@@ -193,6 +217,9 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
                 errors.append(
                     f"{type_name} has invalid property 'primaryKey': "
                     f"column reference not found {pk}")
+    for tr in obj.get("transformations", []) or []:
+        if isinstance(tr, dict):
+            _validate_transformation(tr, errors)
     scope = {**inherited, **own}
     for t in obj.get("resources", []) or []:
         _walk(t, "Table", scope, errors)

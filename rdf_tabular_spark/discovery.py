@@ -94,6 +94,18 @@ def content_type_kind(headers: Mapping[str, str]) -> Optional[str]:
     return _MIME_KINDS.get(mime)
 
 
+def header_absent(headers: Mapping[str, str]) -> bool:
+    """True when the Content-Type carries the ``header=absent`` parameter
+    (reference reader.rb:60-63): a ``text/csv;header=absent`` response
+    declares row 1 is DATA — embedded-header consumption must be
+    suppressed or the first record is mis-read as column titles."""
+    ct = _header(headers, "Content-Type")
+    if not ct:
+        return False
+    return any(p.strip().lower() == "header=absent"
+               for p in ct.split(";")[1:])
+
+
 def sniff_sample(sample: bytes | str) -> str:
     """Content sniff of the first ~1 KB (reference format.rb:36-44 detect,
     widened to disambiguate the formats this engine routes):

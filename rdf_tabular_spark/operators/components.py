@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, max_iter: int = 21,
-                         rounds_per_check: int = 3) -> DataFrame:
+                         rounds_per_check: int = 3,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """edges(a, b) → (id, component) with component = min id in the component.
 
     Vertices are the distinct endpoints. Deterministic: labels are ids
@@ -28,14 +29,21 @@ def connected_components(edges: DataFrame, max_iter: int = 21,
     fixpoint is reached, regardless of earlier rounds in the batch. Cuts
     driver actions ~3× vs check-every-round at the cost of ≤ k-1 cheap
     extra rounds after convergence.
+
+    ``checkpoint_dir`` switches lineage truncation from executor-local
+    blocks to a reliable ``checkpoint()`` (see operators.graph._ckpt) —
+    opt in at cluster scale where a lost executor must not lose the
+    iteration state.
     """
+    from .graph import _ckpt
     sym = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
            .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
            .distinct()
            # cut the upstream lineage ONCE: the edge list is joined every
            # iteration — without this the whole LSH/blocking pipeline would
            # re-execute per iteration (and once more per convergence check)
-           .localCheckpoint(eager=True))
+           )
+    sym = _ckpt(sym, checkpoint_dir, eager=True)
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("component", F.col("id")))
 
@@ -55,7 +63,7 @@ def connected_components(edges: DataFrame, max_iter: int = 21,
                                   .alias("changed")))
             labels = new_labels if j == k - 1 else new_labels.drop("changed")
         done += k
-        labels = labels.localCheckpoint(eager=True)  # ONE job runs k rounds
+        labels = _ckpt(labels, checkpoint_dir, eager=True)  # ONE job runs k rounds
         changed = labels.filter(F.col("changed")).limit(1).count()
         labels = labels.drop("changed")
         if changed == 0:

@@ -70,8 +70,25 @@ def property_table(triples: DataFrame, props: Sequence[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ckpt(df: DataFrame, checkpoint_dir: str | None = None,
+          eager: bool = True) -> DataFrame:
+    """Truncate lineage between iterations. Default: ``localCheckpoint``
+    (executor-local blocks — fast, but NOT fault-tolerant: a lost executor
+    loses its partitions and the truncated lineage can't recompute them).
+    Passing ``checkpoint_dir`` switches to a reliable ``checkpoint()``
+    into that directory (HDFS/S3/DBFS at cluster scale), so hours of
+    iterative state survive executor loss. The sandbox default stays
+    local — reliability is an opt-in cost (one round-trip write per
+    round)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
-             checkpoint_every: int | None = None) -> DataFrame:
+             checkpoint_every: int | None = None,
+             checkpoint_dir: str | None = None) -> DataFrame:
     """Fixed-iteration PageRank over ``(src, dst)`` edges → ``(node, rank)``.
 
     Simplified formulation (dangling mass is NOT redistributed — nodes with
@@ -118,7 +135,7 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
                          (F.lit(base) + F.lit(damping)
                           * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = _ckpt(ranks, checkpoint_dir)
     return ranks
 
 
@@ -156,7 +173,8 @@ def pagerank_sql(edges_sql: str, n_iter: int = 3,
             + f"\nselect node, rank from r{n_iter}")
 
 
-def transitive_closure(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+def transitive_closure(edges: DataFrame, max_iter: int = 64,
+                       checkpoint_dir: str | None = None) -> DataFrame:
     """All reachable ``(src, dst)`` pairs over 1+ hops — semi-naive
     evaluation: each round joins only the NEW pairs (delta) against the
     edge table, dedups, and anti-joins the accumulated result, so every
@@ -166,14 +184,15 @@ def transitive_closure(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     Scale notes: rounds = longest path length; for deep graphs switch the
     delta join to path-doubling (join delta with the full closure so far —
     log₂(depth) rounds at the cost of quadratic intermediate size). The
-    delta and accumulator are localCheckpointed each round — without that
-    the logical plan doubles per round and analysis itself blows up; at
-    cluster scale use ``spark.sparkContext.setCheckpointDir`` + reliable
-    ``checkpoint()`` (or write rounds to the graph store) so a lost
-    executor can't drop checkpointed partitions."""
+    delta and accumulator are checkpointed each round — without that
+    the logical plan doubles per round and analysis itself blows up.
+    Default is ``localCheckpoint`` (sandbox-fast, not fault-tolerant);
+    pass ``checkpoint_dir`` for a reliable ``checkpoint()`` so a lost
+    executor can't drop the truncated-lineage partitions (see
+    :func:`_ckpt`)."""
     e = edges.select("src", "dst").distinct().persist()
     e.count()
-    paths = e.localCheckpoint()
+    paths = _ckpt(e, checkpoint_dir)
     delta = paths
     for _ in range(max_iter):
         step = (delta.select(F.col("src").alias("d_src"),
@@ -183,18 +202,19 @@ def transitive_closure(edges: DataFrame, max_iter: int = 64) -> DataFrame:
                 .select(F.col("d_src").alias("src"),
                         F.col("e_dst").alias("dst"))
                 .distinct()
-                .join(paths, ["src", "dst"], "left_anti")
-                .localCheckpoint())
+                .join(paths, ["src", "dst"], "left_anti"))
+        step = _ckpt(step, checkpoint_dir)
         if step.isEmpty():
             break
-        paths = paths.unionByName(step).localCheckpoint()
+        paths = _ckpt(paths.unionByName(step), checkpoint_dir)
         delta = step
     e.unpersist()
     return paths
 
 
 def transitive_closure_doubling(edges: DataFrame,
-                                max_iter: int = 20) -> DataFrame:
+                                max_iter: int = 20,
+                                checkpoint_dir: str | None = None) -> DataFrame:
     """Transitive closure by PATH DOUBLING — the deep-graph scale tier the
     semi-naive docstring points at: after round k the accumulator holds all
     paths of length ≤ 2^k, so a 10^6-deep chain closes in 20 rounds instead
@@ -203,7 +223,7 @@ def transitive_closure_doubling(edges: DataFrame,
     rounds; right when depth, not breadth, is the problem). Terminates when
     a round adds nothing. Same result set as :func:`transitive_closure`
     (pytest-asserted on random graphs)."""
-    paths = edges.select("src", "dst").distinct().localCheckpoint()
+    paths = _ckpt(edges.select("src", "dst").distinct(), checkpoint_dir)
     for _ in range(max_iter):
         doubled = (paths.select(F.col("src").alias("p_src"),
                                 F.col("dst").alias("mid"))
@@ -212,16 +232,17 @@ def transitive_closure_doubling(edges: DataFrame,
                    .select(F.col("p_src").alias("src"),
                            F.col("p_dst").alias("dst"))
                    .distinct()
-                   .join(paths, ["src", "dst"], "left_anti")
-                   .localCheckpoint())
+                   .join(paths, ["src", "dst"], "left_anti"))
+        doubled = _ckpt(doubled, checkpoint_dir)
         if doubled.isEmpty():
             break
-        paths = paths.unionByName(doubled).localCheckpoint()
+        paths = _ckpt(paths.unionByName(doubled), checkpoint_dir)
     return paths
 
 
 def describe(triples: DataFrame, seeds: DataFrame,
-             max_depth: int = 32) -> DataFrame:
+             max_depth: int = 32,
+             checkpoint_dir: str | None = None) -> DataFrame:
     """SPARQL ``DESCRIBE`` as Concise Bounded Description (CBD, the
     de-facto standard answer shape): every triple whose subject is a seed,
     plus — recursively — the triples of blank-node objects reached from
@@ -231,25 +252,26 @@ def describe(triples: DataFrame, seeds: DataFrame,
 
     Spark shape: semi-naive frontier expansion — each round joins the NEW
     bnode frontier against the triples (subject-bucketed stores co-locate
-    this join), localCheckpointed like transitive_closure. Depth =
+    this join), checkpointed like transitive_closure (reliable when
+    ``checkpoint_dir`` is given — see :func:`_ckpt`). Depth =
     longest bnode chain (CSVW emits depth ≤ 2: row bnode → list bnode),
     so rounds stay single-digit on real mappings."""
     node_col = seeds.columns[0]
-    visited = (seeds.select(F.col(node_col).alias("node")).distinct()
-               .localCheckpoint())
+    visited = _ckpt(seeds.select(F.col(node_col).alias("node")).distinct(),
+                    checkpoint_dir)
     frontier = visited
     out: DataFrame | None = None
     for _ in range(max_depth):
-        step = (triples.join(frontier,
-                             triples["subj"] == frontier["node"])
-                .select("subj", "pred", "obj").localCheckpoint())
+        step = _ckpt(triples.join(frontier,
+                                  triples["subj"] == frontier["node"])
+                     .select("subj", "pred", "obj"), checkpoint_dir)
         out = step if out is None else out.unionByName(step)
-        new = (step.filter(F.col("obj").startswith("_:"))
-               .select(F.col("obj").alias("node")).distinct()
-               .join(visited, "node", "left_anti").localCheckpoint())
+        new = _ckpt(step.filter(F.col("obj").startswith("_:"))
+                    .select(F.col("obj").alias("node")).distinct()
+                    .join(visited, "node", "left_anti"), checkpoint_dir)
         if new.isEmpty():
             break
-        visited = visited.unionByName(new).localCheckpoint()
+        visited = _ckpt(visited.unionByName(new), checkpoint_dir)
         frontier = new
     return out
 

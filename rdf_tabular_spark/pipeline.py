@@ -103,6 +103,40 @@ def merge_embedded_titles(table: Table, titles: list[str]) -> None:
         c.number = i + 1
 
 
+def ensure_columns_from_data(table: Table, path: str) -> None:
+    """A headerless table with NO declared columns derives its width from
+    the first data record and appends default columns (named ``_col.N``
+    by Column.name's fallback) — the static-schema equivalent of the
+    reference's on-demand column creation (metadata.rb Row#initialize
+    appends to schema.columns as row values appear). Spark needs the
+    schema before the distributed read, so the width is sniffed
+    driver-side from one record."""
+    schema = table.schema
+    if any(not c.virtual for c in schema.columns):
+        return
+    d = table.dialect
+    from .sources.csv_source import _parse_lines
+    with open(path, "r", encoding=d.encoding or "utf-8", newline="") as f:
+        line = None
+        for _ in range(int(d.skipped_rows) + 1):
+            line = f.readline()
+            if not line:
+                return
+    rows = _parse_lines([line.rstrip("\r\n")], d)
+    if not rows:
+        return
+    n = max(0, len(rows[0]) - int(d.skipColumns))
+    raw_cols = schema.raw.setdefault("columns", [])
+    for i in range(n):
+        raw: dict = {}
+        raw_cols.append(raw)
+        schema.columns.append(Column(raw, number=len(schema.columns) + 1,
+                                     parent=schema, context=schema.context))
+    schema.columns.sort(key=lambda c: c.virtual)
+    for i, c in enumerate(schema.columns):
+        c.number = i + 1
+
+
 def table_level_triples(table: Table, table_resource: str, minimal: bool) -> list[tuple]:
     out: list[tuple] = []
     if minimal:
@@ -166,6 +200,7 @@ def table_to_triples(spark: SparkSession, table: Table, resolver: Resolver,
     titles, _notes = read_header(path, table.dialect)
     if titles:
         merge_embedded_titles(table, titles)
+    ensure_columns_from_data(table, path)
     mapping = compile_mapping(table, minimal=minimal)
     if table_resource:
         mapping.table_resource = table_resource
@@ -255,6 +290,7 @@ def validate_table(spark: SparkSession, table: Table, resolver: Resolver) -> Dat
     titles, _ = read_header(path, table.dialect)
     if titles:
         merge_embedded_titles(table, titles)
+    ensure_columns_from_data(table, path)
     mapping = compile_mapping(table, minimal=True)
     return rows_to_errors(read_rows(spark, path, table.dialect), mapping)
 
@@ -464,6 +500,14 @@ def csvw_to_triples(spark: SparkSession, source, base: str = "",
                 resolver=resolver)
     else:
         url = base or source
+        # Content-Type `header=absent` (reference reader.rb:60-63): the
+        # response declares row 1 is data — inject header:false dialect
+        # metadata unless the caller supplied their own (`||=` there)
+        if user_metadata is None and headers is not None:
+            from .discovery import header_absent
+            if header_absent(headers(url) or {}):
+                user_metadata = {"@context": "http://www.w3.org/ns/csvw",
+                                 "url": url, "dialect": {"header": False}}
         found = discover_metadata(url, resolver, headers=headers)
         docs = ([user_metadata] if user_metadata else []) + [d for d, _ in found]
         if docs:

@@ -101,7 +101,11 @@ def _table_atd(spark: SparkSession, table: Table, resolver: Resolver) -> dict:
     mapping = compile_mapping(table, minimal=True)
     rows_df = read_rows(spark, path, table.dialect)
     atd_rows = rows_to_atd_rows(rows_df, mapping, url, tid)
-    collected = sorted(atd_rows.collect(), key=lambda r: r["rownum"])
+    from .json_rows import MAX_DOCUMENT_ROWS, _collect_document_rows
+    collected = sorted(
+        _collect_document_rows(atd_rows, MAX_DOCUMENT_ROWS,
+                               f"to_atd({url})"),
+        key=lambda r: r["rownum"])
     out_rows = [json.loads(r["row_json"]) for r in collected]
     col_idx = {f"{url}#col={c.number}": i
                for i, c in enumerate(table.schema.columns)}

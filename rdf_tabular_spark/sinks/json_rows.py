@@ -89,6 +89,41 @@ def rows_to_json(rows_df: DataFrame, mapping: TableMapping) -> DataFrame:
     return rows_df.mapInPandas(kernel, schema=JSON_ROWS_SCHEMA)
 
 
+#: Guard for the driver-assembled single-document paths: the reference's
+#: ``to_json``/``to_atd`` output is ONE document, which only exists on the
+#: driver — at web scale that OOMs. Above this row count the document
+#: builders refuse and point at :func:`write_json_rows`.
+MAX_DOCUMENT_ROWS = 1_000_000
+
+
+def write_json_rows(df: DataFrame, path: str,
+                    column: str = "row_json") -> None:
+    """Distributed JSONL sink — the scale escape hatch for the document
+    builders: one JSON object per line via ``write.text`` (sharded,
+    executor-side, nothing ever gathers on the driver). Line order across
+    shards is not defined (inherent to a distributed write); consumers
+    needing row order sort on the object's ``rownum``."""
+    from pyspark.sql import functions as F
+    df.select(F.col(column).alias("value")) \
+      .write.mode("overwrite").text(path)
+
+
+def _collect_document_rows(rows_df: DataFrame, max_rows: int,
+                           what: str) -> list:
+    """Driver gather for the single-document sinks, guarded: fetches at
+    most ``max_rows + 1`` rows (the limit is pushed into the plan, so an
+    oversized table never materializes driver-side) and refuses loudly
+    when the table exceeds the cap."""
+    collected = rows_df.limit(max_rows + 1).collect()
+    if len(collected) > max_rows:
+        raise ValueError(
+            f"{what}: table exceeds {max_rows} rows — a single JSON "
+            f"document must fit on the driver. Use "
+            f"sinks.json_rows.write_json_rows(...) for distributed "
+            f"JSON-lines output, or raise max_rows explicitly.")
+    return collected
+
+
 def _flatten_common_value(v):
     if isinstance(v, dict) and ("@id" in v or "@value" in v):
         return v.get("@value") or v.get("@id")
@@ -97,7 +132,8 @@ def _flatten_common_value(v):
 
 def table_to_json_dict(spark: SparkSession, table: Table, resolver: Resolver,
                        prov: bool = False,
-                       filenames: list[str] | None = None) -> dict:
+                       filenames: list[str] | None = None,
+                       max_rows: int = MAX_DOCUMENT_ROWS) -> dict:
     """Reference-shaped table document (reader.rb:338-369).
 
     ``prov`` adds the provenance keys of reader.rb:371-379: a
@@ -117,7 +153,9 @@ def table_to_json_dict(spark: SparkSession, table: Table, resolver: Resolver,
         vals = [_flatten_common_value(v) for v in vals]
         doc[prop] = vals[0] if len(vals) == 1 else vals
     rows_df = rows_to_json(read_rows(spark, path, table.dialect), mapping)
-    collected = sorted(rows_df.collect(), key=lambda r: r["rownum"])
+    collected = sorted(
+        _collect_document_rows(rows_df, max_rows, f"to_json({table.url})"),
+        key=lambda r: r["rownum"])
     doc["row"] = [json.loads(r["row_json"]) for r in collected]
     if prov:
         doc["distribution"] = {"downloadURL": table.url}

@@ -176,3 +176,36 @@ def test_http_resolver_end_to_end(spark, monkeypatch, tmp_path):
     rows = df.collect()
     assert {r["pred"] for r in rows} == {"http://linked.org/a"}
     assert {r["obj"] for r in rows} == {"v1"}
+
+
+def test_header_absent_content_type_param(spark, tmp_path):
+    """reader.rb:60-63: a `text/csv;header=absent` response means row 1 is
+    DATA — embedded-header consumption suppressed, columns derived as
+    _col.N from the record width."""
+    from rdf_tabular_spark.discovery import header_absent
+    assert header_absent({"Content-Type": "text/csv;header=absent"})
+    assert header_absent({"content-type": "text/csv; charset=utf-8; HEADER=ABSENT"})
+    assert not header_absent({"Content-Type": "text/csv"})
+    assert not header_absent({"Content-Type": "text/csv;header=present"})
+    assert not header_absent({})
+
+    p = tmp_path / "d.csv"
+    p.write_text("aaa,bbb\nccc,ddd\n")
+    src = lambda u: {"Content-Type": "text/csv;header=absent"}
+    df = csvw_to_triples(spark, str(p), headers=src, minimal=True)
+    cells = {(r.pred.split("#")[-1], r.obj) for r in df.collect()}
+    assert cells == {("_col.1", "aaa"), ("_col.2", "bbb"),
+                     ("_col.1", "ccc"), ("_col.2", "ddd")}
+
+    # without the parameter the first row is consumed as column titles
+    df2 = csvw_to_triples(spark, str(p), minimal=True)
+    objs = {r.obj for r in df2.collect()}
+    assert objs == {"ccc", "ddd"}
+
+    # explicit user metadata wins over the parameter (reference ||=)
+    df3 = csvw_to_triples(
+        spark, str(p), headers=src, minimal=True,
+        user_metadata={"url": str(p), "tableSchema": {
+            "columns": [{"name": "x"}, {"name": "y"}]}})
+    preds3 = {r.pred.split("#")[-1] for r in df3.collect()}
+    assert preds3 == {"x", "y"}

@@ -565,3 +565,30 @@ def test_bgp_agg_group_having_sql_parity(spark):
         f"select * from (values {values}) v(subj, pred, obj)",
         pats, group, aggs, having=having)
     assert sorted(map(tuple, duckdb.sql(sql).fetchall())) == out
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """Opt-in reliable checkpoint: the iterative operators accept
+    checkpoint_dir= and produce identical results through checkpoint()
+    (files actually land in the directory; default behavior unchanged)."""
+    import os
+    from rdf_tabular_spark.operators.components import connected_components
+    from rdf_tabular_spark.operators.graph import transitive_closure
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string")
+    ckdir = str(tmp_path / "ck")
+    local = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    reliable = {(r.src, r.dst)
+                for r in transitive_closure(edges,
+                                             checkpoint_dir=ckdir).collect()}
+    assert local == reliable and ("a", "d") in reliable
+    assert any(os.scandir(ckdir)), "reliable checkpoint wrote nothing"
+
+    cc_edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")],
+                                     "a string, b string")
+    cc = {(r.id, r.component)
+          for r in connected_components(
+              cc_edges, checkpoint_dir=str(tmp_path / "ck2")).collect()}
+    assert cc == {("a", "a"), ("b", "a"), ("c", "a"),
+                  ("x", "x"), ("y", "x")}

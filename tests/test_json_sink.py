@@ -155,3 +155,57 @@ def test_atd_cell_errors_threaded(spark, tmp_path):
     assert rows[0]["cells"][0]["errors"] == []
     assert rows[1]["cells"][0]["errors"] == ["abc is not a valid integer"]
     assert rows[1]["cells"][1]["errors"] == ["b is required"]
+
+
+def test_write_json_rows_distributed_matches_document(spark, tmp_path):
+    """The JSONL escape hatch writes the SAME row objects as the driver
+    document's `row` array, one per line, fully executor-side."""
+    from rdf_tabular_spark.csvw.model import load_metadata
+    from rdf_tabular_spark.operators.triples import compile_mapping
+    from rdf_tabular_spark.pipeline import merge_embedded_titles
+    from rdf_tabular_spark.sinks.json_rows import (rows_to_json,
+                                                   table_to_json_dict,
+                                                   write_json_rows)
+    from rdf_tabular_spark.sources.csv_source import read_header, read_rows
+
+    src = os.path.join(DATA, "tree-ops.csv-metadata.json")
+    table = load_metadata(src, base=BASE + "tree-ops.csv-metadata.json",
+                          resolver=resolver)
+    doc = table_to_json_dict(spark, table, resolver)
+
+    # rebuild the mapping fresh (table was mutated by the doc call)
+    table2 = load_metadata(src, base=BASE + "tree-ops.csv-metadata.json",
+                           resolver=resolver)
+    path = resolver(table2.url)
+    titles, _ = read_header(path, table2.dialect)
+    if titles:
+        merge_embedded_titles(table2, titles)
+    mapping = compile_mapping(table2)
+    jdf = rows_to_json(read_rows(spark, path, table2.dialect), mapping)
+
+    # plan: one narrow Arrow stage, no Exchange, and the write path never
+    # gathers rows on the driver (write.text is executor-side)
+    plan = jdf._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    out = str(tmp_path / "rows.jsonl")
+    write_json_rows(jdf, out)
+    lines = []
+    for fn in os.listdir(out):
+        if fn.startswith("part-"):
+            with open(os.path.join(out, fn)) as f:
+                lines += [json.loads(line) for line in f if line.strip()]
+    assert sorted(lines, key=lambda r: r["rownum"]) == doc["row"]
+
+
+def test_document_sink_row_guard(spark):
+    """The single-document builders refuse tables beyond max_rows instead
+    of OOMing the driver, and the guard is plan-pushed (limit), not a
+    count pass."""
+    from rdf_tabular_spark.csvw.model import load_metadata
+    from rdf_tabular_spark.sinks.json_rows import table_to_json_dict
+    src = os.path.join(DATA, "tree-ops.csv-metadata.json")
+    table = load_metadata(src, base=BASE + "tree-ops.csv-metadata.json",
+                          resolver=resolver)
+    with pytest.raises(ValueError, match="write_json_rows"):
+        table_to_json_dict(spark, table, resolver, max_rows=1)

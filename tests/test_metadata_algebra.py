@@ -222,3 +222,30 @@ def test_valid_metadata_has_no_errors():
 ])
 def test_datatype_lattice(child, parent, ok):
     assert datatype_compatible({"base": child}, {"base": parent}) is ok
+
+
+def test_transformation_validation():
+    """metadata.rb:1343-1371: Transformation allows only its PROPERTIES and
+    requires targetFormat/scriptFormat; error strings mirror validate!."""
+    from rdf_tabular_spark.csvw.validate import validate_metadata
+    ok = {"@type": "Table", "url": "t.csv", "transformations": [{
+        "url": "t.xsl", "targetFormat": "http://x/f",
+        "scriptFormat": "http://x/s", "title": "x", "source": "json"}]}
+    assert validate_metadata(ok) == []
+
+    bad_key = {"@type": "Table", "url": "t.csv", "transformations": [{
+        "url": "t.xsl", "targetFormat": "http://x/f",
+        "scriptFormat": "http://x/s", "bogus": 1}]}
+    assert validate_metadata(bad_key) == [
+        'Transformation has unexpected keys: ["bogus"]']
+
+    missing = {"@type": "Table", "url": "t.csv", "transformations": [{
+        "url": "t.xsl", "targetFormat": "http://x/f"}]}
+    assert validate_metadata(missing) == [
+        'Transformation missing required keys: ["targetFormat"]']
+
+    # common properties (prefixed keys) are exempt, like the reference's
+    # keys.reject {|k| k.include?(':')}
+    common = {"@type": "Table", "url": "t.csv", "transformations": [{
+        "targetFormat": "f", "scriptFormat": "s", "dc:title": "x"}]}
+    assert validate_metadata(common) == []
