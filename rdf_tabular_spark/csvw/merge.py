@@ -33,6 +33,12 @@ OBJECT_PROPS = {"tableSchema", "dialect", "reference", "datatype"}
 NATURAL_LANGUAGE_PROPS = {"title"}
 LINK_PROPS = {"url", "@id"}
 
+#: W3C-final property names → the reference repo's draft-era internal
+#: names. ``normalize`` canonicalizes so both spellings merge together
+#: and the model sees one shape; the model ALSO reads the final names
+#: directly (Column.title_values) for unnormalized direct loads.
+KEY_ALIASES = {"tables": "resources", "titles": "title"}
+
 
 def default_language(doc: dict) -> Optional[str]:
     ctx = doc.get("@context")
@@ -90,6 +96,7 @@ def normalize(doc: dict, lang: Optional[str] = None) -> dict:
     lang = default_language(doc) or lang
     out: dict[str, Any] = {}
     for key, value in doc.items():
+        key = KEY_ALIASES.get(key, key)
         if key == "@context":
             out[key] = value
         elif key in NATURAL_LANGUAGE_PROPS:

@@ -150,7 +150,12 @@ class Column:
 
     @property
     def title_values(self) -> list[str]:
+        # `title` is the reference repo's draft-era spelling, `titles`
+        # the W3C-final one — read both (normalize canonicalizes merged
+        # docs to `title`; direct loads may carry either)
         t = self.raw.get("title")
+        if t is None:
+            t = self.raw.get("titles")
         if t is None:
             return []
         if isinstance(t, dict):  # language map

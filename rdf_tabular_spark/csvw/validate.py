@@ -179,6 +179,22 @@ def _validate_transformation(tr: dict, errors: list[str]) -> None:
         errors.append(f"Transformation missing required keys: {listing}")
 
 
+def _column_name(c: dict, index: int) -> str:
+    """Resolved column name: ``name`` ▷ first title ▷ ``_col.N``
+    (reference Column#name, metadata.rb:1452-1456)."""
+    if c.get("name"):
+        return c["name"]
+    t = c.get("titles")
+    if isinstance(t, dict):
+        vals = list(t.values())
+        t = vals[0] if vals else None
+    if isinstance(t, list):
+        t = next((x for x in t if isinstance(x, str)), None)
+    if isinstance(t, str):
+        return t
+    return f"_col.{index + 1}"
+
+
 def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None:
     own = {k: obj[k] for k in INHERITED if k in obj}
     for key, value in own.items():
@@ -192,24 +208,27 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
                 f"unknown base '{dt['base']}'")
     if isinstance(dt, dict):
         _facet_errors(type_name, dt, errors)
+    cols_list = obj.get("columns")
+    if isinstance(cols_list, list):
+        # reference validate! columns branch (metadata.rb:478-489):
+        # resolved column names must be unique
+        seen_names = []
+        for i, c in enumerate(cols_list):
+            if not isinstance(c, dict):
+                continue
+            seen_names.append(_column_name(c, i))
+        if len(set(seen_names)) != len(seen_names):
+            listing = "[" + ", ".join(f'"{n}"' for n in seen_names) + "]"
+            errors.append(
+                f"{type_name} has invalid property 'columns': "
+                f"must have unique names: {listing}")
     if "primaryKey" in obj:
         # column-reference resolution (reference: metadata.rb:567-570);
         # a column without `name` is named from its first title, whatever
         # shape `titles` takes (string | array | language map — CSVW §5.6)
-        names = set()
-        for c in obj.get("columns") or []:
-            if isinstance(c, dict):
-                if c.get("name"):
-                    names.add(c["name"])
-                    continue
-                t = c.get("titles")
-                if isinstance(t, dict):
-                    vals = list(t.values())
-                    t = vals[0] if vals else None
-                if isinstance(t, list):
-                    t = next((x for x in t if isinstance(x, str)), None)
-                if isinstance(t, str):
-                    names.add(t)
+        names = {_column_name(c, i)
+                 for i, c in enumerate(obj.get("columns") or [])
+                 if isinstance(c, dict)}
         pks = obj["primaryKey"] if isinstance(obj["primaryKey"], list) \
             else [obj["primaryKey"]]
         for pk in pks:

@@ -91,7 +91,7 @@ def merge_embedded_titles(table: Table, titles: list[str]) -> None:
     for i, t in enumerate(titles):
         if i < len(schema.columns):
             c = schema.columns[i]
-            if "title" not in c.raw and "name" not in c.raw:
+            if not ({"title", "titles", "name"} & c.raw.keys()):
                 c.raw["title"] = {"und": [t]}
         else:
             raw = {"title": {"und": [t]}}

@@ -178,3 +178,35 @@ def test_suite_rdf_contains(spark, tid):
             assert t[1:] in ours_bnode_po, f"{tid}: missing bnode triple {t}"
         else:
             assert t in ours_ground, f"{tid}: missing triple {t}"
+
+
+@pytest.mark.parametrize("tid", _ids("normalize"))
+def test_suite_normalize(tid):
+    """M4 metadata normalization (csvw/merge.normalize) — action document
+    deep-equals the expected normal form (modeled on the W3C suite's
+    normalization entries; CSVW-metadata §6 normalization rules)."""
+    from rdf_tabular_spark.csvw.merge import normalize
+    e = ENTRIES[tid]
+    with open(os.path.join(SUITE, e["action"])) as f:
+        doc = json.load(f)
+    with open(os.path.join(SUITE, e["result"])) as f:
+        expected = json.load(f)
+    assert normalize(doc) == expected, f"{tid} ({e['comment']})"
+
+
+@pytest.mark.parametrize("tid", _ids("rdf-discover"))
+def test_suite_rdf_discover(spark, tid):
+    """Naked-CSV entry: the action is a CSV file; metadata (if any) must be
+    DISCOVERED ({url}-metadata.json ▷ sibling metadata.json ▷ embedded
+    header) — the S3 discovery path, not a direct metadata load. Fixtures
+    live in per-test subdirectories so sibling metadata.json files don't
+    cross-contaminate entries."""
+    e = ENTRIES[tid]
+    df = csvw_to_triples(spark, os.path.join(SUITE, e["action"]),
+                         base=BASE + e["action"], resolver=resolver,
+                         minimal=True)
+    ours = df_to_terms(df.collect())
+    expected = parse_turtle_file(os.path.join(SUITE, e["result"]))
+    pr = triple_pr(ours, expected)
+    assert pr.precision == 1.0 and pr.recall == 1.0, (
+        f"{tid} ({e['comment']}): missing={pr.missing} extra={pr.extra}")
