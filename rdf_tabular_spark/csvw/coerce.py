@@ -175,6 +175,15 @@ def _fmt_num(x) -> str:
 
 
 def _match_numeric(value: str, dt: dict, base: str, errors: list[str]) -> Optional[CellValue]:
+    fmt = dt.get("format")
+    if isinstance(fmt, dict):
+        # W3C-final number-format object nests groupChar/decimalChar/
+        # pattern under `format`; the reference reads only the draft-era
+        # top-level keys (metadata.rb:1772-1782). Accept both shapes —
+        # nested wins when present.
+        dt = {**dt, **{k: fmt[k]
+                       for k in ("groupChar", "decimalChar", "pattern")
+                       if k in fmt}}
     group_char = dt.get("groupChar", ",")
     if dt.get("pattern") and not re.search(dt["pattern"], value):
         errors.append(f"{value} does not match pattern {dt['pattern']}")

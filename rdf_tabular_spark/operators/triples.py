@@ -171,6 +171,10 @@ class TripleKernel:
         errors: list[str] = []
         for v in parts:
             if cp.datatypes is None:
+                # reference parity (metadata.rb:1678): "If no datatype,
+                # always strip value" — unconditional, independent of the
+                # dialect trim setting (which modulates only the
+                # string-datatyped branch below)
                 v = v.strip()
             if v in cp.null_values:
                 if cp.required:

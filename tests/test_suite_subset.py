@@ -1,7 +1,22 @@
 """Vendored CSVW conformance-suite subset (reference: spec/suite_spec.rb:10-74
-runs the W3C suite over the network; these 75 entries are local fixtures
-modeled on the same entry types — ToRdf eval, ToJson eval, positive/negative
-validation — authored from the CSVW spec semantics, in tests/suite/).
+runs the W3C suite over the network; these 155 entries are local fixtures
+modeled on the same entry types — ToRdf eval, ToJson eval, normalization,
+discovery, positive/negative validation — authored from the CSVW spec
+semantics, in tests/suite/).
+
+Round-4 additions (test084-155) target the previously untested classes:
+metadata NORMALIZATION (language maps, datatype objects, JSON-LD common
+properties, single-table promotion), rdf:XMLLiteral / rdf:HTML / csvw:JSON
+literals, table/text direction, NAKED-CSV metadata discovery
+({url}-metadata.json / sibling metadata.json / embedded-header fallback),
+dialect corners (delimiter/quoteChar/skipRows/two header rows/skipColumns/
+trim=start/skipBlankRows/quote escapes), number+date/time formats in both
+the W3C-final nested `format` shape and the reference's draft-era
+top-level-key shape, RFC 6570 operators ({+} {?} {.} {#}), lang tags,
+default/null semantics, external tableSchema documents, composite PK/FK
+cases, and 16 negative-metadata corners (transformations, duplicate column
+names, facet values, inherited null/lang/datatype/textDirection
+violations).
 
 test064-075 (r3 cont.): hexBinary/base64Binary, string format regex
 (positive + violation), doubleQuote=false backslash escapes, table-level
