@@ -1,0 +1,108 @@
+"""spark-submit entry point: convert a CSVW source (metadata document or
+bare CSV/TSV/HTML) to triples or JSON — the Spark counterpart of the
+reference's CLI converter (rdf-tabular script/parse:12-25, which routes a
+Reader to an RDF writer or ``to_json``):
+
+    spark-submit --py-files "$ZIP" rdf_tabular_spark/jobs/convert.py \\
+        --in data.csv-metadata.json --to nt --out out/nt \\
+        [--base http://example.org/data.csv-metadata.json] [--minimal]
+
+Output formats:
+  nt      N-Triples, sharded (the bulk interchange format)
+  ttl     subject-grouped Turtle
+  json    the reference-shaped SINGLE JSON document (reader.rb to_json) —
+          assembled on the driver, guarded by --max-doc-rows
+  jsonl   distributed JSON-lines (one row object per line, executor-side
+          write, no driver gather) — the 100-TB escape hatch for `json`
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="convert CSVW to RDF/JSON")
+    p.add_argument("--in", dest="src", required=True,
+                   help="metadata .json or CSV/TSV/HTML path/url")
+    p.add_argument("--to", choices=("nt", "ttl", "json", "jsonl"),
+                   default="nt")
+    p.add_argument("--out", required=True,
+                   help="output dir (nt/ttl/jsonl) or file path (json)")
+    p.add_argument("--base", default="",
+                   help="IRI the source is considered published at")
+    p.add_argument("--minimal", action="store_true",
+                   help="minimal mode (cell triples only)")
+    p.add_argument("--max-doc-rows", type=int, default=None,
+                   help="row cap for the driver-assembled json document")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("csvw-convert")
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions",
+                     str(args.shuffle_partitions))
+    spark = b.getOrCreate()
+    from rdf_tabular_spark.session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+
+    if args.to in ("nt", "ttl"):
+        from rdf_tabular_spark.pipeline import csvw_to_triples
+        triples = csvw_to_triples(spark, args.src, base=args.base,
+                                  minimal=args.minimal)
+        if args.to == "nt":
+            from rdf_tabular_spark.sinks.ntriples import write_ntriples
+            write_ntriples(triples, args.out)
+        else:
+            from rdf_tabular_spark.sinks.turtle_sink import write_turtle
+            write_turtle(triples, args.out)
+        n = spark.read.text(args.out).count()
+        summary = {"out": args.out, "to": args.to, "n_lines": n}
+    elif args.to == "json":
+        from rdf_tabular_spark.sinks.json_rows import csvw_to_json
+        kwargs = {}
+        if args.max_doc_rows is not None:
+            kwargs["max_rows"] = args.max_doc_rows
+        doc = csvw_to_json(spark, args.src, base=args.base, **kwargs)
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+        summary = {"out": args.out, "to": "json",
+                   "n_rows": sum(len(t.get("row", []))
+                                 for t in doc.get("tables", [doc]))}
+    else:  # jsonl — distributed, never gathers on the driver
+        from rdf_tabular_spark.csvw.model import TableGroup, load_metadata
+        from rdf_tabular_spark.operators.triples import compile_mapping
+        from rdf_tabular_spark.pipeline import merge_embedded_titles
+        from rdf_tabular_spark.sinks.json_rows import (rows_to_json,
+                                                       write_json_rows)
+        from rdf_tabular_spark.sources.csv_source import (read_header,
+                                                          read_rows)
+        meta = load_metadata(args.src, base=args.base)
+        tables = meta.tables if isinstance(meta, TableGroup) else [meta]
+        n = 0
+        for i, table in enumerate(tables):
+            path = table.url
+            titles, _ = read_header(path, table.dialect)
+            if titles:
+                merge_embedded_titles(table, titles)
+            mapping = compile_mapping(table)
+            jdf = rows_to_json(read_rows(spark, path, table.dialect),
+                               mapping)
+            out = args.out if len(tables) == 1 \
+                else f"{args.out}/table={i}"
+            write_json_rows(jdf, out)
+            n += spark.read.text(out).count()
+        summary = {"out": args.out, "to": "jsonl", "n_lines": n}
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

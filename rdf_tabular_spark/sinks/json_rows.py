@@ -167,7 +167,8 @@ def table_to_json_dict(spark: SparkSession, table: Table, resolver: Resolver,
 
 def group_to_json_dict(spark: SparkSession, group: TableGroup, resolver: Resolver,
                        prov: bool = False,
-                       filenames: list[str] | None = None) -> dict:
+                       filenames: list[str] | None = None,
+                       max_rows: int = MAX_DOCUMENT_ROWS) -> dict:
     tables = []
     doc = {"tables": tables}
     for prop, value in group.common_properties():
@@ -176,13 +177,15 @@ def group_to_json_dict(spark: SparkSession, group: TableGroup, resolver: Resolve
         doc[prop] = vals[0] if len(vals) == 1 else vals
     for t in group.tables:
         tables.append(table_to_json_dict(spark, t, resolver, prov=prov,
-                                         filenames=filenames))
+                                         filenames=filenames,
+                                         max_rows=max_rows))
     return doc
 
 
 def csvw_to_json(spark: SparkSession, source, base: str = "",
                  resolver: Resolver = lambda u: u, prov: bool = False,
-                 headers=None) -> dict:
+                 headers=None,
+                 max_rows: int = MAX_DOCUMENT_ROWS) -> dict:
     from ..csvw.merge import merge_metadata
     from ..csvw.model import Dialect, embedded_table_from_header, load_metadata
     from ..pipeline import discover_metadata
@@ -213,6 +216,6 @@ def csvw_to_json(spark: SparkSession, source, base: str = "",
             meta = embedded_table_from_header(titles, url, dialect)
     if isinstance(meta, TableGroup):
         return group_to_json_dict(spark, meta, resolver, prov=prov,
-                                  filenames=filenames)
+                                  filenames=filenames, max_rows=max_rows)
     return table_to_json_dict(spark, meta, resolver, prov=prov,
-                              filenames=filenames)
+                              filenames=filenames, max_rows=max_rows)

@@ -293,3 +293,46 @@ def test_query_job_graph_quads(spark, tmp_path):
         "--store", out_root,
         "--bgp", f"<{one_graph}> ?s <http://schema.org/name> ?n"])
     assert 0 < res_scoped["n_rows"] < res["n_rows"]
+
+
+def test_convert_cli_formats(tmp_path):
+    """jobs/convert.py: CSVW source -> nt / json / jsonl (the reference's
+    script/parse counterpart). jsonl is the distributed escape hatch."""
+    import json as _json
+    from rdf_tabular_spark.jobs.convert import main as convert_main
+
+    src = tmp_path / "d.csv"
+    src.write_text("id,name\n1,alice\n2,bob\n")
+    meta = tmp_path / "d.csv-metadata.json"
+    meta.write_text(_json.dumps({
+        "@context": "http://www.w3.org/ns/csvw", "url": str(src),
+        "tableSchema": {"aboutUrl": "http://example.org/p/{id}",
+                        "columns": [{"name": "id", "titles": "id"},
+                                    {"name": "name", "titles": "name"}]}}))
+
+    s1 = convert_main(["--in", str(meta), "--to", "nt",
+                       "--out", str(tmp_path / "nt"), "--minimal"])
+    assert s1["n_lines"] == 4  # 2 rows x 2 cells
+
+    s2 = convert_main(["--in", str(meta), "--to", "json",
+                       "--out", str(tmp_path / "doc.json")])
+    doc = _json.loads((tmp_path / "doc.json").read_text())
+    assert [r["name"] for r in doc["row"]] == ["alice", "bob"]
+    assert s2["n_rows"] == 2
+
+    s3 = convert_main(["--in", str(meta), "--to", "jsonl",
+                       "--out", str(tmp_path / "rows")])
+    assert s3["n_lines"] == 2
+    import os
+    lines = []
+    for fn in os.listdir(tmp_path / "rows"):
+        if fn.startswith("part-"):
+            lines += [_json.loads(line) for line
+                      in open(tmp_path / "rows" / fn) if line.strip()]
+    assert sorted(r["name"] for r in lines) == ["alice", "bob"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="write_json_rows"):
+        convert_main(["--in", str(meta), "--to", "json",
+                      "--out", str(tmp_path / "doc2.json"),
+                      "--max-doc-rows", "1"])
