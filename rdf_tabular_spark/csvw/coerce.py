@@ -174,6 +174,42 @@ def _fmt_num(x) -> str:
     return str(x)
 
 
+def _picture_mismatch(value: str, picture: str, group_char: str,
+                      dec_char: str) -> Optional[str]:
+    """W3C-final numeric formats given as a STRING are a number PICTURE
+    (UAX#35 DecimalFormat subset: 0 required digit, # optional digit,
+    '.' decimal point, ',' group, %/‰ suffix) — NOT a regex (that is the
+    draft-era `pattern` key). Minimal semantics: required integer/
+    fraction digit counts, fraction width cap, suffix agreement; actual
+    group/decimal characters come from groupChar/decimalChar."""
+    pct = picture.endswith("%")
+    pml = picture.endswith("‰")
+    core = picture.rstrip("%‰").lstrip("+-")
+    int_pic, _, frac_pic = core.partition(".")
+    min_int = int_pic.count("0")
+    min_frac = frac_pic.count("0")
+    max_frac = sum(1 for c in frac_pic if c in "0#")
+    g, d = re.escape(group_char), re.escape(dec_char)
+    m = re.fullmatch(
+        rf"[+-]?(\d[\d{g}]*)(?:{d}(\d+))?(%|‰)?", value)
+    reason = None
+    if not m:
+        reason = "shape"
+    else:
+        int_digits = m.group(1).replace(group_char, "")
+        frac_digits = m.group(2) or ""
+        suffix = m.group(3)
+        if len(int_digits) < min_int:
+            reason = "integer digits"
+        elif not (min_frac <= len(frac_digits) <= max_frac):
+            reason = "fraction digits"
+        elif (suffix == "%") != pct or (suffix == "‰") != pml:
+            reason = "suffix"
+    if reason:
+        return f"{value} does not match number format {picture}"
+    return None
+
+
 def _match_numeric(value: str, dt: dict, base: str, errors: list[str]) -> Optional[CellValue]:
     fmt = dt.get("format")
     if isinstance(fmt, dict):
@@ -185,6 +221,11 @@ def _match_numeric(value: str, dt: dict, base: str, errors: list[str]) -> Option
                        for k in ("groupChar", "decimalChar", "pattern")
                        if k in fmt}}
     group_char = dt.get("groupChar", ",")
+    if isinstance(fmt, str) and fmt:
+        err = _picture_mismatch(value, fmt, group_char,
+                                dt.get("decimalChar", "."))
+        if err:
+            errors.append(err)
     if dt.get("pattern") and not re.search(dt["pattern"], value):
         errors.append(f"{value} does not match pattern {dt['pattern']}")
     if group_char * 2 in value:

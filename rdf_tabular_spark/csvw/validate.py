@@ -156,7 +156,7 @@ def _check(type_name: str, key: str, value: Any, pv: Any, errors: list[str]) -> 
 
 
 _TRANSFORMATION_PROPS = {"@type", "source", "targetFormat", "scriptFormat",
-                         "title", "url"}
+                         "title", "titles", "url"}
 _TRANSFORMATION_REQUIRED = ("targetFormat", "scriptFormat")
 
 
@@ -240,7 +240,9 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
         if isinstance(tr, dict):
             _validate_transformation(tr, errors)
     scope = {**inherited, **own}
-    for t in obj.get("resources", []) or []:
+    # both the draft-era 'resources' and W3C-final 'tables' spellings
+    # (same alias pair as merge.KEY_ALIASES / load_metadata)
+    for t in (obj.get("resources") or obj.get("tables") or []):
         _walk(t, "Table", scope, errors)
     schema = obj.get("tableSchema")
     if isinstance(schema, dict):
@@ -252,6 +254,7 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
 def validate_metadata(doc: dict) -> list[str]:
     """→ list of error strings (empty = valid). Driver-side, O(metadata)."""
     errors: list[str] = []
-    root_type = doc.get("@type") or ("TableGroup" if "resources" in doc else "Table")
+    root_type = doc.get("@type") or (
+        "TableGroup" if ("resources" in doc or "tables" in doc) else "Table")
     _walk(doc, root_type, {}, errors)
     return errors

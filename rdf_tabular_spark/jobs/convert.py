@@ -56,15 +56,19 @@ def main(argv: list[str] | None = None) -> dict:
     if args.to in ("nt", "ttl"):
         from rdf_tabular_spark.pipeline import csvw_to_triples
         triples = csvw_to_triples(spark, args.src, base=args.base,
-                                  minimal=args.minimal)
+                                  minimal=args.minimal).persist()
+        # count the cached input once instead of re-scanning the written
+        # output (nt lines == triples; ttl groups by subject so the
+        # summary reports triples either way)
+        n = triples.count()
         if args.to == "nt":
             from rdf_tabular_spark.sinks.ntriples import write_ntriples
             write_ntriples(triples, args.out)
         else:
             from rdf_tabular_spark.sinks.turtle_sink import write_turtle
             write_turtle(triples, args.out)
-        n = spark.read.text(args.out).count()
-        summary = {"out": args.out, "to": args.to, "n_lines": n}
+        triples.unpersist()
+        summary = {"out": args.out, "to": args.to, "n_triples": n}
     elif args.to == "json":
         from rdf_tabular_spark.sinks.json_rows import csvw_to_json
         kwargs = {}
@@ -77,14 +81,40 @@ def main(argv: list[str] | None = None) -> dict:
                    "n_rows": sum(len(t.get("row", []))
                                  for t in doc.get("tables", [doc]))}
     else:  # jsonl — distributed, never gathers on the driver
-        from rdf_tabular_spark.csvw.model import TableGroup, load_metadata
+        from rdf_tabular_spark.csvw.merge import merge_metadata
+        from rdf_tabular_spark.csvw.model import (Dialect, TableGroup,
+                                                  embedded_table_from_header,
+                                                  load_metadata)
         from rdf_tabular_spark.operators.triples import compile_mapping
-        from rdf_tabular_spark.pipeline import merge_embedded_titles
+        from rdf_tabular_spark.pipeline import (discover_metadata,
+                                                ensure_columns_from_data,
+                                                merge_embedded_titles)
         from rdf_tabular_spark.sinks.json_rows import (rows_to_json,
                                                        write_json_rows)
         from rdf_tabular_spark.sources.csv_source import (read_header,
                                                           read_rows)
-        meta = load_metadata(args.src, base=args.base)
+        # same source resolution as the other output modes: metadata
+        # documents load directly (base defaults to the document's own
+        # location so relative table urls resolve); bare CSVs go through
+        # metadata discovery, falling back to the embedded header
+        base = args.base or args.src
+        if args.src.endswith((".json", ".jsonld")):
+            meta = load_metadata(args.src, base=base)
+        else:
+            found = discover_metadata(base, lambda u: u)
+            if found:
+                merged = merge_metadata(*[d for d, _ in found])
+                meta = load_metadata(merged, base=found[0][1])
+                if isinstance(meta, TableGroup):
+                    t = meta.for_table(base)
+                    if t is None and len(meta.tables) == 1:
+                        t = meta.tables[0]
+                    if t is not None:
+                        meta = t
+            else:
+                dialect = Dialect()
+                titles, _ = read_header(args.src, dialect)
+                meta = embedded_table_from_header(titles, base, dialect)
         tables = meta.tables if isinstance(meta, TableGroup) else [meta]
         n = 0
         for i, table in enumerate(tables):
@@ -92,13 +122,15 @@ def main(argv: list[str] | None = None) -> dict:
             titles, _ = read_header(path, table.dialect)
             if titles:
                 merge_embedded_titles(table, titles)
+            ensure_columns_from_data(table, path)
             mapping = compile_mapping(table)
             jdf = rows_to_json(read_rows(spark, path, table.dialect),
-                               mapping)
+                               mapping).persist()
+            n += jdf.count()  # rows == lines; no output re-scan
             out = args.out if len(tables) == 1 \
                 else f"{args.out}/table={i}"
             write_json_rows(jdf, out)
-            n += spark.read.text(out).count()
+            jdf.unpersist()
         summary = {"out": args.out, "to": "jsonl", "n_lines": n}
     print(json.dumps(summary))
     return summary

@@ -92,12 +92,17 @@ def cosine_topk(df: DataFrame, query_id: int, k: int = 10,
     collapses to TakeOrderedAndProject (per-partition top-k then driver
     merge of k·p rows, never a full sort).
     """
-    q = [float(x) for x in
-         query_vector(df, query_id, id_col, vec_col).first()["q"]]
+    qrow = query_vector(df, query_id, id_col, vec_col).first()
     scored = (df.filter(F.col(id_col) != query_id)
               .select(F.col(id_col), *[F.col(c) for c in extra_cols],
-                      F.round(cosine_sim_const(_as_double(F.col(vec_col)), q), 4)
+                      (F.round(cosine_sim_const(_as_double(F.col(vec_col)),
+                                                [float(x) for x in qrow["q"]]), 4)
+                       if qrow is not None else F.lit(None).cast("double"))
                       .alias("sim")))
+    if qrow is None:
+        # unknown query id: empty result with the full schema (the old
+        # broadcast-crossJoin of an empty frame behaved the same way)
+        return scored.limit(0)
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
@@ -111,12 +116,16 @@ def ivf_topk_per_cell(df: DataFrame, query_id: int, k: int = 3,
     cell key — at scale the table is already partitioned by cell, so the
     window runs shuffle-free.
     """
-    q = [float(x) for x in
-         query_vector(df, query_id, id_col, vec_col).first()["q"]]
+    qrow = query_vector(df, query_id, id_col, vec_col).first()
     scored = (df.filter(F.col(id_col) != query_id)
               .select(F.col(id_col), F.col(cell_col),
-                      F.round(cosine_sim_const(_as_double(F.col(vec_col)), q), 4)
+                      (F.round(cosine_sim_const(_as_double(F.col(vec_col)),
+                                                [float(x) for x in qrow["q"]]), 4)
+                       if qrow is not None else F.lit(None).cast("double"))
                       .alias("sim")))
+    if qrow is None:
+        return (scored.withColumn("rank", F.lit(None).cast("int"))
+                .limit(0))
     w = Window.partitionBy(cell_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

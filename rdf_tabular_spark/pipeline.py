@@ -116,16 +116,23 @@ def ensure_columns_from_data(table: Table, path: str) -> None:
         return
     d = table.dialect
     from .sources.csv_source import _parse_lines
+    # Parse a whole leading CHUNK with the csv dialect (not one readline):
+    # the first record may contain quoted embedded newlines, blank rows
+    # (skipBlankRows), or comment rows — a single physical line would
+    # mis-count fields on any of those.
     with open(path, "r", encoding=d.encoding or "utf-8", newline="") as f:
-        line = None
-        for _ in range(int(d.skipped_rows) + 1):
-            line = f.readline()
-            if not line:
-                return
-    rows = _parse_lines([line.rstrip("\r\n")], d)
+        chunk = f.read(65536)
+    rows = _parse_lines(chunk.splitlines(), d)
+    rows = rows[int(d.skipped_rows):]
+    if d.commentPrefix:
+        rows = [r for r in rows
+                if not (r and (r[0] or "").startswith(d.commentPrefix))]
+    rows = [r for r in rows if any((c or "").strip() for c in r)]
     if not rows:
         return
-    n = max(0, len(rows[0]) - int(d.skipColumns))
+    # mirror read_rows' slice: both skipColumns and headerColumnCount
+    # drop leading source columns
+    n = max(0, len(rows[0]) - int(d.skipColumns) - int(d.headerColumnCount))
     raw_cols = schema.raw.setdefault("columns", [])
     for i in range(n):
         raw: dict = {}

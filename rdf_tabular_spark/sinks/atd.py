@@ -19,7 +19,7 @@ path.
 from __future__ import annotations
 
 import json
-from typing import Iterator
+from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -78,7 +78,8 @@ def rows_to_atd_rows(rows_df: DataFrame, mapping: TableMapping, url: str,
     return rows_df.mapInPandas(kernel, schema=ATD_ROWS_SCHEMA)
 
 
-def _table_atd(spark: SparkSession, table: Table, resolver: Resolver) -> dict:
+def _table_atd(spark: SparkSession, table: Table, resolver: Resolver,
+               max_rows: Optional[int] = None) -> dict:
     from ..pipeline import merge_embedded_titles
     path = resolver(table.url)
     titles, _notes = read_header(path, table.dialect)
@@ -103,7 +104,9 @@ def _table_atd(spark: SparkSession, table: Table, resolver: Resolver) -> dict:
     atd_rows = rows_to_atd_rows(rows_df, mapping, url, tid)
     from .json_rows import MAX_DOCUMENT_ROWS, _collect_document_rows
     collected = sorted(
-        _collect_document_rows(atd_rows, MAX_DOCUMENT_ROWS,
+        _collect_document_rows(atd_rows,
+                               MAX_DOCUMENT_ROWS if max_rows is None
+                               else max_rows,
                                f"to_atd({url})"),
         key=lambda r: r["rownum"])
     out_rows = [json.loads(r["row_json"]) for r in collected]
@@ -122,7 +125,8 @@ def _table_atd(spark: SparkSession, table: Table, resolver: Resolver) -> dict:
 
 
 def csvw_to_atd(spark: SparkSession, source, base: str = "",
-                resolver: Resolver = default_resolver) -> dict:
+                resolver: Resolver = default_resolver,
+                max_rows: Optional[int] = None) -> dict:
     """Metadata (or CSV) → ATD dict (reference entry: Reader#to_atd)."""
     meta = load_metadata(source, base=base, resolver=resolver) \
         if isinstance(source, (dict,)) or str(source).endswith((".json", ".jsonld")) \
@@ -137,6 +141,8 @@ def csvw_to_atd(spark: SparkSession, source, base: str = "",
         return {
             "@id": meta.id,
             "@type": "AnnotatedTableGroup",
-            "resources": [_table_atd(spark, t, resolver) for t in meta.tables],
+            "resources": [_table_atd(spark, t, resolver,
+                                     max_rows=max_rows)
+                          for t in meta.tables],
         }
-    return _table_atd(spark, meta, resolver)
+    return _table_atd(spark, meta, resolver, max_rows=max_rows)

@@ -141,11 +141,12 @@ def table_to_json_dict(spark: SparkSession, table: Table, resolver: Resolver,
     metadata document url(s) that described this table) — the reference
     emits them unless ``noProv``; the spec JSON goldens compare without
     them, so they are opt-in here."""
-    from ..pipeline import merge_embedded_titles
+    from ..pipeline import ensure_columns_from_data, merge_embedded_titles
     path = resolver(table.url)
     titles, _ = read_header(path, table.dialect)
     if titles:
         merge_embedded_titles(table, titles)
+    ensure_columns_from_data(table, path)
     mapping = compile_mapping(table)
     doc: dict = {"url": table.url}
     for prop, value in table.common_properties():
@@ -199,10 +200,23 @@ def csvw_to_json(spark: SparkSession, source, base: str = "",
             filenames = [base or source]
     else:
         url = base or source
+        # Content-Type header=absent (reader.rb:60-63) — same injection
+        # as pipeline.csvw_to_triples, so both entry points read the
+        # identical response identically
+        absent_doc = None
+        if headers is not None:
+            from ..discovery import header_absent
+            if header_absent(headers(url) or {}):
+                absent_doc = {"@context": "http://www.w3.org/ns/csvw",
+                              "url": url, "dialect": {"header": False}}
         found = discover_metadata(url, resolver, headers=headers)
-        if found:
-            merged = merge_metadata(*[d for d, _ in found])
-            meta = load_metadata(merged, base=found[0][1], resolver=resolver)
+        if found or absent_doc:
+            docs = ([absent_doc] if absent_doc else []) \
+                + [d for d, _ in found]
+            merged = merge_metadata(*docs)
+            meta = load_metadata(merged,
+                                 base=found[0][1] if found else url,
+                                 resolver=resolver)
             filenames = [u for _, u in found]
             if isinstance(meta, TableGroup):
                 table = meta.for_table(url)

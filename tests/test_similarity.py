@@ -114,3 +114,18 @@ def test_ivfpq_duplicate_wins_and_probe_prunes(spark):
         return sum((a - b) ** 2 for a, b in zip(c, q))
     probe = set(sorted(range(8), key=lambda i: (d2(coarse[i]), i))[:3])
     assert {r["cell"] for r in top} <= probe
+
+
+def test_cosine_topk_unknown_query_id_returns_empty(spark):
+    """Regression (r4 review): a query_id matching no row must return an
+    empty frame with the full schema, like the old broadcast-crossJoin
+    did, not TypeError on the driver-side fetch."""
+    from rdf_tabular_spark.operators.similarity import (cosine_topk,
+                                                        ivf_topk_per_cell)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "b")],
+        "vec_id long, embedding array<double>, label string")
+    r1 = cosine_topk(df, query_id=999)
+    assert r1.count() == 0 and r1.columns == ["vec_id", "label", "sim"]
+    r2 = ivf_topk_per_cell(df, query_id=999)
+    assert r2.count() == 0 and "rank" in r2.columns

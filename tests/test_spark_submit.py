@@ -312,7 +312,7 @@ def test_convert_cli_formats(tmp_path):
 
     s1 = convert_main(["--in", str(meta), "--to", "nt",
                        "--out", str(tmp_path / "nt"), "--minimal"])
-    assert s1["n_lines"] == 4  # 2 rows x 2 cells
+    assert s1["n_triples"] == 4  # 2 rows x 2 cells
 
     s2 = convert_main(["--in", str(meta), "--to", "json",
                        "--out", str(tmp_path / "doc.json")])
@@ -336,3 +336,40 @@ def test_convert_cli_formats(tmp_path):
         convert_main(["--in", str(meta), "--to", "json",
                       "--out", str(tmp_path / "doc2.json"),
                       "--max-doc-rows", "1"])
+
+
+def test_convert_cli_jsonl_relative_url_and_bare_csv(tmp_path):
+    """Regression (r4 review): the jsonl branch must resolve RELATIVE
+    table urls against the metadata document's location (the normal CSVW
+    form) and accept a bare CSV via discovery / embedded header."""
+    import json as _json
+    from rdf_tabular_spark.jobs.convert import main as convert_main
+
+    (tmp_path / "d.csv").write_text("id,name\n1,alice\n")
+    (tmp_path / "d.csv-metadata.json").write_text(_json.dumps({
+        "@context": "http://www.w3.org/ns/csvw", "url": "d.csv",
+        "tableSchema": {"columns": [{"name": "id", "titles": "id"},
+                                    {"name": "name", "titles": "name"}]}}))
+
+    # metadata with a RELATIVE url — resolved against the metadata path
+    s1 = convert_main(["--in", str(tmp_path / "d.csv-metadata.json"),
+                       "--to", "jsonl", "--out", str(tmp_path / "r1")])
+    assert s1["n_lines"] == 1
+
+    # bare CSV: sibling {url}-metadata.json discovered
+    s2 = convert_main(["--in", str(tmp_path / "d.csv"),
+                       "--to", "jsonl", "--out", str(tmp_path / "r2")])
+    assert s2["n_lines"] == 1
+
+    # bare CSV with no metadata anywhere: embedded header only
+    (tmp_path / "plain.csv").write_text("h1,h2\nv1,v2\n")
+    s3 = convert_main(["--in", str(tmp_path / "plain.csv"),
+                       "--to", "jsonl", "--out", str(tmp_path / "r3")])
+    assert s3["n_lines"] == 1
+    import os
+    rows = []
+    for fn in os.listdir(tmp_path / "r3"):
+        if fn.startswith("part-"):
+            rows += [_json.loads(line)
+                     for line in open(tmp_path / "r3" / fn) if line.strip()]
+    assert rows[0]["h1"] == "v1" and rows[0]["h2"] == "v2"
