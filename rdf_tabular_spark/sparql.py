@@ -24,8 +24,11 @@ Supported subset (each feature maps 1:1 onto an existing operator):
 FILTER/BIND/HAVING expressions translate to the shared Spark∩DuckDB ANSI
 subset (the bgp_match ``filters`` contract — one string, two engines):
 &&/||/! → and/or/not, STRLEN→length, CONTAINS→instr, STRSTARTS/STRENDS→
-left/right, BOUND→is-not-null, IF→case, xsd:integer/double casts.
-Functions with engine-divergent spellings (REGEX) are intentionally out.
+left/right, STRBEFORE/STRAFTER→instr+substr, BOUND→is-not-null, IF→case,
+MD5, SAMETERM/ISBLANK (lexical-graph semantics), YEAR/MONTH/DAY/HOURS/
+MINUTES/SECONDS via cast-to-timestamp, xsd:integer/double casts.
+Functions with engine-divergent spellings (REGEX, SHA*, LANG/DATATYPE —
+the 3-col graph carries no term metadata) are intentionally out.
 
 Out of scope (documented contract, not oversights): named-graph datasets
 via FROM (the graph store's ``batches=`` serves that role), federation
@@ -267,6 +270,22 @@ class _Parser:
         "coalesce": None,     # variadic, emitted directly
         "concat": None,
         "substr": None,
+        # r4 additions — still the shared Spark∩DuckDB spelling set
+        "strbefore": "(case when instr({0}, {1}) > 0 "
+                     "then left({0}, instr({0}, {1}) - 1) else '' end)",
+        "strafter": "(case when instr({0}, {1}) > 0 "
+                    "then substr({0}, instr({0}, {1}) + length({1})) "
+                    "else '' end)",
+        "md5": "md5({0})",
+        # the 3-col lexical graph makes term equality = string equality
+        "sameterm": "({0} = {1})",
+        "isblank": "(left({0}, 2) = '_:')",
+        "year": "year(cast({0} as timestamp))",
+        "month": "month(cast({0} as timestamp))",
+        "day": "day(cast({0} as timestamp))",
+        "hours": "hour(cast({0} as timestamp))",
+        "minutes": "minute(cast({0} as timestamp))",
+        "seconds": "second(cast({0} as timestamp))",
     }
     _CASTS = {
         "http://www.w3.org/2001/XMLSchema#integer": "bigint",

@@ -36,7 +36,8 @@ def _spec(draw):
     patterns = [draw(_pattern("x")) for _ in range(n_req)]
     spec = {"patterns": patterns, "optionals": [], "minus": [],
             "exists": [], "filters": [], "values": None,
-            "distinct": draw(st.booleans())}
+            "distinct": draw(st.booleans()),
+            "func_filters": []}
     for kind in ("optionals", "minus", "exists"):
         if draw(st.booleans()):
             spec[kind].append([draw(_pattern("x"))])
@@ -45,6 +46,20 @@ def _spec(draw):
         lit = draw(st.sampled_from(_NODES))
         op = draw(st.sampled_from(["=", "!=", "<", ">"]))
         spec["filters"].append(("x", op, lit))
+    # a FUNCTION filter over ?x (r4 shared-subset functions); rendered
+    # verbatim — exercises the expression grammar + both compilers
+    if draw(st.booleans()):
+        lit = draw(st.sampled_from(_NODES))
+        spec["func_filters"].append(draw(st.sampled_from([
+            f'STRLEN(?x) > 1',
+            f'CONTAINS(?x, "{lit[:1]}")',
+            f'STRBEFORE(?x, "{lit[:1]}") != ?x',
+            f'STRAFTER(?x, "{lit[:1]}") != ?x',
+            f'MD5(?x) != MD5("{lit}")',
+            f'!ISBLANK(?x)',
+            f'SAMETERM(?x, "{lit}") || STRLEN(?x) >= 1',
+            f'UCASE(LCASE(?x)) = UCASE(?x)',
+        ])))
     if draw(st.booleans()):
         vals = draw(st.lists(st.sampled_from(_NODES), min_size=1,
                              max_size=3, unique=True))
@@ -68,6 +83,8 @@ def _render(spec) -> str:
     for var, op, lit in spec["filters"]:
         sparql_op = "!=" if op == "!=" else op
         parts.append(f'FILTER(?{var} {sparql_op} "{lit}")')
+    for fx in spec.get("func_filters", []):
+        parts.append(f"FILTER({fx})")
     if spec["values"]:
         var, vals = spec["values"]
         parts.append(f"VALUES ?{var} {{ " +
@@ -85,7 +102,8 @@ def test_render_parse_roundtrip(spec):
     assert q.minus == [list(g) for g in spec["minus"]]
     assert q.exists == [list(g) for g in spec["exists"]]
     assert q.distinct == spec["distinct"]
-    assert len(q.filters) == len(spec["filters"])
+    assert len(q.filters) == (len(spec["filters"])
+                              + len(spec.get("func_filters", [])))
     if spec["values"]:
         cols, rows = q.values
         assert cols == [spec["values"][0]]

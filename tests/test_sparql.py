@@ -355,3 +355,51 @@ def test_ask_with_subquery_rejected():
         parse_sparql('ASK { ?s p ?o . '
                      '{ SELECT ?o (COUNT(*) AS ?n) WHERE { ?x p ?o } '
                      'GROUP BY ?o } }')
+
+
+def test_r4_function_additions(graph, con):
+    """r4 FILTER/BIND functions in the shared Spark∩DuckDB subset:
+    STRBEFORE/STRAFTER, MD5, SAMETERM, ISBLANK, date-part extractors."""
+    # STRBEFORE / STRAFTER (incl. the no-match → '' branch)
+    rows = assert_parity(graph, con, """
+      SELECT ?s ?b ?a WHERE {
+        ?s name ?n .
+        BIND(STRBEFORE(?n, "a") AS ?b)
+        BIND(STRAFTER(?n, "mm") AS ?a)
+      } ORDER BY ?s""", n_rows=3)
+    assert rows[0][1] == "" and rows[2][2] == "a"  # alpha→'' ; gamma→'a'
+
+    # MD5 digest parity
+    assert_parity(graph, con, """
+      SELECT ?s ?h WHERE { ?s name ?n . BIND(MD5(?n) AS ?h) }""", n_rows=3)
+
+    # SAMETERM / ISBLANK (lexical-graph semantics)
+    assert_parity(graph, con, """
+      SELECT ?s WHERE { ?s cites ?o . FILTER(SAMETERM(?o, "d2")) }""",
+                  n_rows=1)
+    assert_parity(graph, con, """
+      SELECT ?s WHERE { ?s name ?n . FILTER(!ISBLANK(?s)) }""", n_rows=3)
+
+
+def test_r4_datetime_extractors(spark):
+    """YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS over xsd:dateTime lexicals."""
+    import duckdb
+    rows = [("e1", "at", "2024-03-14T01:02:03"),
+            ("e2", "at", "1999-12-31T23:59:58")]
+    g = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    c = duckdb.connect()
+    vals = ", ".join("('%s','%s','%s')" % r for r in rows)
+    c.execute(f"create view g as select * from (values {vals}) "
+              f"t(subj, pred, obj)")
+    q = """SELECT ?s ?y ?mo ?d ?h ?mi ?se WHERE {
+            ?s at ?t .
+            BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?mo)
+            BIND(DAY(?t) AS ?d) BIND(HOURS(?t) AS ?h)
+            BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?se)
+          } ORDER BY ?s"""
+    s = [tuple(r) for r in query_df(g, q).collect()]
+    d = c.execute(query_sql("select * from g", q)).fetchall()
+    assert [tuple(map(str, r)) for r in s] == \
+        [tuple(map(str, r)) for r in d]
+    assert s[0][1:] == (2024, 3, 14, 1, 2, 3)
+    c.close()
