@@ -2304,6 +2304,28 @@ HAVING(?n_docs >= 2)
 """
 
 
+_SPARQL_FUNCS_QUERY = """
+PREFIX schema: <http://schema.org/>
+SELECT ?item ?tail ?digest ?nlen WHERE {
+  ?item schema:name ?name ; schema:inLanguage ?lang .
+  BIND(STRAFTER(?name, "doc ") AS ?tail)
+  BIND(MD5(?lang) AS ?digest)
+  BIND(STRLEN(?name) AS ?nlen)
+  FILTER(CONTAINS(?name, "doc") && !ISBLANK(?item))
+}
+"""
+
+
+def _kg_sparql_funcs(spark, sf_dir):
+    """r4 SPARQL builtins through the text front-end: STRAFTER/MD5/STRLEN
+    in BIND projections plus CONTAINS/ISBLANK in a FILTER — every
+    function compiles to the one shared Spark∩DuckDB SQL string, so the
+    oracle is the same query through the SQL compiler."""
+    from .sparql import query_df
+    return query_df(_kg_microdata_triples(spark, sf_dir).persist(),
+                    _SPARQL_FUNCS_QUERY)
+
+
 def _kg_sparql_select(spark, sf_dir):
     """SPARQL string → bgp_match via the text front-end (prefixes, 'a',
     ';' blocks, OPTIONAL, FILTER with STRLEN translation)."""
@@ -2583,6 +2605,8 @@ def _graph_sql():
                                               _BGP_SUB_AGGS),
         "kg_sparql_select": sparql_query_sql(_KG_MICRODATA_TRIPLES_SQL,
                                              _SPARQL_SELECT_QUERY),
+        "kg_sparql_funcs": sparql_query_sql(_KG_MICRODATA_TRIPLES_SQL,
+                                            _SPARQL_FUNCS_QUERY),
         "kg_sparql_agg": sparql_query_sql(_KG_MICRODATA_TRIPLES_SQL,
                                           _SPARQL_AGG_QUERY),
         "kg_bgp_star": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
@@ -2662,6 +2686,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_subselect": _kg_bgp_subselect,
     "kg_sparql_select": _kg_sparql_select,
     "kg_sparql_agg": _kg_sparql_agg,
+    "kg_sparql_funcs": _kg_sparql_funcs,
     "kg_describe_docs": _kg_describe_docs,
     # property paths / iterative graph tier (round 3, first sweep)
     "graph_path_expr": _graph_path_expr,
@@ -2701,9 +2726,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": _text_langid,
     # flagship rows — keep the headline paths hard-signalled
     "kg_pages_triples": _kg_pages_triples,
-    "csvw_triples_nation": _csvw_triples_nation,
     # --- driver window ends here (first 50 entries above) ---
-    # long-green history (3 rounds of driver green, rotated out)
+    # long-green history (4 rounds of driver green, rotated out)
+    "csvw_triples_nation": _csvw_triples_nation,
     "csvw_coerce_numeric": _csvw_coerce_numeric,
     "csvw_date_format": _csvw_date_format,
     "csvw_null_default_trim": _csvw_null_default_trim,
