@@ -25,10 +25,13 @@ FILTER/BIND/HAVING expressions translate to the shared Spark∩DuckDB ANSI
 subset (the bgp_match ``filters`` contract — one string, two engines):
 &&/||/! → and/or/not, STRLEN→length, CONTAINS→instr, STRSTARTS/STRENDS→
 left/right, STRBEFORE/STRAFTER→instr+substr, BOUND→is-not-null, IF→case,
-MD5, SAMETERM/ISBLANK (lexical-graph semantics), YEAR/MONTH/DAY/HOURS/
-MINUTES/SECONDS via cast-to-timestamp, xsd:integer/double casts.
-Functions with engine-divergent spellings (REGEX, SHA*, LANG/DATATYPE —
-the 3-col graph carries no term metadata) are intentionally out.
+MD5, SAMETERM/ISBLANK/ISIRI/ISURI/ISLITERAL (lexical-graph semantics),
+ISNUMERIC→try_cast, YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS via
+cast-to-timestamp, xsd:integer/double casts.
+Functions with engine-divergent spellings (REGEX and REPLACE — DuckDB's
+regexp_replace is first-match unless flagged 'g', Spark's is global;
+SHA*, LANG/DATATYPE — the 3-col graph carries no term metadata) are
+intentionally out.
 
 Out of scope (documented contract, not oversights): named-graph datasets
 via FROM (the graph store's ``batches=`` serves that role), federation
@@ -280,6 +283,19 @@ class _Parser:
         # the 3-col lexical graph makes term equality = string equality
         "sameterm": "({0} = {1})",
         "isblank": "(left({0}, 2) = '_:')",
+        # ISNUMERIC: SPARQL says "is a numeric literal"; the lexical graph
+        # keeps numbers as their lexical forms, so numeric = parseable.
+        # try_cast is spelled identically in Spark SQL and DuckDB.
+        "isnumeric": "(try_cast({0} as double) is not null)",
+        # ISIRI/ISLITERAL under lexical-graph semantics: IRIs in KG output
+        # always carry an http(s)/urn scheme (skolemized bnodes are _:).
+        "isiri": "(left({0}, 7) = 'http://' or left({0}, 8) = 'https://'"
+                 " or left({0}, 4) = 'urn:')",
+        "isuri": "(left({0}, 7) = 'http://' or left({0}, 8) = 'https://'"
+                 " or left({0}, 4) = 'urn:')",
+        "isliteral": "(not (left({0}, 2) = '_:' or left({0}, 7) = 'http://'"
+                     " or left({0}, 8) = 'https://'"
+                     " or left({0}, 4) = 'urn:'))",
         "year": "year(cast({0} as timestamp))",
         "month": "month(cast({0} as timestamp))",
         "day": "day(cast({0} as timestamp))",

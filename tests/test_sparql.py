@@ -381,6 +381,46 @@ def test_r4_function_additions(graph, con):
       SELECT ?s WHERE { ?s name ?n . FILTER(!ISBLANK(?s)) }""", n_rows=3)
 
 
+def test_r4_term_test_functions(spark):
+    """ISNUMERIC/ISIRI/ISURI/ISLITERAL under lexical-graph semantics:
+    IRIs carry a scheme, skolemized bnodes are _:, everything else is a
+    literal; numeric = castable lexical form. Parity via the one shared
+    SQL string through both compilers."""
+    import duckdb
+    rows = [("http://ex.org/d1", "val", "42"),
+            ("http://ex.org/d1", "link", "https://ex.org/d2"),
+            ("_:b0", "val", "3.5e1"),
+            ("http://ex.org/d3", "val", "not-a-number"),
+            ("http://ex.org/d3", "link", "urn:uuid:abc"),
+            ("_:b1", "val", "_:b2")]
+    g = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    c = duckdb.connect()
+    vals = ", ".join("('%s','%s','%s')" % r for r in rows)
+    c.execute(f"create view g as select * from (values {vals}) "
+              f"t(subj, pred, obj)")
+
+    def parity(q, n_rows):
+        s = sorted(tuple(r) for r in query_df(g, q).collect())
+        d = sorted(tuple(r) for r in
+                   c.execute(query_sql("select * from g", q)).fetchall())
+        assert s == d, f"engine mismatch for {q!r}:\n{s}\nvs\n{d}"
+        assert len(s) == n_rows, (len(s), n_rows)
+        return s
+
+    rows_n = parity("SELECT ?s ?o WHERE { ?s val ?o . "
+                    "FILTER(ISNUMERIC(?o)) }", 2)
+    assert {o for _, o in rows_n} == {"42", "3.5e1"}
+    rows_i = parity("SELECT ?o WHERE { ?s link ?o . FILTER(ISIRI(?o)) }", 2)
+    assert {o for (o,) in rows_i} == {"https://ex.org/d2", "urn:uuid:abc"}
+    parity("SELECT ?o WHERE { ?s link ?o . FILTER(ISURI(?o)) }", 2)
+    rows_l = parity("SELECT ?s ?o WHERE { ?s val ?o . "
+                    "FILTER(ISLITERAL(?o)) }", 3)
+    assert all(not o.startswith(("_:", "http", "urn:")) for _, o in rows_l)
+    # subjects are never literals in this fixture
+    parity("SELECT ?s WHERE { ?s val ?o . FILTER(ISLITERAL(?s)) }", 0)
+    c.close()
+
+
 def test_r4_datetime_extractors(spark):
     """YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS over xsd:dateTime lexicals."""
     import duckdb
