@@ -155,6 +155,27 @@ def _check(type_name: str, key: str, value: Any, pv: Any, errors: list[str]) -> 
             f"expected {reason}")
 
 
+def _validate_dialect(dia: dict, errors: list[str]) -> None:
+    """Dialect description checks (reference: metadata.rb:505-520):
+    boolean-valued properties accept true/false/1/0, and `encoding` must
+    resolve in the codec registry (Ruby: Encoding.find)."""
+    import codecs
+    for key in ("doubleQuote", "header", "skipInitialSpace", "skipBlankRows"):
+        if key in dia and str(dia[key]).lower() not in ("true", "false",
+                                                        "1", "0"):
+            errors.append(
+                f"Dialect has invalid property '{key}': {dia[key]!r}, "
+                f"expected true, false, 1, or 0")
+    enc = dia.get("encoding")
+    if enc is not None:
+        try:
+            codecs.lookup(str(enc))
+        except (LookupError, TypeError):
+            errors.append(
+                f"Dialect has invalid property 'encoding': {enc!r}, "
+                f"expected a valid encoding")
+
+
 _TRANSFORMATION_PROPS = {"@type", "source", "targetFormat", "scriptFormat",
                          "title", "titles", "url"}
 _TRANSFORMATION_REQUIRED = ("targetFormat", "scriptFormat")
@@ -239,6 +260,9 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
     for tr in obj.get("transformations", []) or []:
         if isinstance(tr, dict):
             _validate_transformation(tr, errors)
+    dia = obj.get("dialect")
+    if isinstance(dia, dict):
+        _validate_dialect(dia, errors)
     scope = {**inherited, **own}
     # both the draft-era 'resources' and W3C-final 'tables' spellings
     # (same alias pair as merge.KEY_ALIASES / load_metadata)

@@ -115,12 +115,12 @@ def ensure_columns_from_data(table: Table, path: str) -> None:
     if any(not c.virtual for c in schema.columns):
         return
     d = table.dialect
-    from .sources.csv_source import _parse_lines
+    from .sources.csv_source import _parse_lines, open_encoding
     # Parse a whole leading CHUNK with the csv dialect (not one readline):
     # the first record may contain quoted embedded newlines, blank rows
     # (skipBlankRows), or comment rows — a single physical line would
     # mis-count fields on any of those.
-    with open(path, "r", encoding=d.encoding or "utf-8", newline="") as f:
+    with open(path, "r", encoding=open_encoding(d), newline="") as f:
         chunk = f.read(65536)
     rows = _parse_lines(chunk.splitlines(), d)
     rows = rows[int(d.skipped_rows):]

@@ -37,6 +37,22 @@ ROWS_SCHEMA = StructType([
 ])
 
 
+def open_encoding(dialect: Dialect) -> str:
+    """Codec for driver-side file opens. UTF-8 maps to ``utf-8-sig`` so a
+    leading byte-order mark is consumed by the decoder instead of becoming
+    part of the first header title / first cell (tabular-data-model parsing
+    step: skip an initial BOM; Ruby's CSV open does the same via bom-aware
+    IO). For any other declared ``dialect.encoding`` the codec is passed
+    through to Python's codec registry (reference: metadata.rb:744
+    'Set encoding on input', :1201 csv_options[:encoding])."""
+    enc = (dialect.encoding or "utf-8").lower().replace("_", "-")
+    return "utf-8-sig" if enc in ("utf-8", "utf8", "utf-8-sig") else enc
+
+
+def _is_utf8(dialect: Dialect) -> bool:
+    return open_encoding(dialect) == "utf-8-sig"
+
+
 def _parse_lines(lines: list[str], dialect: Dialect) -> list[list[Optional[str]]]:
     rdr = _csv.reader(
         lines,
@@ -57,7 +73,7 @@ def read_header(path: str, dialect: Dialect) -> tuple[list[str], list[str]]:
     n_head = int(dialect.skipRows) + int(dialect.headerRowCount)
     if n_head == 0:
         return titles, notes
-    with open(path, "r", encoding=dialect.encoding or "utf-8", newline="") as f:
+    with open(path, "r", encoding=open_encoding(dialect), newline="") as f:
         head_lines = []
         for _ in range(n_head):
             line = f.readline()
@@ -112,7 +128,7 @@ def _quote_sniff(path: str, dialect: Dialect) -> tuple[bool, bool]:
         return False, True
     in_quote = False
     seen = 0
-    with open(path, "r", encoding=dialect.encoding or "utf-8", newline="") as f:
+    with open(path, "r", encoding=open_encoding(dialect), newline="") as f:
         for line in f:
             seen += len(line)
             if line.count(q) % 2:
@@ -138,7 +154,7 @@ def _read_rows_whole_file(spark: SparkSession, path: str,
     skipc = int(dialect.skipColumns) + int(dialect.headerColumnCount)
     skip_blank = bool(dialect.skipBlankRows)
     data: list[tuple[list, int, int]] = []
-    with open(path, "r", encoding=dialect.encoding or "utf-8", newline="") as f:
+    with open(path, "r", encoding=open_encoding(dialect), newline="") as f:
         rdr = _csv.reader(
             f, delimiter=dialect.delimiter, quotechar=dialect.quoteChar or '"',
             doublequote=bool(dialect.doubleQuote),
@@ -168,6 +184,13 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
     source_num is the 1-based physical line number (reference: each_row,
     metadata.rb:786-795).
     """
+    if not _is_utf8(dialect):
+        # spark.read.text decodes UTF-8 only; a declared non-UTF-8
+        # dialect.encoding takes the driver-side codec path (correct,
+        # slower — the reference is wholly driver-side for every file).
+        # At scale, non-UTF-8 tabular sources should be transcoded on
+        # ingest; the distributed fast path is UTF-8 by contract.
+        return _read_rows_whole_file(spark, path, dialect)
     has_spanning, sniff_complete = _quote_sniff(path, dialect)
     if has_spanning:
         return _read_rows_whole_file(spark, path, dialect)
@@ -198,6 +221,14 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
     lines = reader.text(path)
     # zipWithIndex: deterministic, contiguous, file-order line numbers; narrow
     indexed = lines.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1] + 1)).toDF(["line", "source_num"])
+    # A UTF-8 BOM survives spark.read.text as U+FEFF on line 1; when that
+    # line is data (headerless dialects — the header path strips it via
+    # the utf-8-sig driver read) it must not leak into the first cell.
+    from pyspark.sql import functions as F
+    indexed = indexed.withColumn(
+        "line",
+        F.when((F.col("source_num") == 1) & F.col("line").startswith("\ufeff"),
+               F.expr("substring(line, 2)")).otherwise(F.col("line")))
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

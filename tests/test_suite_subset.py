@@ -1,8 +1,13 @@
 """Vendored CSVW conformance-suite subset (reference: spec/suite_spec.rb:10-74
-runs the W3C suite over the network; these 155 entries are local fixtures
+runs the W3C suite over the network; these 176 entries are local fixtures
 modeled on the same entry types — ToRdf eval, ToJson eval, normalization,
 discovery, positive/negative validation — authored from the CSVW spec
 semantics, in tests/suite/).
+
+test171-176 (r4 cont.): UTF-8 BOM stripping (header + headerless
+distributed path), declared dialect.encoding (utf-16, iso-8859-1 on the
+driver codec path), and negative dialect metadata (unknown encoding,
+non-boolean header).
 
 Round-4 additions (test084-155) target the previously untested classes:
 metadata NORMALIZATION (language maps, datatype objects, JSON-LD common
