@@ -263,6 +263,16 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
     dia = obj.get("dialect")
     if isinstance(dia, dict):
         _validate_dialect(dia, errors)
+    if type_name == "Column" and "name" in obj:
+        # reference NAME_SYNTAX (metadata.rb:94,561-564): a name starts
+        # with '_col' or an alphanumeric, then [a-zA-Z0-9._]*
+        import re
+        v = obj["name"]
+        if not (isinstance(v, str)
+                and re.match(r"^(?:_col|[a-zA-Z0-9])[a-zA-Z0-9._]*$", v)):
+            errors.append(
+                f"{type_name} has invalid property 'name': {v}, "
+                f"expected proper string format")
     scope = {**inherited, **own}
     # both the draft-era 'resources' and W3C-final 'tables' spellings
     # (same alias pair as merge.KEY_ALIASES / load_metadata)
