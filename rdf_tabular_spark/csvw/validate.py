@@ -156,9 +156,13 @@ def _check(type_name: str, key: str, value: Any, pv: Any, errors: list[str]) -> 
 
 
 def _validate_dialect(dia: dict, errors: list[str]) -> None:
-    """Dialect description checks (reference: metadata.rb:505-520):
-    boolean-valued properties accept true/false/1/0, and `encoding` must
-    resolve in the codec registry (Ruby: Encoding.find)."""
+    """Dialect description checks (reference: metadata.rb:493-546,616-621):
+    boolean properties accept true/false/1/0, char properties are
+    single-character strings, counts are positive integers, trim is the
+    5-value enum, and `encoding` must resolve in the codec registry
+    (Ruby: Encoding.find). Explicit JSON nulls are skipped (a null resets
+    a char property, e.g. quoteChar — the engine accepts that; the
+    reference's validate! predates it)."""
     import codecs
     for key in ("doubleQuote", "header", "skipInitialSpace", "skipBlankRows"):
         if key in dia and str(dia[key]).lower() not in ("true", "false",
@@ -166,6 +170,30 @@ def _validate_dialect(dia: dict, errors: list[str]) -> None:
             errors.append(
                 f"Dialect has invalid property '{key}': {dia[key]!r}, "
                 f"expected true, false, 1, or 0")
+    for key in ("commentPrefix", "delimiter", "quoteChar"):
+        v = dia.get(key)
+        if key in dia and v is not None and not (isinstance(v, str)
+                                                 and len(v) == 1):
+            errors.append(
+                f"Dialect has invalid property '{key}': {v!r}, "
+                f"expected a single character string")
+    for key in ("headerColumnCount", "headerRowCount",
+                "skipColumns", "skipRows"):
+        v = dia.get(key)
+        if key in dia and not (isinstance(v, int)
+                               and not isinstance(v, bool) and v > 0):
+            errors.append(
+                f"Dialect has invalid property '{key}': {v!r} "
+                f"must be a positive integer")
+    if "lineTerminator" in dia and not isinstance(dia["lineTerminator"], str):
+        errors.append(
+            f"Dialect has invalid property 'lineTerminator': "
+            f"{dia['lineTerminator']!r}, expected a string")
+    if "trim" in dia and str(dia["trim"]).lower() not in (
+            "true", "false", "1", "0", "start", "end"):
+        errors.append(
+            f"Dialect has invalid property 'trim': {dia['trim']!r}, "
+            f"expected true, false, 1, 0, start or end")
     enc = dia.get("encoding")
     if enc is not None:
         try:
