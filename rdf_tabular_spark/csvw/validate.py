@@ -291,6 +291,22 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
     dia = obj.get("dialect")
     if isinstance(dia, dict):
         _validate_dialect(dia, errors)
+    if type_name == "Column" and ("titles" in obj or "title" in obj):
+        # natural-language property (reference: metadata.rb:648-654 via
+        # the :title branch at :619 — validate! sees the normalized
+        # langmap form; this checks the equivalent raw forms:
+        # string | array of strings | langmap of string/array-of-string)
+        v = obj.get("titles", obj.get("title"))
+
+        def _nl_ok(x):
+            return isinstance(x, str) or (
+                isinstance(x, list) and all(isinstance(y, str) for y in x))
+
+        if not (_nl_ok(v) or (isinstance(v, dict)
+                              and all(_nl_ok(x) for x in v.values()))):
+            errors.append(
+                f"{type_name} has invalid property 'titles': {v!r}, "
+                f"expected a valid natural language property")
     if type_name == "Column" and "name" in obj:
         # reference NAME_SYNTAX (metadata.rb:94,561-564): a name starts
         # with '_col' or an alphanumeric, then [a-zA-Z0-9._]*

@@ -1,5 +1,5 @@
 """Vendored CSVW conformance-suite subset (reference: spec/suite_spec.rb:10-74
-runs the W3C suite over the network; these 182 entries are local fixtures
+runs the W3C suite over the network; these 183 entries are local fixtures
 modeled on the same entry types — ToRdf eval, ToJson eval, normalization,
 discovery, positive/negative validation — authored from the CSVW spec
 semantics, in tests/suite/).
@@ -7,7 +7,7 @@ semantics, in tests/suite/).
 test177-182 (r4 cont.): _sourceRow/_name template variables under
 skipRows, draft datatype aliases (number/datetime/binary), NAME_SYNTAX
 column-name validation, and dialect value checks (multi-char delimiter,
-negative skipRows, invalid trim enum).
+negative skipRows, invalid trim enum, non-string titles).
 
 test171-176 (r4 cont.): UTF-8 BOM stripping (header + headerless
 distributed path), declared dialect.encoding (utf-16, iso-8859-1 on the
