@@ -2306,21 +2306,23 @@ HAVING(?n_docs >= 2)
 
 _SPARQL_FUNCS_QUERY = """
 PREFIX schema: <http://schema.org/>
-SELECT ?item ?tail ?digest ?nlen WHERE {
+SELECT ?item ?tail ?digest ?nlen ?numname ?isiri WHERE {
   ?item schema:name ?name ; schema:inLanguage ?lang .
   BIND(STRAFTER(?name, "doc ") AS ?tail)
   BIND(MD5(?lang) AS ?digest)
   BIND(STRLEN(?name) AS ?nlen)
-  FILTER(CONTAINS(?name, "doc") && !ISBLANK(?item))
+  BIND(ISNUMERIC(?tail) AS ?numname)
+  BIND(ISIRI(?item) AS ?isiri)
+  FILTER(CONTAINS(?name, "doc") && !ISBLANK(?item) && ISLITERAL(?name))
 }
 """
 
 
 def _kg_sparql_funcs(spark, sf_dir):
-    """r4 SPARQL builtins through the text front-end: STRAFTER/MD5/STRLEN
-    in BIND projections plus CONTAINS/ISBLANK in a FILTER — every
-    function compiles to the one shared Spark∩DuckDB SQL string, so the
-    oracle is the same query through the SQL compiler."""
+    """r4 SPARQL builtins through the text front-end: STRAFTER/MD5/STRLEN/
+    ISNUMERIC/ISIRI in BIND projections plus CONTAINS/ISBLANK/ISLITERAL in
+    a FILTER — every function compiles to the one shared Spark∩DuckDB SQL
+    string, so the oracle is the same query through the SQL compiler."""
     from .sparql import query_df
     return query_df(_kg_microdata_triples(spark, sf_dir).persist(),
                     _SPARQL_FUNCS_QUERY)
