@@ -198,6 +198,10 @@ class Schema:
     parent: Optional["Table"] = None
     context: Context = field(default_factory=Context)
     columns: list[Column] = field(default_factory=list)
+    # absolute URL the schema document was loaded from, when tableSchema
+    # was an external string reference — the target a foreignKey
+    # `reference.schemaReference` resolves against
+    source_url: Optional[str] = None
 
     def __post_init__(self):
         for i, c in enumerate(self.raw.get("columns") or []):
@@ -310,12 +314,14 @@ def _build_table(raw: dict, base: str, ctx: Context, parent: Optional[TableGroup
     dialect = Dialect.from_dict(dialect_raw)
     t = Table(raw=raw, url=url, parent=parent, context=tctx, dialect=dialect)
     schema_raw = raw.get("tableSchema")
+    schema_url = None
     if isinstance(schema_raw, str):
         # external schema reference, resolved relative to the metadata base
         # (reference: roles.json → senior-roles.json external tableSchema)
         schema_url = urljoin(base, schema_raw)
         schema_raw = load_json(schema_url, resolver)
-    t.schema = Schema(schema_raw or {}, parent=t, context=tctx)
+    t.schema = Schema(schema_raw or {}, parent=t, context=tctx,
+                      source_url=schema_url)
     return t
 
 

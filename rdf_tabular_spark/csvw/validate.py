@@ -285,6 +285,50 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
                 errors.append(
                     f"{type_name} has invalid property 'primaryKey': "
                     f"column reference not found {pk}")
+    fks = obj.get("foreignKeys")
+    if isinstance(fks, list):
+        # structural FK checks (reference: metadata.rb:517-541): exactly
+        # {columns, reference}; the reference object names its parent by
+        # exactly one of resource | schemaReference (the reference's
+        # draft-era 'tableSchema' spelling also accepted)
+        names = {_column_name(c, i)
+                 for i, c in enumerate(obj.get("columns") or [])
+                 if isinstance(c, dict)}
+        for fk in fks:
+            if not isinstance(fk, dict):
+                errors.append(
+                    f"{type_name} has invalid property 'foreignKeys': "
+                    f"reference must be an object: {fk!r}")
+                continue
+            fk_cols = fk.get("columns", fk.get("columnReference"))
+            if not (fk_cols and fk.get("reference")):
+                errors.append(
+                    f"{type_name} has invalid property 'foreignKeys': "
+                    f"missing columns and reference")
+            extra = set(fk.keys()) - {"columns", "columnReference",
+                                      "reference"}
+            if extra:
+                errors.append(
+                    f"{type_name} has invalid property 'foreignKeys': "
+                    f"has extra entries {sorted(fk.keys())}")
+            for k in (fk_cols if isinstance(fk_cols, list)
+                      else [fk_cols]):
+                if k is not None and k not in names:
+                    errors.append(
+                        f"{type_name} has invalid property 'foreignKeys': "
+                        f"column reference not found {k}")
+            ref = fk.get("reference")
+            if isinstance(ref, dict):
+                targets = [k for k in ("resource", "schemaReference",
+                                       "tableSchema") if k in ref]
+                if "resource" in targets and len(targets) > 1:
+                    errors.append(
+                        f"{type_name} has invalid property 'foreignKeys': "
+                        f"reference has a schemaReference: {ref!r}")
+                elif not targets:
+                    errors.append(
+                        f"{type_name} has invalid property 'foreignKeys': "
+                        f"reference missing resource or schemaReference")
     for tr in obj.get("transformations", []) or []:
         if isinstance(tr, dict):
             _validate_transformation(tr, errors)

@@ -386,20 +386,37 @@ def validate_foreign_keys(spark: SparkSession, group: TableGroup,
         if child.schema is None:
             continue
         for i, fk in enumerate(child.schema.foreign_keys):
-            cols = _as_list((fk or {}).get("columns"))
-            ref = (fk or {}).get("reference") or {}
+            fk = fk or {}
+            # draft 'columns' and W3C-final 'columnReference' spellings
+            cols = _as_list(fk.get("columns", fk.get("columnReference")))
+            ref = fk.get("reference") or {}
             res_url = ref.get("resource")
-            ref_cols = _as_list(ref.get("columns"))
-            if not (cols and res_url and ref_cols):
+            schema_ref = ref.get("schemaReference")
+            ref_cols = _as_list(ref.get("columns",
+                                        ref.get("columnReference")))
+            if not (cols and (res_url or schema_ref) and ref_cols):
                 raise ValueError(
                     f"malformed foreignKey #{i} on {child.url}: {fk!r}")
-            parent = (group.for_table(res_url)
-                      or group.for_table(
-                          urljoin(child.context.base or child.url, res_url)))
+            if res_url:
+                parent = (group.for_table(res_url)
+                          or group.for_table(
+                              urljoin(child.context.base or child.url,
+                                      res_url)))
+            else:
+                # schemaReference names the parent by its external
+                # tableSchema document URL (CSVW §5.5.2; the reference
+                # structurally accepts it at metadata.rb:536-540 and
+                # FIXMEs resolution — resolved here)
+                base = (child.schema.source_url
+                        or child.context.base or child.url)
+                target = urljoin(base, schema_ref)
+                parent = next(
+                    (t for t in group.tables if t.schema is not None
+                     and t.schema.source_url == target), None)
             if parent is None:
                 raise ValueError(
                     f"foreignKey #{i} on {child.url} references unknown "
-                    f"resource {res_url!r}")
+                    f"resource {(res_url or schema_ref)!r}")
             child_keys = _key_tuple_rows(spark, child, cols, resolver,
                                          "foreignKey")
             parent_keys = (_key_tuple_rows(spark, parent, ref_cols, resolver,
