@@ -109,6 +109,39 @@ def _facet_errors(type_name: str, dt: dict, errors: list[str]) -> None:
             errors.append(
                 f"{type_name} has invalid property '{key}': {v!r}, "
                 f"expected a positive integer")
+    def _posint(v):
+        return isinstance(v, int) and not isinstance(v, bool) and v > 0
+
+    length = dt.get("length")
+    if _posint(length):
+        # length combined with min/maxLength must be consistent
+        # (reference: metadata.rb:550-552 — its Ruby condition is inverted
+        # and fires exactly when the values ARE equal; the W3C metadata
+        # spec §5.11.2 rule implemented here: length >= minLength and
+        # length <= maxLength)
+        if _posint(dt.get("minLength")) and length < dt["minLength"]:
+            errors.append(
+                f"{type_name} has invalid property 'minLength': "
+                f"Use of both length and minLength requires "
+                f"length >= minLength")
+        if _posint(dt.get("maxLength")) and length > dt["maxLength"]:
+            errors.append(
+                f"{type_name} has invalid property 'maxLength': "
+                f"Use of both length and maxLength requires "
+                f"length <= maxLength")
+    if any(dt.get(k) is not None for k in ("length", "minLength",
+                                           "maxLength")):
+        # length facets apply only to strings (and subtypes) or binary
+        # values — the rule the reference leaves as a comment at
+        # metadata.rb:551 (W3C metadata spec §5.11.2)
+        base = dt.get("base", "string")
+        anc = _ancestors(base)
+        if not (anc & {"string", "base64Binary", "hexBinary"}
+                or base in ("xml", "html", "json")):
+            errors.append(
+                f"{type_name} has invalid property 'length': "
+                f"length facets apply only to string or binary "
+                f"datatypes, not '{base}'")
     for key in ("minimum", "maximum", "minInclusive", "maxInclusive",
                 "minExclusive", "maxExclusive"):
         v = dt.get(key)
