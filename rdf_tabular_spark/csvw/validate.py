@@ -241,6 +241,65 @@ _TRANSFORMATION_PROPS = {"@type", "source", "targetFormat", "scriptFormat",
                          "title", "titles", "url"}
 _TRANSFORMATION_REQUIRED = ("targetFormat", "scriptFormat")
 
+# Per-class property tables (reference PROPERTIES constants,
+# metadata.rb:1218-1226 TableGroup, :1290-1301 Table, :1406-1415 Schema,
+# :1516-1524 Column, :1374-1381 Transformation) — the walked classes also
+# accept every INHERITED property (metadata.rb:460-462). Both the
+# reference's draft-era spellings ('resources', 'title') and the
+# W3C-final ones ('tables', 'titles') are accepted, matching
+# merge.KEY_ALIASES.
+_CLASS_PROPS = {
+    "TableGroup": {"@type", "resources", "tables", "tableSchema",
+                   "tableDirection", "dialect", "transformations"},
+    "Table": {"@type", "dialect", "notes", "suppressOutput",
+              "tableDirection", "tableSchema", "transformations", "url"},
+    "Schema": {"@type", "columns", "foreignKeys", "primaryKey"},
+    "Column": {"@type", "name", "suppressOutput", "title", "titles",
+               "required", "virtual"},
+}
+_CLASS_REQUIRED = {"Table": ("url",)}
+
+_DIALECT_PROPS = {"@type", "commentPrefix", "delimiter", "doubleQuote",
+                  "encoding", "header", "headerColumnCount",
+                  "headerRowCount", "lineTerminator", "quoteChar",
+                  "skipBlankRows", "skipColumns", "skipInitialSpace",
+                  "skipRows", "trim"}
+
+
+def _class_key_errors(obj: dict, type_name: str, errors: list[str]) -> None:
+    """The generic key checks at the top of the reference's validate!
+    (metadata.rb:463-470): only expected properties, required properties
+    present, declared @type matches the class. Prefixed (common-property)
+    keys are exempt everywhere EXCEPT Dialect (metadata.rb:466's
+    ``unless is_a?(Dialect)``); the missing-keys message lists the
+    PRESENT required keys, mirroring the reference's Ruby quirk."""
+    if type_name == "Dialect":
+        keys = [k for k in obj if k not in ("@id", "@context")]
+        expected = _DIALECT_PROPS
+    else:
+        keys = [k for k in obj if k not in ("@id", "@context")
+                and ":" not in str(k)]
+        expected = _CLASS_PROPS[type_name] | set(INHERITED)
+    unexpected = [k for k in keys if k not in expected]
+    if unexpected:
+        listing = "[" + ", ".join(f'"{k}"' for k in unexpected) + "]"
+        errors.append(f"{type_name} has unexpected keys: {listing}")
+    required = _CLASS_REQUIRED.get(type_name, ())
+    present = [k for k in required if k in keys]
+    if present != list(required):
+        listing = "[" + ", ".join(f'"{k}"' for k in present) + "]"
+        errors.append(f"{type_name} missing required keys: {listing}")
+    declared = obj.get("@type")
+    if declared is not None and declared != type_name:
+        errors.append(
+            f"{type_name} has invalid property '@type': \"{declared}\", "
+            f"expected {type_name}")
+    td = obj.get("tableDirection")
+    if td is not None and td not in ("rtl", "ltr", "default"):
+        errors.append(
+            f"{type_name} has invalid property 'tableDirection': "
+            f"\"{td}\", expected rtl, ltr, or default")
+
 
 def _validate_transformation(tr: dict, errors: list[str]) -> None:
     """Transformation description checks (reference: metadata.rb:1343-1371
@@ -259,6 +318,12 @@ def _validate_transformation(tr: dict, errors: list[str]) -> None:
     if present != list(_TRANSFORMATION_REQUIRED):
         listing = "[" + ", ".join(f'"{k}"' for k in present) + "]"
         errors.append(f"Transformation missing required keys: {listing}")
+    src = tr.get("source")
+    if src is not None and src not in ("json", "rdf"):
+        # reference: metadata.rb:587-590
+        errors.append(
+            f"Transformation has invalid property 'source': \"{src}\", "
+            f"expected json or rdf")
 
 
 def _column_name(c: dict, index: int) -> str:
@@ -278,6 +343,7 @@ def _column_name(c: dict, index: int) -> str:
 
 
 def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None:
+    _class_key_errors(obj, type_name, errors)
     own = {k: obj[k] for k in INHERITED if k in obj}
     for key, value in own.items():
         _check(type_name, key, value, inherited.get(key), errors)
@@ -352,8 +418,13 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
                         f"column reference not found {k}")
             ref = fk.get("reference")
             if isinstance(ref, dict):
+                # schema-target spellings: W3C-final 'schemaReference',
+                # the reference's draft-era 'schema'
+                # (spec/data/junior-roles.json) and 'tableSchema'
+                # (metadata.rb:536-540). The reference accepts a
+                # target-less reference silently; we flag it.
                 targets = [k for k in ("resource", "schemaReference",
-                                       "tableSchema") if k in ref]
+                                       "schema", "tableSchema") if k in ref]
                 if "resource" in targets and len(targets) > 1:
                     errors.append(
                         f"{type_name} has invalid property 'foreignKeys': "
@@ -367,6 +438,7 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
             _validate_transformation(tr, errors)
     dia = obj.get("dialect")
     if isinstance(dia, dict):
+        _class_key_errors(dia, "Dialect", errors)
         _validate_dialect(dia, errors)
     if type_name == "Column" and ("titles" in obj or "title" in obj):
         # natural-language property (reference: metadata.rb:648-654 via
@@ -409,7 +481,16 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
 def validate_metadata(doc: dict) -> list[str]:
     """→ list of error strings (empty = valid). Driver-side, O(metadata)."""
     errors: list[str] = []
-    root_type = doc.get("@type") or (
-        "TableGroup" if ("resources" in doc or "tables" in doc) else "Table")
+    root_type = doc.get("@type")
+    if root_type not in _CLASS_PROPS:
+        if "resources" in doc or "tables" in doc:
+            root_type = "TableGroup"
+        elif not ("url" in doc or "tableSchema" in doc or "dialect" in doc) \
+                and any(k in doc for k in ("columns", "primaryKey",
+                                           "foreignKeys")):
+            # a naked schema document (external tableSchema target)
+            root_type = "Schema"
+        else:
+            root_type = "Table"
     _walk(doc, root_type, {}, errors)
     return errors

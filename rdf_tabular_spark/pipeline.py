@@ -391,7 +391,8 @@ def validate_foreign_keys(spark: SparkSession, group: TableGroup,
             cols = _as_list(fk.get("columns", fk.get("columnReference")))
             ref = fk.get("reference") or {}
             res_url = ref.get("resource")
-            schema_ref = ref.get("schemaReference")
+            schema_ref = (ref.get("schemaReference") or ref.get("schema")
+                          or ref.get("tableSchema"))
             ref_cols = _as_list(ref.get("columns",
                                         ref.get("columnReference")))
             if not (cols and (res_url or schema_ref) and ref_cols):

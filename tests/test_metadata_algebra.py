@@ -193,17 +193,39 @@ def test_mergeb_notes_append():
     "incompatible_null", "incompatible_separator", "incompatible_textDirection",
 ])
 def test_invalid_data_golden(name):
+    # the reference asserts errors INCLUDE each golden line
+    # (spec/metadata_spec.rb:351-353), not exact equality — validate! also
+    # emits class-level findings (e.g. 'Table has unexpected keys:
+    # ["columns"]' for fixtures that put columns directly on a Table)
     with open(os.path.join(INVALID, f"{name}.json")) as f:
         doc = json.load(f)
     with open(os.path.join(INVALID, f"{name}-errors.txt")) as f:
         expected = [ln for ln in f.read().splitlines() if ln.strip()]
-    assert validate_metadata(doc) == expected
+    got = validate_metadata(doc)
+    for err in expected:
+        assert err in got, f"missing golden error {err!r}; got {got}"
 
 
 def test_valid_metadata_has_no_errors():
     with open("/root/reference/spec/data/tree-ops.csv-metadata.json") as f:
         doc = json.load(f)
     assert validate_metadata(doc) == []
+
+
+def test_reference_example_metadata_all_clean():
+    """Mirror of the reference's 'parses example metadata' spec
+    (spec/metadata_spec.rb:336-344): every spec/data/*.json example
+    (excluding -atd/-standard/-minimal outputs) validates error-free —
+    the false-positive guard for the class-level key checks."""
+    import glob
+    import re
+    for fn in sorted(glob.glob("/root/reference/spec/data/*.json")):
+        if re.search(r"-(atd|standard|minimal)\.json$", fn):
+            continue
+        with open(fn) as f:
+            doc = json.load(f)
+        errs = validate_metadata(doc)
+        assert errs == [], f"{os.path.basename(fn)}: {errs}"
 
 
 # --- datatype lattice ------------------------------------------------------
