@@ -458,14 +458,21 @@ def value_matching_datatype(value: str, dt: dict, lang: Optional[str]) -> tuple[
             errors.append(f"{value} does not match format {fmt}")
         cv = None
         if not errors:
-            iri = DATATYPE_IRIS.get(base, XSD + base)
-            if base in STRING_FAMILY and iri == XSD + "string" or base == "string":
-                cv = CellValue(value, None, lang)
+            if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", base):
+                # custom datatype: any absolute URI is a legal base
+                # (reference metadata.rb:669) — emitted verbatim as the
+                # literal's datatype, no lexical rules to apply
+                cv = CellValue(value, base, None)
             else:
-                cv = CellValue(value, iri, None)
-                if not _lexical_valid(base, value):
-                    errors.append(f"{value} is not a valid {base}")
-                    cv = None
+                iri = DATATYPE_IRIS.get(base, XSD + base)
+                if base in STRING_FAMILY and iri == XSD + "string" \
+                        or base == "string":
+                    cv = CellValue(value, None, lang)
+                else:
+                    cv = CellValue(value, iri, None)
+                    if not _lexical_valid(base, value):
+                        errors.append(f"{value} is not a valid {base}")
+                        cv = None
 
     if cv is not None and cv.lexical is not None and not errors:
         _check_range(cv.lexical, dt, base, errors)

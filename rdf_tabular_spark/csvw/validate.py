@@ -96,6 +96,17 @@ def _value_reason(key: str, value: Any) -> Optional[str]:
     elif key == "lang":
         if not re.match(r"^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$", str(value)):
             return "valid BCP47 language tag"
+    elif key == "datatype":
+        # reference metadata.rb:666-669: every base must be a built-in
+        # datatype name OR an absolute URI (custom datatype IRIs pass)
+        from .coerce import DATATYPE_IRIS
+        dts = value if isinstance(value, list) else [value]
+        for d in dts:
+            base = normalize_datatype_obj(d).get("base", "string")
+            is_abs_uri = isinstance(base, str) and re.match(
+                r"^[A-Za-z][A-Za-z0-9+.-]*://", base)
+            if base not in DATATYPE_IRIS and not is_abs_uri:
+                return "valid datatype"
     return None
 
 
@@ -348,12 +359,6 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
     for key, value in own.items():
         _check(type_name, key, value, inherited.get(key), errors)
     dt = obj.get("datatype")
-    if isinstance(dt, dict) and "base" in dt:
-        from .coerce import DATATYPE_IRIS
-        if dt["base"] not in DATATYPE_IRIS:
-            errors.append(
-                f"{type_name} has invalid property 'datatype': "
-                f"unknown base '{dt['base']}'")
     if isinstance(dt, dict):
         _facet_errors(type_name, dt, errors)
     cols_list = obj.get("columns")
