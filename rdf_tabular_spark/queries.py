@@ -2306,14 +2306,16 @@ HAVING(?n_docs >= 2)
 
 _SPARQL_FUNCS_QUERY = """
 PREFIX schema: <http://schema.org/>
-SELECT ?item ?tail ?digest ?nlen ?numname ?isiri WHERE {
+SELECT ?item ?tail ?digest ?nlen ?numname ?isiri ?namelike WHERE {
   ?item schema:name ?name ; schema:inLanguage ?lang .
   BIND(STRAFTER(?name, "doc ") AS ?tail)
   BIND(MD5(?lang) AS ?digest)
   BIND(STRLEN(?name) AS ?nlen)
   BIND(ISNUMERIC(?tail) AS ?numname)
   BIND(ISIRI(?item) AS ?isiri)
-  FILTER(CONTAINS(?name, "doc") && !ISBLANK(?item) && ISLITERAL(?name))
+  BIND(REGEX(?name, "^DOC [0-9]+", "i") AS ?namelike)
+  FILTER(CONTAINS(?name, "doc") && !ISBLANK(?item) && ISLITERAL(?name)
+         && REGEX(?lang, "^[a-z]{2}"))
 }
 """
 

@@ -28,7 +28,11 @@ left/right, STRBEFORE/STRAFTER→instr+substr, BOUND→is-not-null, IF→case,
 MD5, SAMETERM/ISBLANK/ISIRI/ISURI/ISLITERAL (lexical-graph semantics),
 ISNUMERIC→try_cast, YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS via
 cast-to-timestamp, xsd:integer/double casts.
-Functions with engine-divergent spellings (REGEX and REPLACE — DuckDB's
+REGEX(x, p[, flags]) → regexp_extract(x, p, 0) <> '' — the one regex
+spelling both engines share with identical search semantics; flags
+i/s/m ride inline as (?ism), which Java regex and RE2 both honor.
+Deviation: a pattern matching ONLY the empty string evaluates false.
+Functions with engine-divergent spellings (REPLACE — DuckDB's
 regexp_replace is first-match unless flagged 'g', Spark's is global;
 SHA*, LANG/DATATYPE — the 3-col graph carries no term metadata) are
 intentionally out.
@@ -415,6 +419,26 @@ class _Parser:
             lw = word.lower()
             if lw in ("true", "false"):
                 return lw
+            if lw == "regex":
+                # REGEX compiles to regexp_extract(x, p, 0) <> '' — the
+                # one regex spelling Spark SQL and DuckDB share with
+                # matching search (not full-match) semantics. Flags ride
+                # inline as (?ism), supported identically by Java regex
+                # and RE2. Documented deviation: a pattern that matches
+                # ONLY the empty string (e.g. '^') evaluates false.
+                args = self._args()
+                if len(args) not in (2, 3):
+                    raise SparqlError("REGEX takes 2 or 3 arguments")
+                pat = args[1]
+                if len(args) == 3:
+                    fl = re.fullmatch(r"'([ism]*)'", args[2])
+                    if not fl:
+                        raise SparqlError(
+                            "REGEX flags must be a literal subset of "
+                            "'i', 's', 'm'")
+                    if fl.group(1):
+                        pat = f"concat('(?{fl.group(1)})', {pat})"
+                return f"(regexp_extract({args[0]}, {pat}, 0) <> '')"
             if lw in self._FUNCS:
                 args = self._args()
                 tmpl = self._FUNCS[lw]

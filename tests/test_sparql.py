@@ -223,9 +223,10 @@ def test_parse_errors():
 
 
 def test_unsupported_function_rejected():
+    # REPLACE stays out (engine-divergent first-match vs global semantics)
     with pytest.raises(SparqlError, match="unsupported function"):
         parse_sparql('SELECT ?s WHERE { ?s name ?n . '
-                     'FILTER(REGEX(?n, "a")) }')
+                     'FILTER(REPLACE(?n, "a", "b") = "x") }')
 
 
 def test_query_job_sparql_mode(spark, tmp_path):
@@ -379,6 +380,35 @@ def test_r4_function_additions(graph, con):
                   n_rows=1)
     assert_parity(graph, con, """
       SELECT ?s WHERE { ?s name ?n . FILTER(!ISBLANK(?s)) }""", n_rows=3)
+
+
+def test_regex_function(graph, con):
+    """REGEX via the shared regexp_extract spelling: anchors, character
+    classes, alternation, the 'i' flag (inline (?i) in both engines),
+    negation, and use inside BIND."""
+    # ^..a matches alpha + gamma but not beta
+    rows = assert_parity(graph, con, """
+      SELECT ?n WHERE { ?s name ?n . FILTER(REGEX(?n, "^[ag]")) }
+      ORDER BY ?n""", n_rows=2)
+    assert [r[0] for r in rows] == ["alpha", "gamma"]
+    # case-insensitive flag
+    assert_parity(graph, con, """
+      SELECT ?n WHERE { ?s name ?n . FILTER(REGEX(?n, "ALPHA|BETA", "i")) }
+      """, n_rows=2)
+    # negated + alternation; and REGEX as a BIND value
+    assert_parity(graph, con, """
+      SELECT ?n ?m WHERE { ?s name ?n .
+        FILTER(!REGEX(?n, "a$")) BIND(REGEX(?n, "e") AS ?m) }""", n_rows=0)
+    assert_parity(graph, con, """
+      SELECT ?n ?m WHERE { ?s name ?n . BIND(REGEX(?n, "ph|mm") AS ?m) }
+      """, n_rows=3)
+
+    # bad flag rejected at parse time
+    with pytest.raises(SparqlError):
+        parse_sparql('SELECT ?n WHERE { ?s name ?n . '
+                     'FILTER(REGEX(?n, "a", "g")) }')
+    with pytest.raises(SparqlError):
+        parse_sparql('SELECT ?n WHERE { ?s name ?n . FILTER(REGEX(?n)) }')
 
 
 def test_r4_term_test_functions(spark):
