@@ -480,4 +480,9 @@ def value_matching_datatype(value: str, dt: dict, lang: Optional[str]) -> tuple[
         # constraint (length/pattern/range) errors invalidate even a
         # parseable value
         cv = None
+    if cv is not None and isinstance(dt.get("@id"), str):
+        # W3C-final derived datatypes: `@id` names the literal's datatype
+        # IRI while `base` still governs parsing/facets (csvw metadata
+        # §5.11.2 'id annotation'; absent from the draft-era reference)
+        cv = CellValue(cv.lexical, dt["@id"], None)
     return cv, errors

@@ -104,7 +104,10 @@ def normalize_datatype(value) -> list[dict]:
             v = {"base": v}
         nv: dict[str, Any] = {}
         for kk, vv in v.items():
-            if kk in ("base", "decimalChar", "format", "groupChar", "pattern"):
+            if kk in ("base", "decimalChar", "format", "groupChar",
+                      "pattern", "@id"):
+                # @id: W3C-final derived-datatype naming, consumed by
+                # coerce.value_matching_datatype as the emitted IRI
                 nv[kk] = vv
             elif kk in ("length", "minLength", "maxLength"):
                 nv[kk] = int(vv)

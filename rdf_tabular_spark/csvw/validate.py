@@ -153,6 +153,15 @@ def _facet_errors(type_name: str, dt: dict, errors: list[str]) -> None:
                 f"{type_name} has invalid property 'length': "
                 f"length facets apply only to string or binary "
                 f"datatypes, not '{base}'")
+    did = dt.get("@id")
+    if isinstance(did, str):
+        from .coerce import DATATYPE_IRIS
+        if did in set(DATATYPE_IRIS.values()):
+            # W3C metadata §5.11.2: a derived datatype's @id MUST NOT be
+            # the URL of a built-in datatype
+            errors.append(
+                f"{type_name} has invalid property '@id': {did}, "
+                f"datatype @id must not be a built-in datatype URL")
     for key in ("minimum", "maximum", "minInclusive", "maxInclusive",
                 "minExclusive", "maxExclusive"):
         v = dt.get(key)
