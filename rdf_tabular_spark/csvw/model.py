@@ -218,6 +218,12 @@ class Schema:
     def foreign_keys(self) -> list[dict]:
         return _as_list(self.raw.get("foreignKeys"))
 
+    @property
+    def row_titles(self) -> list[str]:
+        # W3C-final §5.5 rowTitles: column reference(s) whose cell values
+        # title each row (csvw:title on the row node in standard mode)
+        return _as_list(self.raw.get("rowTitles"))
+
     def inherited(self, prop: str):
         if prop in self.raw:
             return self.raw[prop]

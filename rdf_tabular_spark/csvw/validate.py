@@ -273,7 +273,8 @@ _CLASS_PROPS = {
                    "tableDirection", "dialect", "transformations"},
     "Table": {"@type", "dialect", "notes", "suppressOutput",
               "tableDirection", "tableSchema", "transformations", "url"},
-    "Schema": {"@type", "columns", "foreignKeys", "primaryKey"},
+    "Schema": {"@type", "columns", "foreignKeys", "primaryKey",
+               "rowTitles"},
     "Column": {"@type", "name", "suppressOutput", "title", "titles",
                "required", "virtual"},
 }
@@ -384,20 +385,22 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
             errors.append(
                 f"{type_name} has invalid property 'columns': "
                 f"must have unique names: {listing}")
-    if "primaryKey" in obj:
+    for ref_key in ("primaryKey", "rowTitles"):
+        if ref_key not in obj:
+            continue
         # column-reference resolution (reference: metadata.rb:567-570);
         # a column without `name` is named from its first title, whatever
         # shape `titles` takes (string | array | language map — CSVW §5.6)
         names = {_column_name(c, i)
                  for i, c in enumerate(obj.get("columns") or [])
                  if isinstance(c, dict)}
-        pks = obj["primaryKey"] if isinstance(obj["primaryKey"], list) \
-            else [obj["primaryKey"]]
-        for pk in pks:
-            if pk not in names:
+        refs = obj[ref_key] if isinstance(obj[ref_key], list) \
+            else [obj[ref_key]]
+        for ref in refs:
+            if ref not in names:
                 errors.append(
-                    f"{type_name} has invalid property 'primaryKey': "
-                    f"column reference not found {pk}")
+                    f"{type_name} has invalid property '{ref_key}': "
+                    f"column reference not found {ref}")
     fks = obj.get("foreignKeys")
     if isinstance(fks, list):
         # structural FK checks (reference: metadata.rb:517-541): exactly

@@ -81,6 +81,10 @@ class TableMapping:
     minimal: bool = False
     thash: str = ""
     row_about_template: Optional[str] = None  # schema/table-inherited aboutUrl
+    # 0-based indices of schema.rowTitles columns (W3C-final §5.5:
+    # each referenced cell's value becomes a csvw:title on the row node
+    # in standard mode; absent from the draft-era reference)
+    row_title_idx: list[int] = field(default_factory=list)
 
     def __post_init__(self):
         if not self.thash:
@@ -125,6 +129,10 @@ def compile_mapping(table: Table, minimal: bool = False) -> TableMapping:
             ordered=bool(col.inherited("ordered")),
             required=col.required,
         ))
+    rt = table.schema.row_titles
+    if rt:
+        by_name = {c.name: i for i, c in enumerate(table.schema.columns)}
+        mapping.row_title_idx = [by_name[n] for n in rt if n in by_name]
     return mapping
 
 
@@ -246,6 +254,11 @@ class TripleKernel:
             add((m.table_resource, CSVW + "row", row_resource, True, None, None))
             add((row_resource, CSVW + "rownum", str(row_num), False, XSD_INTEGER, None))
             add((row_resource, CSVW + "url", self.row_url_prefix + str(source_num), True, None, None))
+            for ti in m.row_title_idx:
+                for cv in cell_values[ti]:
+                    if cv.lexical:
+                        add((row_resource, CSVW + "title", cv.lexical,
+                             False, None, cv.lang))
 
         described: set[str] = set()
         for cc, vals in zip(self.cols, cell_values):
