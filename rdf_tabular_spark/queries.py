@@ -1992,19 +1992,16 @@ def _graph_pagerank(spark, sf_dir):
 
 
 def _graph_closure_ancestors(spark, sf_dir):
-    """Transitive closure (all ancestor pairs) — the rdfs subClassOf/
-    subPropertyOf closure primitive; oracle = recursive CTE
-    (operators/graph.closure_sql).
-
-    Uses the PATH-DOUBLING variant: the doc tree is depth-dominated
-    (depth ~16, breadth small), so closing in log2(depth) self-join
-    rounds beats semi-naive's depth-many delta rounds (measured 2.3×
-    at sf0.1 — each round pays a fixed checkpoint/materialize cost).
-    Semi-naive (transitive_closure) remains the right tier for
-    breadth-dominated graphs where closure×closure intermediates blow
-    up; both are result-equality-tested on random graphs."""
-    from .operators.graph import transitive_closure_doubling
-    return transitive_closure_doubling(_doc_tree_edges(spark, sf_dir))
+    """Transitive closure (all ancestor pairs) via semi-naive iteration;
+    oracle = recursive CTE (operators/graph.closure_sql) — the rdfs
+    subClassOf/subPropertyOf closure primitive. The doc tree is
+    depth-dominated, so the BENCH headline runs the path-doubling tier
+    (graph_closure_doubling, 2.3× faster at sf0.1 — log2(depth) rounds
+    vs depth-many delta rounds, each paying a fixed checkpoint cost);
+    this semi-naive entry stays registered as the breadth-dominated
+    tier where closure×closure intermediates blow up."""
+    from .operators.graph import transitive_closure
+    return transitive_closure(_doc_tree_edges(spark, sf_dir))
 
 
 # SPARQL algebra extensions over the microdata graph + a deliberately
