@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import copy
 from typing import Any, Optional
+from urllib.parse import urljoin as _urljoin
 
 CSVW_CONTEXT = "http://www.w3.org/ns/csvw"
 
@@ -38,6 +39,31 @@ LINK_PROPS = {"url", "@id"}
 #: and the model sees one shape; the model ALSO reads the final names
 #: directly (Column.title_values) for unnormalized direct loads.
 KEY_ALIASES = {"tables": "resources", "titles": "title"}
+
+
+#: Atomic properties normalized to booleans / integers
+#: (reference: metadata.rb:1077-1084 normalize! atomic branch).
+BOOL_ATOMIC_PROPS = {"doubleQuote", "header", "ordered", "required",
+                     "skipBlankRows", "skipInitialSpace", "suppressOutput",
+                     "virtual"}
+INT_ATOMIC_PROPS = {"skipRows", "headerRowCount", "skipColumns",
+                    "headerColumnCount"}
+#: Link properties resolved against the base URL during normalization
+#: (reference: metadata.rb:1064 `base.join(value)`; :link-typed keys are
+#: @id, url, targetFormat, scriptFormat per the @properties tables).
+NORMALIZE_LINK_PROPS = {"@id", "url", "targetFormat", "scriptFormat"}
+
+
+def default_base(doc: dict) -> Optional[str]:
+    """``@base`` declared in the document's ``@context``, if any."""
+    ctx = doc.get("@context")
+    if isinstance(ctx, list):
+        for item in ctx:
+            if isinstance(item, dict) and "@base" in item:
+                return item["@base"]
+    if isinstance(ctx, dict):
+        return ctx.get("@base")
+    return None
 
 
 def default_language(doc: dict) -> Optional[str]:
@@ -90,15 +116,30 @@ def _normalize_title(value: Any, lang: Optional[str]) -> dict:
     return {}
 
 
-def normalize(doc: dict, lang: Optional[str] = None) -> dict:
+def normalize(doc: dict, lang: Optional[str] = None,
+              base: Optional[str] = None) -> dict:
     """→ normal form (recursive, non-destructive). ``lang`` is the inherited
-    default language (from @context at the root)."""
+    default language (from @context at the root); ``base`` the URL link
+    properties resolve against (an ``@base`` in the document's @context
+    overrides it — reference metadata.rb:1064 resolves every :link value
+    with ``base.join``, and normalize! collapses @context to the bare
+    csvw namespace)."""
     lang = default_language(doc) or lang
+    base = default_base(doc) or base
     out: dict[str, Any] = {}
     for key, value in doc.items():
         key = KEY_ALIASES.get(key, key)
         if key == "@context":
-            out[key] = value
+            out[key] = CSVW_CONTEXT
+        elif key in NORMALIZE_LINK_PROPS and base and isinstance(value, str):
+            out[key] = _urljoin(base, value)
+        elif key in BOOL_ATOMIC_PROPS and not isinstance(value, bool):
+            out[key] = str(value).lower() in ("true", "1")
+        elif key in INT_ATOMIC_PROPS and not isinstance(value, int):
+            try:
+                out[key] = int(value)
+            except (TypeError, ValueError):
+                out[key] = copy.deepcopy(value)  # validator flags it
         elif key in NATURAL_LANGUAGE_PROPS:
             out[key] = _normalize_title(value, lang)
         elif key == "datatype":
@@ -112,10 +153,10 @@ def normalize(doc: dict, lang: Optional[str] = None) -> dict:
             out[key] = copy.deepcopy(value if isinstance(value, list) else [value])
         elif key in ARRAY_PROPS:
             items = value if isinstance(value, list) else [value]
-            out[key] = [normalize(v, lang) if isinstance(v, dict) else v
+            out[key] = [normalize(v, lang, base) if isinstance(v, dict) else v
                         for v in items]
         elif key in OBJECT_PROPS and isinstance(value, dict):
-            out[key] = normalize(value, lang)
+            out[key] = normalize(value, lang, base)
         elif _is_common_property(key):
             out[key] = _normalize_jsonld(value, lang)
         else:

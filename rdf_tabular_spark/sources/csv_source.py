@@ -53,15 +53,21 @@ def _is_utf8(dialect: Dialect) -> bool:
     return open_encoding(dialect) == "utf-8-sig"
 
 
+def _csv_kwargs(dialect: Dialect) -> dict:
+    """csv.reader options for a CSVW dialect. An explicit ``quoteChar:
+    null`` disables quote processing entirely (reference: metadata.rb
+    csv_options quote_char nil — quotes become ordinary characters)."""
+    if not dialect.quoteChar:
+        return dict(delimiter=dialect.delimiter, quoting=_csv.QUOTE_NONE,
+                    quotechar=None, escapechar=None, strict=False)
+    return dict(delimiter=dialect.delimiter, quotechar=dialect.quoteChar,
+                doublequote=bool(dialect.doubleQuote),
+                escapechar=None if dialect.doubleQuote else "\\",
+                strict=False)
+
+
 def _parse_lines(lines: list[str], dialect: Dialect) -> list[list[Optional[str]]]:
-    rdr = _csv.reader(
-        lines,
-        delimiter=dialect.delimiter,
-        quotechar=dialect.quoteChar or '"',
-        doublequote=bool(dialect.doubleQuote),
-        escapechar=None if dialect.doubleQuote else "\\",
-        strict=False,
-    )
+    rdr = _csv.reader(lines, **_csv_kwargs(dialect))
     return [row for row in rdr]
 
 
@@ -155,10 +161,7 @@ def _read_rows_whole_file(spark: SparkSession, path: str,
     skip_blank = bool(dialect.skipBlankRows)
     data: list[tuple[list, int, int]] = []
     with open(path, "r", encoding=open_encoding(dialect), newline="") as f:
-        rdr = _csv.reader(
-            f, delimiter=dialect.delimiter, quotechar=dialect.quoteChar or '"',
-            doublequote=bool(dialect.doubleQuote),
-            escapechar=None if dialect.doubleQuote else "\\", strict=False)
+        rdr = _csv.reader(f, **_csv_kwargs(dialect))
         prev_line = 0
         row_idx = 0
         row_num = 0
@@ -212,7 +215,7 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
             return _read_rows_whole_file(spark, path, dialect)
     skipped = dialect.skipped_rows
     skipc = int(dialect.skipColumns) + int(dialect.headerColumnCount)
-    delim, quote, dq = dialect.delimiter, dialect.quoteChar, bool(dialect.doubleQuote)
+    csv_kwargs = _csv_kwargs(dialect)
     skip_blank = bool(dialect.skipBlankRows)
 
     reader = spark.read
@@ -244,9 +247,7 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
                 # (files beyond the sniff bound) routes them to the
                 # whole-file path first. Any residual stray quote parses
                 # leniently, matching csv.reader's non-strict behavior.
-                row = next(_csv.reader(
-                    io.StringIO(line), delimiter=delim, quotechar=quote or '"',
-                    doublequote=dq, escapechar=None if dq else "\\"), [])
+                row = next(_csv.reader(io.StringIO(line), **csv_kwargs), [])
                 vals.append(row[skipc:] if skipc else row)
             out = pd.DataFrame({
                 "values": vals,

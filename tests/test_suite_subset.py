@@ -1,8 +1,14 @@
 """Vendored CSVW conformance-suite subset (reference: spec/suite_spec.rb:10-74
-runs the W3C suite over the network; these 183 entries are local fixtures
+runs the W3C suite over the network; these 205 entries are local fixtures
 modeled on the same entry types — ToRdf eval, ToJson eval, normalization,
 discovery, positive/negative validation — authored from the CSVW spec
 semantics, in tests/suite/).
+
+test204-205 (r4 cont.): quoteChar:null disabling quote processing
+(csv.QUOTE_NONE across all three reader paths), and normalization's
+atomic string→bool/int coercion + link-property resolution against a
+@context @base + @context collapse to the bare csvw namespace
+(reference: metadata.rb:1061-1096 normalize!).
 
 test177-182 (r4 cont.): _sourceRow/_name template variables under
 skipRows, draft datatype aliases (number/datetime/binary), NAME_SYNTAX
