@@ -71,6 +71,55 @@ def _parse_lines(lines: list[str], dialect: Dialect) -> list[list[Optional[str]]
     return [row for row in rdr]
 
 
+def _is_custom_terminator(dialect: Dialect) -> bool:
+    """True for an explicit lineTerminator the standard newline machinery
+    (``readline`` / Hadoop LineRecordReader) cannot split on."""
+    return dialect.lineTerminator not in (None, "auto", "\n", "\r\n")
+
+
+def _split_terminator(text: str, dialect: Dialect) -> list[str]:
+    """Split ``text`` into logical lines on a custom ``lineTerminator``,
+    quote-aware: a terminator inside a quoted field does not end the row
+    (Ruby CSV's ``row_sep`` semantics — reference metadata.rb:1199
+    ``row_sep: dialect.lineTerminator``). Doubled quotes toggle the state
+    twice (net no-op); backslash-escaped quotes (doubleQuote=false
+    dialects) do not toggle."""
+    term = dialect.lineTerminator
+    q = dialect.quoteChar
+    if not q or q not in text:
+        segs = text.split(term)
+        if segs and segs[-1] == "":
+            segs.pop()  # trailing terminator, not an empty final row
+        return segs
+    dq = bool(dialect.doubleQuote)
+    out: list[str] = []
+    in_q = False
+    start = i = 0
+    n, tl = len(text), len(term)
+    while i < n:
+        c = text[i]
+        if c == q and (dq or i == 0 or text[i - 1] != "\\"):
+            in_q = not in_q
+            i += 1
+        elif not in_q and text.startswith(term, i):
+            out.append(text[start:i])
+            i += tl
+            start = i
+        else:
+            i += 1
+    if start < n:
+        out.append(text[start:])
+    return out
+
+
+def _read_head_segments(path: str, dialect: Dialect, n: int) -> list[str]:
+    """First ``n`` logical lines of a custom-terminator file (driver-side,
+    bounded by the sniff budget — header rows live at the front)."""
+    with open(path, "r", encoding=open_encoding(dialect), newline="") as f:
+        text = f.read(_SNIFF_BYTES)
+    return _split_terminator(text, dialect)[:n]
+
+
 def read_header(path: str, dialect: Dialect) -> tuple[list[str], list[str]]:
     """Driver-side: → (header titles, skipped-row notes).
     Mirrors reference embedded_metadata (metadata.rb:726-779)."""
@@ -79,13 +128,16 @@ def read_header(path: str, dialect: Dialect) -> tuple[list[str], list[str]]:
     n_head = int(dialect.skipRows) + int(dialect.headerRowCount)
     if n_head == 0:
         return titles, notes
-    with open(path, "r", encoding=open_encoding(dialect), newline="") as f:
-        head_lines = []
-        for _ in range(n_head):
-            line = f.readline()
-            if not line:
-                break
-            head_lines.append(line.rstrip("\r\n"))
+    if _is_custom_terminator(dialect):
+        head_lines = _read_head_segments(path, dialect, n_head)
+    else:
+        with open(path, "r", encoding=open_encoding(dialect), newline="") as f:
+            head_lines = []
+            for _ in range(n_head):
+                line = f.readline()
+                if not line:
+                    break
+                head_lines.append(line.rstrip("\r\n"))
     rows = _parse_lines(head_lines, dialect)
     trim = dialect.effective_trim
     skipc = int(dialect.skipColumns) + int(dialect.headerColumnCount)
@@ -160,15 +212,9 @@ def _read_rows_whole_file(spark: SparkSession, path: str,
     skipc = int(dialect.skipColumns) + int(dialect.headerColumnCount)
     skip_blank = bool(dialect.skipBlankRows)
     data: list[tuple[list, int, int]] = []
-    with open(path, "r", encoding=open_encoding(dialect), newline="") as f:
-        rdr = _csv.reader(f, **_csv_kwargs(dialect))
-        prev_line = 0
-        row_idx = 0
+    def _consume(rows_iter):
         row_num = 0
-        for row in rdr:
-            start_line = prev_line + 1
-            prev_line = rdr.line_num
-            row_idx += 1
+        for row, row_idx, start_line in rows_iter:
             if row_idx <= skipped:
                 continue
             vals = row[skipc:] if skipc else row
@@ -176,6 +222,27 @@ def _read_rows_whole_file(spark: SparkSession, path: str,
                 continue
             row_num += 1
             data.append((vals, row_num, start_line))
+
+    if _is_custom_terminator(dialect):
+        # Custom lineTerminator: logical rows are terminator-delimited
+        # segments (quote-aware split), each parsed as one CSV record.
+        # source_num counts terminator-delimited segments, mirroring Ruby
+        # CSV's row_sep accounting (reference metadata.rb:1199).
+        with open(path, "r", encoding=open_encoding(dialect), newline="") as f:
+            segs = _split_terminator(f.read(), dialect)
+        _consume((row, i + 1, i + 1)
+                 for i, row in enumerate(_parse_lines(segs, dialect)))
+    else:
+        with open(path, "r", encoding=open_encoding(dialect), newline="") as f:
+            def _stream():
+                rdr = _csv.reader(f, **_csv_kwargs(dialect))
+                prev_line = 0
+                idx = 0
+                for row in rdr:
+                    idx += 1
+                    yield row, idx, prev_line + 1
+                    prev_line = rdr.line_num
+            _consume(_stream())
     return spark.createDataFrame(data, ROWS_SCHEMA)
 
 
@@ -194,7 +261,21 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
         # At scale, non-UTF-8 tabular sources should be transcoded on
         # ingest; the distributed fast path is UTF-8 by contract.
         return _read_rows_whole_file(spark, path, dialect)
-    has_spanning, sniff_complete = _quote_sniff(path, dialect)
+    has_spanning, sniff_complete = False, True
+    if _is_custom_terminator(dialect):
+        # Distributed lineSep splitting is blind to quoting — a terminator
+        # inside a quoted field would split the row. Quote-free files (or
+        # quote-free prefixes of bounded sniff) stay distributed; any
+        # quote character routes to the quote-aware driver path.
+        if dialect.quoteChar:
+            with open(path, "r", encoding=open_encoding(dialect),
+                      newline="") as f:
+                head = f.read(_SNIFF_BYTES)
+                sniff_done = f.read(1) == ""
+            if dialect.quoteChar in head or not sniff_done:
+                return _read_rows_whole_file(spark, path, dialect)
+    else:
+        has_spanning, sniff_complete = _quote_sniff(path, dialect)
     if has_spanning:
         return _read_rows_whole_file(spark, path, dialect)
     if not sniff_complete and dialect.quoteChar and bool(dialect.doubleQuote):

@@ -1,8 +1,14 @@
 """Vendored CSVW conformance-suite subset (reference: spec/suite_spec.rb:10-74
-runs the W3C suite over the network; these 205 entries are local fixtures
+runs the W3C suite over the network; these 208 entries are local fixtures
 modeled on the same entry types — ToRdf eval, ToJson eval, normalization,
 discovery, positive/negative validation — authored from the CSVW spec
 semantics, in tests/suite/).
+
+test206-208 (r4 cont.): headerColumnCount column skipping, and custom
+lineTerminator support — distributed lineSep split for quote-free files,
+quote-aware terminator scanning on the driver fallback when a quoted
+terminator could split a field (Ruby CSV row_sep parity,
+reference metadata.rb:1199).
 
 test204-205 (r4 cont.): quoteChar:null disabling quote processing
 (csv.QUOTE_NONE across all three reader paths), and normalization's
