@@ -56,6 +56,34 @@ def _sq(term: str) -> str:
     return "'" + term.replace("'", "''") + "'"
 
 
+# Engine-divergent function spellings. Most SPARQL builtins compile to the
+# one shared Spark∩DuckDB ANSI subset, but a few have no shared spelling:
+# SPARQL REPLACE (fn:replace) substitutes EVERY occurrence — Spark's
+# regexp_replace is global already while DuckDB's is first-match unless
+# passed the 'g' option — and SHA256 is Spark ``sha2(x, 256)`` vs DuckDB
+# ``sha256(x)``. The SPARQL front-end compiles these to neutral MARKER
+# tokens; :func:`render_dialect` rewrites them at each engine seam just
+# before evaluation (F.expr on the Spark side, SQL-string embedding on the
+# DuckDB side). Markers are paired open/close fragments, so nested calls
+# rewrite correctly under plain text replacement, and expressions without
+# markers (every hand-written filter) pass through byte-identical.
+_DIALECT = {
+    "spark": (("__replace_g__", ""),
+              ("__sha256__(", "sha2("), ("__sha256_end__)", ", 256)")),
+    "duckdb": (("__replace_g__", ", 'g'"),
+               ("__sha256__(", "sha256("), ("__sha256_end__)", ")")),
+}
+
+
+def render_dialect(expr: str, engine: str) -> str:
+    """Rewrite neutral dialect markers to the given engine's spelling
+    (engine is ``"spark"`` or ``"duckdb"``). Idempotent — a second pass
+    finds no markers — so nested SQL emitters may each apply it."""
+    for marker, spelling in _DIALECT[engine]:
+        expr = expr.replace(marker, spelling)
+    return expr
+
+
 def _is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
@@ -326,10 +354,10 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Pattern],
             raise ValueError(
                 f"BIND target {var!r} is already bound (SPARQL requires a "
                 f"fresh variable)")
-        result = result.withColumn(var, F.expr(expr))
+        result = result.withColumn(var, F.expr(render_dialect(expr, "spark")))
         out_vars.append(var)
     for f in filters:
-        result = result.filter(F.expr(f))
+        result = result.filter(F.expr(render_dialect(f, "spark")))
     result = result.select(*out_vars)
     return result.distinct() if distinct else result
 
@@ -483,10 +511,13 @@ def bgp_sql(triples_sql: str, patterns: Sequence[Pattern],
                     f"BIND target {var!r} is already bound (SPARQL requires "
                     f"a fresh variable)")
             subqs.append(f"base{i + 1} as "
-                         f"(select *, {expr} as {var} from base{i})")
+                         f"(select *, {render_dialect(expr, 'duckdb')} "
+                         f"as {var} from base{i})")
             out_vars.append(var)
         src = f"base{len(binds)}"
-    where = (f"\nwhere {' and '.join(f'({f})' for f in filters)}"
+    where = (f"\nwhere "
+             + " and ".join(f"({render_dialect(f, 'duckdb')})"
+                            for f in filters)
              if filters else "")
     sel = "select distinct" if distinct else "select"
     return (f"with t as ({triples_sql}),\n"
@@ -534,10 +565,10 @@ def bgp_agg(triples: DataFrame, patterns: Sequence[Pattern],
     not bindings."""
     bindings = bgp_match(triples, patterns, **kwargs)
     out = bindings.groupBy(*group_by).agg(
-        *[F.expr(spark_expr).alias(alias)
+        *[F.expr(render_dialect(spark_expr, "spark")).alias(alias)
           for alias, spark_expr, _ in _norm_aggs(aggs)])
     for h in having:
-        out = out.filter(F.expr(h))
+        out = out.filter(F.expr(render_dialect(h, "spark")))
     return out
 
 
@@ -549,13 +580,15 @@ def bgp_agg_sql(triples_sql: str, patterns: Sequence[Pattern],
     identically in both engines (post-aggregation filter — the SPARQL
     semantics)."""
     inner = bgp_sql(triples_sql, patterns, **kwargs)
-    cols = list(group_by) + [f"{duck_expr} as {alias}"
-                             for alias, _, duck_expr in _norm_aggs(aggs)]
+    cols = list(group_by) + [
+        f"{render_dialect(duck_expr, 'duckdb')} as {alias}"
+        for alias, _, duck_expr in _norm_aggs(aggs)]
     q = f"select {', '.join(cols)} from ({inner}) b"
     if group_by:
         q += f" group by {', '.join(group_by)}"
     if having:
-        conds = " and ".join(f"({h})" for h in having)
+        conds = " and ".join(f"({render_dialect(h, 'duckdb')})"
+                             for h in having)
         q = f"select * from ({q}) g where {conds}"
     return q
 

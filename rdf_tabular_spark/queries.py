@@ -1015,6 +1015,49 @@ from embeddings a join embeddings b on a.vec_id < b.vec_id
 where round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.4
 """
 
+_SEMDEDUP_K, _SEMDEDUP_T = 8, 0.4
+
+
+def _dedup_semantic_pairs(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): deterministic-IVF clustering, then
+    pairwise cosine ONLY within a cluster — Σ O(|cluster|²) instead of
+    O(n²). The oracle replays the identical fit (shared _ivf_fit_ctes
+    chain) and the identical within-cell join."""
+    return D.semantic_dedup_pairs(_t(spark, sf_dir, "embeddings"),
+                                  k=_SEMDEDUP_K, threshold=_SEMDEDUP_T,
+                                  dim=EMB_DIM)
+
+
+def _dedup_semantic_keep(spark, sf_dir):
+    """The kept corpus under SemDeDup (earliest-id-wins within each
+    near-dup relation) — scalar columns only for the driver canonicalizer."""
+    kept = D.semantic_dedup_keep(_t(spark, sf_dir, "embeddings"),
+                                 k=_SEMDEDUP_K, threshold=_SEMDEDUP_T,
+                                 dim=EMB_DIM)
+    return kept.select(F.col("vec_id").cast("long").alias("vec_id"),
+                       F.col("label").cast("int").alias("label"))
+
+
+def _semantic_pairs_sql(k: int = _SEMDEDUP_K, threshold: float = _SEMDEDUP_T,
+                        dim: int = EMB_DIM) -> str:
+    ctes, prev = _ivf_fit_ctes(k=k, dim=dim)
+    cos = _cos_sql("x.embedding", "y.embedding", dim)
+    body = ",\n".join(ctes)
+    return (f"with {body}\n"
+            f"select x.cell as cell, x.vec_id as a, y.vec_id as b,\n"
+            f"       round({cos}, 4) as sim\n"
+            f"from {prev} x join {prev} y\n"
+            f"  on x.cell = y.cell and x.vec_id < y.vec_id\n"
+            f"where round({cos}, 4) >= {threshold}")
+
+
+def _semantic_keep_sql(k: int = _SEMDEDUP_K, threshold: float = _SEMDEDUP_T,
+                       dim: int = EMB_DIM) -> str:
+    return (f"with pairs as ({_semantic_pairs_sql(k, threshold, dim)})\n"
+            f"select cast(vec_id as bigint) as vec_id, "
+            f"cast(label as int) as label from embeddings\n"
+            f"where vec_id not in (select b from pairs)")
+
 
 # --- similarity search ------------------------------------------------------
 
@@ -1076,11 +1119,12 @@ def _ann_ivf_trained_topk(spark, sf_dir):
                         [float(x) for x in q], k=10, n_probe=3)
 
 
-def _ivf_trained_sql(k: int = 8, n_iter: int = 2, n_probe: int = 3,
-                     topk: int = 10, dim: int = EMB_DIM) -> str:
-    """DuckDB mirror of ``S.ivf_fit_deterministic`` + ``S.ivf_search`` —
-    generated by the same loop structure (init → [means → argmin]×n_iter →
-    probe → pruned top-k), one source of truth for the constants."""
+def _ivf_fit_ctes(k: int = 8, n_iter: int = 2,
+                  dim: int = EMB_DIM) -> tuple[list[str], str]:
+    """Shared DuckDB replay of ``S.ivf_fit_deterministic`` (init bucket →
+    [per-dim means → argmin re-assign]×n_iter) — returns (cte_list,
+    final_assigned_cte_name). One source of truth for the trained-IVF and
+    semantic-dedup oracles."""
     ctes = [f"a0 as (select vec_id, embedding, "
             f"('0x' || substring(md5(cast(vec_id as varchar)), 16, 1))::int "
             f"% {k} as cell from embeddings)"]
@@ -1101,6 +1145,15 @@ def _ivf_trained_sql(k: int = 8, n_iter: int = 2, n_probe: int = 3,
             f"order by {dist}, c.cell) as rn "
             f"from a0 x cross join c{t} c) where rn = 1)")
         prev = f"a{t}"
+    return ctes, prev
+
+
+def _ivf_trained_sql(k: int = 8, n_iter: int = 2, n_probe: int = 3,
+                     topk: int = 10, dim: int = EMB_DIM) -> str:
+    """DuckDB mirror of ``S.ivf_fit_deterministic`` + ``S.ivf_search`` —
+    generated by the same loop structure (init → [means → argmin]×n_iter →
+    probe → pruned top-k), one source of truth for the constants."""
+    ctes, prev = _ivf_fit_ctes(k=k, n_iter=n_iter, dim=dim)
     qdist = (f"list_sum(list_transform(range(1, {dim + 1}), d -> "
              f"(q.qv[d]::double - c.cent[d]) * (q.qv[d]::double - c.cent[d])))")
     body = ",\n".join(ctes)
@@ -2768,6 +2821,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_near": _dedup_corpus_near,
     "dedup_corpus_lines": _dedup_corpus_lines,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
+    "dedup_semantic_pairs": _dedup_semantic_pairs,
+    "dedup_semantic_keep": _dedup_semantic_keep,
     "ann_ivf_topk": _ann_ivf_topk,
     "ann_lsh_signatures": _ann_lsh_signatures,
     "ann_lsh_bucket_topk": _ann_lsh_bucket_topk,
@@ -2819,6 +2874,8 @@ _ORACLES: dict[str, str] = {
     "dedup_corpus_near": _DEDUP_CORPUS_NEAR_SQL,
     "dedup_corpus_lines": _DEDUP_CORPUS_LINES_SQL,
     "dedup_embedding_cosine": _DEDUP_EMBEDDING_COSINE_SQL,
+    "dedup_semantic_pairs": _semantic_pairs_sql(),
+    "dedup_semantic_keep": _semantic_keep_sql(),
     "ann_cosine_topk": _ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_TOPK_SQL,
     "ann_lsh_signatures": _ANN_LSH_SIGNATURES_SQL,

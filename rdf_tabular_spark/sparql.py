@@ -32,10 +32,16 @@ REGEX(x, p[, flags]) → regexp_extract(x, p, 0) <> '' — the one regex
 spelling both engines share with identical search semantics; flags
 i/s/m ride inline as (?ism), which Java regex and RE2 both honor.
 Deviation: a pattern matching ONLY the empty string evaluates false.
-Functions with engine-divergent spellings (REPLACE — DuckDB's
-regexp_replace is first-match unless flagged 'g', Spark's is global;
-SHA*, LANG/DATATYPE — the 3-col graph carries no term metadata) are
-intentionally out.
+Engine-divergent spellings compile to neutral markers rewritten per
+engine at the evaluation seam (operators/bgp.render_dialect): REPLACE
+(global in both — Spark natively, DuckDB via the 'g' option; '$'
+backreferences rejected, the syntaxes diverge) and SHA256 (Spark
+sha2(x,256) vs DuckDB sha256(x)). IRI/URI are identity under
+lexical-graph semantics. Still out: SHA1/SHA512 (absent from this
+DuckDB build), ENCODE_FOR_URI (form- vs percent-encoding divergence),
+LANG/DATATYPE/STRLANG/STRDT (the 3-col graph carries no term
+metadata), NOW/UUID/STRUUID/RAND (nondeterministic — no stable
+oracle).
 
 Out of scope (documented contract, not oversights): named-graph datasets
 via FROM (the graph store's ``batches=`` serves that role), federation
@@ -284,6 +290,14 @@ class _Parser:
                     "then substr({0}, instr({0}, {1}) + length({1})) "
                     "else '' end)",
         "md5": "md5({0})",
+        # SHA256: Spark spells it sha2(x, 256), DuckDB sha256(x) — paired
+        # neutral markers, rewritten per engine by bgp.render_dialect.
+        "sha256": "__sha256__({0}__sha256_end__)",
+        # IRI/URI under lexical-graph semantics: terms are already plain
+        # strings, so constructing an IRI from a string is identity (the
+        # graph carries no term metadata to attach).
+        "iri": "({0})",
+        "uri": "({0})",
         # the 3-col lexical graph makes term equality = string equality
         "sameterm": "({0} = {1})",
         "isblank": "(left({0}, 2) = '_:')",
@@ -439,6 +453,33 @@ class _Parser:
                     if fl.group(1):
                         pat = f"concat('(?{fl.group(1)})', {pat})"
                 return f"(regexp_extract({args[0]}, {pat}, 0) <> '')"
+            if lw == "replace":
+                # REPLACE (fn:replace) substitutes EVERY occurrence; Spark
+                # regexp_replace is global, DuckDB first-match unless
+                # flagged 'g' — so the call compiles to a neutral
+                # __replace_g__ marker rewritten per engine at evaluation
+                # (operators/bgp.render_dialect). Flags ride inline as
+                # (?ism) exactly like REGEX. Documented restriction:
+                # '$' backreferences in the replacement are rejected
+                # (Java spells them $1, RE2 \\1 — no shared spelling).
+                args = self._args()
+                if len(args) not in (3, 4):
+                    raise SparqlError("REPLACE takes 3 or 4 arguments")
+                if "$" in args[2]:
+                    raise SparqlError(
+                        "REPLACE: '$' backreferences in the replacement "
+                        "are not supported (engine-divergent syntax)")
+                pat = args[1]
+                if len(args) == 4:
+                    fl = re.fullmatch(r"'([ism]*)'", args[3])
+                    if not fl:
+                        raise SparqlError(
+                            "REPLACE flags must be a literal subset of "
+                            "'i', 's', 'm'")
+                    if fl.group(1):
+                        pat = f"concat('(?{fl.group(1)})', {pat})"
+                return (f"regexp_replace({args[0]}, {pat}, "
+                        f"{args[2]}__replace_g__)")
             if lw in self._FUNCS:
                 args = self._args()
                 tmpl = self._FUNCS[lw]

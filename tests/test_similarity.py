@@ -129,3 +129,29 @@ def test_cosine_topk_unknown_query_id_returns_empty(spark):
     assert r1.count() == 0 and r1.columns == ["vec_id", "label", "sim"]
     r2 = ivf_topk_per_cell(df, query_id=999)
     assert r2.count() == 0 and "rank" in r2.columns
+
+
+def test_semantic_dedup_pairs_and_keep(spark):
+    """SemDeDup semantics on a hand-built corpus: near-identical vectors in
+    the same cluster pair up; the kept set drops every row with a lower-id
+    near-dup (chain a~b~c keeps only a); pairs never cross clusters."""
+    from rdf_tabular_spark.operators.dedup import (semantic_dedup_keep,
+                                                   semantic_dedup_pairs)
+    # two tight groups far apart + one singleton; dim=4, k=2 clusters
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.99, 0.02, 0.01, 0.0]),          # chain partner of 1
+        (10, [0.0, 0.0, 1.0, 0.0]), (11, [0.0, 0.01, 0.999, 0.0]),
+        (20, [0.5, 0.5, 0.5, 0.5]),            # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(df, k=2, threshold=0.999, dim=4)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # 0~1~2 and 10~11 must pair; no pair may join the two far groups
+    assert (0, 1) in got and (10, 11) in got
+    assert all(not (a < 10 <= b) for a, b in got), got
+    kept = {r["vec_id"]
+            for r in semantic_dedup_keep(df, k=2, threshold=0.999,
+                                         dim=4).collect()}
+    assert 0 in kept and 10 in kept and 20 in kept
+    assert 1 not in kept and 11 not in kept  # lower-id near-dup exists

@@ -223,10 +223,10 @@ def test_parse_errors():
 
 
 def test_unsupported_function_rejected():
-    # REPLACE stays out (engine-divergent first-match vs global semantics)
+    # ENCODE_FOR_URI stays out (form- vs percent-encoding divergence)
     with pytest.raises(SparqlError, match="unsupported function"):
         parse_sparql('SELECT ?s WHERE { ?s name ?n . '
-                     'FILTER(REPLACE(?n, "a", "b") = "x") }')
+                     'FILTER(ENCODE_FOR_URI(?n) = "x") }')
 
 
 def test_query_job_sparql_mode(spark, tmp_path):
@@ -380,6 +380,54 @@ def test_r4_function_additions(graph, con):
                   n_rows=1)
     assert_parity(graph, con, """
       SELECT ?s WHERE { ?s name ?n . FILTER(!ISBLANK(?s)) }""", n_rows=3)
+
+
+def test_replace_function(graph, con):
+    """REPLACE via the neutral __replace_g__ marker: Spark regexp_replace
+    is global natively, the DuckDB oracle gets the 'g' option — SPARQL
+    fn:replace semantics (every occurrence) in both engines."""
+    rows = assert_parity(graph, con, """
+      SELECT ?s ?r WHERE { ?s name ?n . BIND(REPLACE(?n, "a", "_") AS ?r) }
+      ORDER BY ?s""", n_rows=3)
+    # 'alpha' → '_lph_' and 'gamma' → 'g_mm_': GLOBAL replacement — a
+    # first-match engine would emit '_lpha' / 'g_mma'.
+    assert [r[1] for r in rows] == ["_lph_", "bet_", "g_mm_"]
+    # regex pattern + 'i' flag inline, and REPLACE inside a FILTER
+    rows = assert_parity(graph, con, """
+      SELECT ?r WHERE { ?s name ?n .
+        BIND(REPLACE(?n, "[AEIOU]", "", "i") AS ?r) } ORDER BY ?r""",
+        n_rows=3)
+    assert [r[0] for r in rows] == ["bt", "gmm", "lph"]
+    assert_parity(graph, con, """
+      SELECT ?n WHERE { ?s name ?n .
+        FILTER(REPLACE(?n, "m+", "m") = "gama") }""", n_rows=1)
+    # arity and backreference restrictions enforced at parse time
+    with pytest.raises(SparqlError, match="3 or 4"):
+        parse_sparql('SELECT ?n WHERE { ?s name ?n . '
+                     'BIND(REPLACE(?n, "a") AS ?r) }')
+    with pytest.raises(SparqlError, match="backreference"):
+        parse_sparql('SELECT ?n WHERE { ?s name ?n . '
+                     'BIND(REPLACE(?n, "(a)", "$1$1") AS ?r) }')
+    with pytest.raises(SparqlError, match="flags"):
+        parse_sparql('SELECT ?n WHERE { ?s name ?n . '
+                     'BIND(REPLACE(?n, "a", "b", "g") AS ?r) }')
+
+
+def test_sha256_iri_functions(graph, con):
+    """SHA256 through paired dialect markers (Spark sha2(x,256), DuckDB
+    sha256(x)) — including a NESTED call, which exercises the pairwise
+    marker rewrite; IRI/URI are identity under lexical-graph semantics."""
+    rows = assert_parity(graph, con, """
+      SELECT ?s ?h ?hh WHERE { ?s name ?n .
+        BIND(SHA256(?n) AS ?h) BIND(SHA256(SHA256(?n)) AS ?hh) }
+      ORDER BY ?s""", n_rows=3)
+    import hashlib
+    exp = hashlib.sha256(b"alpha").hexdigest()
+    assert rows[0][1] == exp
+    assert rows[0][2] == hashlib.sha256(exp.encode()).hexdigest()
+    assert_parity(graph, con, """
+      SELECT ?s WHERE { ?s cites ?o . FILTER(IRI(?o) = URI("d2")) }""",
+                  n_rows=1)
 
 
 def test_regex_function(graph, con):
