@@ -117,6 +117,29 @@ def stratified_sample(df: DataFrame, key: str, strata: str,
     return df.where(hash_u32(F.col(key)) < thr)
 
 
+def cap_per_source(df: DataFrame, key: str = "doc_id",
+                   source: str = "source", max_docs: int = 10) -> DataFrame:
+    """Domain-frequency capping: keep at most ``max_docs`` rows per source
+    (host/domain), chosen by deterministic md5 rank — the anti-over-
+    representation pass web-corpus pipelines run so one mega-host cannot
+    dominate the training mixture (cf. RefinedWeb, Penedo et al. 2023
+    §3.1 url-level filtering; C4's per-domain heuristics).
+
+    The md5 ordering is a reproducible uniform shuffle WITHIN each source
+    (retry- and partitioning-stable, like :func:`stratified_sample`), so
+    the kept subset is an unbiased sample of the host rather than its
+    first ``max_docs`` rows in crawl order. One shuffle on the source key;
+    hot hosts are exactly the rows the cap discards, so the window state
+    per key is bounded by crawl skew, and AQE skew-split applies to the
+    exchange."""
+    rank = F.row_number().over(
+        Window.partitionBy(source)
+              .orderBy(F.md5(F.col(key).cast("string")), F.col(key)))
+    return (df.withColumn("_cap_rank", rank)
+              .where(F.col("_cap_rank") <= max_docs)
+              .drop("_cap_rank"))
+
+
 # --- sequence packing ------------------------------------------------------
 
 def pack_sequences(df: DataFrame, key: str = "doc_id",

@@ -1732,6 +1732,29 @@ where {_hash_u32_sql('doc_id::varchar')} <
 """
 
 
+_CAP_PER_SOURCE = 40
+
+
+def _corpus_cap_per_source(spark, sf_dir):
+    """Domain-frequency capping (operators/curate.cap_per_source): ≤N docs
+    per source by deterministic md5 rank — one shuffle on the source key.
+    The oracle replays the identical row_number window in DuckDB."""
+    from .operators import curate as C
+    docs = _t(spark, sf_dir, "documents")
+    return (C.cap_per_source(docs, max_docs=_CAP_PER_SOURCE)
+            .select("doc_id", "source"))
+
+
+_CORPUS_CAP_PER_SOURCE_SQL = f"""
+select doc_id, source from (
+  select doc_id, source,
+         row_number() over (partition by source
+                            order by md5(doc_id::varchar), doc_id) as r
+  from documents)
+where r <= {_CAP_PER_SOURCE}
+"""
+
+
 def _pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (operators/curate.pack_sequences):
     hash-grouped greedy prefix-sum packing — one shuffle on the group key,
@@ -2823,6 +2846,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "dedup_semantic_pairs": _dedup_semantic_pairs,
     "dedup_semantic_keep": _dedup_semantic_keep,
+    "corpus_cap_per_source": _corpus_cap_per_source,
     "ann_ivf_topk": _ann_ivf_topk,
     "ann_lsh_signatures": _ann_lsh_signatures,
     "ann_lsh_bucket_topk": _ann_lsh_bucket_topk,
@@ -2876,6 +2900,7 @@ _ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": _DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_semantic_pairs": _semantic_pairs_sql(),
     "dedup_semantic_keep": _semantic_keep_sql(),
+    "corpus_cap_per_source": _CORPUS_CAP_PER_SOURCE_SQL,
     "ann_cosine_topk": _ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_TOPK_SQL,
     "ann_lsh_signatures": _ANN_LSH_SIGNATURES_SQL,

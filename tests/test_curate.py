@@ -192,3 +192,19 @@ def test_curate_job_decontamination(spark, tmp_path):
     assert report["contaminated_dropped"] >= 1
     curated = spark.read.parquet(out)
     assert curated.filter(F.col("doc_id").isin(keep_ids)).count() == 0
+
+
+def test_cap_per_source_semantics(spark):
+    """Cap respected per source, selection deterministic across calls, and
+    under-cap sources pass through untouched."""
+    rows = [(i, f"host{i % 3}") for i in range(30)] + [(100, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = C.cap_per_source(df, max_docs=4)
+    counts = {r["source"]: r["n"] for r in
+              capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"host0": 4, "host1": 4, "host2": 4, "rare": 1}
+    ids1 = sorted(r["doc_id"] for r in capped.collect())
+    ids2 = sorted(r["doc_id"]
+                  for r in C.cap_per_source(df, max_docs=4).collect())
+    assert ids1 == ids2  # md5 rank, not partition order
+    assert "_cap_rank" not in capped.columns
