@@ -516,3 +516,23 @@ def test_retraction_read_broadcasts_delete_set(spark, tmp_path):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert not re.search(r"Exchange hashpartitioning\(subj", p), \
         "retraction read shuffled the data stream"
+
+
+def test_semantic_dedup_pairs_joins_on_cell_only(spark):
+    """SemDeDup's scale contract: the within-cluster self-join exchanges on
+    the CELL key only — at k sized to executor memory no partition ever
+    holds more than one cluster's quadratic block. The argmin assignment
+    is a projection (no exchange of its own beyond the join's)."""
+    from rdf_tabular_spark.operators.dedup import semantic_dedup_pairs
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(semantic_dedup_pairs(emb, k=8, threshold=0.4, dim=64))
+    # the self-join must key on cell — as a shuffled hash join at scale, or
+    # (at tiny SF, where stats let one side broadcast) a broadcast join
+    # whose keys are still the cell
+    key_lines = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", p)
+    assert key_lines, "expected a keyed self-join"
+    for keys in key_lines:
+        assert keys.startswith("cell#"), keys
+    # no exchange may ever carry the raw vectors
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "cell" in keys and "embedding" not in keys, keys
