@@ -43,10 +43,14 @@ LANG/DATATYPE/STRLANG/STRDT (the 3-col graph carries no term
 metadata), NOW/UUID/STRUUID/RAND (nondeterministic — no stable
 oracle).
 
+ORDER BY accepts variables, (expr), and ASC/DESC(expr) — expression
+keys compile through the same shared-SQL translator and see the
+PROJECTED columns (the evaluation order both engines share under
+DISTINCT).
+
 Out of scope (documented contract, not oversights): named-graph datasets
 via FROM (the graph store's ``batches=`` serves that role), federation
-(SERVICE), property paths in CONSTRUCT templates, expression ORDER BY
-keys.
+(SERVICE), property paths in CONSTRUCT templates.
 """
 
 from __future__ import annotations
@@ -57,7 +61,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators.bgp import _sq
+from .operators.bgp import _sq, render_dialect
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -839,20 +843,33 @@ class _Parser:
             if c.accept_kw("ORDER"):
                 if not c.accept_kw("BY"):
                     c.fail("BY")
+                # OrderCondition ::= (ASC|DESC) BrackettedExpression
+                #                  | BrackettedExpression | Var
+                # Keys are stored as compiled shared-SQL strings (a bare
+                # variable compiles to its column name), so expression
+                # keys ride the same (key, direction) tuples. Expression
+                # keys see the PROJECTED columns (the one evaluation
+                # order both engines share under DISTINCT).
                 while True:
                     d = c.accept_kw("ASC", "DESC")
                     if d:
                         c.expect("(")
-                        m = c.match(_VAR_RE)
+                        e = self.expr()
                         c.expect(")")
-                    else:
-                        m = c.match(_VAR_RE)
-                    if not m:
-                        if d:
-                            c.fail("ORDER BY variable")
-                        break
-                    q.order_by.append((m.group(1),
-                                       (d or "ASC").lower()))
+                        q.order_by.append((e, d.lower()))
+                        continue
+                    m = c.match(_VAR_RE)
+                    if m:
+                        q.order_by.append((m.group(1), "asc"))
+                        continue
+                    if c.accept("("):
+                        e = self.expr()
+                        c.expect(")")
+                        q.order_by.append((e, "asc"))
+                        continue
+                    break
+                if not q.order_by:
+                    c.fail("ORDER BY condition")
             if c.accept_kw("LIMIT"):
                 m = c.match(_NUM_RE)
                 q.limit = int(m.group(0)) if m else c.fail("LIMIT count")
@@ -1042,9 +1059,14 @@ def query_df(triples: DataFrame, query, scan=None):
         out = out.select(*q.variables)
     if q.distinct:
         out = out.distinct()
-    for var, direction in q.order_by:
-        out = out.orderBy(F.col(var).desc() if direction == "desc"
-                          else F.col(var))
+    if q.order_by:
+        # ONE orderBy over all keys — chained .orderBy calls each REPLACE
+        # the previous sort, which silently reduced multi-key ORDER BY to
+        # its last key
+        cols = [F.expr(render_dialect(k, "spark")).desc()
+                if d == "desc" else F.expr(render_dialect(k, "spark"))
+                for k, d in q.order_by]
+        out = out.orderBy(*cols)
     if q.offset:
         out = out.offset(q.offset)
     if q.limit is not None:
@@ -1088,7 +1110,8 @@ def query_sql(triples_sql: str, query) -> str:
     d = "distinct " if q.distinct else ""
     sql = f"select {d}{proj} from ({body}) sparql_q"
     if q.order_by:
-        keys = ", ".join(f"{v} {d2}" for v, d2 in q.order_by)
+        keys = ", ".join(f"{render_dialect(v, 'duckdb')} {d2}"
+                         for v, d2 in q.order_by)
         sql += f" order by {keys}"
     if q.limit is not None:
         sql += f" limit {q.limit}"

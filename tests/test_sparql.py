@@ -521,3 +521,37 @@ def test_r4_datetime_extractors(spark):
         [tuple(map(str, r)) for r in d]
     assert s[0][1:] == (2024, 3, 14, 1, 2, 3)
     c.close()
+
+
+def test_order_by_expression_keys(graph, con):
+    """ORDER BY with expression keys: DESC(STRLEN(?n)), a bracketted
+    ascending expression, and mixed var+expr keys — identical row ORDER in
+    both engines (order-sensitive comparison, unlike assert_parity)."""
+    q = """SELECT ?s ?n WHERE { ?s name ?n } ORDER BY DESC(STRLEN(?n)) ?s"""
+    df = query_df(graph, q)
+    rel = con.execute(query_sql("select subj, pred, obj from g", q))
+    s = [tuple(r) for r in df.collect()]
+    d = [tuple(r) for r in rel.fetchall()]
+    assert s == d and [r[1] for r in s] == ["alpha", "gamma", "beta"]
+
+    q2 = """SELECT ?s ?n WHERE { ?s name ?n }
+            ORDER BY (SUBSTR(?n, 2)) LIMIT 2"""
+    df2 = [tuple(r) for r in query_df(graph, q2).collect()]
+    d2 = [tuple(r) for r in
+          con.execute(query_sql("select subj, pred, obj from g", q2))
+             .fetchall()]
+    assert df2 == d2 and [r[1] for r in df2] == ["gamma", "beta"]
+
+    # dialect-marked function as an ORDER key (exercises render_dialect
+    # on the order-by seam in both engines)
+    q3 = """SELECT ?n WHERE { ?s name ?n } ORDER BY SHA256(?n)"""
+    # bare builtin calls are not OrderConditions in this subset — must be
+    # bracketted; unparenthesized fails the grammar
+    with pytest.raises(SparqlError):
+        parse_sparql(q3)
+    q3 = """SELECT ?n WHERE { ?s name ?n } ORDER BY (SHA256(?n))"""
+    df3 = [r[0] for r in query_df(graph, q3).collect()]
+    d3 = [r[0] for r in
+          con.execute(query_sql("select subj, pred, obj from g", q3))
+             .fetchall()]
+    assert df3 == d3 and sorted(df3) == ["alpha", "beta", "gamma"]
