@@ -96,6 +96,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                 sigs.append(sig.tolist())
             yield pd.DataFrame({"id": ids, "sig": sigs})
 
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(df.sparkSession)
     return df.mapInPandas(kernel, schema=schema)
 
 

@@ -325,6 +325,8 @@ def rows_to_triples(rows_df: DataFrame, mapping: TableMapping) -> DataFrame:
             res["source_num"] = pd.Series(srcs, dtype="int64")
             yield res
 
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(rows_df.sparkSession)
     return rows_df.mapInPandas(kernel, schema=TRIPLE_SCHEMA)
 
 
@@ -381,6 +383,8 @@ def rows_to_errors(rows_df: DataFrame, mapping: TableMapping) -> DataFrame:
                             out.append((url, int(source_num), cp.name, v, e))
             yield pd.DataFrame(out, columns=out_cols)
 
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(rows_df.sparkSession)
     return rows_df.mapInPandas(kernel, schema=ERRORS_SCHEMA)
 
 

@@ -86,6 +86,8 @@ def rows_to_json(rows_df: DataFrame, mapping: TableMapping) -> DataFrame:
                 nums.append(int(row_num))
             yield pd.DataFrame({"rownum": pd.Series(nums, dtype="int64"),
                                 "row_json": out_rows})
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(rows_df.sparkSession)
     return rows_df.mapInPandas(kernel, schema=JSON_ROWS_SCHEMA)
 
 
@@ -177,6 +179,13 @@ def group_to_json_dict(spark: SparkSession, group: TableGroup, resolver: Resolve
         vals = [_flatten_common_value(v) for v in vals]
         doc[prop] = vals[0] if len(vals) == 1 else vals
     for t in group.tables:
+        # W3C csv2json §4.2: a table whose suppressOutput is true is
+        # omitted from the output document (the reference's to_hash,
+        # reader.rb:284-296, iterates every resource without the check —
+        # we follow the W3C-final behavior, consistent with the RDF path
+        # which both already suppress)
+        if t.suppress_output:
+            continue
         tables.append(table_to_json_dict(spark, t, resolver, prov=prov,
                                          filenames=filenames,
                                          max_rows=max_rows))

@@ -340,6 +340,8 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
                 out = out[mask]
             yield out
 
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(indexed.sparkSession)
     rows = indexed.mapInPandas(parse, schema=ROWS_SCHEMA)
     if skip_blank:
         # blank rows must not consume logical row numbers ({_row} templates):

@@ -258,6 +258,8 @@ def pages_to_virtual_rows(pages: DataFrame, header_rows: int = 1) -> DataFrame:
                         out["csvw_meta"].append(page.csvw_meta)
                         out["lang"].append(lang)
             yield pd.DataFrame(out)
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(pages.sparkSession)
     return pages.mapInPandas(kernel, schema=VIRTUAL_ROWS_SCHEMA)
 
 
@@ -277,6 +279,8 @@ def pages_to_microdata(pages: DataFrame) -> DataFrame:
                     for prop, value in item.props:
                         rows.append((url, iid, item.itemtype, prop, value))
             yield pd.DataFrame(rows, columns=["url", "item_id", "itemtype", "prop", "value"])
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(pages.sparkSession)
     return pages.mapInPandas(kernel, schema=MICRODATA_SCHEMA)
 
 
@@ -288,4 +292,6 @@ def pages_to_text(pages: DataFrame) -> DataFrame:
                 "url": pdf["url"],
                 "extracted_text": [extract_page(_decode(h)).text for h in pdf["html"]],
             })
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(pages.sparkSession)
     return pages.mapInPandas(kernel, schema=EXTRACTED_TEXT_SCHEMA)
