@@ -69,9 +69,13 @@ def _sq(term: str) -> str:
 # markers (every hand-written filter) pass through byte-identical.
 _DIALECT = {
     "spark": (("__replace_g__", ""),
-              ("__sha256__(", "sha2("), ("__sha256_end__)", ", 256)")),
+              ("__sha256__(", "sha2("), ("__sha256_end__)", ", 256)"),
+              # regex replacement group 1: Java spells it $1, RE2 \1 —
+              # used by the term-graph STR() unescape (rdfio/terms.py)
+              ("__re_g1__", "'$1'")),
     "duckdb": (("__replace_g__", ", 'g'"),
-               ("__sha256__(", "sha256("), ("__sha256_end__)", ")")),
+               ("__sha256__(", "sha256("), ("__sha256_end__)", ")"),
+               ("__re_g1__", "'\\1'")),
 }
 
 

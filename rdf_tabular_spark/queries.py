@@ -2427,6 +2427,115 @@ def _kg_sparql_agg(spark, sf_dir):
                     _SPARQL_AGG_QUERY)
 
 
+# ---- rendered-term graph tier (rdfio/terms.py): the documents table as
+# a graph whose objects keep full RDF term identity — name literals are
+# language-tagged with the document's language, wordCount is
+# xsd:integer-typed, rdf:type points at an IRI. This is the tier that
+# unlocks LANG/DATATYPE/LANGMATCHES/STRLANG/STRDT/exact-sameTerm (the
+# reference keeps RDF::Literal language/datatype end-to-end,
+# reader.rb to_rdf; the lexical 3-col graph cannot answer these).
+
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+# term-column relation (TRIPLE_SCHEMA shape) — the oracle builds the
+# identical relation in SQL and both sides render through the ONE
+# RENDER_OBJ_SQL projection (rdfio/terms.py, single source of truth)
+_KG_TERM_COLS_SQL = f"""
+select {DOC_URL_SQL} || '#item' as subj,
+       '{_LABEL_PRED}' as pred, 'doc ' || doc_id as obj,
+       false as obj_is_iri, cast(null as varchar) as obj_datatype,
+       lang as obj_lang from documents
+union all
+select {DOC_URL_SQL} || '#item', '{_WORDCOUNT_PRED}',
+       cast(n_chars as varchar), false, '{_XSD_INT}',
+       cast(null as varchar) from documents
+union all
+select {DOC_URL_SQL} || '#item',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'http://schema.org/CreativeWork', true, cast(null as varchar),
+       cast(null as varchar) from documents
+"""
+
+
+def _kg_term_graph(spark, sf_dir):
+    from .rdfio.terms import render_object_terms
+    docs = _t(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("http://pages.example.org/doc/"),
+                    F.col("doc_id"), F.lit("#item")).alias("subj")
+    null_s = F.lit(None).cast("string")
+    name = docs.select(
+        subj, F.lit(_LABEL_PRED).alias("pred"),
+        F.concat(F.lit("doc "), F.col("doc_id")).alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        null_s.alias("obj_datatype"), F.col("lang").alias("obj_lang"))
+    wc = docs.select(
+        subj, F.lit(_WORDCOUNT_PRED).alias("pred"),
+        F.col("n_chars").cast("string").alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        F.lit(_XSD_INT).alias("obj_datatype"), null_s.alias("obj_lang"))
+    typ = docs.select(
+        subj, F.lit(_RDF_TYPE).alias("pred"),
+        F.lit("http://schema.org/CreativeWork").alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        null_s.alias("obj_datatype"), null_s.alias("obj_lang"))
+    return render_object_terms(
+        name.unionByName(wc).unionByName(typ)).persist()
+
+
+_SPARQL_TERM_LANG_QUERY = """
+SELECT ?item (STR(?n) AS ?name) (LANG(?n) AS ?lg)
+WHERE { ?item <http://schema.org/name> ?n .
+        FILTER LANGMATCHES(LANG(?n), "en") }
+"""
+
+_SPARQL_TERM_DT_QUERY = """
+SELECT ?item (DATATYPE(?v) AS ?dt) (STR(?v) AS ?lex)
+WHERE { ?item <http://schema.org/wordCount> ?v . FILTER ISNUMERIC(?v) }
+"""
+
+# STRDT(STR(?v), xsd:integer) rebuilds the typed term; sameTerm keeps
+# exactly the objects that already WERE xsd:integer literals — the
+# name/type triples drop even when their lexical forms collide
+_SPARQL_TERM_SAMETERM_QUERY = """
+SELECT ?item ?v
+WHERE { ?item ?p ?v . FILTER sameTerm(?v,
+        STRDT(STR(?v), <http://www.w3.org/2001/XMLSchema#integer>)) }
+"""
+
+
+def _parse_term(q):
+    from .sparql import parse_sparql
+    return parse_sparql(q, term_graph=True)
+
+
+def _term_triples_sql() -> str:
+    from .rdfio.terms import render_object_terms_sql
+    return render_object_terms_sql(_KG_TERM_COLS_SQL)
+
+
+def _kg_term_lang(spark, sf_dir):
+    """SPARQL LANG/LANGMATCHES/STR over a rendered-term graph — exact
+    language-tag introspection the lexical 3-col graph cannot express
+    (sparql.parse_sparql term_graph=True, rdfio/terms.py)."""
+    from .sparql import query_df
+    return query_df(_kg_term_graph(spark, sf_dir),
+                    _parse_term(_SPARQL_TERM_LANG_QUERY))
+
+
+def _kg_term_datatype(spark, sf_dir):
+    """SPARQL DATATYPE/ISNUMERIC/STR over typed literals."""
+    from .sparql import query_df
+    return query_df(_kg_term_graph(spark, sf_dir),
+                    _parse_term(_SPARQL_TERM_DT_QUERY))
+
+
+def _kg_term_sameterm(spark, sf_dir):
+    """SPARQL exact sameTerm + STRDT term construction."""
+    from .sparql import query_df
+    return query_df(_kg_term_graph(spark, sf_dir),
+                    _parse_term(_SPARQL_TERM_SAMETERM_QUERY))
+
+
 # SPARQL GRAPH (quads): 4-term patterns over (graph, subj, pred, obj),
 # graph = the source document (table_url — per-triple provenance the
 # kernel already carries). Both patterns share ?g AND ?item, so the join
@@ -2694,6 +2803,12 @@ def _graph_sql():
                                             _SPARQL_FUNCS_QUERY),
         "kg_sparql_agg": sparql_query_sql(_KG_MICRODATA_TRIPLES_SQL,
                                           _SPARQL_AGG_QUERY),
+        "kg_term_lang": sparql_query_sql(
+            _term_triples_sql(), _parse_term(_SPARQL_TERM_LANG_QUERY)),
+        "kg_term_datatype": sparql_query_sql(
+            _term_triples_sql(), _parse_term(_SPARQL_TERM_DT_QUERY)),
+        "kg_term_sameterm": sparql_query_sql(
+            _term_triples_sql(), _parse_term(_SPARQL_TERM_SAMETERM_QUERY)),
         "kg_bgp_star": bgp_sql(_KG_MICRODATA_TRIPLES_SQL,
                                _BGP_STAR_PATTERNS),
         "kg_bgp_path": bgp_sql(_KG_BGP_PATH_GRAPH_SQL, _BGP_PATH_PATTERNS),
@@ -2773,6 +2888,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_agg": _kg_sparql_agg,
     "kg_sparql_funcs": _kg_sparql_funcs,
     "kg_describe_docs": _kg_describe_docs,
+    # rendered-term tier (round 4): LANG/DATATYPE/STRDT/sameTerm over
+    # the term-rendered documents graph
+    "kg_term_lang": _kg_term_lang,
+    "kg_term_datatype": _kg_term_datatype,
+    "kg_term_sameterm": _kg_term_sameterm,
     # property paths / iterative graph tier (round 3, first sweep)
     "graph_path_expr": _graph_path_expr,
     "graph_path_star": _graph_path_star,

@@ -75,8 +75,13 @@ _PNAME_RE = re.compile(
     r"([A-Za-z_][A-Za-z0-9_\-]*)?:"
     r"((?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)")
 _WORD_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+# SPARQL LANGTAG: primary subtag + optional '-' subtags (fr-BE, en-GB)
+_LANGTAG_RE = re.compile(r"[A-Za-z]+(?:-[A-Za-z0-9]+)*")
 _NUM_RE = re.compile(r"-?\d+(?:\.\d+)?")
 _STR_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
+# SPARQL also allows single-quoted string literals (grammar rule
+# STRING_LITERAL1) — same escape rules, interchangeable with "..."
+_SQ_STR_RE = re.compile(r"'((?:[^'\\]|\\.)*)'")
 # a run of path-able elements with no whitespace: IRIs, pnames/bare words,
 # and the path operators (used ONLY in predicate position)
 _PATH_RE = re.compile(
@@ -180,10 +185,69 @@ class _Cursor:
             f"expected {what} at ...{self.text[self.pos:self.pos+40]!r}")
 
 
+from .rdfio import terms as _terms  # noqa: E402
+
+# ---- term-graph overrides (parse_sparql(text, term_graph=True)) —
+# the rendered-term column (rdfio/terms.py) makes term introspection
+# exact; every template stays inside the shared Spark∩DuckDB subset.
+_DT_X = f"regexp_extract({{0}}, {_terms.DT_PAT_SQL}, 1)"
+_LANG_X = f"regexp_extract({{0}}, {_terms.LANG_PAT_SQL}, 1)"
+_NUMERIC_DTS = ", ".join(
+    f"'{_terms.XSD}{n}'" for n in
+    ("integer", "decimal", "double", "float", "int", "long", "short",
+     "byte", "nonNegativeInteger", "positiveInteger",
+     "nonPositiveInteger", "negativeInteger", "unsignedInt",
+     "unsignedLong", "unsignedShort", "unsignedByte"))
+_TERM_FUNCS = {
+    "str": _terms.str_sql("{0}"),
+    # LANG of a plain/typed literal or IRI → '' (SPARQL: '' for
+    # untagged literals; IRI is a type error we map to '')
+    "lang": _LANG_X,
+    "datatype": ("(case when left({0}, 1) = '<' or left({0}, 2) = '_:'"
+                 f" then null when {_DT_X} <> '' then {_DT_X}"
+                 f" when {_LANG_X} <> ''"
+                 f" then '{_terms.RDF_LANG_STRING}'"
+                 " when left({0}, 1) = '\"'"
+                 f" then '{_terms.XSD_STRING}' else null end)"),
+    # LANGMATCHES basic filtering (RFC 4647 §3.3.1): '*' matches any
+    # non-empty tag; otherwise exact or prefix-before-'-' match,
+    # case-insensitive.
+    "langmatches": ("(case when {1} = '*' then {0} <> '' else "
+                    "lower({0}) = lower({1}) or "
+                    "left(lower({0}), length({1}) + 1) = "
+                    "lower({1}) || '-' end)"),
+    # STRLANG(plain-string, tag) → rendered lang literal
+    "strlang": "('\"' || " + _terms.esc_sql("{0}") + " || '\"@' || {1})",
+    # IRI/URI over a rendered term: lexical form in angle brackets
+    "iri": "('<' || " + _terms.str_sql("{0}") + " || '>')",
+    "uri": "('<' || " + _terms.str_sql("{0}") + " || '>')",
+    "isiri": "(left({0}, 1) = '<')",
+    "isuri": "(left({0}, 1) = '<')",
+    "isliteral": "(left({0}, 1) = '\"')",
+    "isblank": "(left({0}, 2) = '_:')",
+    # exact RDF term equality — the rendered string IS the term
+    "sameterm": "({0} = {1})",
+    "isnumeric": (f"({_DT_X} in ({_NUMERIC_DTS}) and try_cast("
+                  + _terms.str_sql("{0}")
+                  + " as double) is not null)"),
+}
+_TERM_ONLY = ("lang", "datatype", "langmatches", "strlang", "strdt")
+
+
 class _Parser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, term_graph: bool = False):
         self.c = _Cursor(text)
         self.prefixes: dict[str, str] = {}
+        # term_graph: the query targets a RENDERED-term graph (object
+        # column in N-Triples shape, rdfio/terms.py) — object-position
+        # constants render at parse time and the term-introspection
+        # builtins (LANG/DATATYPE/STRLANG/STRDT/LANGMATCHES, exact
+        # sameTerm/isIRI/isLiteral) become available. Default stays the
+        # lexical 3-column contract.
+        self.term_graph = term_graph
+        self._funcs = dict(self._FUNCS)
+        if term_graph:
+            self._funcs.update(_TERM_FUNCS)
 
     # ---------------------------------------------------------- terms
 
@@ -192,11 +256,18 @@ class _Parser:
             raise SparqlError(f"undeclared prefix {pfx!r}:")
         return self.prefixes[pfx] + local
 
-    def term(self, allow_path: bool = False):
+    def term(self, allow_path: bool = False, obj_pos: bool = False):
         """One RDF term: variable, IRI, prefixed name, literal, number,
         or 'a'. In predicate position (``allow_path``) a whitespace-free
-        run containing path operators parses via operators/paths."""
+        run containing path operators parses via operators/paths.
+
+        ``obj_pos`` marks object position: under ``term_graph`` mode the
+        constant renders to its N-Triples shape (rdfio/terms.render_term)
+        so it matches the rendered object column — IRIs gain angle
+        brackets, literals keep their language tag / datatype, bare
+        numbers type as xsd:integer/xsd:decimal (SPARQL §4.1.2)."""
         c = self.c
+        render_obj = self.term_graph and obj_pos
         m = c.match(_VAR_RE)
         if m:
             return "?" + m.group(1)
@@ -214,28 +285,45 @@ class _Parser:
                 return parse_path(self._expand_path(m.group(0)))
         m = c.match(_IRI_RE)
         if m:
-            return m.group(1)
-        m = c.match(_STR_RE)
+            return f"<{m.group(1)}>" if render_obj else m.group(1)
+        m = c.match(_STR_RE) or c.match(_SQ_STR_RE)
         if m:
             lit = re.sub(r"\\(.)", r"\1", m.group(1))
-            # language tags / datatypes on literals: the 3-col graph
-            # carries lexical forms only — accept and drop the suffix
+            # language tags / datatypes on literals: the lexical 3-col
+            # graph drops the suffix; term_graph mode keeps it rendered
+            dt = lang = None
             if c.accept("^^"):
-                mm = c.match(_IRI_RE) or c.match(_PNAME_RE)
-                if not mm:
-                    c.fail("datatype IRI")
+                mm = c.match(_IRI_RE)
+                if mm:
+                    dt = mm.group(1)
+                else:
+                    mm = c.match(_PNAME_RE)
+                    if not mm:
+                        c.fail("datatype IRI")
+                    dt = self._expand(mm.group(1) or "", mm.group(2))
             elif c.accept("@"):
-                if not c.match(_WORD_RE):
+                mm = c.match(_LANGTAG_RE)
+                if not mm:
                     c.fail("language tag")
+                lang = mm.group(0)
+            if render_obj:
+                from .rdfio.terms import render_term
+                return render_term(lit, datatype=dt, lang=lang)
             return lit
         m = c.match(_NUM_RE)
         if m:
+            if render_obj:
+                from .rdfio.terms import (XSD_DECIMAL, XSD_INTEGER,
+                                          render_term)
+                dt = XSD_DECIMAL if "." in m.group(0) else XSD_INTEGER
+                return render_term(m.group(0), datatype=dt)
             return m.group(0)
         c._skip()
         m = _PNAME_RE.match(c.text, c.pos)
         if m:
             c.pos = m.end()
-            return self._expand(m.group(1) or "", m.group(2))
+            iri = self._expand(m.group(1) or "", m.group(2))
+            return f"<{iri}>" if render_obj else iri
         m = c.match(_WORD_RE)
         if m:
             # 'a' = rdf:type ONLY in predicate position (SPARQL grammar:
@@ -416,7 +504,7 @@ class _Parser:
         m = c.match(_VAR_RE)
         if m:
             return m.group(1)
-        m = c.match(_STR_RE)
+        m = c.match(_STR_RE) or c.match(_SQ_STR_RE)
         if m:
             return _sq(re.sub(r"\\(.)", r"\1", m.group(1)))
         m = c.match(_NUM_RE)
@@ -484,12 +572,43 @@ class _Parser:
                         pat = f"concat('(?{fl.group(1)})', {pat})"
                 return (f"regexp_replace({args[0]}, {pat}, "
                         f"{args[2]}__replace_g__)")
-            if lw in self._FUNCS:
+            if lw == "strdt" and self.term_graph:
+                # STRDT(string-expr, <datatype-iri>) → rendered typed
+                # literal; the datatype argument is an IRI term, not an
+                # expression, so it parses here rather than via expr().
+                c.expect("(")
+                e = self.expr()
+                c.expect(",")
+                mm = c.match(_IRI_RE)
+                if mm:
+                    dtiri = mm.group(1)
+                else:
+                    c._skip()
+                    mp = _PNAME_RE.match(c.text, c.pos)
+                    if not mp or mp.group(0) in ("", ":"):
+                        c.fail("datatype IRI")
+                    c.pos = mp.end()
+                    dtiri = self._expand(mp.group(1) or "", mp.group(2))
+                c.expect(")")
+                esc = _terms.esc_sql(e)
+                if dtiri == _terms.XSD_STRING:
+                    # xsd:string folds to the plain-literal rendering
+                    # (RDF 1.1 simple-literal identification), matching
+                    # rdfio/terms.render_term
+                    return f"('\"' || {esc} || '\"')"
+                return f"('\"' || {esc} || '\"^^<{dtiri}>')"
+            if lw in self._funcs:
                 args = self._args()
-                tmpl = self._FUNCS[lw]
+                tmpl = self._funcs[lw]
                 if tmpl is None:
                     return f"{lw}({', '.join(args)})"
                 return tmpl.format(*args)
+            if lw in _TERM_ONLY:
+                raise SparqlError(
+                    f"{word.upper()} requires the rendered-term graph: "
+                    "parse with parse_sparql(text, term_graph=True) and "
+                    "query a graph rendered by "
+                    "rdfio.terms.render_object_terms")
             raise SparqlError(f"unsupported function {word!r}")
         c.fail("expression")
 
@@ -517,7 +636,7 @@ class _Parser:
                 if not c.accept_kw("SEPARATOR"):
                     c.fail("SEPARATOR")
                 c.expect("=")
-                ms = c.match(_STR_RE)
+                ms = c.match(_STR_RE) or c.match(_SQ_STR_RE)
                 if not ms:
                     c.fail("separator string")
                 sep = re.sub(r"\\(.)", r"\1", ms.group(1))
@@ -537,7 +656,7 @@ class _Parser:
         while True:
             pred = self.term(allow_path=True)
             while True:
-                obj = self.term()
+                obj = self.term(obj_pos=True)
                 sink.append((graph, subj, pred, obj) if graph is not None
                             else (subj, pred, obj))
                 if not self.c.accept(","):
@@ -894,8 +1013,15 @@ class _Parser:
         return q
 
 
-def parse_sparql(text: str) -> SparqlQuery:
-    return _Parser(text).parse()
+def parse_sparql(text: str, term_graph: bool = False) -> SparqlQuery:
+    """Parse a SPARQL query. ``term_graph=True`` targets a rendered-term
+    graph (rdfio/terms.render_object_terms): object-position constants
+    render to N-Triples shape and the term-introspection builtins
+    (LANG/DATATYPE/LANGMATCHES/STRLANG/STRDT, exact sameTerm/isIRI/
+    isLiteral) become available. Expression string literals stay PLAIN
+    values — compare against lexical forms via STR(?x), or put the
+    constant in the pattern where it renders automatically."""
+    return _Parser(text, term_graph=term_graph).parse()
 
 
 @dataclass
