@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                       help="materialize RDFS entailment (rules rdfs2/3/5/"
                            "7/9/11) over the store; commits as a rule "
                            "batch via --derive-batch-id")
+    p.add_argument("--term-graph", action="store_true",
+                   help="render objects to N-Triples term shape before "
+                        "the SPARQL query (rdfio/terms.py) — unlocks "
+                        "LANG/DATATYPE/LANGMATCHES/STRLANG/STRDT and "
+                        "exact sameTerm over the store's term columns")
     p.add_argument("--optional", action="append", default=[],
                    help="OPTIONAL pattern group (repeatable)")
     p.add_argument("--values", default=None, metavar="JSON",
@@ -190,10 +195,16 @@ def main(argv: list[str] | None = None) -> dict:
     if args.sparql:
         from pyspark.sql import functions as F
 
-        from rdf_tabular_spark.sparql import query_df
-        triples = read_graph(spark, args.store, batches=batches).select(
+        from rdf_tabular_spark.sparql import parse_sparql, query_df
+        g = read_graph(spark, args.store, batches=batches)
+        if args.term_graph:
+            from rdf_tabular_spark.rdfio.terms import render_object_terms
+            g = render_object_terms(g)
+        triples = g.select(
             F.col("table_url").alias("graph"), "subj", "pred", "obj")
-        result = query_df(triples, args.sparql)
+        result = query_df(
+            triples, parse_sparql(args.sparql,
+                                  term_graph=args.term_graph))
         if isinstance(result, bool):
             summary = {"ask": result}
             print(json.dumps(summary))

@@ -37,11 +37,18 @@ engine at the evaluation seam (operators/bgp.render_dialect): REPLACE
 (global in both — Spark natively, DuckDB via the 'g' option; '$'
 backreferences rejected, the syntaxes diverge) and SHA256 (Spark
 sha2(x,256) vs DuckDB sha256(x)). IRI/URI are identity under
-lexical-graph semantics. Still out: SHA1/SHA512 (absent from this
-DuckDB build), ENCODE_FOR_URI (form- vs percent-encoding divergence),
-LANG/DATATYPE/STRLANG/STRDT (the 3-col graph carries no term
-metadata), NOW/UUID/STRUUID/RAND (nondeterministic — no stable
-oracle).
+lexical-graph semantics. Term-introspection builtins — LANG, DATATYPE,
+LANGMATCHES, STRLANG, STRDT, exact sameTerm/isIRI/isLiteral — require
+the RENDERED-term graph: parse with ``parse_sparql(text,
+term_graph=True)`` over a graph rendered by
+rdfio/terms.render_object_terms (objects in N-Triples shape); they
+compile to shared-SQL string templates (_TERM_FUNCS below) and
+object-position pattern constants render at parse time. In term-graph
+mode, expression string literals stay PLAIN values — compare lexical
+forms via STR(?x), or put the constant in the pattern. Still out:
+SHA1/SHA512 (absent from this DuckDB build), ENCODE_FOR_URI (form- vs
+percent-encoding divergence), NOW/UUID/STRUUID/RAND (nondeterministic
+— no stable oracle).
 
 ORDER BY accepts variables, (expr), and ASC/DESC(expr) — expression
 keys compile through the same shared-SQL translator and see the

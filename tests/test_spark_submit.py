@@ -373,3 +373,50 @@ def test_convert_cli_jsonl_relative_url_and_bare_csv(tmp_path):
             rows += [_json.loads(line)
                      for line in open(tmp_path / "r3" / fn) if line.strip()]
     assert rows[0]["h1"] == "v1" and rows[0]["h2"] == "v2"
+
+
+def test_query_job_sparql_term_graph(spark, tmp_path):
+    """jobs/query.py --sparql --term-graph: the store's term columns
+    (obj_lang / obj_datatype) render to N-Triples shape so LANG /
+    DATATYPE / sameTerm work from the CLI surface."""
+    import sys
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from rdf_tabular_spark.jobs.query import main as query_main
+    from rdf_tabular_spark.sinks.graph_store import materialize
+
+    rows = [
+        ("http://d/1", "http://schema.org/name", "doc one",
+         False, None, "en"),
+        ("http://d/1", "http://schema.org/name", "le doc",
+         False, None, "fr"),
+        ("http://d/1", "http://schema.org/wordCount", "42", False,
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean, "
+              "obj_datatype string, obj_lang string") \
+        .withColumn("table_url", F.lit("http://d/")) \
+        .withColumn("source_num", F.lit(0).cast("long"))
+    root = str(tmp_path / "termstore")
+    materialize(df, root, "b1")
+
+    res = query_main([
+        "--store", root, "--term-graph",
+        "--sparql",
+        'SELECT ?s (STR(?n) AS ?name) (LANG(?n) AS ?lg) WHERE '
+        '{ ?s <http://schema.org/name> ?n . '
+        'FILTER LANGMATCHES(LANG(?n), "en") }'])
+    assert res["n_rows"] == 1
+    assert res["sample"][0]["name"] == "doc one"
+    assert res["sample"][0]["lg"] == "en"
+
+    # without --term-graph the same query fails loudly, not silently
+    import pytest as _pytest
+    from rdf_tabular_spark.sparql import SparqlError
+    with _pytest.raises(SparqlError, match="term_graph=True"):
+        query_main([
+            "--store", root, "--sparql",
+            'SELECT ?s WHERE { ?s <http://schema.org/name> ?n . '
+            'FILTER(LANG(?n) = "en") }'])
