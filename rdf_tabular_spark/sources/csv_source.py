@@ -318,7 +318,11 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
         for pdf in batches:
             keep = pdf[pdf["source_num"] > skipped]
             if keep.empty:
-                yield pd.DataFrame({"values": [], "row_num": pd.Series([], dtype="int64"),
+                # dtype=object: an empty default-dtype (float64) ndarray
+                # cannot convert to Arrow list<string> — header-only
+                # files hit exactly this branch
+                yield pd.DataFrame({"values": pd.Series([], dtype="object"),
+                                    "row_num": pd.Series([], dtype="int64"),
                                     "source_num": pd.Series([], dtype="int64")})
                 continue
             vals = []
