@@ -161,7 +161,15 @@ _TIME_PARTS = {
     "HH:mm": re.compile(r"^(?P<hr>\d{2}):(?P<mi>\d{2})(?P<se>)"),
     "HHmm": re.compile(r"^(?P<hr>\d{2})(?P<mi>\d{2})(?P<se>)"),
 }
-_TZ_FORMAT_RE = re.compile(r"^(.*[dyms])+(\s*[xX]{1,5})$")
+# [dymsS]: the reference stops at [dyms] (metadata.rb:1827); the extra
+# S lets a fractional-second picture carry a timezone suffix too
+_TZ_FORMAT_RE = re.compile(r"^(.*[dymsS])+(\s*[xX]{1,5})$")
+# W3C-final extension the reference's whitelist omits (metadata.rb:1867
+# errors on any format containing '.S'): a '.S'+ suffix on a
+# seconds-bearing picture matches EXACTLY that many fractional-second
+# digits (UAX-35 'S' = fractional digit) and carries them into the
+# canonical lexical form.
+_FRACTION_FMT_RE = re.compile(r"^(?P<rest>.*ss)\.(?P<fr>S{1,9})$")
 
 
 def _fmt_num(x) -> str:
@@ -295,6 +303,32 @@ def _match_datetime(value: str, dt: dict, base: str, errors: list[str]) -> Optio
         if base == "time":
             date_format, time_format = None, date_format
 
+        # strip a fractional-seconds suffix off whichever part carries
+        # the seconds (the combined yyyy-MM-ddTHH:mm:ss picture lives in
+        # _DATE_PARTS, plain time pictures in _TIME_PARTS)
+        frac_digits = 0
+        fm = _FRACTION_FMT_RE.match(date_format) if date_format else None
+        if fm:
+            frac_digits, date_format = len(fm.group("fr")), fm.group("rest")
+        fm = _FRACTION_FMT_RE.match(time_format) if time_format else None
+        if fm:
+            frac_digits, time_format = len(fm.group("fr")), fm.group("rest")
+
+        frac = ""
+
+        def _take_fraction(rest: str) -> str:
+            """Consume '.ddd' (exact digit count) after the seconds match;
+            on mismatch record a format error like the part matchers."""
+            nonlocal frac
+            m = re.match(r"^\.(\d{%d})(?!\d)" % frac_digits, rest)
+            if not m:
+                errors.append(
+                    f"{rest or value} does not match fractional-second "
+                    f"format .{'S' * frac_digits}")
+                return rest
+            frac = "." + m.group(1)
+            return rest[m.end():]
+
         date_part = None
         if date_format is not None:
             rx = _DATE_PARTS.get(date_format)
@@ -304,6 +338,8 @@ def _match_datetime(value: str, dt: dict, base: str, errors: list[str]) -> Optio
                 date_part = rx.match(value)
         if date_part:
             value = value[date_part.end():]
+            if frac_digits and "hr" in date_part.groupdict():
+                value = _take_fraction(value)
             if value.startswith(" "):
                 value = value.lstrip()
 
@@ -316,6 +352,8 @@ def _match_datetime(value: str, dt: dict, base: str, errors: list[str]) -> Optio
                 time_part = rx.match(value)
         if time_part:
             value = value[time_part.end():]
+            if frac_digits:
+                value = _take_fraction(value)
 
         if date_part and "hr" in date_part.groupdict() and date_part.group("hr") is not None:
             time_part = date_part
@@ -330,6 +368,7 @@ def _match_datetime(value: str, dt: dict, base: str, errors: list[str]) -> Optio
         if time_part:
             se = time_part["se"]
             vt = "%02d:%02d:%02d" % (int(time_part["hr"]), int(time_part["mi"]), int(se) if se else 0)
+            vt += frac
         value = "T".join([p for p in (vd, vt) if p is not None]) + tz_part
 
     key = "dateTime" if base == "datetime" else base
