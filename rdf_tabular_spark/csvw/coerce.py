@@ -193,24 +193,33 @@ def _picture_mismatch(value: str, picture: str, group_char: str,
     pct = picture.endswith("%")
     pml = picture.endswith("‰")
     core = picture.rstrip("%‰").lstrip("+-")
+    # UAX-35 scientific notation: mantissa picture 'E' exponent picture
+    # ('0' = required exponent digit); absent E forbids an exponent
+    core, _, exp_pic = core.partition("E")
+    min_exp = exp_pic.count("0")
     int_pic, _, frac_pic = core.partition(".")
     min_int = int_pic.count("0")
     min_frac = frac_pic.count("0")
     max_frac = sum(1 for c in frac_pic if c in "0#")
     g, d = re.escape(group_char), re.escape(dec_char)
     m = re.fullmatch(
-        rf"[+-]?(\d[\d{g}]*)(?:{d}(\d+))?(%|‰)?", value)
+        rf"[+-]?(\d[\d{g}]*)(?:{d}(\d+))?(?:[eE]([+-]?\d+))?(%|‰)?", value)
     reason = None
     if not m:
         reason = "shape"
     else:
         int_digits = m.group(1).replace(group_char, "")
         frac_digits = m.group(2) or ""
-        suffix = m.group(3)
+        exp_digits = (m.group(3) or "").lstrip("+-")
+        suffix = m.group(4)
         if len(int_digits) < min_int:
             reason = "integer digits"
         elif not (min_frac <= len(frac_digits) <= max_frac):
             reason = "fraction digits"
+        elif not exp_pic and exp_digits:
+            reason = "unexpected exponent"
+        elif exp_pic and len(exp_digits) < min_exp:
+            reason = "exponent digits"
         elif (suffix == "%") != pct or (suffix == "‰") != pml:
             reason = "suffix"
     if reason:
