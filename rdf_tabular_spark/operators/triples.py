@@ -81,6 +81,9 @@ class TableMapping:
     minimal: bool = False
     thash: str = ""
     row_about_template: Optional[str] = None  # schema/table-inherited aboutUrl
+    # schema-inherited lang, applied to auto-created extra-cell columns
+    # (a row with more cells than defined columns, metadata.rb:1664-1667)
+    extra_lang: Optional[str] = None
     # 0-based indices of schema.rowTitles columns (W3C-final §5.5:
     # each referenced cell's value becomes a csvw:title on the row node
     # in standard mode; absent from the draft-era reference)
@@ -102,6 +105,7 @@ def compile_mapping(table: Table, minimal: bool = False) -> TableMapping:
         minimal=minimal,
         thash=thash,
         row_about_template=table.schema.inherited("aboutUrl"),
+        extra_lang=table.schema.inherited("lang"),
     )
     for col in table.schema.columns:
         dt = col.inherited("datatype")
@@ -164,6 +168,10 @@ class TripleKernel:
         self.row_url_prefix = mapping.url + "#row="
         self._thash_cache: dict[str, str] = {}
         self._cur_thash = mapping.thash
+        # extra-cell columns inherit the schema aboutUrl (the reference's
+        # auto Column.new has tableSchema as parent, metadata.rb:1665)
+        self.extra_about_t = (URITemplate(mapping.row_about_template)
+                              if mapping.row_about_template else None)
 
     def _coerce_cell(self, raw: Optional[str], cp: ColumnPlan
                      ) -> tuple[list[coerce.CellValue], object, list[str]]:
@@ -300,6 +308,37 @@ class TripleKernel:
             else:
                 for cv in vals:
                     add((subject, pred, cv.lexical, False, cv.datatype, cv.lang))
+
+        # reference parity (metadata.rb:1664-1667,1462): a row with MORE
+        # source cells than defined columns auto-creates a column per
+        # extra cell — derived name "_col.{number}", no datatype (value
+        # stripped; empty = default null, suppressed), schema-inherited
+        # lang and aboutUrl. Divergence from the reference documented in
+        # tests/suite test221: we do this only when the schema declares
+        # no virtual columns (the reference misaligns extra source cells
+        # INTO virtual-column definitions — a bug, not a semantic).
+        if len(values) > len(self.cols) and not any(
+                cc.plan.virtual for cc in self.cols):
+            for idx in range(len(self.cols), len(values)):
+                v = (values[idx] or "").strip()
+                if v == "":
+                    continue
+                b = dict(bindings)
+                b["_name"] = f"_col.{idx + 1}"
+                b["_column"] = idx + 1
+                b["_sourceColumn"] = idx + 1
+                if self.extra_about_t is not None:
+                    subject = self.ctx.expand_iri(
+                        self.extra_about_t.expand(b), document_relative=True)
+                else:
+                    subject = default_subject
+                if not m.minimal and subject not in described:
+                    described.add(subject)
+                    add((row_resource, CSVW + "describes", subject,
+                         True, None, None))
+                pred = self.ctx.expand_iri(f"#_col.{idx + 1}",
+                                           document_relative=True)
+                add((subject, pred, v, False, None, m.extra_lang))
         return triples
 
 

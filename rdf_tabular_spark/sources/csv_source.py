@@ -304,7 +304,10 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
         reader = reader.option("lineSep", dialect.lineTerminator)
     lines = reader.text(path)
     # zipWithIndex: deterministic, contiguous, file-order line numbers; narrow
-    indexed = lines.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1] + 1)).toDF(["line", "source_num"])
+    # explicit schema: skips the inference sampling job AND keeps a
+    # zero-byte file from raising "RDD is empty" during inference
+    indexed = lines.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1] + 1)) \
+        .toDF("line string, source_num long")
     # A UTF-8 BOM survives spark.read.text as U+FEFF on line 1; when that
     # line is data (headerless dialects — the header path strips it via
     # the utf-8-sig driver read) it must not leak into the first cell.
