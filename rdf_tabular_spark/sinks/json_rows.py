@@ -70,6 +70,16 @@ class JsonRowKernel(TripleKernel):
                 r[cp.name] = [cv.lexical for cv in vals]
             else:
                 r[cp.name] = vals[0].lexical if vals else None
+
+        # extra source cells → auto "_col.N" keys (reference reader.rb:366
+        # over the auto columns of metadata.rb:1664; same guard as the RDF
+        # path, operators/triples.py — only without virtual columns)
+        if len(values) > len(self.cols) and not any(
+                cc.plan.virtual for cc in self.cols):
+            for idx in range(len(self.cols), len(values)):
+                v = (values[idx] or "").strip()
+                if v:
+                    r[f"_col.{idx + 1}"] = v
         return r
 
 
