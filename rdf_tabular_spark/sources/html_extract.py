@@ -59,8 +59,11 @@ class _PageParser(HTMLParser):
         self._in_skip = 0
         self._in_csvw_script = False
         self._table_stack: list[HtmlTable] = []
-        self._row: Optional[list[str]] = None
+        # per-open-table rowspan carry: {col_index: [remaining, text]}
+        self._carry_stack: list[dict] = []
+        self._row: Optional[list[tuple]] = None   # (text, colspan, rowspan)
         self._cell: Optional[list[str]] = None
+        self._cell_span: tuple[int, int] = (1, 1)
         self._item_stack: list[MicroItem] = []
         self._prop_stack: list[tuple[str, list[str]]] = []
 
@@ -75,10 +78,21 @@ class _PageParser(HTMLParser):
             t = HtmlTable(index=len(self.tables))
             self.tables.append(t)
             self._table_stack.append(t)
+            self._carry_stack.append({})
         elif tag == "tr" and self._table_stack:
             self._row = []
         elif tag in ("td", "th") and self._row is not None:
             self._cell = []
+            # colspan/rowspan grid expansion (pandas.read_html
+            # convention: the value repeats across spanned cells).
+            # Spans are CAPPED — a crawled page declaring colspan=10^9
+            # must not materialize 10^9 cells on an executor.
+            def _span(key):
+                try:
+                    return max(1, min(int(a.get(key, 1) or 1), 1000))
+                except (TypeError, ValueError):
+                    return 1
+            self._cell_span = (_span("colspan"), _span("rowspan"))
         if "itemscope" in a:
             item = MicroItem(item_id=a.get("itemid", f"_:item{len(self.micro)}"),
                              itemtype=a.get("itemtype", ""))
@@ -99,18 +113,49 @@ class _PageParser(HTMLParser):
         if tag in ("td", "th") and self._cell is not None:
             cell_text = "".join(self._cell).strip()
             if self._row is not None:
-                self._row.append(cell_text)
+                self._row.append((cell_text, *self._cell_span))
             self._cell = None
         elif tag == "tr" and self._row is not None:
             if self._table_stack:
-                self._table_stack[-1].rows.append(self._row)
+                self._table_stack[-1].rows.append(
+                    self._expand_row(self._row, self._carry_stack[-1]))
             self._row = None
         elif tag == "table" and self._table_stack:
             self._table_stack.pop()
+            self._carry_stack.pop()
         if self._prop_stack:
             prop, parts = self._prop_stack.pop()
             if self._item_stack:
                 self._item_stack[-1].props.append((prop, "".join(parts).strip()))
+
+    @staticmethod
+    def _expand_row(cells: list[tuple], carry: dict) -> list[str]:
+        """(text, colspan, rowspan) cells → flat grid row: rowspan
+        carry-downs fill their columns first, colspan repeats the value,
+        rowspan>1 registers the value for the following rows."""
+        out: list[str] = []
+        col = 0
+
+        def drain_carry():
+            nonlocal col
+            while col in carry:
+                rem, text = carry[col]
+                out.append(text)
+                if rem <= 1:
+                    del carry[col]
+                else:
+                    carry[col][0] = rem - 1
+                col += 1
+
+        for text, cs, rs in cells:
+            drain_carry()
+            for _ in range(cs):
+                out.append(text)
+                if rs > 1:
+                    carry[col] = [rs - 1, text]
+                col += 1
+        drain_carry()
+        return out
 
     def handle_data(self, data):
         if self._in_csvw_script:

@@ -402,3 +402,28 @@ def test_kg_lifecycle_end_to_end(spark, tmp_path):
                        "SELECT (COUNT(*) AS ?n) WHERE "
                        "{ ?d rdf:type <http://ex.org/Document> }"])
     assert res2["sample"][0]["n"] <= n_typed
+
+
+def test_colspan_rowspan_grid_expansion():
+    """Real-crawl tables use spans: colspan repeats the value across
+    columns, rowspan carries it into following rows (pandas.read_html
+    convention), adversarial span declarations are capped at 1000."""
+    html = """
+    <table>
+     <tr><th>h1</th><th colspan=2>h23</th></tr>
+     <tr><td rowspan=2>a</td><td>b</td><td>c</td></tr>
+     <tr><td>d</td><td>e</td></tr>
+     <tr><td>x</td><td>y</td><td>z</td></tr>
+    </table>"""
+    rows = extract_page(html).tables[0].rows
+    assert rows == [
+        ["h1", "h23", "h23"],
+        ["a", "b", "c"],
+        ["a", "d", "e"],
+        ["x", "y", "z"]]
+    # adversarial colspan: capped, not materialized
+    bomb = '<table><tr><td colspan="999999999">x</td></tr></table>'
+    assert len(extract_page(bomb).tables[0].rows[0]) == 1000
+    # malformed span values fall back to 1
+    junk = '<table><tr><td colspan="NaN" rowspan="">only</td></tr></table>'
+    assert extract_page(junk).tables[0].rows == [["only"]]
