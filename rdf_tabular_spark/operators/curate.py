@@ -236,3 +236,47 @@ def flag_contamination(docs: DataFrame, benchmark: DataFrame,
             .select(F.col(key),
                     F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"))
             .withColumn("contaminated", F.col("n_overlap") > 0))
+
+
+def flag_contamination_bloom(docs: DataFrame, benchmark: DataFrame,
+                             key: str = "doc_id", text_col: str = "text",
+                             n: int = 3, m: int = 1 << 20,
+                             k: int = 2) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the memory-bounded variant
+    of :func:`flag_contamination` for benchmark sets too large to
+    broadcast verbatim (union of every eval suite at 10^9+ shingles).
+
+    The Bloom filter is represented by its set-bit positions: for each of
+    ``k`` salted md5 hash functions, the distinct values ``h_i(gram) % m``
+    over the benchmark shingles (≤ m rows per hash regardless of benchmark
+    size — the broadcast is bounded by the filter geometry, never the
+    data). A document shingle *hits* iff ALL k positions are set — exactly
+    Bloom membership: zero false negatives, false-positive rate
+    ``(1 - e^{-kN/m})^k``. Deterministic md5 hashing keeps the filter
+    bit-for-bit reproducible in the DuckDB oracle.
+
+    Plan shape: k broadcast LEFT SEMI joins on the hashed-position columns
+    + one doc-key aggregation — same single-shuffle shape as the exact
+    probe. Returns ``(key, n_overlap, contaminated)`` with approximate
+    (never under-counted) overlap counts, zeros included.
+    """
+    bench_col = benchmark.columns[0]
+    bench_grams = (benchmark
+                   .select(F.explode(T.word_ngrams(F.col(bench_col), n))
+                           .alias("gram"))
+                   .distinct())
+    doc_grams = docs.select(
+        F.col(key),
+        F.explode(T.word_ngrams(F.col(text_col), n)).alias("gram"))
+    for i in range(k):
+        salted = F.concat(F.lit(f"{i}#"), F.col("gram"))
+        pos = (hash_u32(salted) % m).alias(f"h{i}")
+        bits = bench_grams.select(pos).distinct()
+        doc_grams = (doc_grams.withColumn(f"h{i}", pos)
+                     .join(F.broadcast(bits), f"h{i}", "semi"))
+    hits = doc_grams.groupBy(key).agg(F.count("*").alias("n_overlap"))
+    return (docs.select(key)
+            .join(hits, key, "left")
+            .select(F.col(key),
+                    F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"))
+            .withColumn("contaminated", F.col("n_overlap") > 0))

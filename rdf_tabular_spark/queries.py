@@ -2859,6 +2859,147 @@ def _graph_sql():
     }
 
 
+# --- LM perplexity scoring / DSIR importance weights / Bloom decontam ------
+
+_LM_MAX_UNI = 2000
+_LM_MAX_BIG = 8000
+
+
+def _text_perplexity(spark, sf_dir):
+    """CCNet-style perplexity scoring (operators/lm, Wenzek et al. 2020):
+    fit a Laplace-smoothed word-bigram LM on the English slice (capped
+    deterministic top-K count tables so the model always broadcasts),
+    then score every document's mean bigram NLL. Per-gram log-probs are
+    quantized to integer micro-nats BEFORE summation, so scores are
+    exact integers — reproducible across partition orders and engines."""
+    from .operators import lm as L
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("lang") == "en")
+    uni, big = L.fit_bigram_lm(ref, max_unigrams=_LM_MAX_UNI,
+                               max_bigrams=_LM_MAX_BIG)
+    vocab = uni.count()  # model constant, driver-side (capped <= top-K)
+    return L.lm_score(docs, uni, big, vocab)
+
+
+def _grams_all2_sql(t: str) -> str:
+    return _grams_all_sql(t, 2)
+
+
+_TEXT_PERPLEXITY_SQL = rf"""
+with ref as (select text from documents where lang = 'en'),
+uni0 as (select w, count(*)::bigint as c1
+         from (select unnest({TOKS_SQL}) as w from ref) group by w),
+uni as (select w, c1 from (
+          select w, c1, row_number() over (order by c1 desc, w) as rk
+          from uni0) where rk <= {_LM_MAX_UNI}),
+vv as (select count(*)::bigint as v from uni),
+big0 as (select g, count(*)::bigint as c12
+         from (select unnest({_grams_all2_sql(TOKS_SQL)}) as g from ref)
+         group by g),
+big as (select g, c12 from (
+          select g, c12, row_number() over (order by c12 desc, g) as rk
+          from big0) where rk <= {_LM_MAX_BIG}),
+dg as (select doc_id, unnest({_grams_all2_sql(TOKS_SQL)}) as g
+       from documents),
+scored as (select doc_id,
+    -(round(ln(((coalesce(c12, 0) + 1)::double)
+               / ((coalesce(c1, 0) + (select v from vv))::double))
+            * 1000000, 0)::bigint) as nll
+  from dg
+  left join big using (g)
+  left join uni on split_part(dg.g, ' ', 1) = uni.w)
+select doc_id, count(*)::bigint as n_bigrams, sum(nll)::bigint as nll_micro,
+       (sum(nll) // count(*))::bigint as avg_nll_micro
+from scored group by doc_id
+"""
+
+
+_DSIR_BUCKETS = 1024
+_DSIR_N = 120
+
+
+def _sample_importance(spark, sf_dir):
+    """DSIR importance resampling (operators/lm, Xie et al. 2023): hashed
+    unigram feature distributions for the English target slice vs the
+    whole corpus (Laplace-smoothed over a fixed bucket count), per-doc
+    log importance weight in exact micro-nats, top-N selection via
+    orderBy().limit() (TakeOrderedAndProject — never a full sort)."""
+    from .operators import lm as L
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    td = L.fit_feature_dist(target, _DSIR_BUCKETS)
+    rd = L.fit_feature_dist(docs, _DSIR_BUCKETS)
+    tt = td.agg(F.sum("c")).collect()[0][0]  # model constants (driver)
+    rt = rd.agg(F.sum("c")).collect()[0][0]
+    return L.importance_sample(docs, td, rd, tt, rt, _DSIR_N,
+                               _DSIR_BUCKETS)
+
+
+_DSIR_BUCKET_SQL = f"({_hash_u32_sql('w')} % {_DSIR_BUCKETS})"
+
+_SAMPLE_IMPORTANCE_SQL = rf"""
+with tok as (select doc_id, lang, unnest({TOKS_SQL}) as w from documents),
+b as (select doc_id, lang, {_DSIR_BUCKET_SQL} as bucket from tok),
+tgt as (select bucket, count(*)::bigint as ct from b where lang = 'en'
+        group by bucket),
+raw as (select bucket, count(*)::bigint as cr from b group by bucket),
+tt as (select count(*)::bigint as t from b where lang = 'en'),
+rt as (select count(*)::bigint as t from b),
+scored as (select doc_id,
+    round((ln(((coalesce(ct, 0) + 1)::double)
+              / (((select t from tt) + {_DSIR_BUCKETS})::double))
+         - ln(((coalesce(cr, 0) + 1)::double)
+              / (((select t from rt) + {_DSIR_BUCKETS})::double)))
+          * 1000000, 0)::bigint as lw
+  from b left join tgt using (bucket) left join raw using (bucket)),
+agg as (select doc_id, count(*)::bigint as n_toks,
+               sum(lw)::bigint as logw_micro
+        from scored group by doc_id)
+select doc_id, n_toks, logw_micro from agg
+order by logw_micro desc, doc_id limit {_DSIR_N}
+"""
+
+
+_BLOOM_M = 1 << 20
+
+
+def _text_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (operators/curate
+    .flag_contamination_bloom): the memory-bounded variant — the filter
+    is the SET-BIT POSITIONS of k=2 salted md5 hashes mod m over the
+    benchmark shingles (broadcast bounded by filter geometry, never data
+    size); a doc shingle hits iff all k positions are set. Zero false
+    negatives; deterministic, so the oracle replays the filter exactly."""
+    from .operators import curate as C
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    return C.flag_contamination_bloom(docs, bench, n=3, m=_BLOOM_M, k=2)
+
+
+def _bloom_h_sql(salt: int) -> str:
+    return f"({_hash_u32_sql(repr(str(salt) + '#') + ' || gram')} % {_BLOOM_M})"
+
+
+_G3 = _grams_sql(TOKS_SQL, 3)
+
+_TEXT_DECONTAMINATE_BLOOM_SQL = f"""
+with g as (select doc_id, {_G3} as grams from documents),
+bench as (select distinct unnest(grams) as gram from g
+          where doc_id % 97 = 0),
+bits0 as (select distinct {_bloom_h_sql(0)} as h from bench),
+bits1 as (select distinct {_bloom_h_sql(1)} as h from bench),
+dg as (select doc_id, unnest(grams) as gram from g),
+hits as (select doc_id, count(*)::bigint as n_overlap from dg
+         where {_bloom_h_sql(0)} in (select h from bits0)
+           and {_bloom_h_sql(1)} in (select h from bits1)
+         group by doc_id),
+all_docs as (select doc_id from g)
+select all_docs.doc_id, coalesce(hits.n_overlap, 0)::bigint as n_overlap,
+       coalesce(hits.n_overlap, 0) > 0 as contaminated
+from all_docs left join hits using (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -2927,12 +3068,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_group_integrity": _fk_group_integrity,
     "corpus_stats": _corpus_stats,
     "ann_cosine_topk": _ann_cosine_topk,
+    # --- driver window ends here (first 50 entries above) ---
+    # long-green history (driver green r1-r3, rotated out)
     "text_quality": _text_quality,
     "text_langid": _text_langid,
-    # flagship rows — keep the headline paths hard-signalled
     "kg_pages_triples": _kg_pages_triples,
-    # --- driver window ends here (first 50 entries above) ---
-    # long-green history (4 rounds of driver green, rotated out)
+    # LM-scoring / DSIR / Bloom tier (round-4 cont. 5; pytest-mirror
+    # oracle coverage — rotate into the window once it reopens)
+    "text_perplexity": _text_perplexity,
+    "sample_importance": _sample_importance,
+    "text_decontaminate_bloom": _text_decontaminate_bloom,
     "csvw_triples_nation": _csvw_triples_nation,
     "csvw_coerce_numeric": _csvw_coerce_numeric,
     "csvw_date_format": _csvw_date_format,
@@ -3050,6 +3195,9 @@ _ORACLES: dict[str, str] = {
     "dedup_span_stats": _DEDUP_SPAN_STATS_SQL,
     "corpus_vocabulary": _CORPUS_VOCABULARY_SQL,
     "corpus_length_quantiles": _CORPUS_LENGTH_QUANTILES_SQL,
+    "text_perplexity": _TEXT_PERPLEXITY_SQL,
+    "sample_importance": _SAMPLE_IMPORTANCE_SQL,
+    "text_decontaminate_bloom": _TEXT_DECONTAMINATE_BLOOM_SQL,
     **_graph_sql(),
 }
 

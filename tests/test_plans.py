@@ -536,3 +536,29 @@ def test_semantic_dedup_pairs_joins_on_cell_only(spark):
     # no exchange may ever carry the raw vectors
     for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "cell" in keys and "embedding" not in keys, keys
+
+
+def test_lm_score_broadcasts_model_tables(spark):
+    """The fitted LM is broadcast (caps bound it regardless of corpus
+    size); the only shuffle on the scoring path is the doc-key
+    aggregation — a shuffle join on the gram key would move the whole
+    corpus' bigrams."""
+    p = plan_of(Q.queries()["text_perplexity"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2, p[:800]
+
+
+def test_importance_sample_take_ordered(spark):
+    """DSIR top-N selection must plan as TakeOrderedAndProject
+    (per-partition heaps), never a global Sort; the two feature
+    distributions broadcast."""
+    p = plan_of(Q.queries()["sample_importance"](spark, SF))
+    assert "TakeOrderedAndProject" in p, p[:800]
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_bloom_probe_broadcasts_bit_sets(spark):
+    """Bloom decontamination probes via broadcast LEFT SEMI joins on the
+    hashed positions — the bit sets are bounded by filter geometry."""
+    p = plan_of(Q.queries()["text_decontaminate_bloom"](spark, SF))
+    assert "LeftSemi" in p
+    assert p.count("BroadcastHashJoin") >= 2
