@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "text_pii_scrub",
     "pack_sequences",
     "corpus_curated",
+    # round-4 cont. 5 tier: bigram-LM perplexity scoring (fit + broadcast
+    # score) and Bloom-filter decontamination (bit-set semi-join probe)
+    "text_perplexity",
+    "text_decontaminate_bloom",
     "kg_bgp_star",
     # the doc tree is depth-dominated → the doubling tier is the right
     # closure algorithm here (log2(depth) rounds, 2.3x the semi-naive

@@ -38,7 +38,7 @@ in Spark and DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import text as T
@@ -51,14 +51,15 @@ def _top_k(counts: DataFrame, count_col: str, key_col: str,
            k: int | None) -> DataFrame:
     """Deterministic exact top-K of a count table by (count desc, key asc).
 
-    Runs over the aggregated counts (vocabulary-sized, not corpus-sized);
-    ties broken lexically so both engines keep identical rows.
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject (per-partition
+    heaps + driver merge) — equivalent to ``row_number() <= k`` under the
+    same total order, without the single-partition global-window trap.
+    Ties break lexically so both engines keep identical rows.
     """
     if k is None:
         return counts
-    w = Window.orderBy(F.col(count_col).desc(), F.col(key_col).asc())
-    return (counts.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= k).drop("_rk"))
+    return counts.orderBy(F.col(count_col).desc(), F.col(key_col).asc()) \
+                 .limit(k)
 
 
 def fit_bigram_lm(ref: DataFrame, text_col: str = "text",
