@@ -301,6 +301,7 @@ def _match_boolean(value: str, dt: dict, errors: list[str]) -> Optional[CellValu
 
 def _match_datetime(value: str, dt: dict, base: str, errors: list[str]) -> Optional[CellValue]:
     fmt = dt.get("format")
+    orig_value, orig_fmt = value, fmt
     tz = None
     if fmt:
         m = _TZ_FORMAT_RE.match(fmt)
@@ -369,6 +370,12 @@ def _match_datetime(value: str, dt: dict, base: str, errors: list[str]) -> Optio
 
         if tz and tz.startswith(" "):
             value = value.lstrip()
+        if not tz and value and (date_part or time_part):
+            # picture matched a prefix but unmatched characters remain and
+            # no timezone picture could absorb them — a format mismatch,
+            # never a silent truncation ('12:00:00XYZ' vs HH:mm:ss)
+            errors.append(f"{orig_value} does not match format {orig_fmt}")
+            return None
         tz_part = value if tz else ""
 
         vd = vt = None

@@ -206,6 +206,32 @@ def curation_report(docs: DataFrame, key: str = "doc_id",
 
 # --- benchmark decontamination ---------------------------------------------
 
+def _gram_tables(docs: DataFrame, benchmark: DataFrame, key: str,
+                 text_col: str, n: int, dedup_bench: bool = True):
+    """Shared shingle preamble of the decontamination probes: the
+    benchmark's exploded n-gram stream (optionally distinct) and the
+    per-document (key, gram) stream."""
+    bench_col = benchmark.columns[0]
+    bench_grams = benchmark.select(
+        F.explode(T.word_ngrams(F.col(bench_col), n)).alias("gram"))
+    if dedup_bench:
+        bench_grams = bench_grams.distinct()
+    doc_grams = docs.select(
+        F.col(key),
+        F.explode(T.word_ngrams(F.col(text_col), n)).alias("gram"))
+    return bench_grams, doc_grams
+
+
+def _overlap_result(docs: DataFrame, key: str, hits: DataFrame) -> DataFrame:
+    """Shared tail: re-attach overlap counts to every input doc, zeros
+    included, plus the boolean flag."""
+    return (docs.select(key)
+            .join(hits, key, "left")
+            .select(F.col(key),
+                    F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"))
+            .withColumn("contaminated", F.col("n_overlap") > 0))
+
+
 def flag_contamination(docs: DataFrame, benchmark: DataFrame,
                        key: str = "doc_id", text_col: str = "text",
                        n: int = 3) -> DataFrame:
@@ -220,22 +246,11 @@ def flag_contamination(docs: DataFrame, benchmark: DataFrame,
     one doc-key aggregation. Returns (key, n_overlap, contaminated) for
     every input doc, zeros included.
     """
-    bench_col = benchmark.columns[0]
-    bench_grams = (benchmark
-                   .select(F.explode(T.word_ngrams(F.col(bench_col), n))
-                           .alias("gram"))
-                   .distinct())
-    doc_grams = docs.select(
-        F.col(key),
-        F.explode(T.word_ngrams(F.col(text_col), n)).alias("gram"))
+    bench_grams, doc_grams = _gram_tables(docs, benchmark, key, text_col, n)
     hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
             .groupBy(key)
             .agg(F.count("*").alias("n_overlap")))
-    return (docs.select(key)
-            .join(hits, key, "left")
-            .select(F.col(key),
-                    F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"))
-            .withColumn("contaminated", F.col("n_overlap") > 0))
+    return _overlap_result(docs, key, hits)
 
 
 def flag_contamination_bloom(docs: DataFrame, benchmark: DataFrame,
@@ -255,28 +270,34 @@ def flag_contamination_bloom(docs: DataFrame, benchmark: DataFrame,
     ``(1 - e^{-kN/m})^k``. Deterministic md5 hashing keeps the filter
     bit-for-bit reproducible in the DuckDB oracle.
 
-    Plan shape: k broadcast LEFT SEMI joins on the hashed-position columns
-    + one doc-key aggregation — same single-shuffle shape as the exact
-    probe. Returns ``(key, n_overlap, contaminated)`` with approximate
-    (never under-counted) overlap counts, zeros included.
+    Plan shape: the benchmark is shingled ONCE — all k position columns
+    are computed in a single pass and folded into one distinct (i, h)
+    bits table (≤ k·m rows by construction, persisted so the k broadcast
+    builds read it from cache instead of re-running the 10^9-shingle
+    explode+distinct per hash) — then k broadcast LEFT SEMI joins on the
+    hashed-position columns + one doc-key aggregation, the same
+    single-shuffle shape as the exact probe. Hash-position dedup makes a
+    gram-level distinct redundant, so the benchmark stream skips it.
+    Returns ``(key, n_overlap, contaminated)`` with approximate (never
+    under-counted) overlap counts, zeros included.
     """
-    bench_col = benchmark.columns[0]
-    bench_grams = (benchmark
-                   .select(F.explode(T.word_ngrams(F.col(bench_col), n))
-                           .alias("gram"))
-                   .distinct())
-    doc_grams = docs.select(
-        F.col(key),
-        F.explode(T.word_ngrams(F.col(text_col), n)).alias("gram"))
+    bench_grams, doc_grams = _gram_tables(docs, benchmark, key, text_col, n,
+                                          dedup_bench=False)
+
+    def pos(i: int) -> Column:
+        return hash_u32(F.concat(F.lit(f"{i}#"), F.col("gram"))) % m
+
+    bits_long = (bench_grams
+                 .select(F.explode(F.array(*[
+                     F.struct(F.lit(i).alias("i"), pos(i).alias("h"))
+                     for i in range(k)])).alias("b"))
+                 .select("b.i", "b.h")
+                 .distinct()
+                 .persist())
     for i in range(k):
-        salted = F.concat(F.lit(f"{i}#"), F.col("gram"))
-        pos = (hash_u32(salted) % m).alias(f"h{i}")
-        bits = bench_grams.select(pos).distinct()
-        doc_grams = (doc_grams.withColumn(f"h{i}", pos)
+        bits = (bits_long.where(F.col("i") == i)
+                .select(F.col("h").alias(f"h{i}")))
+        doc_grams = (doc_grams.withColumn(f"h{i}", pos(i))
                      .join(F.broadcast(bits), f"h{i}", "semi"))
     hits = doc_grams.groupBy(key).agg(F.count("*").alias("n_overlap"))
-    return (docs.select(key)
-            .join(hits, key, "left")
-            .select(F.col(key),
-                    F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"))
-            .withColumn("contaminated", F.col("n_overlap") > 0))
+    return _overlap_result(docs, key, hits)

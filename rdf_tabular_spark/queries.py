@@ -2877,8 +2877,13 @@ def _text_perplexity(spark, sf_dir):
     ref = docs.where(F.col("lang") == "en")
     uni, big = L.fit_bigram_lm(ref, max_unigrams=_LM_MAX_UNI,
                                max_bigrams=_LM_MAX_BIG)
-    vocab = uni.count()  # model constant, driver-side (capped <= top-K)
-    return L.lm_score(docs, uni, big, vocab)
+    # collect the capped unigram table ONCE (<= top-K rows by construction)
+    # and rebuild it as a local relation: vocab_size and the broadcast side
+    # both come from the same single fit job instead of re-running the
+    # reference-corpus tokenize/aggregate for count() and again for score
+    uni_rows = uni.collect()
+    uni = spark.createDataFrame(uni_rows, uni.schema)
+    return L.lm_score(docs, uni, big, len(uni_rows))
 
 
 def _grams_all2_sql(t: str) -> str:
@@ -2929,8 +2934,14 @@ def _sample_importance(spark, sf_dir):
     target = docs.where(F.col("lang") == "en")
     td = L.fit_feature_dist(target, _DSIR_BUCKETS)
     rd = L.fit_feature_dist(docs, _DSIR_BUCKETS)
-    tt = td.agg(F.sum("c")).collect()[0][0]  # model constants (driver)
-    rt = rd.agg(F.sum("c")).collect()[0][0]
+    # collect each distribution ONCE (<= n_buckets rows) — the totals and
+    # the broadcast sides share one fit job per distribution instead of
+    # re-tokenizing the corpus for the sum() and again for the weights
+    td_rows, rd_rows = td.collect(), rd.collect()
+    tt = sum(r["c"] for r in td_rows)  # model constants (driver)
+    rt = sum(r["c"] for r in rd_rows)
+    td = spark.createDataFrame(td_rows, td.schema)
+    rd = spark.createDataFrame(rd_rows, rd.schema)
     return L.importance_sample(docs, td, rd, tt, rt, _DSIR_N,
                                _DSIR_BUCKETS)
 

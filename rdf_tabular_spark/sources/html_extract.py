@@ -154,7 +154,21 @@ class _PageParser(HTMLParser):
                 if rs > 1:
                     carry[col] = [rs - 1, text]
                 col += 1
-        drain_carry()
+        # end of row: every remaining carried column belongs to THIS row's
+        # grid even when the row's own cells stop short of it (ragged crawl
+        # rows, empty <tr>) — pad the gap with '' and consume the carry, or
+        # it would leak into a later row at the wrong position
+        for c in sorted(k for k in carry if k >= col):
+            while col < c:
+                out.append("")
+                col += 1
+            rem, text = carry[c]
+            out.append(text)
+            if rem <= 1:
+                del carry[c]
+            else:
+                carry[c][0] = rem - 1
+            col += 1
         return out
 
     def handle_data(self, data):

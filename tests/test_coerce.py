@@ -83,6 +83,12 @@ INVALID = [
     ("decimal", {"groupChar": ","}, "1,,234"),
     ("anyType", {}, "foo"),
     ("ID", {}, "foo"),
+    # trailing characters after the picture are a format mismatch, never
+    # a silent truncation (no declared tz/fraction to absorb them)
+    ("time", {"format": "HH:mm:ss"}, "12:00:00XYZ"),
+    ("date", {"format": "yyyy-MM-dd"}, "2024-01-0999"),
+    ("time", {"format": "HH:mm:ss.SSS"}, "12:00:00.123XYZ"),
+    ("dateTime", {"format": "yyyy-MM-dd HH:mm:ss"}, "2015-03-15 15:02:37junk"),
 ]
 
 

@@ -32,11 +32,19 @@ def test_bloom_never_under_counts(spark):
 def test_bloom_tiny_filter_saturates(spark):
     """With m far below the shingle count every position is set and every
     doc with >= 1 shingle reads contaminated — the documented
-    false-positive geometry, not an error."""
+    false-positive geometry, not an error. The expected set is computed
+    independently (docs producing at least one 3-gram), so a broken probe
+    that returns n_overlap=0 everywhere fails this test."""
+    from rdf_tabular_spark.operators import text as T
     docs = _docs(spark).limit(20)
     bench = docs.select("text")
-    out = C.flag_contamination_bloom(docs, bench, n=3, m=2, k=1).collect()
-    assert all(r["contaminated"] for r in out if r["n_overlap"] > 0)
+    with_shingles = {r["doc_id"] for r in docs.select(
+        "doc_id", F.size(T.word_ngrams(F.col("text"), 3)).alias("n")).collect()
+        if r["n"] > 0}
+    out = {r["doc_id"]: r["contaminated"] for r in
+           C.flag_contamination_bloom(docs, bench, n=3, m=2, k=1).collect()}
+    assert with_shingles, "fixture regressed: no doc produces a shingle"
+    assert all(out[d] for d in with_shingles)
 
 
 def _toy(spark):

@@ -427,3 +427,21 @@ def test_colspan_rowspan_grid_expansion():
     # malformed span values fall back to 1
     junk = '<table><tr><td colspan="NaN" rowspan="">only</td></tr></table>'
     assert extract_page(junk).tables[0].rows == [["only"]]
+
+
+def test_rowspan_carry_into_short_rows():
+    """A row with too few cells to reach a carried column still receives
+    the carry-down in THIS row (gap padded with ''), and the carry never
+    leaks into a later row at the wrong position."""
+    html = ('<table><tr><td>A</td><td rowspan=2>B</td></tr>'
+            '<tr></tr>'
+            '<tr><td>x</td><td>y</td></tr></table>')
+    rows = extract_page(html).tables[0].rows
+    assert rows == [["A", "B"], ["", "B"], ["x", "y"]]
+    # short row whose cells stop before the carried column
+    html2 = ('<table>'
+             '<tr><td>a</td><td>b</td><td rowspan=3>c</td></tr>'
+             '<tr><td>d</td></tr>'
+             '<tr><td>e</td><td>f</td></tr></table>')
+    rows2 = extract_page(html2).tables[0].rows
+    assert rows2 == [["a", "b", "c"], ["d", "", "c"], ["e", "f", "c"]]
