@@ -141,6 +141,12 @@ def main(argv: list[str] | None = None) -> dict:
 
     batches = snapshots_as_of(args.store, args.as_of) if args.as_of else None
 
+    if args.term_graph and not args.sparql:
+        # only the --sparql compiler understands rendered terms; silently
+        # matching a rendered graph with lexical --bgp/--path/--construct
+        # patterns would return wrong (usually empty) results
+        raise SystemExit("--term-graph requires --sparql")
+
     algebra: dict = {}
     if args.values:
         v = json.loads(args.values)

@@ -20,9 +20,12 @@ column is rewritten to an N-Triples-shaped self-describing string —
     lang literal   →  "chat"@en
     typed literal  →  "42"^^<http://www.w3.org/2001/XMLSchema#integer>
 
-Subjects and predicates stay bare (they are always IRIs or blank
-nodes, mutually distinguishable by the ``_:`` prefix). Joins over the
-rendered column implement true RDF term equality — ``"42"^^xsd:int``
+Subject IRIs render to ``<...>`` as well (blank nodes stay ``_:``-bare)
+so a rendered IRI object joins a rendered subject — object-to-subject
+chain patterns, the most common SPARQL shape, stay term-exact.
+Predicates stay bare (always plain IRIs; pattern predicate constants
+match them directly). Joins over the rendered columns implement true
+RDF term equality — ``"42"^^xsd:int``
 no longer collides with ``"42"@en`` — and every term builtin becomes a
 string expression in the ONE SQL subset Spark and DuckDB share, so the
 SPARQL front-end (sparql.py, ``parse_sparql(text, term_graph=True)``)
@@ -114,20 +117,33 @@ RENDER_OBJ_SQL = f"""(case
        then '"' || {esc_sql('obj')} || '"^^<' || obj_datatype || '>'
   else '"' || {esc_sql('obj')} || '"' end)"""
 
+#: subjects are always IRIs or blank nodes — angle-bracket the IRIs so a
+#: rendered IRI *object* joins a rendered *subject* (object-to-subject
+#: chains, the most common SPARQL shape). Blank nodes stay ``_:``-bare.
+RENDER_SUBJ_SQL = ("(case when left(subj, 2) = '_:' then subj "
+                   "else '<' || subj || '>' end)")
+
 
 def render_object_terms(df: DataFrame) -> DataFrame:
     """(subj, pred, obj, obj_is_iri, obj_datatype, obj_lang, ...) →
-    the same relation with ``obj`` rendered and the three term-metadata
-    columns dropped. Extra columns (table_url, graph, ...) pass through."""
-    out = df.withColumn("obj", F.expr(RENDER_OBJ_SQL))
+    the same relation with ``subj`` and ``obj`` rendered and the three
+    term-metadata columns dropped. Extra columns (table_url, graph, ...)
+    pass through. Predicates stay bare: they are always plain IRIs and
+    pattern-position predicate constants match them directly (a
+    predicate *variable* therefore binds the bare IRI — joining one
+    against a subject/object variable is not term-exact, same as the
+    lexical contract)."""
+    out = (df.withColumn("obj", F.expr(RENDER_OBJ_SQL))
+           .withColumn("subj", F.expr(RENDER_SUBJ_SQL)))
     return out.drop("obj_is_iri", "obj_datatype", "obj_lang")
 
 
 def render_object_terms_sql(triples_sql: str) -> str:
     """Oracle twin of :func:`render_object_terms`: SQL over a relation
-    carrying the term columns, emitting (subj, pred, obj-rendered)."""
-    return (f"select subj, pred, {RENDER_OBJ_SQL} as obj "
-            f"from ({triples_sql})")
+    carrying the term columns, emitting (subj-rendered, pred,
+    obj-rendered)."""
+    return (f"select {RENDER_SUBJ_SQL} as subj, pred, "
+            f"{RENDER_OBJ_SQL} as obj from ({triples_sql})")
 
 
 def render_term(lex: str, is_iri: bool = False, datatype: str | None = None,

@@ -57,6 +57,18 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
+def shipped(df):
+    """Canonical pre-kernel guard: ensure the package zip is on the
+    executors, return the DataFrame for chaining —
+    ``shipped(df).mapInPandas(...)``. Every Python-kernel launch site
+    (mapInPandas / mapInArrow / applyInPandas) must call this or
+    :func:`ensure_package_on_executors` first; a lint test
+    (tests/test_plans.py) enforces the invariant so new kernels can't
+    forget it."""
+    ensure_package_on_executors(df.sparkSession)
+    return df
+
+
 def get_spark(app_name: str = "rdf-tabular-spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Opinionated session: AQE + skew-join on, Arrow enabled."""

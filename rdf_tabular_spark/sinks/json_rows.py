@@ -250,5 +250,10 @@ def csvw_to_json(spark: SparkSession, source, base: str = "",
     if isinstance(meta, TableGroup):
         return group_to_json_dict(spark, meta, resolver, prov=prov,
                                   filenames=filenames, max_rows=max_rows)
+    if meta.suppress_output:
+        # same W3C csv2json §4.2 rule as the group path: a suppressed
+        # table (bare-Table metadata, or a group narrowed to one table)
+        # is omitted — emit the empty-tables document shape
+        return {"tables": []}
     return table_to_json_dict(spark, meta, resolver, prov=prov,
                               filenames=filenames, max_rows=max_rows)

@@ -263,18 +263,20 @@ class _Parser:
             raise SparqlError(f"undeclared prefix {pfx!r}:")
         return self.prefixes[pfx] + local
 
-    def term(self, allow_path: bool = False, obj_pos: bool = False):
+    def term(self, allow_path: bool = False, node_pos: bool = False):
         """One RDF term: variable, IRI, prefixed name, literal, number,
         or 'a'. In predicate position (``allow_path``) a whitespace-free
         run containing path operators parses via operators/paths.
 
-        ``obj_pos`` marks object position: under ``term_graph`` mode the
-        constant renders to its N-Triples shape (rdfio/terms.render_term)
-        so it matches the rendered object column — IRIs gain angle
-        brackets, literals keep their language tag / datatype, bare
-        numbers type as xsd:integer/xsd:decimal (SPARQL §4.1.2)."""
+        ``node_pos`` marks subject/object (and VALUES-cell) position:
+        under ``term_graph`` mode the constant renders to its N-Triples
+        shape (rdfio/terms.render_term) so it matches the rendered
+        subject/object columns — IRIs gain angle brackets, literals keep
+        their language tag / datatype, bare numbers type as
+        xsd:integer/xsd:decimal (SPARQL §4.1.2). Predicate and GRAPH
+        positions stay bare (those columns are never rendered)."""
         c = self.c
-        render_obj = self.term_graph and obj_pos
+        render_obj = self.term_graph and node_pos
         m = c.match(_VAR_RE)
         if m:
             return "?" + m.group(1)
@@ -559,15 +561,18 @@ class _Parser:
                 # __replace_g__ marker rewritten per engine at evaluation
                 # (operators/bgp.render_dialect). Flags ride inline as
                 # (?ism) exactly like REGEX. Documented restriction:
-                # '$' backreferences in the replacement are rejected
-                # (Java spells them $1, RE2 \\1 — no shared spelling).
+                # backreferences in the replacement are rejected in BOTH
+                # spellings (Java '$1', RE2 '\\1' — no shared syntax; a
+                # bare backslash also diverges: Java escape vs RE2
+                # near-literal), so '$' and '\\' are both refused.
                 args = self._args()
                 if len(args) not in (3, 4):
                     raise SparqlError("REPLACE takes 3 or 4 arguments")
-                if "$" in args[2]:
+                if "$" in args[2] or "\\" in args[2]:
                     raise SparqlError(
-                        "REPLACE: '$' backreferences in the replacement "
-                        "are not supported (engine-divergent syntax)")
+                        "REPLACE: backreferences / backslashes in the "
+                        "replacement are not supported (engine-divergent "
+                        "syntax: Java '$1' vs RE2 '\\1')")
                 pat = args[1]
                 if len(args) == 4:
                     fl = re.fullmatch(r"'([ism]*)'", args[3])
@@ -659,11 +664,11 @@ class _Parser:
 
     def triples_block(self, sink: list, graph=None) -> None:
         """subject (predicate object (',' object)*) (';' ...)* '.'?"""
-        subj = self.term()
+        subj = self.term(node_pos=True)
         while True:
             pred = self.term(allow_path=True)
             while True:
-                obj = self.term(obj_pos=True)
+                obj = self.term(node_pos=True)
                 sink.append((graph, subj, pred, obj) if graph is not None
                             else (subj, pred, obj))
                 if not self.c.accept(","):
@@ -849,7 +854,10 @@ class _Parser:
     def _values_cell(self):
         if self.c.accept_kw("UNDEF"):
             return None
-        return self.term()
+        # VALUES cells join against subject/object bindings — under
+        # term_graph they must render like pattern node constants or an
+        # IRI/lang-literal cell would never match the rendered columns
+        return self.term(node_pos=True)
 
     # ----------------------------------------------------------- query
 
@@ -882,13 +890,18 @@ class _Parser:
                     continue
                 mi = c.match(_IRI_RE)
                 if mi:
-                    q.describe_terms.append(mi.group(1))
+                    # term_graph: subjects are rendered <...>, so the CBD
+                    # seed constant must render the same way to match
+                    q.describe_terms.append(
+                        f"<{mi.group(1)}>" if self.term_graph
+                        else mi.group(1))
                     continue
                 mp = _PNAME_RE.match(c.text, c.pos)
                 if mp and mp.group(0) not in ("", ":"):
                     c.pos = mp.end()
+                    iri = self._expand(mp.group(1) or "", mp.group(2))
                     q.describe_terms.append(
-                        self._expand(mp.group(1) or "", mp.group(2)))
+                        f"<{iri}>" if self.term_graph else iri)
                     continue
                 break
             if not q.describe_terms:

@@ -562,3 +562,27 @@ def test_bloom_probe_broadcasts_bit_sets(spark):
     p = plan_of(Q.queries()["text_decontaminate_bloom"](spark, SF))
     assert "LeftSemi" in p
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_every_python_kernel_site_ships_the_package():
+    """Structural lint: every mapInPandas / mapInArrow / applyInPandas
+    launch site in the package must be preceded (within the same file,
+    ≤ 60 lines above) by a self-ship call — ensure_package_on_executors
+    or session.shipped — or executors running from spark-submit without
+    the repo on sys.path fail to import the kernel's closures. This
+    pins the bug class instead of each instance (several kernel sites
+    shipped without it before the guard existed)."""
+    import pathlib
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "rdf_tabular_spark"
+    launch = re.compile(r"\.(mapInPandas|mapInArrow|applyInPandas)\(")
+    ship = re.compile(r"ensure_package_on_executors|shipped\(")
+    missing = []
+    for path in sorted(pkg.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if not launch.search(line):
+                continue
+            window = "\n".join(lines[max(0, i - 60):i + 1])
+            if not ship.search(window):
+                missing.append(f"{path.name}:{i + 1}")
+    assert not missing, f"kernel sites without a self-ship call: {missing}"

@@ -82,7 +82,8 @@ def test_render_term_shapes():
 
 def test_dataframe_render_matches_python(graph):
     rendered = {(r.subj, r.pred, r.obj) for r in graph.collect()}
-    expected = {(s, p, render_term(o, is_iri=i, datatype=d, lang=lg))
+    expected = {(render_term(s, is_iri=True), p,
+                 render_term(o, is_iri=i, datatype=d, lang=lg))
                 for s, p, o, i, d, lg in ROWS}
     assert rendered == expected
 
@@ -104,9 +105,9 @@ def test_lang_str_datatype_langmatches(graph, oracle):
     # STR() recovered the exact lexical (escape round-trip), en-GB
     # matched the 'en' range, fr-BE and the untagged literal did not
     assert rows == [
-        ("u1", 'say "hi"\\now', "en",
+        ("<u1>", 'say "hi"\\now', "en",
          "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
-        ("u2", "42", "en-GB",
+        ("<u2>", "42", "en-GB",
          "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")]
 
 
@@ -130,8 +131,8 @@ def test_strdt_strlang_isnumeric(graph, oracle):
                (ISNUMERIC(?v) AS ?num) (STRLANG("bonjour", "fr") AS ?sl)
         WHERE { ?s <http://example.org/wc> ?v }''')
     assert rows == [
-        ("u1", f'"42"^^<{XSD_INTEGER}>', True, '"bonjour"@fr'),
-        ("u2", f'"7"^^<{XSD_INTEGER}>', True, '"bonjour"@fr')]
+        ("<u1>", f'"42"^^<{XSD_INTEGER}>', True, '"bonjour"@fr'),
+        ("<u2>", f'"7"^^<{XSD_INTEGER}>', True, '"bonjour"@fr')]
 
 
 def test_strdt_xsd_string_folds_plain(graph, oracle):
@@ -147,7 +148,7 @@ def test_sameterm_is_exact(graph, oracle):
     rows = _parity(graph, oracle, '''
         SELECT ?s ?v WHERE { ?s ?p ?v . FILTER sameTerm(?v,
             STRDT("42", <http://www.w3.org/2001/XMLSchema#integer>)) }''')
-    assert rows == [("u1", f'"42"^^<{XSD_INTEGER}>')]
+    assert rows == [("<u1>", f'"42"^^<{XSD_INTEGER}>')]
 
 
 # ------------------------------------------------------ pattern constants
@@ -159,26 +160,66 @@ def test_pattern_constants_render(graph):
         term_graph=True)
     assert pq.patterns == [
         ("?s", "http://example.org/wc", f'"42"^^<{XSD_INTEGER}>')]
-    assert sorted(r.s for r in query_df(graph, pq).collect()) == ["u1"]
+    assert sorted(r.s for r in query_df(graph, pq).collect()) == ["<u1>"]
     # lang-tagged literal constant
     pq = parse_sparql(
         'SELECT ?s WHERE { ?s <http://schema.org/name> "chat"@fr-BE }',
         term_graph=True)
-    assert sorted(r.s for r in query_df(graph, pq).collect()) == ["u1"]
-    # IRI object constant gains angle brackets; subject stays bare
+    assert sorted(r.s for r in query_df(graph, pq).collect()) == ["<u1>"]
+    # IRI constants gain angle brackets in subject AND object position
     pq = parse_sparql(
         "SELECT ?s WHERE { ?s <http://example.org/see> <http://other.org/x> }",
         term_graph=True)
     assert pq.patterns == [
         ("?s", "http://example.org/see", "<http://other.org/x>")]
-    assert sorted(r.s for r in query_df(graph, pq).collect()) == ["u1"]
+    assert sorted(r.s for r in query_df(graph, pq).collect()) == ["<u1>"]
 
 
 def test_single_quoted_literals(graph):
     pq = parse_sparql(
         "SELECT ?s WHERE { ?s <http://schema.org/name> 'plain' }",
         term_graph=True)
-    assert sorted(r.s for r in query_df(graph, pq).collect()) == ["u1"]
+    assert sorted(r.s for r in query_df(graph, pq).collect()) == ["<u1>"]
+
+
+def test_object_to_subject_chain_joins(graph, oracle):
+    """Subjects render <...> like IRI objects, so the most common SPARQL
+    shape — an object variable re-used in subject position — stays
+    term-exact. Before subject rendering this silently returned zero
+    rows (pattern 1 bound ?o to '<http://other.org/x>' while pattern 2's
+    subj was bare)."""
+    chain = ROWS + [("http://other.org/x", "http://schema.org/name",
+                     "target", False, None, None)]
+    g2 = render_object_terms(graph.sparkSession.createDataFrame(chain, COLS))
+    pq = parse_sparql('''
+        SELECT ?n WHERE { <u1> <http://example.org/see> ?o .
+                          ?o <http://schema.org/name> ?n }''',
+                      term_graph=True)
+    assert [r.n for r in query_df(g2, pq).collect()] == ['"target"']
+
+
+def test_values_cells_render(graph, oracle):
+    """VALUES cells join subject/object bindings, so they render like
+    pattern node constants — a lang-tagged cell must match the rendered
+    object and an IRI cell the rendered subject."""
+    rows = _parity(graph, oracle, '''
+        SELECT ?s ?v WHERE { ?s <http://schema.org/name> ?v
+                             VALUES ?v { "chat"@fr-BE } }''')
+    assert rows == [("<u1>", '"chat"@fr-BE')]
+    rows = _parity(graph, oracle, '''
+        SELECT ?s ?v WHERE { ?s <http://example.org/wc> ?v
+                             VALUES ?s { <u2> } }''')
+    assert rows == [("<u2>", f'"7"^^<{XSD_INTEGER}>')]
+
+
+def test_describe_constant_renders(graph):
+    """DESCRIBE <iri> seeds must match the rendered subject column."""
+    pq = parse_sparql("DESCRIBE <u2>", term_graph=True)
+    out = sorted((r.subj, r.pred, r.obj)
+                 for r in query_df(graph, pq).collect())
+    assert out == [
+        ("<u2>", "http://example.org/wc", f'"7"^^<{XSD_INTEGER}>'),
+        ("<u2>", "http://schema.org/name", '"42"@en-GB')]
 
 
 # ------------------------------------------------------------- contracts
