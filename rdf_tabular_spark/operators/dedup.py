@@ -375,6 +375,34 @@ def simhash48_near_pairs(df: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
+def edit_verified_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", max_hamming: int = 5,
+                        min_sim: float = 0.5) -> DataFrame:
+    """Edit-distance verification of banded SimHash candidates →
+    ``(a, b, edit_sim)`` with ``edit_sim = 1 - lev(a,b)/max(len)``.
+
+    The cascade shape that survives corpus scale: candidate generation is
+    the pigeonhole band join (:func:`simhash48_near_pairs` — never
+    all-pairs), and only candidates pay the O(|a|·|b|) Levenshtein, fetched
+    by TWO id-equi-joins that ship each text once per candidate edge. Both
+    engines spell ``levenshtein`` identically, so the similarity is
+    oracle-exact (integer distance / integer max-length, rounded at 4).
+    """
+    cands = simhash48_near_pairs(df, id_col, text_col, max_hamming)
+    texts = df.select(F.col(id_col).cast("long").alias("tid"),
+                      F.col(text_col).alias("t"))
+    j = (cands
+         .join(texts.select(F.col("tid").alias("a"), F.col("t").alias("ta")),
+               "a")
+         .join(texts.select(F.col("tid").alias("b"), F.col("t").alias("tb")),
+               "b"))
+    sim = F.round(
+        1 - F.levenshtein("ta", "tb").cast("double")
+        / F.greatest(F.length("ta"), F.length("tb")).cast("double"), 4)
+    return (j.select("a", "b", sim.alias("edit_sim"))
+            .filter(F.col("edit_sim") >= min_sim))
+
+
 def remove_repeated_lines(docs: DataFrame, min_docs: int = 3,
                           id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:

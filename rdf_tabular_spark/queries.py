@@ -1574,6 +1574,61 @@ def _kg_entity_mentions_join(spark, sf_dir):
         .select("subj", "pred", "obj")
 
 
+COMENTION_ENTS = ["spark", "customer", "vector", "stream"]
+
+
+def _kg_comention_pmi(spark, sf_dir):
+    """Stage 2c: co-mention relation mining — PMI over entity pairs
+    co-occurring in one document (doc-keyed self-join, broadcast marginals)."""
+    from .web import comention_pmi
+    return comention_pmi(_t(spark, sf_dir, "documents"), COMENTION_ENTS,
+                         min_pairs=2)
+
+
+_ENTS_SQL = ", ".join(f"'{e}'" for e in COMENTION_ENTS)
+_KG_COMENTION_PMI_SQL = f"""
+with m as (
+  select distinct doc_id as doc, t.tok as ent
+  from documents, unnest({TOKS_SQL}) as t(tok)
+  where t.tok in ({_ENTS_SQL})),
+marg as (select ent, count(*) as n from m group by ent),
+p as (
+  select a.ent as ent_a, b.ent as ent_b, count(*) as n_ab
+  from m a join m b on a.doc = b.doc and a.ent < b.ent
+  group by 1, 2 having count(*) >= 2)
+select ent_a, ent_b, n_ab,
+       round(ln(cast(n_ab as double)
+                * (select count(*) from documents)
+                / (cast(ma.n as double) * cast(mb.n as double))), 4) as pmi
+from p join marg ma on p.ent_a = ma.ent
+       join marg mb on p.ent_b = mb.ent
+"""
+
+
+def _dedup_edit_verified_pairs(spark, sf_dir):
+    """Levenshtein verification of banded SimHash candidates (the
+    generate-cheap / verify-only-candidates cascade; lev is the one edit
+    metric both engines spell identically)."""
+    return D.edit_verified_pairs(_t(spark, sf_dir, "documents"),
+                                 max_hamming=5, min_sim=0.5)
+
+
+_DEDUP_EDIT_VERIFIED_SQL = f"""
+with f as (select doc_id as id, text, {_simhash48_sql(TOKS_SQL)} as simhash
+           from documents),
+c as (
+  select a.id as a, b.id as b, a.text as ta, b.text as tb
+  from f a join f b on a.id < b.id
+  where bit_count(xor(a.simhash, b.simhash)) <= 5)
+select a, b,
+       round(1 - cast(levenshtein(ta, tb) as double)
+             / cast(greatest(length(ta), length(tb)) as double), 4) as edit_sim
+from c
+where round(1 - cast(levenshtein(ta, tb) as double)
+            / cast(greatest(length(ta), length(tb)) as double), 4) >= 0.5
+"""
+
+
 def _kg_microdata_triples(spark, sf_dir):
     """Stage 1b: schema.org microdata items (explicit itemid → deterministic
     subjects) → rdf:type + property triples; the oracle predicts all three
@@ -3136,6 +3191,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": _multimodal_resize,
     "multimodal_frames": _multimodal_frames,
     "kg_entity_mentions": _kg_entity_mentions,
+    "kg_comention_pmi": _kg_comention_pmi,
+    "dedup_edit_verified_pairs": _dedup_edit_verified_pairs,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3209,6 +3266,8 @@ _ORACLES: dict[str, str] = {
     "text_perplexity": _TEXT_PERPLEXITY_SQL,
     "sample_importance": _SAMPLE_IMPORTANCE_SQL,
     "text_decontaminate_bloom": _TEXT_DECONTAMINATE_BLOOM_SQL,
+    "kg_comention_pmi": _KG_COMENTION_PMI_SQL,
+    "dedup_edit_verified_pairs": _DEDUP_EDIT_VERIFIED_SQL,
     **_graph_sql(),
 }
 

@@ -30,6 +30,7 @@ from .operators.triples import (TRIPLE_SCHEMA, TripleKernel,
 from .session import ensure_package_on_executors
 
 KG_MENTIONS = "https://kg.example.org/ontology#mentions"
+KG_RELATED = "https://kg.example.org/ontology#relatedTo"
 
 # executor-global cache: metadata JSON string → compiled TripleKernel
 _KERNEL_CACHE: dict[str, TripleKernel] = {}
@@ -291,6 +292,64 @@ def link_entities_distributed(triples: DataFrame,
         F.lit(None).cast("string").alias("obj_datatype"),
         F.lit(None).cast("string").alias("obj_lang"),
         "table_url", "source_num")
+
+
+def comention_pmi(docs: DataFrame, entities: list[str],
+                  id_col: str = "doc_id", text_col: str = "text",
+                  min_pairs: int = 2) -> DataFrame:
+    """Stage 2c relation mining: entities co-mentioned in one document are
+    candidate relation edges, scored by pointwise mutual information →
+    ``(ent_a, ent_b, n_ab, pmi)`` with ``pmi = ln(n_ab·N / (n_a·n_b))``.
+
+    Scale design: mention detection is a narrow explode+isin against the
+    vocabulary-sized dictionary (no join), ONE distinct shuffle on
+    ``(doc, ent)``, and pair generation is a *doc-keyed* self-join — the
+    fan-out per document is bounded by mentions-per-doc², never corpus-wide.
+    Entity marginals are vocabulary-sized and broadcast onto the pair
+    aggregate. ``min_pairs`` prunes the long noise tail before the joins.
+    """
+    ments = (docs.select(F.col(id_col).alias("doc"),
+                         F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                         .alias("ent"))
+             .filter(F.col("ent").isin(list(entities)))
+             .distinct())
+    n_docs = docs.count()
+    marg = ments.groupBy("ent").agg(F.count("*").alias("n"))
+    left = ments.select("doc", F.col("ent").alias("ent_a"))
+    right = ments.select("doc", F.col("ent").alias("ent_b"))
+    pairs = (left.join(right, "doc")
+             .filter(F.col("ent_a") < F.col("ent_b"))
+             .groupBy("ent_a", "ent_b").agg(F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= min_pairs))
+    ma = F.broadcast(marg.select(F.col("ent").alias("ent_a"),
+                                 F.col("n").alias("n_a")))
+    mb = F.broadcast(marg.select(F.col("ent").alias("ent_b"),
+                                 F.col("n").alias("n_b")))
+    pmi = F.round(F.log((F.col("n_ab").cast("double") * F.lit(float(n_docs)))
+                        / (F.col("n_a").cast("double")
+                           * F.col("n_b").cast("double"))), 4)
+    return (pairs.join(ma, "ent_a").join(mb, "ent_b")
+            .select("ent_a", "ent_b", "n_ab", pmi.alias("pmi")))
+
+
+def comention_triples(docs: DataFrame, entities: dict[str, str],
+                      min_pmi: float = 0.0, min_pairs: int = 2,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Materialize positive-PMI co-mention edges as KG triples
+    ``(entity_iri_a, kg:relatedTo, entity_iri_b)`` — the corpus-statistics
+    enrichment layer on top of stage 2's per-page mention triples."""
+    scored = comention_pmi(docs, list(entities), id_col, text_col, min_pairs)
+    iri = F.create_map(*[F.lit(x) for kv in entities.items() for x in kv])
+    return (scored.filter(F.col("pmi") >= min_pmi)
+            .select(iri[F.col("ent_a")].alias("subj"),
+                    F.lit(KG_RELATED).alias("pred"),
+                    iri[F.col("ent_b")].alias("obj"),
+                    F.lit(True).alias("obj_is_iri"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                    F.lit(None).cast("string").alias("table_url"),
+                    F.lit(None).cast("long").alias("source_num")))
 
 
 def _local_name(col):

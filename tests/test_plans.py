@@ -586,3 +586,31 @@ def test_every_python_kernel_site_ships_the_package():
             if not ship.search(window):
                 missing.append(f"{path.name}:{i + 1}")
     assert not missing, f"kernel sites without a self-ship call: {missing}"
+
+
+def test_comention_pair_join_keys_on_doc(spark):
+    """Co-mention pair generation must self-join on the DOC key (fan-out
+    bounded per document) and the marginals must broadcast — a shuffle
+    join on the entity key would move corpus-sized mention lists."""
+    from rdf_tabular_spark.web import comention_pmi
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(comention_pmi(docs, ["spark", "customer", "vector"],
+                              min_pairs=2))
+    assert "BroadcastHashJoin" in p, "marginals must broadcast"
+    key_lines = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", p)
+    doc_keyed = [k for k in key_lines if k.startswith("doc#")]
+    assert doc_keyed, f"expected a doc-keyed self-join, got {key_lines}"
+    # the mention-filter isin must evaluate before the distinct shuffle:
+    # no Exchange may carry the raw text column
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in keys, keys
+
+
+def test_edit_verified_pairs_scans_candidates_only(spark):
+    """The Levenshtein verify tier must join texts by id equality onto the
+    banded candidate set — never a cartesian / all-pairs text comparison."""
+    from rdf_tabular_spark.operators.dedup import edit_verified_pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(edit_verified_pairs(docs, min_sim=0.5))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p.lower()

@@ -445,3 +445,52 @@ def test_rowspan_carry_into_short_rows():
              '<tr><td>e</td><td>f</td></tr></table>')
     rows2 = extract_page(html2).tables[0].rows
     assert rows2 == [["a", "b", "c"], ["d", "", "c"], ["e", "f", "c"]]
+
+
+def test_comention_pmi(spark):
+    """PMI over per-document co-mentions: positive association for the pair
+    that always co-occurs, negative for the pair that never does beyond
+    chance; min_pairs prunes singletons."""
+    import math
+
+    from rdf_tabular_spark.web import comention_pmi, comention_triples
+    docs = spark.createDataFrame(
+        [(1, "spark spark stream x"), (2, "spark stream y"),
+         (3, "spark stream"), (4, "vector z"), (5, "vector spark"),
+         (6, "vector spark")],
+        "doc_id long, text string")
+    out = {(r["ent_a"], r["ent_b"]): (r["n_ab"], r["pmi"])
+           for r in comention_pmi(
+               docs, ["spark", "stream", "vector"], min_pairs=2).collect()}
+    # spark∩stream = docs 1-3; spark appears in 5 docs, stream in 3, N=6
+    n_ab, pmi = out[("spark", "stream")]
+    assert n_ab == 3
+    assert pmi == round(math.log(3 * 6 / (5 * 3)), 4)
+    # vector∩spark = docs 5,6
+    n_ab2, pmi2 = out[("spark", "vector")]
+    assert n_ab2 == 2
+    assert pmi2 == round(math.log(2 * 6 / (5 * 3)), 4) and pmi2 < 0
+    # repeated mentions inside one doc count once (distinct semantics)
+    assert ("stream", "vector") not in out  # never co-occur
+
+    trips = comention_triples(
+        docs, {"spark": "e:spark", "stream": "e:stream", "vector": "e:vec"},
+        min_pmi=0.0, min_pairs=2).collect()
+    assert {(t["subj"], t["pred"], t["obj"]) for t in trips} == {
+        ("e:spark", "https://kg.example.org/ontology#relatedTo", "e:stream")}
+
+
+def test_edit_verified_pairs(spark):
+    """Banded SimHash candidates verified by normalized Levenshtein: the
+    near-identical pair survives, the dissimilar candidate is filtered."""
+    from rdf_tabular_spark.operators.dedup import edit_verified_pairs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("lazy", "hazy")),
+         (3, "completely different words entirely"), (4, base)],
+        "doc_id long, text string")
+    rows = {(r["a"], r["b"]): r["edit_sim"]
+            for r in edit_verified_pairs(docs, min_sim=0.9).collect()}
+    assert rows[(1, 4)] == 1.0
+    assert 0.9 <= rows[(1, 2)] < 1.0
+    assert all(3 not in pair for pair in rows)
