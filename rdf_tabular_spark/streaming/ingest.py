@@ -189,6 +189,116 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str, out_dir: str,
     return writer.start()
 
 
+def stream_minhash_pairs(spark: SparkSession, input_dir: str, out_dir: str,
+                         checkpoint_dir: str, num_perm: int = 8,
+                         rows_per_band: int = 2, n: int = 3,
+                         threshold: float = 0.5, max_bucket: int = 256,
+                         available_now: bool = True):
+    """Cross-batch streaming near-dedup candidates: MinHash-LSH with
+    per-bucket signature state (``applyInPandasWithState``).
+
+    Each arriving page's md5-MinHash signature (the same construction as
+    :func:`operators.dedup.minhash_md5_sig_df`) is banded; per LSH bucket
+    the state keeps the signatures seen so far (capped at ``max_bucket``,
+    like the batch tier), and every new arrival whose estimated Jaccard
+    against a stored signature clears ``threshold`` emits a candidate pair
+    ``(a, b, est_sim)`` — even when the two pages arrived in different
+    micro-batches or across a restart (state is checkpointed with the
+    query). Pairs may repeat across bands; consumers ``distinct()`` them,
+    exactly as the batch band join does.
+
+    Plan shape at scale: one narrow Arrow signature kernel, one shuffle on
+    the band key (the streaming face of the batch banded self-join); state
+    volume is one signature per document per band, capped per bucket.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType)
+
+    from ..operators.dedup import _md5_minhash_rows
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+
+    pages = read_page_stream(spark, input_dir)
+    num_bands = num_perm // rows_per_band
+
+    sig_schema = StructType([StructField("url", StringType(), False),
+                             StructField("sig", StringType(), True)])
+
+    def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf["text"]:
+                _, s = _md5_minhash_rows([0], [text], num_perm, n)
+                sigs.append(None if s[0][0] is None else "|".join(s[0]))
+            yield pd.DataFrame({"url": pdf["url"], "sig": sigs})
+
+    sigs = (pages.mapInPandas(sig_kernel, schema=sig_schema)
+            .filter(F.col("sig").isNotNull()))
+    sig_arr = F.split("sig", r"\|")
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(F.concat_ws(",", F.slice(sig_arr, b * rows_per_band + 1,
+                                           rows_per_band))).alias("band_key")))
+    banded = (sigs.select("url", "sig", F.explode(bands).alias("bk"))
+              .select("url", "sig", F.col("bk.band").alias("band"),
+                      F.col("bk.band_key").alias("band_key")))
+
+    out_schema = StructType([
+        StructField("a", StringType(), False),
+        StructField("b", StringType(), False),
+        StructField("est_sim", DoubleType(), False),
+    ])
+    # parallel \x01-joined lists (state structs carry scalars only)
+    state_schema = StructType([StructField("urls", StringType(), True),
+                               StructField("sigs", StringType(), True)])
+
+    def pair_fn(key, pdfs, state: GroupState):
+        urls, sigs_ = [], []
+        if state.exists:
+            u, s = state.get
+            if u:
+                urls, sigs_ = u.split("\x01"), s.split("\x01")
+        rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else None
+        out = []
+        if rows is not None and not rows.empty:
+            # deterministic arrival order inside a micro-batch
+            rows = rows.sort_values("url")
+            for url, sig in zip(rows["url"], rows["sig"]):
+                if url in urls:
+                    continue  # replay / duplicate delivery
+                parts = sig.split("|")
+                for seen_url, seen_sig in zip(urls, sigs_):
+                    sp = seen_sig.split("|")
+                    est = sum(x == y for x, y in zip(parts, sp)) / num_perm
+                    if est >= threshold:
+                        a, b = sorted((seen_url, url))
+                        out.append((a, b, est))
+                if len(urls) < max_bucket:
+                    urls.append(url)
+                    sigs_.append(sig)
+            state.update(("\x01".join(urls), "\x01".join(sigs_)))
+        if out:
+            yield pd.DataFrame(out, columns=["a", "b", "est_sim"])
+
+    pairs = banded.groupBy("band", "band_key").applyInPandasWithState(
+        pair_fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+    writer = (pairs.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_curate_pages(spark: SparkSession, input_dir: str, out_dir: str,
                         checkpoint_dir: str,
                         available_now: bool = True,

@@ -232,3 +232,55 @@ def test_stream_pages_to_store_end_to_end(spark, tmp_path):
     with open(manifests[0]) as f:
         m = json.load(f)
     assert m["lineage"]["source"] == "stream-pages"
+
+
+def test_stream_minhash_pairs_cross_batch(spark, tmp_path):
+    """Stateful streaming near-dedup: near-identical pages pair even when
+    they arrive in different micro-batches across a checkpointed restart;
+    dissimilar pages never pair."""
+    import datetime
+
+    from rdf_tabular_spark.sources.pages import PAGES_SCHEMA
+    from rdf_tabular_spark.streaming.ingest import stream_minhash_pairs
+
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "pages_in")
+    out_dir = os.path.join(tmp, "pairs_out")
+    ckpt = os.path.join(tmp, "ckpt")
+    ts = datetime.datetime(2024, 1, 1)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat sleeps on the warm mat near the door")
+    near = base.replace("warm", "cold")
+    other = ("completely unrelated text about spark shuffles and "
+             "partition pruning in distributed query engines at scale")
+
+    def page(url, text):
+        return (url, ts, text.encode(), text, "en")
+
+    # batch 1: base + an unrelated doc — no pairs yet
+    spark.createDataFrame(
+        [page("http://h/a", base), page("http://h/x", other)],
+        PAGES_SCHEMA).write.mode("append").parquet(in_dir)
+    q = stream_minhash_pairs(spark, in_dir, out_dir, ckpt, threshold=0.5)
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(out_dir).collect()
+    assert out1 == []
+
+    # batch 2 after restart: the near-dup arrives — the cross-batch pair
+    # must emit from checkpointed bucket state
+    spark.createDataFrame(
+        [page("http://h/b", near)], PAGES_SCHEMA) \
+        .write.mode("append").parquet(in_dir)
+    q = stream_minhash_pairs(spark, in_dir, out_dir, ckpt, threshold=0.5)
+    q.awaitTermination(120)
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(out_dir).collect()}
+    assert pairs == {("http://h/a", "http://h/b")}
+    sims = [r["est_sim"] for r in spark.read.parquet(out_dir).collect()]
+    assert all(s >= 0.5 for s in sims)
+
+    # replaying the same batch (idempotent restart, no new files) adds nothing
+    q = stream_minhash_pairs(spark, in_dir, out_dir, ckpt, threshold=0.5)
+    q.awaitTermination(120)
+    again = {(r["a"], r["b"]) for r in spark.read.parquet(out_dir).collect()}
+    assert again == pairs
