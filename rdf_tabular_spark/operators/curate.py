@@ -140,6 +140,37 @@ def cap_per_source(df: DataFrame, key: str = "doc_id",
               .drop("_cap_rank"))
 
 
+def c4_clean_lines(df: DataFrame, key: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 3) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) →
+    ``(key, clean_text, n_kept, n_removed)``.
+
+    Keeps only lines that end in a terminal punctuation mark, carry at
+    least ``min_words`` words, and contain neither "javascript" /
+    "lorem ipsum" (case-insensitive) nor a curly brace. All rules are
+    higher-order array Column expressions over the line split — one
+    narrow codegen stage, no shuffle, no Python; the page-level
+    "fewer than N sentences" rule is a downstream ``n_kept`` filter.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(line: Column) -> Column:
+        low = F.lower(line)
+        return (line.rlike('[.!?"]$')
+                & (F.size(F.split(F.trim(line), r"\s+")) >= min_words)
+                & ~low.contains("javascript")
+                & ~low.contains("lorem ipsum")
+                & ~line.contains("{"))
+
+    kept = F.filter(lines, _keep)
+    return df.select(
+        F.col(key),
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"))
+
+
 # --- sequence packing ------------------------------------------------------
 
 def pack_sequences(df: DataFrame, key: str = "doc_id",

@@ -552,6 +552,50 @@ from documents
 """
 
 
+def _text_c4_lines(spark, sf_dir):
+    """C4 line-level cleaning: the fixture corpus is single-line without
+    terminal punctuation, so deterministic extra lines are appended first —
+    one keepable sentence per doc, one javascript line, one too-short line,
+    one brace line — and the check proves exactly the sentence survives."""
+    from .operators.curate import c4_clean_lines
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.lit("\nA kept sentence about document "),
+                 F.col("doc_id").cast("string"), F.lit("."),
+                 F.lit("\nthis javascript line is dropped."),
+                 F.lit("\nShort one."),
+                 F.lit("\nvar x = {a: 1}.")))
+    return c4_clean_lines(aug, min_words=3)
+
+
+_TEXT_C4_LINES_SQL = """
+with d as (
+  select doc_id,
+         string_split(text || chr(10) || 'A kept sentence about document '
+                      || doc_id || '.'
+                      || chr(10) || 'this javascript line is dropped.'
+                      || chr(10) || 'Short one.'
+                      || chr(10) || 'var x = {a: 1}.', chr(10)) as ls
+  from documents),
+k as (
+  select doc_id,
+         list_filter(ls, l ->
+           regexp_matches(l, '[.!?"]$')
+           and len(string_split_regex(trim(l), '\\s+')) >= 3
+           and not contains(lower(l), 'javascript')
+           and not contains(lower(l), 'lorem ipsum')
+           and not contains(l, '{')) as kept,
+         len(ls) as n_lines
+  from d)
+select doc_id, array_to_string(kept, chr(10)) as clean_text,
+       len(kept)::bigint as n_kept,
+       (n_lines - len(kept))::bigint as n_removed
+from k
+"""
+
+
 _BOILER = "COOKIE BANNER: accept all cookies\nfooter: terms of service apply"
 
 
@@ -3193,6 +3237,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_mentions": _kg_entity_mentions,
     "kg_comention_pmi": _kg_comention_pmi,
     "dedup_edit_verified_pairs": _dedup_edit_verified_pairs,
+    "text_c4_lines": _text_c4_lines,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3268,6 +3313,7 @@ _ORACLES: dict[str, str] = {
     "text_decontaminate_bloom": _TEXT_DECONTAMINATE_BLOOM_SQL,
     "kg_comention_pmi": _KG_COMENTION_PMI_SQL,
     "dedup_edit_verified_pairs": _DEDUP_EDIT_VERIFIED_SQL,
+    "text_c4_lines": _TEXT_C4_LINES_SQL,
     **_graph_sql(),
 }
 

@@ -208,3 +208,26 @@ def test_cap_per_source_semantics(spark):
                   for r in C.cap_per_source(df, max_docs=4).collect())
     assert ids1 == ids2  # md5 rank, not partition order
     assert "_cap_rank" not in capped.columns
+
+
+def test_c4_clean_lines(spark):
+    """C4 §2.2 line rules: terminal punctuation required, min word count,
+    javascript / lorem ipsum / brace lines dropped; counts add up."""
+    from rdf_tabular_spark.operators.curate import c4_clean_lines
+    text = "\n".join([
+        "A proper sentence with enough words.",   # kept
+        'He said "stop right there"',              # kept (ends in quote)
+        "no terminal punctuation here",            # dropped
+        "Too short.",                              # dropped (< 3 words)
+        "Enable JavaScript to view this page.",    # dropped
+        "standard Lorem Ipsum filler text here.",  # dropped
+        "config = {debug: true}.",                 # dropped (brace)
+        "Ends with a question mark?",              # kept
+    ])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = c4_clean_lines(docs).collect()[0]
+    assert r["clean_text"].split("\n") == [
+        "A proper sentence with enough words.",
+        'He said "stop right there"',
+        "Ends with a question mark?"]
+    assert r["n_kept"] == 3 and r["n_removed"] == 5
