@@ -240,6 +240,50 @@ def transitive_closure_doubling(edges: DataFrame,
     return paths
 
 
+def bfs_distances(edges: DataFrame, sources: DataFrame,
+                  max_iter: int = 64,
+                  checkpoint_dir: str | None = None) -> DataFrame:
+    """Multi-source BFS shortest hop-distances → ``(node, dist)``.
+
+    Classic frontier iteration (Pregel-style): round ``d`` joins only the
+    CURRENT frontier against the edge table and anti-joins everything
+    already reached, so each node is settled exactly once at its true
+    minimum distance (unit weights ⇒ first arrival is shortest). Rounds =
+    eccentricity of the source set, each one keyed join + distinct;
+    lineage is truncated per round (``checkpoint_dir`` switches
+    localCheckpoint → reliable checkpoint, as in
+    :func:`transitive_closure`). ``sources`` is a one-column ``node``
+    DataFrame (distance 0).
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    e.count()
+    known = _ckpt(sources.select("node").distinct()
+                  .withColumn("dist", F.lit(0).cast("long")), checkpoint_dir)
+    frontier = known.select("node")
+    for d in range(1, max_iter + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select(F.col("dst").alias("node")).distinct()
+               .join(known.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(d).cast("long")))
+        nxt = _ckpt(nxt, checkpoint_dir)
+        if nxt.isEmpty():
+            break
+        known = _ckpt(known.unionByName(nxt), checkpoint_dir)
+        frontier = nxt.select("node")
+    e.unpersist()
+    return known
+
+
+def degree_histogram(triples: DataFrame) -> DataFrame:
+    """Out-degree distribution → ``(degree, n_subjects)`` — the graph-shape
+    telemetry that sizes canonicalization buckets and spots super-nodes
+    before they skew a join. One shuffle on subj (map-side partial count),
+    then a vocabulary-sized re-aggregation on the degree value."""
+    deg = triples.groupBy("subj").agg(F.count("*").alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count("*").cast("long").alias("n_subjects")))
+
+
 def describe(triples: DataFrame, seeds: DataFrame,
              max_depth: int = 32,
              checkpoint_dir: str | None = None) -> DataFrame:

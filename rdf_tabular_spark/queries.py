@@ -2179,6 +2179,44 @@ def _graph_closure_ancestors(spark, sf_dir):
     return transitive_closure(_doc_tree_edges(spark, sf_dir))
 
 
+def _graph_bfs_depths(spark, sf_dir):
+    """BFS hop-distances from the root over the REVERSED doc tree (parent →
+    child) — every document's depth; frontier iteration, one keyed join per
+    round (operators/graph.bfs_distances)."""
+    from .operators.graph import bfs_distances
+    edges = _doc_tree_edges(spark, sf_dir).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"))
+    root = spark.createDataFrame(
+        [("http://pages.example.org/doc/0",)], "node string")
+    return bfs_distances(edges, root)
+
+
+_GRAPH_BFS_DEPTHS_SQL = f"""
+with recursive e as (
+  select dst as src, src as dst from ({_TREE_EDGES_SQL})),
+r(node, d) as (
+  select 'http://pages.example.org/doc/0', 0
+  union
+  select e.dst, r.d + 1 from r join e on e.src = r.node where r.d < 64)
+select node, min(d)::bigint as dist from r group by node
+"""
+
+
+def _kg_degree_histogram(spark, sf_dir):
+    """Out-degree distribution over the sparse microdata graph (items carry
+    3 or 4 triples depending on the wordCount threshold) — graph-shape
+    telemetry (operators/graph.degree_histogram)."""
+    from .operators.graph import degree_histogram
+    return degree_histogram(_kg_sparse_graph(spark, sf_dir))
+
+
+_KG_DEGREE_HISTOGRAM_SQL = """
+with t as ({sparse}),
+deg as (select subj, count(*) as degree from t group by subj)
+select degree, count(*)::bigint as n_subjects from deg group by degree
+"""
+
+
 # SPARQL algebra extensions over the microdata graph + a deliberately
 # sparse wordCount predicate (only docs with n_chars > threshold carry it)
 # so OPTIONAL produces real unbound (NULL) rows, not a disguised inner join.
@@ -3238,6 +3276,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_comention_pmi": _kg_comention_pmi,
     "dedup_edit_verified_pairs": _dedup_edit_verified_pairs,
     "text_c4_lines": _text_c4_lines,
+    "graph_bfs_depths": _graph_bfs_depths,
+    "kg_degree_histogram": _kg_degree_histogram,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3314,6 +3354,9 @@ _ORACLES: dict[str, str] = {
     "kg_comention_pmi": _KG_COMENTION_PMI_SQL,
     "dedup_edit_verified_pairs": _DEDUP_EDIT_VERIFIED_SQL,
     "text_c4_lines": _TEXT_C4_LINES_SQL,
+    "graph_bfs_depths": _GRAPH_BFS_DEPTHS_SQL,
+    "kg_degree_histogram":
+        _KG_DEGREE_HISTOGRAM_SQL.format(sparse=_KG_SPARSE_GRAPH_SQL),
     **_graph_sql(),
 }
 

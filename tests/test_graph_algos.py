@@ -592,3 +592,29 @@ def test_reliable_checkpoint_path(spark, tmp_path):
               cc_edges, checkpoint_dir=str(tmp_path / "ck2")).collect()}
     assert cc == {("a", "a"), ("b", "a"), ("c", "a"),
                   ("x", "x"), ("y", "x")}
+
+
+def test_bfs_distances(spark):
+    """Frontier BFS: true min hop-distances, unreachable nodes absent,
+    cycles terminate, multi-source takes the nearer source."""
+    from rdf_tabular_spark.operators.graph import bfs_distances
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),      # cycle
+         ("b", "d"), ("d", "e"), ("s2", "e"),
+         ("x", "y")],                              # disconnected
+        "src string, dst string")
+    src = spark.createDataFrame([("a",), ("s2",)], "node string")
+    out = {r["node"]: r["dist"] for r in bfs_distances(edges, src).collect()}
+    assert out == {"a": 0, "s2": 0, "b": 1, "c": 2, "d": 2,
+                   "e": 1}  # e via s2 (1), not via a->b->d->e (3)
+    assert "x" not in out and "y" not in out
+
+
+def test_degree_histogram(spark):
+    from rdf_tabular_spark.operators.graph import degree_histogram
+    t = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s1", "p", "o2"), ("s2", "p", "o1"),
+         ("s3", "q", "o1"), ("s3", "q", "o2")],
+        "subj string, pred string, obj string")
+    out = {r["degree"]: r["n_subjects"] for r in degree_histogram(t).collect()}
+    assert out == {2: 2, 1: 1}
