@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -282,6 +282,43 @@ def degree_histogram(triples: DataFrame) -> DataFrame:
     deg = triples.groupBy("subj").agg(F.count("*").alias("degree"))
     return (deg.groupBy("degree")
             .agg(F.count("*").cast("long").alias("n_subjects")))
+
+
+def negative_samples(triples: DataFrame, k: int = 2,
+                     max_pool: int = 100_000) -> DataFrame:
+    """KG-embedding training prep: ``k`` deterministically-corrupted tails
+    per triple → ``(subj, pred, neg_obj, neg_idx)`` (TransE-style negative
+    sampling, Bordes et al. 2013).
+
+    The candidate pool is a deterministic md5-min sample of distinct
+    subjects capped at ``max_pool`` — at 10^12 triples uniform negatives
+    only need an unbiased pool, not the full entity set — so it broadcasts;
+    each (triple, i) picks pool index ``md5(s|p|o|i) mod n``: reproducible
+    under retries (no rand()), one narrow stage + a broadcast join. A
+    corruption colliding with the true tail is dropped (standard filtered
+    negative sampling), so a triple may carry fewer than ``k`` rows.
+    """
+    pool = (triples.select("subj").distinct()
+            .orderBy(F.md5("subj"), "subj").limit(max_pool))
+    w = Window.orderBy(F.md5("subj"), "subj")
+    pool_idx = pool.select(
+        (F.row_number().over(w) - 1).alias("neg_idx_key"),
+        F.col("subj").alias("neg_obj"))
+    n = pool_idx.count()
+    cand = (triples.select(
+        "subj", "pred", "obj",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx"))
+        .withColumn(
+            "neg_idx_key",
+            F.pmod(
+                F.conv(F.substring(
+                    F.md5(F.concat_ws("|", "subj", "pred", "obj",
+                                      F.col("neg_idx").cast("string"))),
+                    1, 8), 16, 10).cast("long"),
+                F.lit(n))))
+    return (cand.join(F.broadcast(pool_idx), "neg_idx_key")
+            .filter(F.col("neg_obj") != F.col("obj"))
+            .select("subj", "pred", "neg_obj", "neg_idx"))
 
 
 def describe(triples: DataFrame, seeds: DataFrame,

@@ -2202,6 +2202,34 @@ select node, min(d)::bigint as dist from r group by node
 """
 
 
+def _kg_negative_samples(spark, sf_dir):
+    """TransE-style negative sampling over the microdata graph: 2
+    deterministic corrupted tails per triple from an md5-sampled broadcast
+    entity pool (operators/graph.negative_samples)."""
+    from .operators.graph import negative_samples
+    return negative_samples(_kg_microdata_triples(spark, sf_dir), k=2)
+
+
+_KG_NEGATIVE_SAMPLES_SQL = f"""
+with t as ({{graph}}),
+p as (select distinct subj from t),
+pool as (
+  select row_number() over (order by md5(subj), subj) - 1 as neg_idx_key,
+         subj as neg_obj
+  from p qualify row_number() over (order by md5(subj), subj) <= 100000),
+n as (select count(*) as n from pool),
+cand as (
+  select t.subj, t.pred, t.obj, i.i as neg_idx,
+         ('0x' || substring(md5(t.subj || '|' || t.pred || '|' || t.obj
+                                || '|' || i.i), 1, 8))::bigint
+         % (select n from n) as neg_idx_key
+  from t cross join (values (0), (1)) as i(i))
+select c.subj, c.pred, pool.neg_obj, c.neg_idx
+from cand c join pool using (neg_idx_key)
+where pool.neg_obj <> c.obj
+"""
+
+
 def _kg_degree_histogram(spark, sf_dir):
     """Out-degree distribution over the sparse microdata graph (items carry
     3 or 4 triples depending on the wordCount threshold) — graph-shape
@@ -3278,6 +3306,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_c4_lines": _text_c4_lines,
     "graph_bfs_depths": _graph_bfs_depths,
     "kg_degree_histogram": _kg_degree_histogram,
+    "kg_negative_samples": _kg_negative_samples,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3357,6 +3386,8 @@ _ORACLES: dict[str, str] = {
     "graph_bfs_depths": _GRAPH_BFS_DEPTHS_SQL,
     "kg_degree_histogram":
         _KG_DEGREE_HISTOGRAM_SQL.format(sparse=_KG_SPARSE_GRAPH_SQL),
+    "kg_negative_samples":
+        _KG_NEGATIVE_SAMPLES_SQL.format(graph=_KG_MICRODATA_TRIPLES_SQL),
     **_graph_sql(),
 }
 

@@ -618,3 +618,28 @@ def test_degree_histogram(spark):
         "subj string, pred string, obj string")
     out = {r["degree"]: r["n_subjects"] for r in degree_histogram(t).collect()}
     assert out == {2: 2, 1: 1}
+
+
+def test_negative_samples(spark):
+    """Deterministic TransE-style corruption: k rows per triple (minus
+    true-tail collisions), tails drawn from the subject pool, reproducible
+    across invocations."""
+    from rdf_tabular_spark.operators.graph import negative_samples
+    t = spark.createDataFrame(
+        [("e1", "p", "e2"), ("e2", "p", "e3"), ("e3", "q", "e1"),
+         ("e4", "p", "e1")],
+        "subj string, pred string, obj string")
+    out = negative_samples(t, k=3).collect()
+    pool = {"e1", "e2", "e3", "e4"}
+    assert all(r["neg_obj"] in pool for r in out)
+    assert all(r["neg_obj"] != dict(
+        [(("e1", "p"), "e2"), (("e2", "p"), "e3"),
+         (("e3", "q"), "e1"), (("e4", "p"), "e1")])[(r["subj"], r["pred"])]
+        for r in out)
+    # per-triple count ≤ k, and the bulk of corruptions survive the filter
+    from collections import Counter
+    per = Counter((r["subj"], r["pred"]) for r in out)
+    assert all(v <= 3 for v in per.values()) and sum(per.values()) >= 8
+    # reproducible
+    again = negative_samples(t, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
