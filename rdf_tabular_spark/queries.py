@@ -2202,6 +2202,14 @@ select node, min(d)::bigint as dist from r group by node
 """
 
 
+def _kg_page_links(spark, sf_dir):
+    """Stage 1c: hyperlink graph extraction — each doc page carries one
+    relative parent link, so the extracted+resolved edge set must equal the
+    doc tree the oracle predicts (web.pages_to_links, urljoin resolution)."""
+    from .web import pages_to_links
+    return pages_to_links(_kg_pages(spark, sf_dir)).distinct()
+
+
 def _kg_negative_samples(spark, sf_dir):
     """TransE-style negative sampling over the microdata graph: 2
     deterministic corrupted tails per triple from an md5-sampled broadcast
@@ -3307,6 +3315,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_bfs_depths": _graph_bfs_depths,
     "kg_degree_histogram": _kg_degree_histogram,
     "kg_negative_samples": _kg_negative_samples,
+    "kg_page_links": _kg_page_links,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3388,6 +3397,7 @@ _ORACLES: dict[str, str] = {
         _KG_DEGREE_HISTOGRAM_SQL.format(sparse=_KG_SPARSE_GRAPH_SQL),
     "kg_negative_samples":
         _KG_NEGATIVE_SAMPLES_SQL.format(graph=_KG_MICRODATA_TRIPLES_SQL),
+    "kg_page_links": _TREE_EDGES_SQL,
     **_graph_sql(),
 }
 

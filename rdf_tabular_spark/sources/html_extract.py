@@ -47,6 +47,7 @@ class PageContent:
     csvw_meta: Optional[str] = None
     text: str = ""
     microdata: list[MicroItem] = field(default_factory=list)
+    links: list[str] = field(default_factory=list)
 
 
 class _PageParser(HTMLParser):
@@ -56,6 +57,7 @@ class _PageParser(HTMLParser):
         self.micro: list[MicroItem] = []
         self.text_parts: list[str] = []
         self.csvw_meta: Optional[str] = None
+        self.links: list[str] = []
         self._in_skip = 0
         self._in_csvw_script = False
         self._table_stack: list[HtmlTable] = []
@@ -93,6 +95,10 @@ class _PageParser(HTMLParser):
                 except (TypeError, ValueError):
                     return 1
             self._cell_span = (_span("colspan"), _span("rowspan"))
+        if tag == "a":
+            href = a.get("href")
+            if href:
+                self.links.append(href)
         if "itemscope" in a:
             item = MicroItem(item_id=a.get("itemid", f"_:item{len(self.micro)}"),
                              itemtype=a.get("itemtype", ""))
@@ -261,6 +267,7 @@ def extract_page(html: str) -> PageContent:
         csvw_meta=p.csvw_meta.strip() if p.csvw_meta else None,
         text="\n".join(p.text_parts),
         microdata=p.micro,
+        links=p.links,
     )
 
 

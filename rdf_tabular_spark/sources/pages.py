@@ -213,8 +213,13 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
                     '<div itemscope itemid="{u}#item" itemtype="http://schema.org/CreativeWork">'
                     '<span itemprop="name">doc {d}</span>'
                     '<span itemprop="inLanguage">{l}</span></div>'
-                    "<p>{t}</p></body></html>"
-                ).format(d=did, l=lang, s=source, n=int(n_chars), t=text, u=url)
+                    "{link}<p>{t}</p></body></html>"
+                ).format(d=did, l=lang, s=source, n=int(n_chars), t=text, u=url,
+                         # parent link (empty anchor text: extracted text is
+                         # unchanged) — gives the link graph the same tree
+                         # shape the SQL oracle already predicts
+                         link=(f'<a href="/doc/{did // 2}"></a>'
+                               if did > 0 else ""))
                 out["url"].append(url)
                 out["warc_ts"].append(base_ts + datetime.timedelta(seconds=did % 86400))
                 out["html"].append(html.encode("utf-8"))

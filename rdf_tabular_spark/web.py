@@ -294,6 +294,50 @@ def link_entities_distributed(triples: DataFrame,
         "table_url", "source_num")
 
 
+LINKS_SCHEMA = "src string, dst string"
+
+
+def pages_to_links(pages: DataFrame) -> DataFrame:
+    """Stage 1c: hyperlink graph extraction — ``<a href>`` targets resolved
+    against the page URL → ``(src, dst)`` edges (the Common-Crawl link
+    graph, the input to host-level PageRank / centrality).
+
+    Same single-parse Arrow kernel family as table/microdata extraction
+    (html_extract collects hrefs in the one pass both front-ends share);
+    relative hrefs resolve via RFC 3986 urljoin. Narrow — no shuffle;
+    dedup/aggregation is the consumer's choice.
+    """
+    spark = pages.sparkSession
+    ensure_package_on_executors(spark)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urljoin
+
+        from .sources.html_extract import _decode, extract_page
+        for pdf in batches:
+            src, dst = [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for href in extract_page(_decode(html)).links:
+                    src.append(url)
+                    dst.append(urljoin(url, href))
+            yield pd.DataFrame({"src": src, "dst": dst})
+
+    return pages.mapInPandas(kernel, schema=LINKS_SCHEMA)
+
+
+def host_link_graph(links: DataFrame) -> DataFrame:
+    """Aggregate page-level edges to the host graph →
+    ``(src_host, dst_host, n_links)`` — one shuffle on the host pair with
+    map-side partial counts; self-loops (intra-host navigation) kept, the
+    consumer filters. Host extraction is a JVM-side regexp."""
+    host = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+    return (links
+            .select(F.regexp_extract("src", host, 1).alias("src_host"),
+                    F.regexp_extract("dst", host, 1).alias("dst_host"))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").cast("long").alias("n_links")))
+
+
 def comention_pmi(docs: DataFrame, entities: list[str],
                   id_col: str = "doc_id", text_col: str = "text",
                   min_pairs: int = 2) -> DataFrame:

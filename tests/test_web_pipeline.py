@@ -494,3 +494,30 @@ def test_edit_verified_pairs(spark):
     assert rows[(1, 4)] == 1.0
     assert 0.9 <= rows[(1, 2)] < 1.0
     assert all(3 not in pair for pair in rows)
+
+
+def test_pages_to_links_and_host_graph(spark):
+    """Link extraction: hrefs collected in the one shared parse, relative
+    targets resolved against the page URL, host aggregation counts pairs."""
+    import datetime
+
+    from rdf_tabular_spark.sources.pages import PAGES_SCHEMA
+    from rdf_tabular_spark.web import host_link_graph, pages_to_links
+    ts = datetime.datetime(2024, 1, 1)
+    html1 = (b'<html><body><a href="/about">About</a>'
+             b'<a href="http://other.example/page">x</a>'
+             b'<a name="anchor-only">no href</a></body></html>')
+    html2 = b'<html><body><a href="../up">rel</a></body></html>'
+    pages = spark.createDataFrame(
+        [("http://h1.example/a/b", ts, html1, "About\nx\nno href", "en"),
+         ("http://h2.example/d/e/f", ts, html2, "rel", "en")], PAGES_SCHEMA)
+    links = {(r["src"], r["dst"]) for r in pages_to_links(pages).collect()}
+    assert links == {
+        ("http://h1.example/a/b", "http://h1.example/about"),
+        ("http://h1.example/a/b", "http://other.example/page"),
+        ("http://h2.example/d/e/f", "http://h2.example/d/up")}
+    hosts = {(r["src_host"], r["dst_host"]): r["n_links"]
+             for r in host_link_graph(pages_to_links(pages)).collect()}
+    assert hosts == {("h1.example", "h1.example"): 1,
+                     ("h1.example", "other.example"): 1,
+                     ("h2.example", "h2.example"): 1}
