@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -38,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="merge this batch's subject mapping into the store's "
                         "persistent canonical map and rewrite with the "
                         "GLOBAL map (cross-batch identity)")
+    p.add_argument("--links", action="store_true",
+                   help="also extract the hyperlink graph: page-level "
+                        "(src, dst) edges and the host-level aggregate as "
+                        "parquet side outputs under <out>/links/<batch-id>")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--compact-after", type=int, default=0, metavar="N",
                    help="after committing this batch, if the store holds "
@@ -76,6 +81,16 @@ def main(argv: list[str] | None = None) -> dict:
         entity_dict=entity_dictionary() if args.entity_dict else None,
         canonicalize=not args.no_canonicalize,
         incremental_canonical=args.incremental_canonical)
+    if args.links:
+        from rdf_tabular_spark.web import host_link_graph, pages_to_links
+        links_dir = os.path.join(args.out, "links", args.batch_id)
+        links = pages_to_links(pages).persist()
+        links.write.mode("overwrite").parquet(
+            os.path.join(links_dir, "edges"))
+        host_link_graph(links).write.mode("overwrite").parquet(
+            os.path.join(links_dir, "hosts"))
+        manifest = dict(manifest, n_links=links.count(), links_dir=links_dir)
+        links.unpersist()
     if args.compact_after:
         from rdf_tabular_spark.sinks.graph_store import (compact,
                                                          expire_replaced,

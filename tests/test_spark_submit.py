@@ -420,3 +420,18 @@ def test_query_job_sparql_term_graph(spark, tmp_path):
             "--store", root, "--sparql",
             'SELECT ?s WHERE { ?s <http://schema.org/name> ?n . '
             'FILTER(LANG(?n) = "en") }'])
+
+
+def test_extract_job_links_side_output(spark, tmp_path):
+    """--links writes the page-level edge set and the host aggregate as
+    side outputs and records the count in the manifest."""
+    from rdf_tabular_spark.jobs.extract import main
+    out = str(tmp_path / "store")
+    m = main(["--synth", "40", "--out", out, "--batch-id", "lk1",
+              "--no-canonicalize", "--links"])
+    assert m["n_links"] >= 0 and m["links_dir"].endswith("links/lk1")
+    edges = spark.read.parquet(os.path.join(out, "links", "lk1", "edges"))
+    hosts = spark.read.parquet(os.path.join(out, "links", "lk1", "hosts"))
+    assert set(edges.columns) == {"src", "dst"}
+    assert set(hosts.columns) == {"src_host", "dst_host", "n_links"}
+    assert hosts.count() >= 0
