@@ -3,6 +3,9 @@
 Composes the curation tier end-to-end over a documents parquet
 (``doc_id, text, lang, ...``), with per-stage metrics in one JSON line:
 
+  0. line cleaning (``--c4-lines``) — C4 per-line rules (terminal
+     punctuation, min words, javascript/lorem/brace markers); documents
+     emptied by the filter are dropped
   1. quality gate — Gopher rules + language-ID agreement + exact dedup
      (operators/curate.curation_report; first failing rule is the reason)
   2. near-dedup (``--near-dedup``) — MinHash signatures → LSH candidate
@@ -39,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--in", dest="src", required=True,
                    help="documents parquet (doc_id, text, lang)")
     p.add_argument("--out", required=True, help="curated output parquet")
+    p.add_argument("--c4-lines", action="store_true",
+                   help="C4 line-level cleaning before the quality gate "
+                        "(terminal punctuation, min words, boilerplate "
+                        "markers); docs left with no lines are dropped")
+    p.add_argument("--c4-min-words", type=int, default=3)
     p.add_argument("--near-dedup", action="store_true",
                    help="MinHash-LSH + Jaccard-verified near-dup removal")
     p.add_argument("--jaccard", type=float, default=0.5,
@@ -75,6 +83,19 @@ def main(argv: list[str] | None = None) -> dict:
 
     docs = spark.read.parquet(args.src)
     report: dict = {"input": args.src, "n_input": docs.count()}
+
+    # 0. line-level cleaning (C4 rules) before any document-level decision
+    if args.c4_lines:
+        cleaned = C.c4_clean_lines(docs, min_words=args.c4_min_words)
+        stats = cleaned.agg(F.sum("n_removed").alias("rm"),
+                            F.sum((F.col("n_kept") == 0).cast("long"))
+                            .alias("empty")).first()
+        report["c4_lines_removed"] = int(stats["rm"] or 0)
+        report["c4_docs_emptied"] = int(stats["empty"] or 0)
+        docs = (docs.drop("text")
+                .join(cleaned.filter(F.col("n_kept") > 0)
+                      .select("doc_id", F.col("clean_text").alias("text")),
+                      "doc_id"))
 
     # 1. quality gate (gopher + langid + exact dedup) — one decision pass
     decisions = C.curation_report(docs).persist()

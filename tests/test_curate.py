@@ -231,3 +231,23 @@ def test_c4_clean_lines(spark):
         'He said "stop right there"',
         "Ends with a question mark?"]
     assert r["n_kept"] == 3 and r["n_removed"] == 5
+
+
+def test_curate_job_c4_lines(spark, tmp_path):
+    """--c4-lines rewrites text before the quality gate and drops docs the
+    line filter empties; counts land in the report."""
+    from rdf_tabular_spark.jobs.curate import main
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    good = ("This is a perfectly ordinary sentence with plenty of words "
+            "to pass every quality rule in the gate today. " * 5).strip()
+    spark.createDataFrame(
+        [(1, good + "\nnoise line without punctuation", "en"),
+         (2, "only noise no punctuation at all", "en")],
+        "doc_id long, text string, lang string").write.parquet(src)
+    rep = main(["--in", src, "--out", out, "--c4-lines"])
+    assert rep["c4_docs_emptied"] == 1
+    assert rep["c4_lines_removed"] >= 2
+    rows = spark.read.parquet(out).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert "noise line" not in rows[0]["text"]
