@@ -196,6 +196,16 @@ class TripleKernel:
                 if cp.required:
                     errors.append(f"{cp.name} is required")
                 continue
+            if v == "":
+                # element-level default (metadata.rb:1681-1682): reachable
+                # only when a non-empty `null` is declared ('' otherwise
+                # matches null above); the reference returns the default
+                # STRING directly — datatype coercion is bypassed and the
+                # element emits as a plain literal
+                out.append(coerce.CellValue(
+                    cp.default if cp.default is not None else "",
+                    None, None))
+                continue
             if cp.datatypes is not None:
                 first_dt = cp.datatypes[0].get("base", "string")
                 if first_dt in ("string", "anyAtomicType", "any"):
