@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     # score) and Bloom-filter decontamination (bit-set semi-join probe)
     "text_perplexity",
     "text_decontaminate_bloom",
+    # round-4 cont. 6 tier: link-graph extraction (parse+urljoin chain) and
+    # C4 line cleaning (one codegen stage of array exprs)
+    "kg_page_links",
+    "text_c4_lines",
     "kg_bgp_star",
     # the doc tree is depth-dominated → the doubling tier is the right
     # closure algorithm here (log2(depth) rounds, 2.3x the semi-naive
