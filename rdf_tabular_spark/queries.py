@@ -2210,6 +2210,27 @@ def _kg_page_links(spark, sf_dir):
     return pages_to_links(_kg_pages(spark, sf_dir)).distinct()
 
 
+def _kg_anchor_texts(spark, sf_dir):
+    """Stage 1c + naming signal: anchor-text aggregation per link target —
+    how OTHER pages refer to an entity (web.pages_to_anchors). Each doc
+    page's parent link carries the parent's name as anchor text, so the
+    expected (dst, anchor, n_refs) set is the doc tree's child counts,
+    SQL-computable from the documents table."""
+    from .web import pages_to_anchors
+    return (pages_to_anchors(_kg_pages(spark, sf_dir))
+            .groupBy("dst", "anchor")
+            .agg(F.count("*").cast("long").alias("n_refs")))
+
+
+_KG_ANCHOR_TEXTS_SQL = """
+select 'http://pages.example.org/doc/' || (doc_id // 2) as dst,
+       'doc ' || (doc_id // 2) as anchor,
+       count(*)::bigint as n_refs
+from documents where doc_id > 0
+group by 1, 2
+"""
+
+
 def _kg_negative_samples(spark, sf_dir):
     """TransE-style negative sampling over the microdata graph: 2
     deterministic corrupted tails per triple from an md5-sampled broadcast
@@ -3316,6 +3337,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_degree_histogram": _kg_degree_histogram,
     "kg_negative_samples": _kg_negative_samples,
     "kg_page_links": _kg_page_links,
+    "kg_anchor_texts": _kg_anchor_texts,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3398,6 +3420,7 @@ _ORACLES: dict[str, str] = {
     "kg_negative_samples":
         _KG_NEGATIVE_SAMPLES_SQL.format(graph=_KG_MICRODATA_TRIPLES_SQL),
     "kg_page_links": _TREE_EDGES_SQL,
+    "kg_anchor_texts": _KG_ANCHOR_TEXTS_SQL,
     **_graph_sql(),
 }
 

@@ -48,6 +48,9 @@ class PageContent:
     text: str = ""
     microdata: list[MicroItem] = field(default_factory=list)
     links: list[str] = field(default_factory=list)
+    # (href, visible anchor text) per CLOSED <a href> element; an unclosed
+    # <a> contributes to `links` but not here (no text boundary exists)
+    anchors: list[tuple[str, str]] = field(default_factory=list)
 
 
 class _PageParser(HTMLParser):
@@ -58,6 +61,8 @@ class _PageParser(HTMLParser):
         self.text_parts: list[str] = []
         self.csvw_meta: Optional[str] = None
         self.links: list[str] = []
+        self.anchors: list[tuple[str, str]] = []
+        self._anchor_stack: list[tuple[str, list[str]]] = []
         self._in_skip = 0
         self._in_csvw_script = False
         self._table_stack: list[HtmlTable] = []
@@ -99,6 +104,7 @@ class _PageParser(HTMLParser):
             href = a.get("href")
             if href:
                 self.links.append(href)
+                self._anchor_stack.append((href, []))
         if "itemscope" in a:
             item = MicroItem(item_id=a.get("itemid", f"_:item{len(self.micro)}"),
                              itemtype=a.get("itemtype", ""))
@@ -129,6 +135,9 @@ class _PageParser(HTMLParser):
         elif tag == "table" and self._table_stack:
             self._table_stack.pop()
             self._carry_stack.pop()
+        if tag == "a" and self._anchor_stack:
+            href, parts = self._anchor_stack.pop()
+            self.anchors.append((href, "".join(parts).strip()))
         if self._prop_stack:
             prop, parts = self._prop_stack.pop()
             if self._item_stack:
@@ -187,6 +196,8 @@ class _PageParser(HTMLParser):
             self._cell.append(data)
         if self._prop_stack:
             self._prop_stack[-1][1].append(data)
+        if self._anchor_stack:
+            self._anchor_stack[-1][1].append(data)
         stripped = data.strip()
         if stripped:
             self.text_parts.append(stripped)
@@ -268,6 +279,7 @@ def extract_page(html: str) -> PageContent:
         text="\n".join(p.text_parts),
         microdata=p.micro,
         links=p.links,
+        anchors=p.anchors,
     )
 
 

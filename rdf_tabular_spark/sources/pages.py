@@ -215,10 +215,11 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
                     '<span itemprop="inLanguage">{l}</span></div>'
                     "{link}<p>{t}</p></body></html>"
                 ).format(d=did, l=lang, s=source, n=int(n_chars), t=text, u=url,
-                         # parent link (empty anchor text: extracted text is
-                         # unchanged) — gives the link graph the same tree
-                         # shape the SQL oracle already predicts
-                         link=(f'<a href="/doc/{did // 2}"></a>'
+                         # parent link — gives the link graph the same tree
+                         # shape the SQL oracle already predicts; the anchor
+                         # text is the parent's microdata name, so the
+                         # anchor-aggregation oracle is SQL-computable too
+                         link=(f'<a href="/doc/{did // 2}">doc {did // 2}</a>'
                                if did > 0 else ""))
                 out["url"].append(url)
                 out["warc_ts"].append(base_ts + datetime.timedelta(seconds=did % 86400))

@@ -325,6 +325,35 @@ def pages_to_links(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(kernel, schema=LINKS_SCHEMA)
 
 
+ANCHORS_SCHEMA = "src string, dst string, anchor string"
+
+
+def pages_to_anchors(pages: DataFrame) -> DataFrame:
+    """Stage 1c variant keeping the visible anchor text per ``<a href>`` —
+    ``(src, dst, anchor)``. Anchor text is the classic external naming
+    signal for entity canonicalization (how OTHER pages refer to a target),
+    aggregated downstream per dst. Same single-parse kernel, narrow, no
+    shuffle; unclosed anchors (no text boundary) are skipped, matching
+    PageContent.anchors semantics."""
+    spark = pages.sparkSession
+    ensure_package_on_executors(spark)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urljoin
+
+        from .sources.html_extract import _decode, extract_page
+        for pdf in batches:
+            src, dst, anchor = [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for href, text in extract_page(_decode(html)).anchors:
+                    src.append(url)
+                    dst.append(urljoin(url, href))
+                    anchor.append(text)
+            yield pd.DataFrame({"src": src, "dst": dst, "anchor": anchor})
+
+    return pages.mapInPandas(kernel, schema=ANCHORS_SCHEMA)
+
+
 def host_link_graph(links: DataFrame) -> DataFrame:
     """Aggregate page-level edges to the host graph →
     ``(src_host, dst_host, n_links)`` — one shuffle on the host pair with

@@ -32,7 +32,9 @@ def _slow_parse(html: str) -> H.PageContent:
         tables=p.tables,
         csvw_meta=p.csvw_meta.strip() if p.csvw_meta else None,
         text="\n".join(p.text_parts),
-        microdata=p.micro)
+        microdata=p.micro,
+        links=p.links,
+        anchors=p.anchors)
 
 
 @settings(max_examples=300, deadline=None, derandomize=True)
@@ -46,6 +48,8 @@ def test_fast_tokenizer_parity_fuzz(parts):
     assert [t.rows for t in fast.tables] == [t.rows for t in slow.tables], html
     assert [(m.item_id, m.itemtype, m.props) for m in fast.microdata] == \
            [(m.item_id, m.itemtype, m.props) for m in slow.microdata], html
+    assert fast.links == slow.links, html
+    assert fast.anchors == slow.anchors, html
 
 
 @settings(max_examples=300, deadline=None, derandomize=True)

@@ -173,13 +173,15 @@ def test_fast_tokenizer_equivalence():
         return H.PageContent(
             tables=p.tables,
             csvw_meta=p.csvw_meta.strip() if p.csvw_meta else None,
-            text="\n".join(p.text_parts), microdata=p.micro)
+            text="\n".join(p.text_parts), microdata=p.micro,
+            links=p.links, anchors=p.anchors)
 
     def eq(a, b):
         return (a.text == b.text and a.csvw_meta == b.csvw_meta
                 and [t.rows for t in a.tables] == [t.rows for t in b.tables]
                 and [(m.item_id, m.itemtype, m.props) for m in a.microdata]
-                    == [(m.item_id, m.itemtype, m.props) for m in b.microdata])
+                    == [(m.item_id, m.itemtype, m.props) for m in b.microdata]
+                and a.links == b.links and a.anchors == b.anchors)
 
     for i in range(300):
         h = build_page_html(i, f"h{i}.org", _page_rows(i, 3 + i % 9), "en", i % 3 == 0)
@@ -521,3 +523,38 @@ def test_pages_to_links_and_host_graph(spark):
     assert hosts == {("h1.example", "h1.example"): 1,
                      ("h1.example", "other.example"): 1,
                      ("h2.example", "h2.example"): 1}
+
+
+def test_anchor_text_capture():
+    """PageContent.anchors pairs each CLOSED <a href> with its visible text:
+    nested markup flattened, entities decoded, skip regions excluded,
+    unclosed anchors dropped (they still appear in .links)."""
+    from rdf_tabular_spark.sources.html_extract import extract_page
+    html = ('<body><a href="/x">Hello <b>World</b></a>'
+            '<a href="/y"></a>'
+            '<a href="/z">a &amp; b</a>'
+            '<a name="no-href">skip me</a>'
+            '<a href="/unclosed">tail')
+    pc = extract_page(html)
+    assert pc.anchors == [("/x", "Hello World"), ("/y", ""), ("/z", "a & b")]
+    assert pc.links == ["/x", "/y", "/z", "/unclosed"]
+
+
+def test_pages_to_anchors(spark):
+    """(src, dst, anchor) rows: urljoin resolution + anchor text, matching
+    pages_to_links' edge set where anchors are closed."""
+    import datetime
+
+    from rdf_tabular_spark.sources.pages import PAGES_SCHEMA
+    from rdf_tabular_spark.web import pages_to_anchors
+    ts = datetime.datetime(2024, 1, 1)
+    html = (b'<html><body><a href="/about">About us</a>'
+            b'<a href="http://other.example/page">ext</a></body></html>')
+    pages = spark.createDataFrame(
+        [("http://h1.example/a/b", ts, html, "About us\next", "en")],
+        PAGES_SCHEMA)
+    rows = {(r["src"], r["dst"], r["anchor"])
+            for r in pages_to_anchors(pages).collect()}
+    assert rows == {
+        ("http://h1.example/a/b", "http://h1.example/about", "About us"),
+        ("http://h1.example/a/b", "http://other.example/page", "ext")}
