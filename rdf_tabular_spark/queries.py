@@ -2231,6 +2231,33 @@ group by 1, 2
 """
 
 
+def _dedup_url_latest(spark, sf_dir):
+    """Recrawl dedup: the pages table unioned with a simulated one-day-later
+    re-crawl of every third page collapses to one row per url — the LATEST
+    capture wins (operators/dedup.latest_snapshot, groupBy + max_by, one
+    keyed shuffle with map-side combine). Oracle: the expected winning
+    timestamp is computable per doc_id in plain SQL."""
+    from .operators.dedup import latest_snapshot
+    pages = _kg_pages(spark, sf_dir)
+    did = F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long")
+    recrawl = (pages.where(did % 3 == 0)
+               .withColumn("warc_ts",
+                           F.col("warc_ts") + F.expr("INTERVAL 1 DAY")))
+    kept = latest_snapshot(pages.unionByName(recrawl))
+    return kept.select("url", F.unix_timestamp("warc_ts").alias("ts_epoch"),
+                       "lang")
+
+
+_DEDUP_URL_LATEST_SQL = f"""
+select {DOC_URL_SQL} as url,
+       epoch(timestamp '2024-01-01' + to_seconds(doc_id % 86400)
+             + case when doc_id % 3 = 0 then interval 1 day
+                    else interval 0 day end)::bigint as ts_epoch,
+       lang
+from documents
+"""
+
+
 def _kg_negative_samples(spark, sf_dir):
     """TransE-style negative sampling over the microdata graph: 2
     deterministic corrupted tails per triple from an md5-sampled broadcast
@@ -3338,6 +3365,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_negative_samples": _kg_negative_samples,
     "kg_page_links": _kg_page_links,
     "kg_anchor_texts": _kg_anchor_texts,
+    "dedup_url_latest": _dedup_url_latest,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3421,6 +3449,7 @@ _ORACLES: dict[str, str] = {
         _KG_NEGATIVE_SAMPLES_SQL.format(graph=_KG_MICRODATA_TRIPLES_SQL),
     "kg_page_links": _TREE_EDGES_SQL,
     "kg_anchor_texts": _KG_ANCHOR_TEXTS_SQL,
+    "dedup_url_latest": _DEDUP_URL_LATEST_SQL,
     **_graph_sql(),
 }
 

@@ -558,3 +558,30 @@ def test_pages_to_anchors(spark):
     assert rows == {
         ("http://h1.example/a/b", "http://h1.example/about", "About us"),
         ("http://h1.example/a/b", "http://other.example/page", "ext")}
+
+
+def test_latest_snapshot(spark):
+    """One row per url, greatest warc_ts wins; same-second ties break
+    deterministically on md5(html)."""
+    import datetime
+
+    from rdf_tabular_spark.operators.dedup import latest_snapshot
+    from rdf_tabular_spark.sources.pages import PAGES_SCHEMA
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    rows = [
+        ("http://a/", t0, b"old", "old", "en"),
+        ("http://a/", t1, b"new", "new", "en"),
+        ("http://b/", t0, b"only", "only", "de"),
+        # tie on ts: md5(b"zz") > md5(b"aa") lexically -> "zz" wins
+        ("http://c/", t0, b"aa", "aa", "en"),
+        ("http://c/", t0, b"zz", "zz", "en"),
+    ]
+    kept = {r["url"]: r for r in
+            latest_snapshot(spark.createDataFrame(rows, PAGES_SCHEMA)).collect()}
+    assert len(kept) == 3
+    assert kept["http://a/"]["text"] == "new"
+    assert kept["http://b/"]["text"] == "only"
+    import hashlib
+    exp = max(("aa", "zz"), key=lambda s: hashlib.md5(s.encode()).hexdigest())
+    assert kept["http://c/"]["text"] == exp
