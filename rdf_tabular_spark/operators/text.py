@@ -239,3 +239,37 @@ def gopher_pass(col: Column, min_words: int = 5, max_words: int = 100_000,
             & (m["stop_hits"] >= min_stops)
             & (m["dup_line_ratio"] <= max_dup_line)
             & (m["top_bigram_ratio"] <= max_top_bigram))
+
+
+def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Top-k TF-IDF terms per document — the classic keyword/topic signal
+    for corpus mixture monitoring and per-document routing.
+
+    idf is the PLAIN inverse document-frequency ratio ``N/df`` (no log):
+    multiply/divide/round are bit-identical IEEE ops across Spark and
+    DuckDB, so the score column survives the oracle value-hash, while the
+    ranking is monotone-equivalent to log-idf within one corpus (log is
+    monotone). Shape: explode → (doc, term) count with map-side partial
+    agg, df from the tf table (second keyed agg), term-keyed join (AQE
+    broadcasts the df side when the vocabulary is small), then a per-doc
+    row_number window — partition key is doc_id, so the window never
+    concentrates rows. Ties break on term ascending.
+    """
+    from pyspark.sql import Window
+
+    n_docs = float(docs.count())
+    tf = (docs.select(id_col,
+                      F.explode(tokens(F.col(text_col))).alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score",
+                          F.round(F.col("tf") * F.lit(n_docs) / F.col("df"),
+                                  4)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", F.col("rank").cast("long").alias("rank"),
+                    "score"))

@@ -2016,6 +2016,31 @@ order by n_occ desc, token limit 100
 """
 
 
+def _text_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (operators/text.tfidf_top_terms) —
+    ratio idf (N/df, no log) keeps every double bit-identical across
+    engines; ranking ties break on term ascending."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, k=3)
+
+
+_TEXT_TFIDF_TERMS_SQL = f"""
+with toks as (select doc_id, unnest({TOKS_SQL}) as term from documents),
+tf as (select doc_id, term, count(*) as tf from toks group by doc_id, term),
+dfreq as (select term, count(*) as df from tf group by term),
+scored as (
+  select tf.doc_id, tf.term,
+         round(tf.tf * (select count(*)::double from documents) / dfreq.df,
+               4) as score
+  from tf join dfreq using (term))
+select doc_id, term, rank, score from (
+  select doc_id, term, score,
+         row_number() over (partition by doc_id
+                            order by score desc, term) as rank
+  from scored) where rank <= 3
+"""
+
+
 def _corpus_length_quantiles(spark, sf_dir):
     """Per-language document-length quantiles (exact continuous
     interpolation — Spark `percentile`, not approx_percentile, mirrors
@@ -3366,6 +3391,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_page_links": _kg_page_links,
     "kg_anchor_texts": _kg_anchor_texts,
     "dedup_url_latest": _dedup_url_latest,
+    "text_tfidf_terms": _text_tfidf_terms,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3450,6 +3476,7 @@ _ORACLES: dict[str, str] = {
     "kg_page_links": _TREE_EDGES_SQL,
     "kg_anchor_texts": _KG_ANCHOR_TEXTS_SQL,
     "dedup_url_latest": _DEDUP_URL_LATEST_SQL,
+    "text_tfidf_terms": _TEXT_TFIDF_TERMS_SQL,
     **_graph_sql(),
 }
 
