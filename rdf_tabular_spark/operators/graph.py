@@ -383,3 +383,72 @@ reach as (
   select r.src, e2.dst from reach r join e e2 on r.dst = e2.src)
 select src, dst from reach
 """
+
+
+def hits(edges: DataFrame, n_iter: int = 2) -> DataFrame:
+    """Fixed-iteration HITS over ``(src, dst)`` edges →
+    ``(node, hub, auth)`` — Kleinberg's hubs-and-authorities centrality,
+    the complement of PageRank for link-graph telemetry (a good hub links
+    to many good authorities; a good authority is linked from many good
+    hubs).
+
+    UNNORMALIZED integer power iterations: ``a_{k}(v) = Σ_{u→v} h_{k-1}(u)``
+    then ``h_k(u) = Σ_{u→v} a_k(v)``, all in exact long arithmetic.
+    Per-iteration normalization is a positive scalar, so the RANKING after
+    k iterations is identical to normalized HITS — and integer sums are
+    order-independent, which makes the result bit-identical across engines
+    regardless of aggregation order (the float-summation caveat PageRank
+    carries does not apply). Two shuffles per iteration (groupBy dst, then
+    groupBy src), each with map-side partial sums; the joins reuse the
+    edge table's key partitioning across iterations.
+    """
+    e = edges.select("src", "dst")
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    h = nodes.withColumn("hub", F.lit(1).cast("long"))
+    a = nodes.withColumn("auth", F.lit(1).cast("long"))
+    for _ in range(n_iter):
+        a_agg = (e.join(h, e["src"] == h["node"])
+                 .groupBy(e["dst"].alias("a_node"))
+                 .agg(F.sum("hub").alias("s")))
+        a = (nodes.join(a_agg, nodes["node"] == a_agg["a_node"], "left")
+             .select(nodes["node"],
+                     F.coalesce(F.col("s"), F.lit(0)).cast("long")
+                     .alias("auth")))
+        h_agg = (e.join(a, e["dst"] == a["node"])
+                 .groupBy(e["src"].alias("h_node"))
+                 .agg(F.sum("auth").alias("s")))
+        h = (nodes.join(h_agg, nodes["node"] == h_agg["h_node"], "left")
+             .select(nodes["node"],
+                     F.coalesce(F.col("s"), F.lit(0)).cast("long")
+                     .alias("hub")))
+    return (h.join(a.select(F.col("node").alias("a_node"), "auth"),
+                   h["node"] == F.col("a_node"))
+            .select("node", "hub", "auth"))
+
+
+def hits_sql(edges_sql: str, n_iter: int = 2) -> str:
+    """The same fixed-iteration unnormalized HITS unrolled as SQL CTEs
+    (DuckDB oracle) — exact bigint arithmetic end to end."""
+    parts = [
+        f"e as ({edges_sql})",
+        "nodes as (select src as node from e union select dst from e)",
+        "h0 as (select node, 1::bigint as hub from nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"a{i} as (select nodes.node,"
+            f" coalesce(s.s, 0)::bigint as auth from nodes left join"
+            f" (select e.dst as node, sum(h.hub) as s from e"
+            f" join h{i-1} h on e.src = h.node group by e.dst) s"
+            f" on nodes.node = s.node)")
+        parts.append(
+            f"h{i} as (select nodes.node,"
+            f" coalesce(s.s, 0)::bigint as hub from nodes left join"
+            f" (select e.src as node, sum(a.auth) as s from e"
+            f" join a{i} a on e.dst = a.node group by e.src) s"
+            f" on nodes.node = s.node)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect h{n_iter}.node, h{n_iter}.hub, a{n_iter}.auth"
+            + f" from h{n_iter} join a{n_iter} using (node)")

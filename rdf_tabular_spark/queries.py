@@ -2204,6 +2204,15 @@ def _graph_closure_ancestors(spark, sf_dir):
     return transitive_closure(_doc_tree_edges(spark, sf_dir))
 
 
+def _graph_hits(spark, sf_dir):
+    """Fixed-iteration HITS hubs/authorities over the doc tree
+    (operators/graph.hits) — unnormalized integer power iterations, so the
+    oracle (the same recurrence unrolled as bigint SQL CTEs) is exact
+    regardless of either engine's aggregation order."""
+    from .operators.graph import hits
+    return hits(_doc_tree_edges(spark, sf_dir), n_iter=2)
+
+
 def _graph_bfs_depths(spark, sf_dir):
     """BFS hop-distances from the root over the REVERSED doc tree (parent →
     child) — every document's depth; frontier iteration, one keyed join per
@@ -3025,7 +3034,8 @@ def _kg_owl_derived(spark, sf_dir):
 def _graph_sql():
     from .operators.bgp import (bgp_agg_sql, bgp_sql, bgp_subselect_sql,
                                 bgp_union_sql, construct_sql)
-    from .operators.graph import closure_sql, describe_sql, pagerank_sql
+    from .operators.graph import (closure_sql, describe_sql, hits_sql,
+                                  pagerank_sql)
     from .operators.inference import rdfs_sql
     from .operators.owl import (owl_horst_sql, sameas_mapping_sql,
                                 sameas_rewrite_sql)
@@ -3085,6 +3095,7 @@ def _graph_sql():
                                  exists=_BGP_OPTIONAL_GROUPS),
         "graph_pagerank": pagerank_sql(_TREE_EDGES_SQL, n_iter=3,
                                        damping=0.85),
+        "graph_hits": hits_sql(_TREE_EDGES_SQL, n_iter=2),
         "graph_closure_ancestors": closure_sql(_TREE_EDGES_SQL),
         "graph_closure_doubling": closure_sql(_TREE_EDGES_SQL),
         "kg_bgp_path_expr": bgp_sql(_TREE_LANG_GRAPH_SQL,
@@ -3392,6 +3403,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_anchor_texts": _kg_anchor_texts,
     "dedup_url_latest": _dedup_url_latest,
     "text_tfidf_terms": _text_tfidf_terms,
+    "graph_hits": _graph_hits,
 }
 
 _ORACLES: dict[str, str] = {

@@ -643,3 +643,21 @@ def test_negative_samples(spark):
     # reproducible
     again = negative_samples(t, k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hits_hand_computed(spark):
+    """HITS on a tiny hub/authority graph matches the hand-unrolled
+    recurrence: h1,h2 both link to a1,a2 (h1 also to a3)."""
+    from rdf_tabular_spark.operators.graph import hits
+    edges = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h1", "a3"),
+         ("h2", "a1"), ("h2", "a2")], "src string, dst string")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(edges, n_iter=1).collect()}
+    # iter 1: auth = indeg (a1=2, a2=2, a3=1); hub = sum of auths linked
+    assert got["a1"] == (0, 2) and got["a2"] == (0, 2) and got["a3"] == (0, 1)
+    assert got["h1"] == (5, 0)   # 2+2+1
+    assert got["h2"] == (4, 0)   # 2+2
+    got2 = {r["node"]: (r["hub"], r["auth"]) for r in hits(edges, n_iter=2).collect()}
+    # iter 2: auth(a1) = h1+h2 = 9, auth(a3) = h1 = 5; hub(h1) = 9+9+5
+    assert got2["a1"] == (0, 9) and got2["a3"] == (0, 5)
+    assert got2["h1"] == (23, 0) and got2["h2"] == (18, 0)
