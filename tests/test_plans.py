@@ -614,3 +614,37 @@ def test_edit_verified_pairs_scans_candidates_only(spark):
     p = plan_of(edit_verified_pairs(docs, min_sim=0.5))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "levenshtein" in p.lower()
+
+
+def test_latest_snapshot_single_shuffle_partial_maxby(spark):
+    """Recrawl dedup must be ONE keyed shuffle with map-side partial
+    max_by — a row_number window (shuffle + sort, no combine) regresses
+    at crawl scale."""
+    from rdf_tabular_spark.operators.dedup import latest_snapshot
+    from rdf_tabular_spark.sources.pages import pages_from_documents
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(latest_snapshot(pages_from_documents(docs)))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "partial_max_by" in p, "map-side combine missing"
+    assert "Window" not in p
+
+
+def test_pages_to_anchors_is_narrow(spark):
+    """Anchor extraction is stage 1c: one Arrow pass, no shuffle."""
+    from rdf_tabular_spark.sources.pages import pages_from_documents
+    from rdf_tabular_spark.web import pages_to_anchors
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(pages_to_anchors(pages_from_documents(docs)))
+    assert "Exchange" not in p
+
+
+def test_tfidf_prunes_columns_and_partial_aggs(spark):
+    """TF-IDF reads only (doc_id, text); both keyed counts combine
+    map-side before their exchanges."""
+    from rdf_tabular_spark.operators.text import tfidf_top_terms
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(tfidf_top_terms(docs))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+    assert "partial_count" in p, "map-side combine missing on tf/df aggs"
