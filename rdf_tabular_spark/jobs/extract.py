@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also extract the hyperlink graph: page-level "
                         "(src, dst) edges and the host-level aggregate as "
                         "parquet side outputs under <out>/links/<batch-id>")
+    p.add_argument("--anchors", action="store_true",
+                   help="also extract (src, dst, anchor) rows — anchor text "
+                        "per link, the external-naming signal for entity "
+                        "canonicalization — under <out>/links/<batch-id>/anchors")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--compact-after", type=int, default=0, metavar="N",
                    help="after committing this batch, if the store holds "
@@ -91,6 +95,12 @@ def main(argv: list[str] | None = None) -> dict:
             os.path.join(links_dir, "hosts"))
         manifest = dict(manifest, n_links=links.count(), links_dir=links_dir)
         links.unpersist()
+    if args.anchors:
+        from rdf_tabular_spark.web import pages_to_anchors
+        anchors_dir = os.path.join(args.out, "links", args.batch_id, "anchors")
+        anchors = pages_to_anchors(pages)
+        anchors.write.mode("overwrite").parquet(anchors_dir)
+        manifest = dict(manifest, anchors_dir=anchors_dir)
     if args.compact_after:
         from rdf_tabular_spark.sinks.graph_store import (compact,
                                                          expire_replaced,

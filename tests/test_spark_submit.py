@@ -435,3 +435,15 @@ def test_extract_job_links_side_output(spark, tmp_path):
     assert set(edges.columns) == {"src", "dst"}
     assert set(hosts.columns) == {"src_host", "dst_host", "n_links"}
     assert hosts.count() >= 0
+
+
+def test_extract_job_anchors_side_output(spark, tmp_path):
+    """--anchors writes (src, dst, anchor) rows under links/<batch>/anchors."""
+    from rdf_tabular_spark.jobs.extract import main
+    out = str(tmp_path / "store")
+    m = main(["--synth", "40", "--out", out, "--batch-id", "an1",
+              "--no-canonicalize", "--anchors"])
+    assert m["anchors_dir"].endswith("links/an1/anchors")
+    anchors = spark.read.parquet(os.path.join(out, "links", "an1", "anchors"))
+    assert set(anchors.columns) == {"src", "dst", "anchor"}
+    assert anchors.count() >= 0
