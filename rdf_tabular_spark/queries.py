@@ -2265,6 +2265,22 @@ group by 1, 2
 """
 
 
+def _kg_anchor_labels(spark, sf_dir):
+    """Stage 2d: majority anchor text per target promoted to rdfs:label
+    triples (web.anchor_labels) — every parent doc gets labeled by how its
+    children link to it; oracle = the distinct parent set in SQL."""
+    from .web import anchor_labels, pages_to_anchors
+    return anchor_labels(pages_to_anchors(_kg_pages(spark, sf_dir)))
+
+
+_KG_ANCHOR_LABELS_SQL = """
+select distinct 'http://pages.example.org/doc/' || (doc_id // 2) as subj,
+       'http://www.w3.org/2000/01/rdf-schema#label' as pred,
+       'doc ' || (doc_id // 2) as obj
+from documents where doc_id > 0
+"""
+
+
 def _dedup_url_latest(spark, sf_dir):
     """Recrawl dedup: the pages table unioned with a simulated one-day-later
     re-crawl of every third page collapses to one row per url — the LATEST
@@ -3404,6 +3420,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_url_latest": _dedup_url_latest,
     "text_tfidf_terms": _text_tfidf_terms,
     "graph_hits": _graph_hits,
+    "kg_anchor_labels": _kg_anchor_labels,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3489,6 +3506,7 @@ _ORACLES: dict[str, str] = {
     "kg_anchor_texts": _KG_ANCHOR_TEXTS_SQL,
     "dedup_url_latest": _DEDUP_URL_LATEST_SQL,
     "text_tfidf_terms": _TEXT_TFIDF_TERMS_SQL,
+    "kg_anchor_labels": _KG_ANCHOR_LABELS_SQL,
     **_graph_sql(),
 }
 

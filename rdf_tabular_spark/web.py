@@ -354,6 +354,29 @@ def pages_to_anchors(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(kernel, schema=ANCHORS_SCHEMA)
 
 
+def anchor_labels(anchors: DataFrame, min_refs: int = 1) -> DataFrame:
+    """Stage 2d: aggregated anchor text → ``rdfs:label`` triples — the
+    web's external naming signal (how OTHER pages call a target) promoted
+    into the KG. Per dst the majority anchor wins (count desc, anchor asc
+    tie-break); empty anchors are ignored.
+
+    Shape: one groupBy (dst, anchor) with map-side partial counts, then a
+    per-dst row_number window — partition key is the full URL space, so
+    the window never concentrates; both exchanges hash on dst."""
+    from pyspark.sql import Window
+
+    counted = (anchors.where(F.col("anchor") != "")
+               .groupBy("dst", "anchor")
+               .agg(F.count("*").alias("n_refs")))
+    w = Window.partitionBy("dst").orderBy(F.desc("n_refs"), "anchor")
+    best = (counted.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("n_refs") >= min_refs)))
+    return best.select(
+        F.col("dst").alias("subj"),
+        F.lit("http://www.w3.org/2000/01/rdf-schema#label").alias("pred"),
+        F.col("anchor").alias("obj"))
+
+
 def host_link_graph(links: DataFrame) -> DataFrame:
     """Aggregate page-level edges to the host graph →
     ``(src_host, dst_host, n_links)`` — one shuffle on the host pair with

@@ -585,3 +585,18 @@ def test_latest_snapshot(spark):
     import hashlib
     exp = max(("aa", "zz"), key=lambda s: hashlib.md5(s.encode()).hexdigest())
     assert kept["http://c/"]["text"] == exp
+
+
+def test_anchor_labels_majority_vote(spark):
+    """Majority anchor wins per dst; count ties break on anchor asc;
+    empty anchors are ignored."""
+    from rdf_tabular_spark.web import anchor_labels
+    anchors = spark.createDataFrame(
+        [("s1", "http://t/1", "Alpha"), ("s2", "http://t/1", "Alpha"),
+         ("s3", "http://t/1", "Beta"),
+         ("s4", "http://t/2", "Gamma"), ("s5", "http://t/2", "Delta"),
+         ("s6", "http://t/3", "")],
+        "src string, dst string, anchor string")
+    got = {r["subj"]: r["obj"] for r in anchor_labels(anchors).collect()}
+    assert got == {"http://t/1": "Alpha",   # majority
+                   "http://t/2": "Delta"}   # tie -> lexicographic
