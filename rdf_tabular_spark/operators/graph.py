@@ -452,3 +452,56 @@ def hits_sql(edges_sql: str, n_iter: int = 2) -> str:
     return ("with " + ",\n".join(parts)
             + f"\nselect h{n_iter}.node, h{n_iter}.hub, a{n_iter}.auth"
             + f" from h{n_iter} join a{n_iter} using (node)")
+
+
+def random_walks(edges: DataFrame, length: int = 4,
+                 walks_per_node: int = 1) -> DataFrame:
+    """DeepWalk-style walk corpus over ``(src, dst)`` edges →
+    ``(start, walk, step, node)`` rows in long format (Perozzi et al.
+    2014) — the sentence corpus for skip-gram graph embeddings.
+
+    Deterministic "random": step t of walk w from node u follows the
+    out-edge ranked ``md5(u|w|t) mod outdeg(u)`` — reproducible under
+    task retries (no rand()), the same discipline as negative_samples.
+    Walks stop early at sinks (inner join drops them), matching the
+    recursive-CTE oracle.
+
+    Shape: the ranked-edge table (per-src row_number window, one shuffle)
+    is computed ONCE and persisted; each of the ``length`` steps is one
+    keyed join against it plus a narrow md5 projection — k joins total,
+    no iteration-dependent state. ``walks_per_node`` multiplies rows, not
+    joins (the walk id rides inside the md5)."""
+    e = edges.select("src", "dst")
+    w_rank = Window.partitionBy("src").orderBy("dst")
+    ranked = (e.withColumn("rank", F.row_number().over(w_rank) - 1)
+              .withColumn("outdeg",
+                          F.count("*").over(Window.partitionBy("src")))
+              .select(F.col("src").alias("r_src"), "rank", "outdeg",
+                      F.col("dst").alias("r_dst")))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    cur = nodes.select(
+        F.col("node").alias("start"),
+        F.explode(F.sequence(F.lit(0),
+                             F.lit(walks_per_node - 1))).alias("walk"),
+        F.col("node").alias("node"))
+    out = cur.withColumn("step", F.lit(0))
+    frames = [out]
+    for t in range(1, length + 1):
+        pick = F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat_ws("|", "node", F.col("walk").cast("string"),
+                                  F.lit(str(t)))), 1, 8), 16, 10)
+            .cast("long"),
+            F.col("outdeg"))
+        nxt = (cur.join(ranked, cur["node"] == ranked["r_src"])
+               .where(F.col("rank") == pick)
+               .select("start", "walk", F.col("r_dst").alias("node")))
+        frames.append(nxt.withColumn("step", F.lit(t)))
+        cur = nxt
+    res = frames[0]
+    for f in frames[1:]:
+        res = res.unionByName(f)
+    return res.select("start", F.col("walk").cast("long").alias("walk"),
+                      F.col("step").cast("long").alias("step"), "node")

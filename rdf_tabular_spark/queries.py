@@ -2213,6 +2213,33 @@ def _graph_hits(spark, sf_dir):
     return hits(_doc_tree_edges(spark, sf_dir), n_iter=2)
 
 
+def _graph_random_walks(spark, sf_dir):
+    """DeepWalk corpus over the doc tree (operators/graph.random_walks):
+    2 walks × 4 steps per node, deterministic md5 edge picks; on the
+    out-degree-≤1 tree every walk is the ancestor chain, so the oracle is
+    a plain recursive CTE."""
+    from .operators.graph import random_walks
+    return random_walks(_doc_tree_edges(spark, sf_dir), length=4,
+                        walks_per_node=2)
+
+
+_GRAPH_RANDOM_WALKS_SQL = f"""
+with recursive e as ({_TREE_EDGES_SQL}),
+-- NB: inside WITH RECURSIVE DuckDB mis-evaluates a bare `union` in a
+-- non-recursive CTE (no dedup across branches); distinct-over-union-all
+-- is the portable spelling
+nodes as (select distinct node from
+          (select src as node from e union all select dst from e)),
+w(start, walk, step, node) as (
+  select node, v.i, 0::bigint, node
+  from nodes cross join (values (0::bigint), (1::bigint)) as v(i)
+  union all
+  select w.start, w.walk, w.step + 1, e.dst
+  from w join e on e.src = w.node where w.step < 4)
+select start, walk, step, node from w
+"""
+
+
 def _graph_bfs_depths(spark, sf_dir):
     """BFS hop-distances from the root over the REVERSED doc tree (parent →
     child) — every document's depth; frontier iteration, one keyed join per
@@ -3421,6 +3448,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_terms": _text_tfidf_terms,
     "graph_hits": _graph_hits,
     "kg_anchor_labels": _kg_anchor_labels,
+    "graph_random_walks": _graph_random_walks,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3507,6 +3535,7 @@ _ORACLES: dict[str, str] = {
     "dedup_url_latest": _DEDUP_URL_LATEST_SQL,
     "text_tfidf_terms": _TEXT_TFIDF_TERMS_SQL,
     "kg_anchor_labels": _KG_ANCHOR_LABELS_SQL,
+    "graph_random_walks": _GRAPH_RANDOM_WALKS_SQL,
     **_graph_sql(),
 }
 

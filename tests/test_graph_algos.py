@@ -661,3 +661,30 @@ def test_hits_hand_computed(spark):
     # iter 2: auth(a1) = h1+h2 = 9, auth(a3) = h1 = 5; hub(h1) = 9+9+5
     assert got2["a1"] == (0, 9) and got2["a3"] == (0, 5)
     assert got2["h1"] == (23, 0) and got2["h2"] == (18, 0)
+
+
+def test_random_walks_deterministic_picks(spark):
+    """Walks follow real edges, stop at sinks, and the md5 edge pick is
+    reproducible (hand-computed for a fan-out node)."""
+    import hashlib
+
+    from rdf_tabular_spark.operators.graph import random_walks
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "D")], "src string, dst string")
+    out = random_walks(edges, length=2, walks_per_node=1).collect()
+    rows = {(r["start"], r["walk"], r["step"]): r["node"] for r in out}
+    # step 0 emits every node
+    assert {k[0] for k in rows} == {"A", "B", "C", "D"}
+    # hand-compute A's step-1 pick: rank = md5("A|0|1")[:8] % outdeg(2);
+    # ranked out-edges of A sorted by dst: 0=B, 1=C
+    pick = int(hashlib.md5(b"A|0|1").hexdigest()[:8], 16) % 2
+    assert rows[("A", 0, 1)] == ["B", "C"][pick]
+    # C and D are sinks: no step-1 rows
+    assert ("C", 0, 1) not in rows and ("D", 0, 1) not in rows
+    # B's only edge goes to D, then stops
+    assert rows[("B", 0, 1)] == "D"
+    assert ("B", 0, 2) not in rows
+    # determinism: a second run is identical
+    again = {(r["start"], r["walk"], r["step"]): r["node"]
+             for r in random_walks(edges, length=2, walks_per_node=1).collect()}
+    assert again == rows
