@@ -399,6 +399,57 @@ select user_id, event_id, rnk from (
 """
 
 
+def _events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session) — the
+    clickstream primitive behind engagement/funnel tables. One per-user
+    window (lag + running sum of session breaks), then a (user, session)
+    groupBy that reuses the same hash partitioning. Microsecond epoch
+    arithmetic (unix_micros / epoch_us) keeps the gap comparison and the
+    start/end columns integer-exact across engines; the value sum goes
+    through decimal(38,4) like agg_events_daily."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; the cast interprets it in the session tz
+    # (UTC here), matching DuckDB's epoch_us over the naive value — the
+    # same convention dedup_url_latest's epoch column relies on
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    brk = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    sess = ev.withColumn("session_seq",
+                         F.sum(brk).over(run).cast("long"))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(us).alias("start_us"),
+                 F.max(us).alias("end_us"),
+                 F.sum(F.col("value").cast("decimal(38,4)"))
+                 .cast("double").alias("sum_value")))
+
+
+_EVENTS_SESSIONIZE_SQL = """
+with g as (
+  select user_id, event_id, value, epoch_us(ts) as us,
+         case when epoch_us(ts) - lag(epoch_us(ts))
+                over (partition by user_id order by ts, event_id)
+              > 1800 * 1000000 then 1
+              when lag(epoch_us(ts))
+                over (partition by user_id order by ts, event_id) is null
+              then 1 else 0 end as brk
+  from events),
+s as (
+  select user_id, value, us,
+         sum(brk) over (partition by user_id order by us, event_id
+                        rows between unbounded preceding and current row)
+           ::bigint as session_seq
+  from g)
+select user_id, session_seq, count(*) as n_events,
+       min(us) as start_us, max(us) as end_us,
+       cast(sum(cast(value as decimal(38,4))) as double) as sum_value
+from s group by user_id, session_seq
+"""
+
+
 def _agg_events_daily(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
@@ -3449,6 +3500,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_hits": _graph_hits,
     "kg_anchor_labels": _kg_anchor_labels,
     "graph_random_walks": _graph_random_walks,
+    "events_sessionize": _events_sessionize,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3536,6 +3588,7 @@ _ORACLES: dict[str, str] = {
     "text_tfidf_terms": _TEXT_TFIDF_TERMS_SQL,
     "kg_anchor_labels": _KG_ANCHOR_LABELS_SQL,
     "graph_random_walks": _GRAPH_RANDOM_WALKS_SQL,
+    "events_sessionize": _EVENTS_SESSIONIZE_SQL,
     **_graph_sql(),
 }
 
