@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     # C4 line cleaning (one codegen stage of array exprs)
     "kg_page_links",
     "text_c4_lines",
+    # round-4 cont. 7 tier: gap sessionization (per-key window chain) and
+    # per-doc TF-IDF (explode + two keyed aggs + term join + top-k window)
+    "events_sessionize",
+    "text_tfidf_terms",
     "kg_bgp_star",
     # the doc tree is depth-dominated → the doubling tier is the right
     # closure algorithm here (log2(depth) rounds, 2.3x the semi-naive

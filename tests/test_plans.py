@@ -648,3 +648,11 @@ def test_tfidf_prunes_columns_and_partial_aggs(spark):
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"doc_id", "text"}
     assert "partial_count" in p, "map-side combine missing on tf/df aggs"
+
+
+def test_sessionize_single_exchange(spark):
+    """Sessionization: the (user, session) groupBy must reuse the lag
+    window's user_id hash partitioning — exactly ONE Exchange; a second
+    shuffle on (user, session) would double the clickstream's network cost."""
+    p = plan_of(Q.queries()["events_sessionize"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
