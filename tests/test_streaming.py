@@ -333,3 +333,46 @@ def test_stream_sessionize_event_time_timeout(spark, tmp_path):
     s1 = next(r for r in rows if r["user_id"] == 1 and r["n_events"] == 2)
     assert s1["start_us"] == int((base + 10 * 3600) * 1e6)
     assert s1["end_us"] == int((base + 10 * 3600 + 600) * 1e6)
+
+
+def test_stream_sessionize_matches_batch_query(spark, tmp_path):
+    """The streaming and batch faces of sessionization must agree: after a
+    sentinel event pushes the watermark past every real session, the
+    streamed session set equals queries.events_sessionize over the same
+    events (bounds integer-exact, sums to 4 decimals)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from rdf_tabular_spark import queries as Q
+    from rdf_tabular_spark.streaming.ingest import stream_sessionize
+
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "events_in")
+    out_dir = os.path.join(tmp, "sessions_out")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value")
+    ev.write.mode("append").parquet(in_dir)
+    q = stream_sessionize(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    # sentinel (user -1) far past every real event: watermark sweep closes
+    # all remaining open sessions on the restarted run
+    spark.createDataFrame(
+        [(10**9, datetime.datetime(2030, 1, 1), -1, "x", 0.0)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double").write.mode("append").parquet(in_dir)
+    q = stream_sessionize(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+
+    streamed = {(r["user_id"], r["start_us"], r["end_us"], r["n_events"],
+                 round(r["sum_value"], 4))
+                for r in spark.read.parquet(out_dir).collect()
+                if r["user_id"] != -1}
+    batch = {(r["user_id"], r["start_us"], r["end_us"], r["n_events"],
+              round(r["sum_value"], 4))
+             for r in Q.queries()["events_sessionize"](spark, sf_dir).collect()}
+    assert streamed == batch

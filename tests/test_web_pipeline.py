@@ -600,3 +600,32 @@ def test_anchor_labels_majority_vote(spark):
     got = {r["subj"]: r["obj"] for r in anchor_labels(anchors).collect()}
     assert got == {"http://t/1": "Alpha",   # majority
                    "http://t/2": "Delta"}   # tie -> lexicographic
+
+
+def test_latest_snapshot_property(spark):
+    """Property check vs a python model on a randomized-but-deterministic
+    recrawl multiset: one row per url, winner = max (ts, md5(html));
+    idempotent (applying twice = once)."""
+    import datetime
+    import hashlib
+
+    from rdf_tabular_spark.operators.dedup import latest_snapshot
+    from rdf_tabular_spark.sources.pages import PAGES_SCHEMA
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        url = f"http://h/{i % 37}"
+        ts = base + datetime.timedelta(seconds=(i * 7919) % 11)  # many ties
+        html = f"v{i}".encode()
+        rows.append((url, ts, html, f"v{i}", "en"))
+    model = {}
+    for url, ts, html, text, lang in rows:
+        key = (ts, hashlib.md5(html).hexdigest())
+        if url not in model or key > model[url][0]:
+            model[url] = (key, text)
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    once = latest_snapshot(df)
+    got = {r["url"]: r["text"] for r in once.collect()}
+    assert got == {u: t for u, (_, t) in model.items()}
+    twice = {r["url"]: r["text"] for r in latest_snapshot(once).collect()}
+    assert twice == got
