@@ -505,3 +505,142 @@ def random_walks(edges: DataFrame, length: int = 4,
         res = res.unionByName(f)
     return res.select("start", F.col("walk").cast("long").alias("walk"),
                       F.col("step").cast("long").alias("step"), "node")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected view of ``(src, dst)``
+    edges → ``(node, n_triangles)`` — local clustering telemetry for the
+    host link graph (spam farms and boilerplate navigation rings show up
+    as dense triangle clusters; isolated content pages count 0).
+
+    Algorithm (the MapReduce-era standard, cf. Suri & Vassilvitskii 2011
+    "Counting triangles and the curse of the last reducer"): canonicalize
+    to distinct undirected edges ``a < b``, then ORIENT each edge from its
+    lower-(degree, id) endpoint to the higher one. Orientation turns the
+    graph into a DAG where every wedge join fans out by oriented
+    OUT-degree, which is O(sqrt(m)) even when raw degrees are power-law —
+    the super-node wedge explosion a naive neighbor self-join hits on web
+    graphs cannot happen. Each triangle x≺y≺z is found exactly once as
+    oriented edges (x,y)+(x,z) closed by (y,z).
+
+    Cost: two groupBys (dedup, degrees) and two self-joins on the oriented
+    edge key; the per-node rollup is one explode + groupBy with map-side
+    partial counts. Nodes in no triangle are kept with count 0 so the
+    output is a total function of the node set.
+    """
+    und = (edges.where(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = (und.join(da, "a").join(db, "b")
+                .select(F.when(a_first, F.col("a")).otherwise(F.col("b"))
+                        .alias("u"),
+                        F.when(a_first, F.col("b")).otherwise(F.col("a"))
+                        .alias("v"))
+                .persist())
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (e1.join(e2, F.col("e1.u") == F.col("e2.u"))
+           .where(F.col("e1.v") != F.col("e2.v"))
+           .join(e3, (F.col("e3.u") == F.col("e1.v"))
+                 & (F.col("e3.v") == F.col("e2.v")))
+           .select(F.col("e1.u").alias("x"), F.col("e1.v").alias("y"),
+                   F.col("e2.v").alias("z")))
+    members = (tri.select(F.col("x").alias("node"))
+               .unionAll(tri.select(F.col("y").alias("node")))
+               .unionAll(tri.select(F.col("z").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("c")))
+    nodes = deg.select("node")
+    return (nodes.join(members, "node", "left")
+            .select("node", F.coalesce(F.col("c"), F.lit(0)).cast("long")
+                    .alias("n_triangles")))
+
+
+def triangles_sql(edges_sql: str) -> str:
+    """DuckDB oracle for :func:`triangle_counts` — orientation-free
+    lexicographic x<y<z enumeration (each triangle once), identical
+    per-node membership counts."""
+    return f"""
+with und as (
+  select distinct least(src, dst) as a, greatest(src, dst) as b
+  from ({edges_sql}) where src <> dst),
+tri as (
+  select e1.a as x, e1.b as y, e2.b as z
+  from und e1
+  join und e2 on e2.a = e1.a and e2.b > e1.b
+  join und e3 on e3.a = e1.b and e3.b = e2.b),
+nodes as (select a as node from und union select b from und),
+cnt as (
+  select node, count(*) as c from (
+    select x as node from tri
+    union all select y from tri
+    union all select z from tri) group by node)
+select nodes.node, coalesce(cnt.c, 0)::bigint as n_triangles
+from nodes left join cnt on nodes.node = cnt.node
+"""
+
+
+def neighbor_jaccard(edges: DataFrame, min_shared: int = 1,
+                     max_dst_in_degree: int | None = None) -> DataFrame:
+    """Out-neighborhood Jaccard similarity between node pairs →
+    ``(node_a, node_b, n_shared, jaccard)`` with ``node_a < node_b`` —
+    co-citation-style related-page detection (two pages that link to the
+    same set of targets are about the same thing, cf. Small 1973; on a
+    host graph this surfaces mirror sites and template families).
+
+    Candidate pairs come from a self-join on the shared TARGET — never an
+    all-pairs product: only node pairs with ≥1 common out-neighbor are
+    materialized, and the fan-out per target is in-degree², so
+    ``max_dst_in_degree`` drops super-node targets (the everyone-links-to-
+    it home page contributes candidate pairs quadratically but almost no
+    Jaccard signal — same cap discipline as the LSH bucket cap and the
+    co-mention vocabulary). Degrees broadcast-join back onto the
+    pair aggregate; |union| = da + db − shared needs no second pass.
+    Jaccard is one integer division — bit-identical across engines.
+    """
+    e = edges.select("src", "dst").distinct()
+    if max_dst_in_degree is not None:
+        hot = (e.groupBy("dst").agg(F.count("*").alias("ind"))
+               .where(F.col("ind") > max_dst_in_degree)
+               .select("dst"))
+        e = e.join(hot, "dst", "left_anti")
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    l, r = e.alias("l"), e.alias("r")
+    pairs = (l.join(r, F.col("l.dst") == F.col("r.dst"))
+             .where(F.col("l.src") < F.col("r.src"))
+             .groupBy(F.col("l.src").alias("node_a"),
+                      F.col("r.src").alias("node_b"))
+             .agg(F.count("*").alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared))
+    dega = deg.select(F.col("src").alias("node_a"), F.col("deg").alias("da"))
+    degb = deg.select(F.col("src").alias("node_b"), F.col("deg").alias("db"))
+    return (pairs.join(dega, "node_a").join(degb, "node_b")
+            .select("node_a", "node_b", F.col("n_shared").cast("long")
+                    .alias("n_shared"),
+                    F.round(F.col("n_shared")
+                            / (F.col("da") + F.col("db") - F.col("n_shared")),
+                            6).alias("jaccard")))
+
+
+def neighbor_jaccard_sql(edges_sql: str, min_shared: int = 1) -> str:
+    """DuckDB oracle for :func:`neighbor_jaccard` (uncapped)."""
+    return f"""
+with e as (select distinct src, dst from ({edges_sql})),
+deg as (select src, count(*) as deg from e group by src),
+pairs as (
+  select l.src as node_a, r.src as node_b, count(*) as n_shared
+  from e l join e r on l.dst = r.dst and l.src < r.src
+  group by l.src, r.src
+  having count(*) >= {min_shared})
+select p.node_a, p.node_b, p.n_shared::bigint as n_shared,
+       round(p.n_shared / (da.deg + db.deg - p.n_shared), 6) as jaccard
+from pairs p
+join deg da on da.src = p.node_a
+join deg db on db.src = p.node_b
+"""

@@ -180,3 +180,42 @@ def importance_sample(docs: DataFrame, target: DataFrame, raw: DataFrame,
                            n_buckets, key, text_col)
     return (w.orderBy(F.col("logw_micro").desc(), F.col(key).asc())
             .limit(n))
+
+
+def ppl_buckets(scored: DataFrame, docs: DataFrame, n_buckets: int = 3,
+                key: str = "doc_id", lang_col: str = "lang") -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.4): within each language, rank documents by LM score and cut the
+    ranking into ``n_buckets`` equal-size tiers — 'head' (most fluent,
+    kept for LM training), 'middle', 'tail' (usually dropped or routed to
+    extra filtering).
+
+    ``scored`` is :func:`lm_score` output (integer ``avg_nll_micro``, so
+    ordering is exact, no float ties); ``docs`` supplies the language
+    column. The cut is NTILE over (lang) ordered by (avg_nll_micro, key)
+    — the key tie-break makes the assignment total and deterministic, and
+    NTILE's fill rule (first ``n mod k`` tiles get the extra row) is the
+    ANSI behavior both engines implement identically.
+
+    Scale: one hash Exchange on lang + an in-partition sort; languages
+    sort in parallel but EACH language is a single sort partition — the
+    honest CCNet shape (their pipeline globally sorts per language too).
+    For a 10^12-doc corpus, swap the exact NTILE for broadcast tercile
+    thresholds from ``approx_percentile(avg_nll_micro, [1/3, 2/3])`` per
+    language: same decisions away from the boundary, no single-partition
+    sort. The exact form is kept here because it is the oracle-checkable
+    one.
+    """
+    from pyspark.sql import Window
+    labels = ["head", "middle", "tail"] + [
+        f"tier{i}" for i in range(4, n_buckets + 1)]
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_nll_micro").asc(), F.col(key).asc())
+    tiled = (scored.join(docs.select(key, lang_col), key)
+             .withColumn("tile", F.ntile(n_buckets).over(w)))
+    bucket = F.lit(labels[0])
+    for i in range(2, n_buckets + 1):
+        bucket = F.when(F.col("tile") == i, F.lit(labels[i - 1])) \
+            .otherwise(bucket)
+    return tiled.select(key, lang_col, "avg_nll_micro",
+                        bucket.alias("bucket"))

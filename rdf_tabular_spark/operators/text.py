@@ -273,3 +273,52 @@ def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id",
             .where(F.col("rank") <= k)
             .select(id_col, "term", F.col("rank").cast("long").alias("rank"),
                     "score"))
+
+
+# --- linear quality classifier (fastText/CCNet-style model stage) -----------
+# Web pipelines follow the heuristic gates with a TRAINED quality classifier
+# (CCNet Wenzek et al. 2020 and RefinedWeb Penedo et al. 2023 use a linear
+# fastText model over bag-of-words/shape features). A real model is just a
+# weight vector; the Spark-side shape of the stage — dot product of per-doc
+# feature columns against broadcast-literal weights, one codegen projection,
+# no shuffle — is identical whatever the weights are, so the fixed public
+# weights below stand in for a trained artifact (the same honest-stub
+# discipline as the multimodal decode slots). The margin is kept LINEAR: a
+# sigmoid would be monotone (same ranking, same threshold decisions) but
+# exp() is not bit-identical across engines, and the linear margin is —
+# every feature is a ratio of integers and the dot product is a fixed
+# left-to-right chain of IEEE ops both engines evaluate identically.
+
+CLASSIFIER_WEIGHTS = {
+    "bias": -1.25,
+    "stop_ratio": 2.0,      # English function words ⇒ running prose
+    "len_feat": 1.5,        # saturating token count (n_tokens/50 capped 1)
+    "punct_ratio": -3.0,    # symbol soup ⇒ boilerplate/code
+    "awl_feat": 0.5,        # mean word length, /8 capped 1
+}
+
+
+def classifier_features(col: Column) -> dict[str, Column]:
+    """The classifier's feature columns, each an exact integer ratio."""
+    toks = tokens(col)
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, t: acc + F.length(t))
+    return {
+        "stop_ratio": stopword_ratio(col),
+        "len_feat": F.least(n / F.lit(50.0), F.lit(1.0)),
+        "punct_ratio": punct_ratio(col),
+        "awl_feat": F.least(total_len / n / F.lit(8.0), F.lit(1.0)),
+    }
+
+
+def classifier_margin(col: Column) -> Column:
+    """Linear quality margin w·x + b, rounded to 6 dp; keep ⇔ margin > 0."""
+    f = classifier_features(col)
+    w = CLASSIFIER_WEIGHTS
+    margin = (F.lit(w["bias"])
+              + f["stop_ratio"] * F.lit(w["stop_ratio"])
+              + f["len_feat"] * F.lit(w["len_feat"])
+              + f["punct_ratio"] * F.lit(w["punct_ratio"])
+              + f["awl_feat"] * F.lit(w["awl_feat"]))
+    return F.round(margin, 6)

@@ -3362,6 +3362,120 @@ from all_docs left join hits using (doc_id)
 """
 
 
+# --- webgraph analytics: triangles + co-citation similarity -----------------
+
+# parent ∪ grandparent edges: every depth-≥2 doc closes a triangle with its
+# parent and grandparent, and sibling/cousin pairs share 2/1 out-neighbors —
+# a deterministic fixture graph with real triangle and Jaccard structure
+_TWO_LEVEL_EDGES_SQL = (
+    f"select {DOC_URL_SQL} as src, "
+    "'http://pages.example.org/doc/' || (doc_id // 2) as dst "
+    "from documents where doc_id > 0 "
+    "union all "
+    f"select {DOC_URL_SQL} as src, "
+    "'http://pages.example.org/doc/' || (doc_id // 4) as dst "
+    "from documents where doc_id > 0")
+
+
+def _doc_two_level_edges(spark, sf_dir):
+    prefix = "http://pages.example.org/doc/"
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") > 0)
+         .select(F.concat(F.lit(prefix), F.col("doc_id")).alias("src"),
+                 F.concat(F.lit(prefix),
+                          F.expr("doc_id div 2")).alias("p"),
+                 F.concat(F.lit(prefix),
+                          F.expr("doc_id div 4")).alias("g")))
+    return (d.select("src", F.col("p").alias("dst"))
+            .unionByName(d.select("src", F.col("g").alias("dst"))))
+
+
+def _graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the two-level doc graph
+    (operators/graph.triangle_counts) — degree-oriented wedge join, the
+    O(sqrt(m))-fan-out formulation that survives power-law web graphs;
+    oracle = orientation-free lexicographic x<y<z enumeration (identical
+    per-triangle membership)."""
+    from .operators.graph import triangle_counts
+    return triangle_counts(_doc_two_level_edges(spark, sf_dir))
+
+
+def _kg_related_pages(spark, sf_dir):
+    """Co-citation related-page pairs: out-neighborhood Jaccard over the
+    two-level doc graph (operators/graph.neighbor_jaccard) — candidates
+    from a shared-target self-join (never all-pairs), integer-division
+    Jaccard so both engines agree bit-exactly."""
+    from .operators.graph import neighbor_jaccard
+    return neighbor_jaccard(_doc_two_level_edges(spark, sf_dir))
+
+
+# --- CCNet perplexity bucketing + linear quality classifier -----------------
+
+def _corpus_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail tiers (operators/lm.ppl_buckets): per-language
+    NTILE(3) over the exact integer LM scores from text_perplexity, doc_id
+    tie-break — the corpus-routing decision CCNet feeds its kept/dropped
+    split from."""
+    from .operators import lm as L
+    scored = _text_perplexity(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return L.ppl_buckets(scored, docs)
+
+
+_CORPUS_PPL_BUCKETS_SQL = f"""
+with scored as (select * from ({_TEXT_PERPLEXITY_SQL})),
+j as (
+  select s.doc_id, d.lang, s.avg_nll_micro,
+         ntile(3) over (partition by d.lang
+                        order by s.avg_nll_micro, s.doc_id) as tile
+  from scored s join documents d using (doc_id))
+select doc_id, lang, avg_nll_micro,
+       case when tile = 3 then 'tail'
+            when tile = 2 then 'middle'
+            else 'head' end as bucket
+from j
+"""
+
+
+def _text_quality_classifier(spark, sf_dir):
+    """fastText/CCNet-style model-based quality gate
+    (operators/text.classifier_margin): linear margin over exact ratio
+    features with fixed public weights, keep ⇔ margin > 0. The margin is
+    deliberately linear (not sigmoid) so the score is a fixed left-to-right
+    chain of IEEE ops both engines evaluate bit-identically."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        T.classifier_margin(F.col("text")).alias("margin"))
+            .withColumn("keep", F.col("margin") > 0))
+
+
+def _webgraph_sql() -> dict[str, str]:
+    from .operators.graph import neighbor_jaccard_sql, triangles_sql
+    return {
+        "graph_triangles": triangles_sql(_TWO_LEVEL_EDGES_SQL),
+        "kg_related_pages": neighbor_jaccard_sql(_TWO_LEVEL_EDGES_SQL),
+    }
+
+
+_TEXT_QUALITY_CLASSIFIER_SQL = f"""
+with m as (
+  select doc_id,
+         round(-1.25
+               + (len(list_filter({TOKS_SQL}, x -> x in ({STOPS_SQL})))
+                  / len({TOKS_SQL})) * 2.0
+               + least(len({TOKS_SQL}) / 50.0, 1.0) * 1.5
+               + (case when length(text) = 0 then 0.0
+                  else length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))
+                       / length(text) end) * -3.0
+               + least(list_sum(list_transform({TOKS_SQL},
+                                               t -> length(t)))
+                       / len({TOKS_SQL}) / 8.0, 1.0) * 0.5,
+               6) as margin
+  from documents)
+select doc_id, margin, margin > 0 as keep from m
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -3501,6 +3615,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_anchor_labels": _kg_anchor_labels,
     "graph_random_walks": _graph_random_walks,
     "events_sessionize": _events_sessionize,
+    "graph_triangles": _graph_triangles,
+    "kg_related_pages": _kg_related_pages,
+    "corpus_ppl_buckets": _corpus_ppl_buckets,
+    "text_quality_classifier": _text_quality_classifier,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3589,7 +3707,10 @@ _ORACLES: dict[str, str] = {
     "kg_anchor_labels": _KG_ANCHOR_LABELS_SQL,
     "graph_random_walks": _GRAPH_RANDOM_WALKS_SQL,
     "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+    "corpus_ppl_buckets": _CORPUS_PPL_BUCKETS_SQL,
+    "text_quality_classifier": _TEXT_QUALITY_CLASSIFIER_SQL,
     **_graph_sql(),
+    **_webgraph_sql(),
 }
 
 

@@ -688,3 +688,59 @@ def test_random_walks_deterministic_picks(spark):
     again = {(r["start"], r["walk"], r["step"]): r["node"]
              for r in random_walks(edges, length=2, walks_per_node=1).collect()}
     assert again == rows
+
+
+# ---------------------------------------------------------------------------
+# triangle counting + neighborhood Jaccard
+# ---------------------------------------------------------------------------
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_triangle_counts_k4(spark):
+    # K4: every node is in C(3,2)=3 triangles; 4 triangles total
+    nodes = ["a", "b", "c", "d"]
+    e = _edges(spark, [(x, y) for x in nodes for y in nodes if x < y])
+    got = {r["node"]: r["n_triangles"] for r in G.triangle_counts(e).collect()}
+    assert got == {n: 3 for n in nodes}
+
+
+def test_triangle_counts_square_with_diagonal(spark):
+    # square a-b-c-d-a plus diagonal a-c: triangles {a,b,c} and {a,c,d};
+    # direction, duplicates and self-loops must not change the count
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+                       ("a", "c"), ("c", "a"), ("b", "a"), ("b", "b")])
+    got = {r["node"]: r["n_triangles"] for r in G.triangle_counts(e).collect()}
+    assert got == {"a": 2, "b": 1, "c": 2, "d": 1}
+
+
+def test_triangle_counts_triangle_free(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r["node"]: r["n_triangles"] for r in G.triangle_counts(e).collect()}
+    assert got == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+
+def test_neighbor_jaccard_values(spark):
+    # N(a)={x,y}, N(b)={x,y}, N(c)={y,z} → (a,b)=2/2=1, (a,c)=(b,c)=1/3
+    e = _edges(spark, [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"),
+                       ("c", "y"), ("c", "z")])
+    got = {(r["node_a"], r["node_b"]): (r["n_shared"], r["jaccard"])
+           for r in G.neighbor_jaccard(e).collect()}
+    assert got == {("a", "b"): (2, 1.0),
+                   ("a", "c"): (1, round(1 / 3, 6)),
+                   ("b", "c"): (1, round(1 / 3, 6))}
+
+
+def test_neighbor_jaccard_super_node_cap(spark):
+    # every node links to hub h; capping h's in-degree removes the
+    # quadratic hub-only pairs and the hub's contribution to degrees
+    rows = [(f"n{i}", "h") for i in range(6)] + [("n0", "x"), ("n1", "x")]
+    e = _edges(spark, rows)
+    capped = G.neighbor_jaccard(e, max_dst_in_degree=3)
+    got = {(r["node_a"], r["node_b"]): (r["n_shared"], r["jaccard"])
+           for r in capped.collect()}
+    # only the x-sharing pair survives, and h no longer counts in degrees
+    assert got == {("n0", "n1"): (1, 1.0)}
+    uncapped = G.neighbor_jaccard(e).count()
+    assert uncapped == 15 + 1 - 1  # C(6,2) hub pairs, n0-n1 merged with x

@@ -104,3 +104,35 @@ def test_importance_sample_targets_distribution(spark):
                               n_buckets=256).collect()
     assert len(top) == 4
     assert 101 not in {r["doc_id"] for r in top}
+
+
+def test_ppl_buckets_tiers_and_ties(spark):
+    # 7 docs in one language: ntile(3) = sizes 3/2/2; equal scores break
+    # ties by doc_id so the assignment is total and deterministic
+    scored = spark.createDataFrame(
+        [(i, 2, 2 * s, s) for i, s in
+         enumerate([10, 10, 30, 40, 50, 60, 70])],
+        "doc_id long, n_bigrams long, nll_micro long, avg_nll_micro long")
+    docs = spark.createDataFrame([(i, "en") for i in range(7)],
+                                 "doc_id long, lang string")
+    got = {r["doc_id"]: r["bucket"]
+           for r in L.ppl_buckets(scored, docs).collect()}
+    assert got == {0: "head", 1: "head", 2: "head",
+                   3: "middle", 4: "middle", 5: "tail", 6: "tail"}
+
+
+def test_ppl_buckets_partition_per_language(spark):
+    # each language is tiled independently: 3 docs per lang → one per tier
+    scored = spark.createDataFrame(
+        [(i, 1, i, i) for i in range(6)],
+        "doc_id long, n_bigrams long, nll_micro long, avg_nll_micro long")
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(6)],
+        "doc_id long, lang string")
+    rows = L.ppl_buckets(scored, docs).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["avg_nll_micro"],
+                                                  r["bucket"]))
+    for lang, pairs in by_lang.items():
+        assert [b for _, b in sorted(pairs)] == ["head", "middle", "tail"]

@@ -656,3 +656,41 @@ def test_sessionize_single_exchange(spark):
     shuffle on (user, session) would double the clickstream's network cost."""
     p = plan_of(Q.queries()["events_sessionize"](spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_triangle_counts_no_cartesian(spark):
+    """Degree-oriented wedge joins must stay equi-keyed — a cartesian or
+    nested-loop join here is the super-node wedge explosion the
+    orientation exists to prevent."""
+    p = plan_of(Q.queries()["graph_triangles"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_neighbor_jaccard_no_cartesian_and_prunes(spark):
+    p = plan_of(Q.queries()["kg_related_pages"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id"}, f"edge build reads too much: {cols}"
+
+
+def test_classifier_margin_is_one_narrow_stage(spark):
+    """The model gate is a projection — any Exchange means the linear
+    scorer stopped being a map-side stage."""
+    p = plan_of(Q.queries()["text_quality_classifier"](spark, SF))
+    assert "Exchange" not in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_ppl_buckets_single_window_exchange_on_lang(spark):
+    """After the LM-scoring aggregation, the CCNet cut adds exactly one
+    hash Exchange keyed on lang for the NTILE window (plus the score
+    groupBy's own exchange upstream) — no global single-partition sort."""
+    p = plan_of(Q.queries()["corpus_ppl_buckets"](spark, SF))
+    assert "SinglePartition" not in p, "NTILE must not collapse to one task"
+    assert re.search(r"hashpartitioning\(lang", p), \
+        "per-language window exchange missing"

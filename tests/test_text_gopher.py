@@ -100,3 +100,38 @@ def test_avg_token_len(spark):
     from rdf_tabular_spark.operators.text import avg_token_len
     df = spark.createDataFrame([("ab abcd",)], "t string")
     assert df.select(avg_token_len(F.col("t"))).first()[0] == 3.0
+
+
+def test_classifier_margin_separates_prose_from_soup(spark):
+    from rdf_tabular_spark.operators import text as T
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and it is a "
+             "fine day for a walk in the park with friends"),
+         (2, "$$$ ((( ]]] ... ;;; !!! ??? ,,, ::: --- ((( )))")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["m"] for r in df.select(
+        "doc_id", T.classifier_margin(F.col("text")).alias("m")).collect()}
+    assert got[1] > 0          # stopword-rich prose clears the gate
+    assert got[2] < 0          # symbol soup: punct term dominates
+
+
+def test_classifier_margin_is_deterministic_python_model(spark):
+    # recompute the margin in pure python over the same feature definitions
+    from rdf_tabular_spark.operators import text as T
+    texts = ["a short one.", "the cat sat on the mat with a hat",
+             "numbers 123 456 789 only here", "!!!"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["m"] for r in df.select(
+        "doc_id", T.classifier_margin(F.col("text")).alias("m")).collect()}
+    punct = set(".,;:!?'\"()[]-")
+    for i, t in enumerate(texts):
+        toks = t.strip().split()
+        stop = sum(tok in T.ENGLISH_STOPWORDS for tok in toks) / len(toks)
+        lenf = min(len(toks) / 50.0, 1.0)
+        pr = sum(c in punct for c in t) / len(t) if t else 0.0
+        awl = min(sum(len(tok) for tok in toks) / len(toks) / 8.0, 1.0)
+        w = T.CLASSIFIER_WEIGHTS
+        exp = (w["bias"] + stop * w["stop_ratio"] + lenf * w["len_feat"]
+               + pr * w["punct_ratio"] + awl * w["awl_feat"])
+        assert abs(got[i] - exp) < 1e-6, (i, got[i], exp)
