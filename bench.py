@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     # per-doc TF-IDF (explode + two keyed aggs + term join + top-k window)
     "events_sessionize",
     "text_tfidf_terms",
+    # round-4 cont. 8 tier: degree-oriented triangle counting (two wedge
+    # self-joins on the oriented edge key) and the linear quality-
+    # classifier gate (one narrow codegen projection)
+    "graph_triangles",
+    "text_quality_classifier",
     "kg_bgp_star",
     # the doc tree is depth-dominated → the doubling tier is the right
     # closure algorithm here (log2(depth) rounds, 2.3x the semi-naive

@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--in", dest="src", required=True,
                    help="documents parquet (doc_id, text, lang)")
     p.add_argument("--out", required=True, help="curated output parquet")
+    p.add_argument("--blocklist", default=None,
+                   help="parquet of blocked domains (column `domain`); "
+                        "docs whose url host is on/under one are dropped "
+                        "before any text-level stage")
+    p.add_argument("--url-col", default="url",
+                   help="URL column for --blocklist (default: url)")
     p.add_argument("--c4-lines", action="store_true",
                    help="C4 line-level cleaning before the quality gate "
                         "(terminal punctuation, min words, boilerplate "
@@ -83,6 +89,15 @@ def main(argv: list[str] | None = None) -> dict:
 
     docs = spark.read.parquet(args.src)
     report: dict = {"input": args.src, "n_input": docs.count()}
+
+    # -1. domain blocklist — cheapest gate, runs before anything touches text
+    if args.blocklist:
+        from rdf_tabular_spark.operators.urls import filter_blocked_domains
+        bl = spark.read.parquet(args.blocklist)
+        n_before = report["n_input"]
+        docs = filter_blocked_domains(docs, bl, key="doc_id",
+                                      url_col=args.url_col)
+        report["blocklist_dropped"] = n_before - docs.count()
 
     # 0. line-level cleaning (C4 rules) before any document-level decision
     if args.c4_lines:

@@ -56,3 +56,38 @@ def url_normalize_sql(expr: str) -> str:
     rest = (f"case when {rest0} = '' then '/' "
             f"else regexp_replace({rest0}, '\\?$', '') end")
     return f"{scheme} || '://' || {host} || {rest}"
+
+
+def domain_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host, most-specific first:
+    ``a.b.co.uk → [a.b.co.uk, b.co.uk, co.uk, uk]`` — the key expansion
+    for domain-blocklist matching (an entry blocks itself and every
+    subdomain). Bounded by label count (≤ ~10), pure array exprs."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(F.sequence(F.lit(1), n),
+                       lambda i: F.array_join(F.slice(labels, i, n), "."))
+
+
+def filter_blocked_domains(df, blocklist, key: str,
+                           url_col: str = "url"):
+    """Drop rows whose URL host is on — or is a subdomain of — a blocklist
+    domain (the UT1-blocklist stage every public web pipeline runs,
+    RefinedWeb §3.1 / CCNet; their lists are ~4M domains).
+
+    Shape: explode each host's suffix chain (≤ label-count rows, narrow),
+    equi-join against the blocklist (broadcast when it fits — UT1-sized
+    lists do; beyond that the equi-join shuffles vocabulary-sized keys,
+    never pages), then one LEFT ANTI join back on ``key``. No LIKE-join,
+    no cartesian: suffix expansion turns the subdomain containment test
+    into exact equality, which is what makes it joinable at 10^12 rows.
+
+    ``blocklist`` is a DataFrame with a ``domain`` column; matching is on
+    exact suffix labels (``evil.com`` blocks ``a.evil.com`` but not
+    ``notevil.com``).
+    """
+    host = url_host(F.col(url_col))
+    sfx = df.select(F.col(key),
+                    F.explode(domain_suffixes(host)).alias("domain"))
+    blocked = sfx.join(F.broadcast(blocklist.select("domain")), "domain")
+    return df.join(blocked.select(key), key, "left_anti")

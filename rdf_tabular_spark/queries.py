@@ -3476,6 +3476,48 @@ select doc_id, margin, margin > 0 as keep from m
 """
 
 
+# --- domain-blocklist curation stage -----------------------------------------
+
+_BLOCKED_DOMAINS = ("src1.example.org", "src3.example.org", "src7.example.org")
+
+
+def _curate_blocklist(spark, sf_dir):
+    """UT1-style domain-blocklist filtering (operators/urls
+    .filter_blocked_domains): docs get deterministic pseudo-hosts (every
+    third doc a www. subdomain, so the suffix-chain expansion is really
+    exercised), three sources are blocked, kept rows pass through. The
+    suffix explode + broadcast equi-join + anti-join shape is the one that
+    scales — subdomain containment as exact equality, never a LIKE join."""
+    from .operators.urls import filter_blocked_domains
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", "source",
+        F.concat(F.lit("http://"),
+                 F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+                 .otherwise(F.lit("")),
+                 F.col("source"), F.lit(".example.org/doc/"),
+                 F.col("doc_id")).alias("url"))
+    blocklist = spark.createDataFrame([(d,) for d in _BLOCKED_DOMAINS],
+                                      "domain string")
+    return filter_blocked_domains(pages, blocklist, key="doc_id")
+
+
+_CURATE_BLOCKLIST_SQL = f"""
+with pages as (
+  select doc_id, source,
+         'http://' || (case when doc_id % 3 = 0 then 'www.' else '' end)
+         || source || '.example.org/doc/' || doc_id as url,
+         (case when doc_id % 3 = 0 then 'www.' else '' end)
+         || source || '.example.org' as host
+  from documents),
+b as (select unnest({list(_BLOCKED_DOMAINS)!r}) as domain)
+select doc_id, source, url from pages p
+where not exists (
+  select 1 from b
+  where p.host = b.domain or p.host like '%.' || b.domain)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -3619,6 +3661,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_related_pages": _kg_related_pages,
     "corpus_ppl_buckets": _corpus_ppl_buckets,
     "text_quality_classifier": _text_quality_classifier,
+    "curate_blocklist": _curate_blocklist,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3709,6 +3752,7 @@ _ORACLES: dict[str, str] = {
     "events_sessionize": _EVENTS_SESSIONIZE_SQL,
     "corpus_ppl_buckets": _CORPUS_PPL_BUCKETS_SQL,
     "text_quality_classifier": _TEXT_QUALITY_CLASSIFIER_SQL,
+    "curate_blocklist": _CURATE_BLOCKLIST_SQL,
     **_graph_sql(),
     **_webgraph_sql(),
 }

@@ -251,3 +251,39 @@ def test_curate_job_c4_lines(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert [r["doc_id"] for r in rows] == [1]
     assert "noise line" not in rows[0]["text"]
+
+
+def test_filter_blocked_domains_suffix_semantics(spark):
+    from rdf_tabular_spark.operators.urls import filter_blocked_domains
+    df = spark.createDataFrame(
+        [(1, "http://evil.com/x"),          # exact match -> blocked
+         (2, "http://a.evil.com/x"),        # subdomain -> blocked
+         (3, "http://notevil.com/x"),       # suffix of the STRING only -> kept
+         (4, "http://evil.com.safe.org/x"),  # blocked name mid-host -> kept
+         (5, "http://ok.org/x")],
+        "doc_id long, url string")
+    bl = spark.createDataFrame([("evil.com",)], "domain string")
+    kept = {r["doc_id"]
+            for r in filter_blocked_domains(df, bl, key="doc_id").collect()}
+    assert kept == {3, 4, 5}
+
+
+def test_curate_job_blocklist_stage(spark, tmp_path):
+    """--blocklist drops docs whose synthetic url host is on/under a
+    blocked domain, before the quality gate, with the count reported."""
+    from rdf_tabular_spark.jobs.curate import main as curate_main
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_with_urls.parquet")
+    (docs.withColumn(
+        "url", F.concat(F.lit("http://"), F.col("source"),
+                        F.lit(".example.org/d/"), F.col("doc_id")))
+     .write.parquet(src))
+    bpath = str(tmp_path / "blocklist.parquet")
+    spark.createDataFrame([("src1.example.org",)], "domain string") \
+        .write.parquet(bpath)
+    out = str(tmp_path / "curated")
+    report = curate_main(["--in", src, "--out", out, "--blocklist", bpath])
+    n_src1 = docs.filter(F.col("source") == "src1").count()
+    assert report["blocklist_dropped"] == n_src1
+    curated = spark.read.parquet(out)
+    assert curated.filter(F.col("source") == "src1").count() == 0
