@@ -644,3 +644,64 @@ from pairs p
 join deg da on da.src = p.node_a
 join deg db on db.src = p.node_b
 """
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 2) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over the undirected view of ``(src, dst)`` edges → ``(node, label)``
+    — mirror-site families and template clusters on a host graph, at a
+    per-iteration cost of one join + one groupBy (the reason LPA is the
+    community algorithm that survives web scale; modularity methods
+    need global state).
+
+    DETERMINISTIC variant: every node starts labeled with its own id and
+    all nodes update simultaneously each round to the most frequent
+    neighbor label, ties broken by MINIMUM label — argmax via
+    (count desc, label asc) row_number, no dependence on partition or
+    aggregation order, so a fixed iteration count is exactly replayable
+    as unrolled SQL CTEs (same discipline as hits/pagerank_sql).
+
+    Fixed ``n_iter`` (not convergence-polled): synchronous LPA can
+    oscillate on bipartite structure, and bounded rounds keep lineage
+    flat — the production pattern is a small constant (2-5) anyway.
+    """
+    sym = (edges.where(F.col("src") != F.col("dst"))
+           .select("src", "dst")
+           .unionAll(edges.where(F.col("src") != F.col("dst"))
+                     .select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+           .distinct()
+           .persist())
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(),
+                                          F.col("label").asc())
+    for _ in range(n_iter):
+        counts = (sym.join(labels, sym["dst"] == labels["node"])
+                  .groupBy("src", "label").agg(F.count("*").alias("c")))
+        labels = (counts.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1)
+                  .select(F.col("src").alias("node"), "label"))
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, n_iter: int = 2) -> str:
+    """The same fixed-iteration deterministic LPA unrolled as SQL CTEs."""
+    parts = [
+        f"e0 as (select src, dst from ({edges_sql}) where src <> dst)",
+        "e as (select distinct src, dst from ("
+        "select src, dst from e0 union all select dst, src from e0))",
+        "l0 as (select distinct src as node, src as label from e)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"c{i} as (select e.src, l.label, count(*) as c"
+            f" from e join l{i-1} l on e.dst = l.node"
+            f" group by e.src, l.label)")
+        parts.append(
+            f"l{i} as (select src as node, label from ("
+            f"select src, label, row_number() over"
+            f" (partition by src order by c desc, label) as rn"
+            f" from c{i}) where rn = 1)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect node, label from l{n_iter}")

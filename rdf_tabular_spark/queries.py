@@ -3449,11 +3449,22 @@ def _text_quality_classifier(spark, sf_dir):
             .withColumn("keep", F.col("margin") > 0))
 
 
+def _graph_communities(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities over the
+    two-level doc graph (operators/graph.label_propagation) — min-label
+    tie-break makes the fixed 2-iteration result exactly replayable as
+    unrolled SQL CTEs."""
+    from .operators.graph import label_propagation
+    return label_propagation(_doc_two_level_edges(spark, sf_dir))
+
+
 def _webgraph_sql() -> dict[str, str]:
-    from .operators.graph import neighbor_jaccard_sql, triangles_sql
+    from .operators.graph import (label_propagation_sql,
+                                  neighbor_jaccard_sql, triangles_sql)
     return {
         "graph_triangles": triangles_sql(_TWO_LEVEL_EDGES_SQL),
         "kg_related_pages": neighbor_jaccard_sql(_TWO_LEVEL_EDGES_SQL),
+        "graph_communities": label_propagation_sql(_TWO_LEVEL_EDGES_SQL),
     }
 
 
@@ -3662,6 +3673,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_ppl_buckets": _corpus_ppl_buckets,
     "text_quality_classifier": _text_quality_classifier,
     "curate_blocklist": _curate_blocklist,
+    "graph_communities": _graph_communities,
 }
 
 _ORACLES: dict[str, str] = {

@@ -744,3 +744,31 @@ def test_neighbor_jaccard_super_node_cap(spark):
     assert got == {("n0", "n1"): (1, 1.0)}
     uncapped = G.neighbor_jaccard(e).count()
     assert uncapped == 15 + 1 - 1  # C(6,2) hub pairs, n0-n1 merged with x
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    # two triangles joined by one bridge edge: after 3 sync rounds the
+    # left clique is labeled 'a' and the right one 'c' (the bridge node's
+    # round-1 label seeds the right clique — synchronous LPA semantics)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                       ("x", "y"), ("y", "z"), ("x", "z"),
+                       ("c", "x")])
+    got = {r["node"]: r["label"]
+           for r in G.label_propagation(e, n_iter=3).collect()}
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "c"
+
+
+def test_label_propagation_deterministic_ties(spark):
+    # star: center's neighbors all tie at count 1 → min label wins;
+    # leaves adopt the center's label in round 1 and keep a stable
+    # 2-coloring under synchronous updates — exactly reproducible
+    e = _edges(spark, [("c", "l1"), ("c", "l2"), ("c", "l3")])
+    r1 = {(r["node"], r["label"])
+          for r in G.label_propagation(e, n_iter=2).collect()}
+    r2 = {(r["node"], r["label"])
+          for r in G.label_propagation(e, n_iter=2).collect()}
+    assert r1 == r2
+    labs = dict(r1)
+    assert labs["c"] == "c"           # round 2: all neighbors carry 'c'
+    assert labs["l1"] == labs["l2"] == labs["l3"] == "l1"  # sync swap
