@@ -1746,6 +1746,43 @@ select {DOC_URL_SQL} || '#item', 'http://schema.org/inLanguage',
 """
 
 
+def _kg_jsonld_triples(spark, sf_dir):
+    """Stage 1d: embedded schema.org JSON-LD blocks → triples
+    (web.pages_to_jsonld_triples). The fixture block per document carries
+    an @id'd Article node with a typed integer (wordCount), a
+    language-tagged @value (inLanguage), and a nested @id'd author node —
+    so the oracle pins @context vocab expansion, @id resolution, xsd
+    typing, @language handling, and nested-node edges, all relationally."""
+    from .web import pages_to_jsonld_triples
+    t = pages_to_jsonld_triples(_kg_pages(spark, sf_dir))
+    return t.select(
+        "subj", "pred", "obj",
+        F.coalesce("obj_datatype", F.lit("")).alias("dt"),
+        F.coalesce("obj_lang", F.lit("")).alias("olang"))
+
+
+_KG_JSONLD_TRIPLES_SQL = f"""
+with d as (select {DOC_URL_SQL} as u, doc_id, lang, source, n_chars
+           from documents)
+select u || '#jld' as subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' as pred,
+       'http://schema.org/Article' as obj, '' as dt, '' as olang from d
+union all
+select u || '#jld', 'http://schema.org/headline', 'doc ' || doc_id, '', ''
+from d
+union all
+select u || '#jld', 'http://schema.org/wordCount',
+       cast(n_chars as varchar),
+       'http://www.w3.org/2001/XMLSchema#integer', '' from d
+union all
+select u || '#jld', 'http://schema.org/inLanguage', lang, '', lang from d
+union all
+select u || '#jld', 'http://schema.org/author', u || '#author', '', '' from d
+union all
+select u || '#author', 'http://schema.org/name', source, '', '' from d
+"""
+
+
 _LOCAL_NAME_SQL = "regexp_extract({c}, '([^#/]*)$', 1)"
 
 
@@ -3674,6 +3711,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_classifier": _text_quality_classifier,
     "curate_blocklist": _curate_blocklist,
     "graph_communities": _graph_communities,
+    "kg_jsonld_triples": _kg_jsonld_triples,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3728,6 +3766,7 @@ _ORACLES: dict[str, str] = {
     "kg_entity_mentions": _KG_ENTITY_MENTIONS_SQL,
     "kg_entity_mentions_join": _KG_ENTITY_MENTIONS_SQL,
     "kg_microdata_triples": _KG_MICRODATA_TRIPLES_SQL,
+    "kg_jsonld_triples": _KG_JSONLD_TRIPLES_SQL,
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),

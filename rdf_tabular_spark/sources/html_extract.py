@@ -51,6 +51,8 @@ class PageContent:
     # (href, visible anchor text) per CLOSED <a href> element; an unclosed
     # <a> contributes to `links` but not here (no text boundary exists)
     anchors: list[tuple[str, str]] = field(default_factory=list)
+    # raw <script type="application/ld+json"> bodies, document order
+    jsonld: list[str] = field(default_factory=list)
 
 
 class _PageParser(HTMLParser):
@@ -62,7 +64,9 @@ class _PageParser(HTMLParser):
         self.csvw_meta: Optional[str] = None
         self.links: list[str] = []
         self.anchors: list[tuple[str, str]] = []
+        self.jsonld: list[str] = []
         self._anchor_stack: list[tuple[str, list[str]]] = []
+        self._jsonld_parts: Optional[list[str]] = None
         self._in_skip = 0
         self._in_csvw_script = False
         self._table_stack: list[HtmlTable] = []
@@ -77,8 +81,12 @@ class _PageParser(HTMLParser):
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
         if tag in _SKIP_TEXT:
-            if tag == "script" and a.get("type") == "application/csvw+json":
-                self._in_csvw_script = True
+            if tag == "script":
+                stype = a.get("type")
+                if stype == "application/csvw+json":
+                    self._in_csvw_script = True
+                elif stype == "application/ld+json":
+                    self._jsonld_parts = []
             self._in_skip += 1
             return
         if tag == "table":
@@ -121,6 +129,11 @@ class _PageParser(HTMLParser):
         if tag in _SKIP_TEXT:
             self._in_skip = max(0, self._in_skip - 1)
             self._in_csvw_script = False
+            if tag == "script" and self._jsonld_parts is not None:
+                body = "".join(self._jsonld_parts).strip()
+                if body:
+                    self.jsonld.append(body)
+                self._jsonld_parts = None
             return
         if tag in ("td", "th") and self._cell is not None:
             cell_text = "".join(self._cell).strip()
@@ -189,6 +202,9 @@ class _PageParser(HTMLParser):
     def handle_data(self, data):
         if self._in_csvw_script:
             self.csvw_meta = (self.csvw_meta or "") + data
+            return
+        if self._jsonld_parts is not None:
+            self._jsonld_parts.append(data)
             return
         if self._in_skip:
             return
@@ -280,6 +296,7 @@ def extract_page(html: str) -> PageContent:
         microdata=p.micro,
         links=p.links,
         anchors=p.anchors,
+        jsonld=p.jsonld,
     )
 
 

@@ -205,8 +205,22 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
                     pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"], pdf["n_chars"]):
                 did = int(did)
                 url = doc_page_url(did)
+                # schema.org JSON-LD block (stage 1d coverage): every value
+                # is a deterministic function of the documents row, so the
+                # expected triples are plain SQL (queries.kg_jsonld_triples)
+                jld = json.dumps({
+                    "@context": "http://schema.org/",
+                    "@id": f"{url}#jld",
+                    "@type": "Article",
+                    "headline": f"doc {did}",
+                    "wordCount": int(n_chars),
+                    "inLanguage": {"@value": str(lang), "@language": str(lang)},
+                    "author": {"@id": f"{url}#author", "name": str(source)},
+                }, ensure_ascii=False)
                 html = (
-                    "<html><head><title>Doc {d}</title></head><body>"
+                    "<html><head><title>Doc {d}</title>"
+                    '<script type="application/ld+json">{jld}</script>'
+                    "</head><body>"
                     "<h1>Document {d}</h1>"
                     "<table><tr><th>doc_id</th><th>lang</th><th>source</th><th>n_chars</th></tr>"
                     "<tr><td>{d}</td><td>{l}</td><td>{s}</td><td>{n}</td></tr></table>"
@@ -215,6 +229,7 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
                     '<span itemprop="inLanguage">{l}</span></div>'
                     "{link}<p>{t}</p></body></html>"
                 ).format(d=did, l=lang, s=source, n=int(n_chars), t=text, u=url,
+                         jld=jld,
                          # parent link — gives the link graph the same tree
                          # shape the SQL oracle already predicts; the anchor
                          # text is the parent's microdata name, so the

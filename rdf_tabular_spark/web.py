@@ -377,6 +377,39 @@ def anchor_labels(anchors: DataFrame, min_refs: int = 1) -> DataFrame:
         F.col("anchor").alias("obj"))
 
 
+def pages_to_jsonld_triples(pages: DataFrame) -> DataFrame:
+    """Stage 1d: embedded JSON-LD (``<script type="application/ld+json">``,
+    the dominant structured-data carrier on the real web) → triples.
+
+    The shared page parser captures script bodies in the same single pass
+    as tables / microdata / links; ``sources.jsonld.expand_jsonld`` walks
+    each block with JSON-LD-subset semantics mirroring the reference's
+    common-property expansion (metadata.rb:806-839) — @context vocab /
+    prefixes / @language, @graph, @id resolution against the page URL,
+    @type, nested nodes as deterministic per-page bnodes, @value objects,
+    xsd-typed scalars. Malformed blocks emit nothing (crawl robustness).
+
+    Narrow Arrow stage, no shuffle; output is TRIPLE_SCHEMA with
+    ``table_url`` = page url and ``source_num`` = block index, so the
+    store / canonicalization stages downstream are shared verbatim.
+    """
+    spark = pages.sparkSession
+    ensure_package_on_executors(spark)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .sources.html_extract import _decode, extract_page
+        from .sources.jsonld import expand_jsonld
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for i, block in enumerate(extract_page(_decode(html)).jsonld):
+                    for t in expand_jsonld(block, url):
+                        rows.append((*t, url, i))
+            yield pd.DataFrame(rows, columns=[f.name for f in TRIPLE_SCHEMA])
+
+    return pages.mapInPandas(kernel, schema=TRIPLE_SCHEMA)
+
+
 def host_link_graph(links: DataFrame) -> DataFrame:
     """Aggregate page-level edges to the host graph →
     ``(src_host, dst_host, n_links)`` — one shuffle on the host pair with
