@@ -1783,6 +1783,43 @@ select u || '#author', 'http://schema.org/name', source, '', '' from d
 """
 
 
+def _kg_page_meta(spark, sf_dir):
+    """Stage 1e: head metadata — title, resolved canonical link, robots
+    directives (web.pages_to_head_meta). The fixture declares canonical
+    groups of 5 and noindex on every doc_id % 7 == 3 page, all
+    SQL-predictable."""
+    from .web import pages_to_head_meta
+    return pages_to_head_meta(_kg_pages(spark, sf_dir))
+
+
+_KG_PAGE_META_SQL = f"""
+select {DOC_URL_SQL} as url,
+       'Doc ' || doc_id as title,
+       'http://pages.example.org/doc/' || (doc_id - doc_id % 5) as canonical,
+       doc_id % 7 = 3 as noindex,
+       doc_id % 7 = 3 as nofollow
+from documents
+"""
+
+
+def _dedup_canonical_groups(spark, sf_dir):
+    """Publisher-declared dedup: group pages by effective canonical URL
+    (web.canonical_groups) — the zero-compute first dedup tier of a real
+    crawl. One keyed shuffle, map-side partial aggs."""
+    from .web import canonical_groups, pages_to_head_meta
+    return canonical_groups(pages_to_head_meta(_kg_pages(spark, sf_dir)))
+
+
+_DEDUP_CANONICAL_GROUPS_SQL = """
+select 'http://pages.example.org/doc/' || (doc_id - doc_id % 5) as canonical,
+       cast(count(*) as bigint) as n_pages,
+       'http://pages.example.org/doc/' || (doc_id - doc_id % 5)
+         as representative
+from documents
+group by doc_id - doc_id % 5
+"""
+
+
 _LOCAL_NAME_SQL = "regexp_extract({c}, '([^#/]*)$', 1)"
 
 
@@ -3712,6 +3749,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_blocklist": _curate_blocklist,
     "graph_communities": _graph_communities,
     "kg_jsonld_triples": _kg_jsonld_triples,
+    "kg_page_meta": _kg_page_meta,
+    "dedup_canonical_groups": _dedup_canonical_groups,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3767,6 +3806,8 @@ _ORACLES: dict[str, str] = {
     "kg_entity_mentions_join": _KG_ENTITY_MENTIONS_SQL,
     "kg_microdata_triples": _KG_MICRODATA_TRIPLES_SQL,
     "kg_jsonld_triples": _KG_JSONLD_TRIPLES_SQL,
+    "kg_page_meta": _KG_PAGE_META_SQL,
+    "dedup_canonical_groups": _DEDUP_CANONICAL_GROUPS_SQL,
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),

@@ -53,6 +53,12 @@ class PageContent:
     anchors: list[tuple[str, str]] = field(default_factory=list)
     # raw <script type="application/ld+json"> bodies, document order
     jsonld: list[str] = field(default_factory=list)
+    # <title> text (first title element; NOT part of `text`)
+    title: str = ""
+    # first <link rel="canonical" href> value, unresolved
+    canonical: Optional[str] = None
+    # (name lowercased, content) per <meta name content>, document order
+    meta: list[tuple[str, str]] = field(default_factory=list)
 
 
 class _PageParser(HTMLParser):
@@ -65,8 +71,12 @@ class _PageParser(HTMLParser):
         self.links: list[str] = []
         self.anchors: list[tuple[str, str]] = []
         self.jsonld: list[str] = []
+        self.title: str = ""
+        self.canonical: Optional[str] = None
+        self.meta: list[tuple[str, str]] = []
         self._anchor_stack: list[tuple[str, list[str]]] = []
         self._jsonld_parts: Optional[list[str]] = None
+        self._title_parts: Optional[list[str]] = None
         self._in_skip = 0
         self._in_csvw_script = False
         self._table_stack: list[HtmlTable] = []
@@ -87,8 +97,18 @@ class _PageParser(HTMLParser):
                     self._in_csvw_script = True
                 elif stype == "application/ld+json":
                     self._jsonld_parts = []
+            elif tag == "title" and not self.title:
+                self._title_parts = []
             self._in_skip += 1
             return
+        if tag == "link":
+            if (a.get("rel") == "canonical" and a.get("href")
+                    and self.canonical is None):
+                self.canonical = a["href"]
+        elif tag == "meta":
+            name, content = a.get("name"), a.get("content")
+            if name and content is not None:
+                self.meta.append((name.lower(), content))
         if tag == "table":
             t = HtmlTable(index=len(self.tables))
             self.tables.append(t)
@@ -134,6 +154,9 @@ class _PageParser(HTMLParser):
                 if body:
                     self.jsonld.append(body)
                 self._jsonld_parts = None
+            elif tag == "title" and self._title_parts is not None:
+                self.title = "".join(self._title_parts).strip()
+                self._title_parts = None
             return
         if tag in ("td", "th") and self._cell is not None:
             cell_text = "".join(self._cell).strip()
@@ -205,6 +228,9 @@ class _PageParser(HTMLParser):
             return
         if self._jsonld_parts is not None:
             self._jsonld_parts.append(data)
+            return
+        if self._title_parts is not None:
+            self._title_parts.append(data)
             return
         if self._in_skip:
             return
@@ -297,6 +323,9 @@ def extract_page(html: str) -> PageContent:
         links=p.links,
         anchors=p.anchors,
         jsonld=p.jsonld,
+        title=p.title,
+        canonical=p.canonical,
+        meta=p.meta,
     )
 
 

@@ -219,6 +219,12 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
                 }, ensure_ascii=False)
                 html = (
                     "<html><head><title>Doc {d}</title>"
+                    # canonical groups of 5 (publisher-declared dedup tier)
+                    # + robots directives on every 7th-ish page — both are
+                    # deterministic functions of doc_id, so the head-meta
+                    # and canonical-group oracles are plain SQL
+                    '<link rel="canonical" href="/doc/{canon}">'
+                    '<meta name="robots" content="{robots}">'
                     '<script type="application/ld+json">{jld}</script>'
                     "</head><body>"
                     "<h1>Document {d}</h1>"
@@ -229,7 +235,9 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
                     '<span itemprop="inLanguage">{l}</span></div>'
                     "{link}<p>{t}</p></body></html>"
                 ).format(d=did, l=lang, s=source, n=int(n_chars), t=text, u=url,
-                         jld=jld,
+                         jld=jld, canon=did - did % 5,
+                         robots=("noindex,nofollow" if did % 7 == 3
+                                 else "index,follow"),
                          # parent link — gives the link graph the same tree
                          # shape the SQL oracle already predicts; the anchor
                          # text is the parent's microdata name, so the

@@ -138,12 +138,27 @@ def _emit_microdata_triples(page, url: str,
     srcs.extend([0] * n_md)
 
 
+def _emit_jsonld_triples(page, url: str,
+                         out: list, urls: list, srcs: list) -> None:
+    """Shared per-page JSON-LD emission — same expansion as
+    :func:`pages_to_jsonld_triples` (sources/jsonld.expand_jsonld), with
+    ``source_num`` = block index offset by -1..: blocks use negative
+    source_nums (-1, -2, ...) so they never collide with table source rows
+    or the microdata 0 sentinel."""
+    from .sources.jsonld import expand_jsonld
+    for i, block in enumerate(page.jsonld):
+        ts = expand_jsonld(block, url)
+        out.extend(ts)
+        urls.extend([url] * len(ts))
+        srcs.extend([-(i + 1)] * len(ts))
+
+
 def pages_to_combined_triples(pages: DataFrame, minimal: bool = True,
                               default_meta: Optional[dict] = None,
                               header_rows: int = 1) -> DataFrame:
-    """Stages 1+1b+2 in ONE Arrow pass: each page's HTML is parsed ONCE and
-    both the CSVW-table triples and the microdata triples are emitted from
-    the same ``extract_page`` result.
+    """Stages 1+1b+1d+2 in ONE Arrow pass: each page's HTML is parsed ONCE
+    and the CSVW-table triples, the microdata triples, and the embedded
+    JSON-LD triples are all emitted from the same ``extract_page`` result.
 
     The separate operators (:func:`pages_to_triples`,
     :func:`microdata_to_triples`) parse every page twice — two full scans
@@ -172,6 +187,7 @@ def pages_to_combined_triples(pages: DataFrame, minimal: bool = True,
                 _emit_table_triples(page, url, default_meta_json, minimal,
                                     header_rows, out, urls, srcs)
                 _emit_microdata_triples(page, url, out, urls, srcs)
+                _emit_jsonld_triples(page, url, out, urls, srcs)
             res = pd.DataFrame(out, columns=cols)
             res["table_url"] = pd.Series(urls, dtype="object")
             res["source_num"] = pd.Series(srcs, dtype="int64")
@@ -390,24 +406,91 @@ def pages_to_jsonld_triples(pages: DataFrame) -> DataFrame:
     xsd-typed scalars. Malformed blocks emit nothing (crawl robustness).
 
     Narrow Arrow stage, no shuffle; output is TRIPLE_SCHEMA with
-    ``table_url`` = page url and ``source_num`` = block index, so the
-    store / canonicalization stages downstream are shared verbatim.
+    ``table_url`` = page url and ``source_num`` = negative block index
+    (-1, -2, ... — never colliding with table source rows or the
+    microdata 0 sentinel, and identical to the fused kernel's numbering),
+    so the store / canonicalization stages downstream are shared verbatim.
     """
     spark = pages.sparkSession
     ensure_package_on_executors(spark)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .sources.html_extract import _decode, extract_page
-        from .sources.jsonld import expand_jsonld
+        for pdf in batches:
+            out: list[tuple] = []
+            urls: list[str] = []
+            srcs: list[int] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                _emit_jsonld_triples(extract_page(_decode(html)), url,
+                                     out, urls, srcs)
+            cols = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype",
+                    "obj_lang"]
+            res = pd.DataFrame(out, columns=cols)
+            res["table_url"] = pd.Series(urls, dtype="object")
+            res["source_num"] = pd.Series(srcs, dtype="int64")
+            yield res
+
+    return pages.mapInPandas(kernel, schema=TRIPLE_SCHEMA)
+
+
+HEAD_META_SCHEMA = ("url string, title string, canonical string, "
+                    "noindex boolean, nofollow boolean")
+
+
+def pages_to_head_meta(pages: DataFrame) -> DataFrame:
+    """Stage 1e: head metadata per page — ``(url, title, canonical,
+    noindex, nofollow)``.
+
+    ``canonical`` is the ``<link rel="canonical" href>`` target resolved
+    RFC 3986-style against the page URL (NULL when the page declares
+    none); ``noindex``/``nofollow`` come from the ``<meta name="robots">``
+    directive list (comma-separated, case-insensitive — the de-facto
+    crawler contract). Canonical-URL grouping is the FIRST dedup tier of
+    a real crawl (publisher-declared duplicates, zero similarity compute)
+    and robots directives are the first curation gate; both need only
+    this narrow single-parse stage — no shuffle.
+    """
+    spark = pages.sparkSession
+    ensure_package_on_executors(spark)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urljoin
+
+        from .sources.html_extract import _decode, extract_page
         for pdf in batches:
             rows = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                for i, block in enumerate(extract_page(_decode(html)).jsonld):
-                    for t in expand_jsonld(block, url):
-                        rows.append((*t, url, i))
-            yield pd.DataFrame(rows, columns=[f.name for f in TRIPLE_SCHEMA])
+                page = extract_page(_decode(html))
+                robots = next((v for k, v in page.meta if k == "robots"), "")
+                directives = {d.strip().lower()
+                              for d in robots.split(",") if d.strip()}
+                rows.append((url, page.title,
+                             urljoin(url, page.canonical)
+                             if page.canonical else None,
+                             "noindex" in directives,
+                             "nofollow" in directives))
+            yield pd.DataFrame(rows, columns=["url", "title", "canonical",
+                                              "noindex", "nofollow"])
 
-    return pages.mapInPandas(kernel, schema=TRIPLE_SCHEMA)
+    return pages.mapInPandas(kernel, schema=HEAD_META_SCHEMA)
+
+
+def canonical_groups(head_meta: DataFrame) -> DataFrame:
+    """Publisher-declared dedup: pages grouped by their effective canonical
+    URL (declared target, else self) → ``(canonical, n_pages,
+    representative)``. One keyed shuffle with map-side partial aggs; the
+    representative is the canonical member itself when crawled, else the
+    lexical-min member (deterministic under retries)."""
+    eff = head_meta.select(
+        F.coalesce("canonical", "url").alias("canonical"), "url")
+    return (eff.groupBy("canonical")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.min(F.when(F.col("url") == F.col("canonical"),
+                              F.col("url"))).alias("self_member"),
+                 F.min("url").alias("min_member"))
+            .select("canonical", "n_pages",
+                    F.coalesce("self_member", "min_member")
+                    .alias("representative")))
 
 
 def host_link_graph(links: DataFrame) -> DataFrame:

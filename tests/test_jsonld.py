@@ -134,8 +134,8 @@ def test_pages_to_jsonld_triples_end_to_end(spark):
     got = {(r.subj, r.pred, r.obj, r.obj_is_iri, r.table_url, r.source_num)
            for r in pages_to_jsonld_triples(pages).collect()}
     assert got == {
-        (f"{URL}#jld", RDF_TYPE, "http://schema.org/Article", True, URL, 0),
-        (f"{URL}#jld", "http://schema.org/headline", "h", False, URL, 0),
+        (f"{URL}#jld", RDF_TYPE, "http://schema.org/Article", True, URL, -1),
+        (f"{URL}#jld", "http://schema.org/headline", "h", False, URL, -1),
     }
 
 

@@ -262,18 +262,47 @@ def test_link_entities_fuzzy_tier(spark):
 
 def test_combined_parity(spark):
     """Fused single-parse kernel ≡ pages_to_triples ∪ microdata_to_triples
-    (exact multiset equality over a 300-page synth corpus incl. microdata
-    items, skolem ids, csvw tables)."""
+    ∪ pages_to_jsonld_triples (exact multiset equality over a 300-page
+    synth corpus incl. microdata items, skolem ids, csvw tables)."""
     from rdf_tabular_spark.sources.pages import synth_pages
     from rdf_tabular_spark.web import (microdata_to_triples,
                                        pages_to_combined_triples,
+                                       pages_to_jsonld_triples,
                                        pages_to_triples)
     pages = synth_pages(spark, 300, partitions=4).persist()
-    sep = pages_to_triples(pages).unionByName(microdata_to_triples(pages))
+    sep = (pages_to_triples(pages)
+           .unionByName(microdata_to_triples(pages))
+           .unionByName(pages_to_jsonld_triples(pages)))
     fused = pages_to_combined_triples(pages)
     a = sorted(tuple(r) for r in sep.collect())
     b = sorted(tuple(r) for r in fused.collect())
     pages.unpersist()
+    assert len(a) == len(b)
+    assert a == b
+
+
+def test_combined_parity_jsonld_pages(spark):
+    """Same multiset parity over the doc-fixture pages, which DO embed a
+    JSON-LD block per page (synth_pages does not) — pins the fused
+    kernel's JSON-LD facet incl. the negative source_num numbering."""
+    from rdf_tabular_spark.sources.pages import (DOC_PAGE_META,
+                                                 pages_from_documents)
+    from rdf_tabular_spark.web import (microdata_to_triples,
+                                       pages_to_combined_triples,
+                                       pages_to_jsonld_triples,
+                                       pages_to_triples)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(120)
+    pages = pages_from_documents(docs).persist()
+    sep = (pages_to_triples(pages, minimal=True, default_meta=DOC_PAGE_META)
+           .unionByName(microdata_to_triples(pages))
+           .unionByName(pages_to_jsonld_triples(pages)))
+    fused = pages_to_combined_triples(pages, minimal=True,
+                                      default_meta=DOC_PAGE_META)
+    a = sorted(tuple(r) for r in sep.collect())
+    b = sorted(tuple(r) for r in fused.collect())
+    pages.unpersist()
+    assert any(r[7] < 0 for r in b)     # JSON-LD facet present
     assert len(a) == len(b)
     assert a == b
 
