@@ -47,6 +47,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also extract (src, dst, anchor) rows — anchor text "
                         "per link, the external-naming signal for entity "
                         "canonicalization — under <out>/links/<batch-id>/anchors")
+    p.add_argument("--head-meta", action="store_true",
+                   help="also extract per-page head metadata (title, "
+                        "resolved canonical link, robots directives) and "
+                        "the canonical-URL dedup groups under "
+                        "<out>/meta/<batch-id>")
+    p.add_argument("--respect-noindex", action="store_true",
+                   help="drop pages whose <meta name=robots> declares "
+                        "noindex BEFORE triple extraction (crawler-"
+                        "compliance gate)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--compact-after", type=int, default=0, metavar="N",
                    help="after committing this batch, if the store holds "
@@ -80,6 +89,14 @@ def main(argv: list[str] | None = None) -> dict:
         pages = read_pages_jsonl(spark, args.jsonl)
     else:
         pages = spark.read.parquet(args.pages)
+    if args.respect_noindex:
+        # one extra narrow pass (url, noindex) + a semi-join on url; the
+        # join stays map-side cheap because the noindex side projects two
+        # columns and AQE broadcast-converts small batches
+        from rdf_tabular_spark.web import pages_to_head_meta
+        keep = (pages_to_head_meta(pages)
+                .where("not noindex").select("url"))
+        pages = pages.join(keep, "url", "left_semi")
     manifest = web_pipeline(
         spark, pages, args.out, args.batch_id,
         entity_dict=entity_dictionary() if args.entity_dict else None,
@@ -101,6 +118,15 @@ def main(argv: list[str] | None = None) -> dict:
         anchors = pages_to_anchors(pages)
         anchors.write.mode("overwrite").parquet(anchors_dir)
         manifest = dict(manifest, anchors_dir=anchors_dir)
+    if args.head_meta:
+        from rdf_tabular_spark.web import canonical_groups, pages_to_head_meta
+        meta_dir = os.path.join(args.out, "meta", args.batch_id)
+        hm = pages_to_head_meta(pages).persist()
+        hm.write.mode("overwrite").parquet(os.path.join(meta_dir, "head"))
+        canonical_groups(hm).write.mode("overwrite").parquet(
+            os.path.join(meta_dir, "canonical_groups"))
+        manifest = dict(manifest, n_head_meta=hm.count(), meta_dir=meta_dir)
+        hm.unpersist()
     if args.compact_after:
         from rdf_tabular_spark.sinks.graph_store import (compact,
                                                          expire_replaced,

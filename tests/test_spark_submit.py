@@ -70,6 +70,50 @@ def test_extract_job_compact_after(spark, tmp_path):
     assert m1_again["status"] == "expired"     # resubmission skipped
 
 
+def test_extract_job_head_meta_and_noindex(spark, tmp_path):
+    """--head-meta writes (title, canonical, robots) + canonical groups as
+    side outputs; --respect-noindex drops robots-noindex pages BEFORE
+    triple extraction (doc fixture: noindex on doc_id % 7 == 3, canonical
+    groups of 5)."""
+    import sys
+    sys.path.insert(0, REPO)
+    from rdf_tabular_spark.jobs.extract import main
+    from rdf_tabular_spark.sources.pages import pages_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(70)
+    pages_dir = str(tmp_path / "pages")
+    pages_from_documents(docs).write.parquet(pages_dir)
+    out_root = str(tmp_path / "graph")
+    m = main(["--pages", pages_dir, "--out", out_root, "--batch-id", "h1",
+              "--no-canonicalize", "--shuffle-partitions", "8",
+              "--head-meta", "--respect-noindex"])
+    # doc_ids 0..69: ten are noindex (3, 10, ..., 66) -> 60 pages survive
+    assert m["n_head_meta"] == 60
+    hm = spark.read.parquet(os.path.join(m["meta_dir"], "head"))
+    assert hm.count() == 60 and hm.where("noindex").count() == 0
+    assert {r.canonical for r in
+            hm.where("url like '%/doc/12'").collect()} \
+        == {"http://pages.example.org/doc/10"}
+    cg = spark.read.parquet(os.path.join(m["meta_dir"], "canonical_groups"))
+    # groups of 5 over 0..69 = 14 groups; noindex drops <= 1 member each
+    assert cg.count() == 14
+    # group 10's canonical member (doc 10) was noindexed: lexical-min
+    # surviving member represents it
+    rep = {r.canonical: r.representative for r in cg.collect()}
+    assert rep["http://pages.example.org/doc/10"] \
+        == "http://pages.example.org/doc/11"
+    # noindexed pages contributed no triples to the store (doc pages embed
+    # no CSVW script, so store subjects come from microdata + JSON-LD)
+    from rdf_tabular_spark.sinks.graph_store import read_graph
+    subs = {r.subj for r in
+            read_graph(spark, out_root).select("subj").distinct().collect()}
+    assert "http://pages.example.org/doc/3#jld" not in subs
+    assert "http://pages.example.org/doc/3#item" not in subs
+    assert "http://pages.example.org/doc/4#jld" in subs
+    assert "http://pages.example.org/doc/4#item" in subs
+
+
 def test_query_job_bgp_and_path(spark, tmp_path):
     """jobs/query.py: extract a store in-process, then run a BGP (with
     FILTER + MINUS) and a property path against it via the job's main()
