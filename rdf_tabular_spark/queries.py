@@ -1802,6 +1802,40 @@ from documents
 """
 
 
+def _kg_og_triples(spark, sf_dir):
+    """Stage 1f: OpenGraph (RDFa-lite ``<meta property="og:*">``) →
+    page-subject triples. Fixture: og:title + og:locale per page."""
+    from .web import pages_to_og_triples
+    return pages_to_og_triples(_kg_pages(spark, sf_dir)) \
+        .select("subj", "pred", "obj")
+
+
+_KG_OG_TRIPLES_SQL = f"""
+select {DOC_URL_SQL} as subj, 'https://ogp.me/ns#title' as pred,
+       'Doc ' || doc_id as obj from documents
+union all
+select {DOC_URL_SQL}, 'https://ogp.me/ns#locale', lang from documents
+"""
+
+
+def _kg_page_links_nofollow(spark, sf_dir):
+    """Crawl-compliance link graph: edges from robots-nofollow source
+    pages dropped in-kernel (web.pages_to_links respect_nofollow).
+    Fixture: every doc_id % 7 == 3 page is nofollow, so exactly its
+    outgoing parent-link disappears."""
+    from .web import pages_to_links
+    return pages_to_links(_kg_pages(spark, sf_dir),
+                          respect_nofollow=True).distinct()
+
+
+_KG_PAGE_LINKS_NOFOLLOW_SQL = f"""
+select {DOC_URL_SQL} as src,
+       'http://pages.example.org/doc/' || (doc_id // 2) as dst
+from documents
+where doc_id > 0 and doc_id % 7 <> 3
+"""
+
+
 def _dedup_canonical_groups(spark, sf_dir):
     """Publisher-declared dedup: group pages by effective canonical URL
     (web.canonical_groups) — the zero-compute first dedup tier of a real
@@ -3751,6 +3785,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_jsonld_triples": _kg_jsonld_triples,
     "kg_page_meta": _kg_page_meta,
     "dedup_canonical_groups": _dedup_canonical_groups,
+    "kg_og_triples": _kg_og_triples,
+    "kg_page_links_nofollow": _kg_page_links_nofollow,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3808,6 +3844,8 @@ _ORACLES: dict[str, str] = {
     "kg_jsonld_triples": _KG_JSONLD_TRIPLES_SQL,
     "kg_page_meta": _KG_PAGE_META_SQL,
     "dedup_canonical_groups": _DEDUP_CANONICAL_GROUPS_SQL,
+    "kg_og_triples": _KG_OG_TRIPLES_SQL,
+    "kg_page_links_nofollow": _KG_PAGE_LINKS_NOFOLLOW_SQL,
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),

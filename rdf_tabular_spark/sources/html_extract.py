@@ -106,7 +106,9 @@ class _PageParser(HTMLParser):
                     and self.canonical is None):
                 self.canonical = a["href"]
         elif tag == "meta":
-            name, content = a.get("name"), a.get("content")
+            # <meta name=...> (robots/description/...) and RDFa-lite
+            # <meta property=...> (OpenGraph og:*) share one capture list
+            name, content = a.get("name") or a.get("property"), a.get("content")
             if name and content is not None:
                 self.meta.append((name.lower(), content))
         if tag == "table":

@@ -225,6 +225,8 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
                     # and canonical-group oracles are plain SQL
                     '<link rel="canonical" href="/doc/{canon}">'
                     '<meta name="robots" content="{robots}">'
+                    '<meta property="og:title" content="Doc {d}">'
+                    '<meta property="og:locale" content="{l}">'
                     '<script type="application/ld+json">{jld}</script>'
                     "</head><body>"
                     "<h1>Document {d}</h1>"

@@ -313,7 +313,14 @@ def link_entities_distributed(triples: DataFrame,
 LINKS_SCHEMA = "src string, dst string"
 
 
-def pages_to_links(pages: DataFrame) -> DataFrame:
+def _page_nofollow(page) -> bool:
+    robots = next((v for k, v in page.meta if k == "robots"), "")
+    return "nofollow" in {d.strip().lower()
+                          for d in robots.split(",") if d.strip()}
+
+
+def pages_to_links(pages: DataFrame,
+                   respect_nofollow: bool = False) -> DataFrame:
     """Stage 1c: hyperlink graph extraction — ``<a href>`` targets resolved
     against the page URL → ``(src, dst)`` edges (the Common-Crawl link
     graph, the input to host-level PageRank / centrality).
@@ -322,6 +329,11 @@ def pages_to_links(pages: DataFrame) -> DataFrame:
     (html_extract collects hrefs in the one pass both front-ends share);
     relative hrefs resolve via RFC 3986 urljoin. Narrow — no shuffle;
     dedup/aggregation is the consumer's choice.
+
+    ``respect_nofollow=True`` drops every edge whose SOURCE page declares
+    ``<meta name="robots" content="...nofollow...">`` — the page-level
+    crawler-compliance contract — inside the same parse (no extra scan,
+    no join against the head-meta table).
     """
     spark = pages.sparkSession
     ensure_package_on_executors(spark)
@@ -333,7 +345,10 @@ def pages_to_links(pages: DataFrame) -> DataFrame:
         for pdf in batches:
             src, dst = [], []
             for url, html in zip(pdf["url"], pdf["html"]):
-                for href in extract_page(_decode(html)).links:
+                page = extract_page(_decode(html))
+                if respect_nofollow and _page_nofollow(page):
+                    continue
+                for href in page.links:
                     src.append(url)
                     dst.append(urljoin(url, href))
             yield pd.DataFrame({"src": src, "dst": dst})
@@ -473,6 +488,39 @@ def pages_to_head_meta(pages: DataFrame) -> DataFrame:
                                               "noindex", "nofollow"])
 
     return pages.mapInPandas(kernel, schema=HEAD_META_SCHEMA)
+
+
+OG_NS = "https://ogp.me/ns#"
+
+
+def pages_to_og_triples(pages: DataFrame) -> DataFrame:
+    """Stage 1f: OpenGraph metadata (RDFa-lite ``<meta property="og:*"
+    content>``, the third major structured-data carrier after JSON-LD and
+    microdata) → triples: ``(page-url, https://ogp.me/ns#<local>,
+    content)`` literals.
+
+    Same single-parse capture list as the robots/description metas; the
+    subject is the page URL itself (OpenGraph describes the page). Narrow
+    Arrow stage, TRIPLE_SCHEMA output, ``source_num`` = position within
+    the page's og tags."""
+    spark = pages.sparkSession
+    ensure_package_on_executors(spark)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .sources.html_extract import _decode, extract_page
+        cols = [f.name for f in TRIPLE_SCHEMA]
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                n = 0
+                for k, v in extract_page(_decode(html)).meta:
+                    if k.startswith("og:"):
+                        n += 1
+                        rows.append((url, OG_NS + k[3:], v, False,
+                                     None, None, url, n))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(kernel, schema=TRIPLE_SCHEMA)
 
 
 def canonical_groups(head_meta: DataFrame) -> DataFrame:

@@ -80,3 +80,34 @@ def test_head_meta_plan_is_narrow(spark):
     plan = pages_to_head_meta(pages)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_og_meta_capture_and_triples(spark):
+    from rdf_tabular_spark.web import OG_NS, pages_to_og_triples
+    html = ('<html><head><meta property="og:title" content="T">'
+            '<meta property="og:image" content="http://h/i.png">'
+            '<meta name="robots" content="noindex">'
+            "</head><body>x</body></html>").encode()
+    pages = spark.createDataFrame([("http://h/p", html)],
+                                  "url string, html binary")
+    got = {(r.subj, r.pred, r.obj) for r in
+           pages_to_og_triples(pages).collect()}
+    # og:* properties only — the robots <meta name> is not an og triple
+    assert got == {("http://h/p", OG_NS + "title", "T"),
+                   ("http://h/p", OG_NS + "image", "http://h/i.png")}
+
+
+def test_links_respect_nofollow(spark):
+    from rdf_tabular_spark.web import pages_to_links
+    follow = ('<html><head><meta name="robots" content="index,follow">'
+              '</head><body><a href="/a">a</a></body></html>').encode()
+    nofollow = ('<html><head><meta name="robots" content="index, NOFOLLOW">'
+                '</head><body><a href="/b">b</a></body></html>').encode()
+    pages = spark.createDataFrame(
+        [("http://h/f", follow), ("http://h/n", nofollow)],
+        "url string, html binary")
+    assert {r.src for r in pages_to_links(pages).collect()} \
+        == {"http://h/f", "http://h/n"}       # default keeps everything
+    assert {r.src for r in
+            pages_to_links(pages, respect_nofollow=True).collect()} \
+        == {"http://h/f"}
