@@ -28,6 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--as-of", default=None)
     p.add_argument("--predicate", default=None,
                    help="export only this predicate (pruned scan)")
+    p.add_argument("--void", metavar="DATASET_IRI", default=None,
+                   help="also export a VoID self-description of the "
+                        "exported graph (dataset node = DATASET_IRI) as "
+                        "N-Triples under <out>-void; distinct counts use "
+                        "HyperLogLog (the 10^12-triple mode)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p
 
@@ -66,6 +71,12 @@ def main(argv: list[str] | None = None) -> dict:
         write_turtle(g, args.out)
     n = spark.read.text(args.out).count()
     summary = {"out": args.out, "format": args.format, "n_lines": n}
+    if args.void:
+        from rdf_tabular_spark.operators.void import void_description
+        from rdf_tabular_spark.sinks.ntriples import write_ntriples
+        write_ntriples(void_description(g, args.void, exact=False),
+                       args.out + "-void")
+        summary["void_out"] = args.out + "-void"
     print(json.dumps(summary))
     return summary
 

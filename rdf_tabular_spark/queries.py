@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import curate as curate_ops
+from .operators.void import void_sql as _void_sql
 from .operators import dedup as D
 from .operators import similarity as S
 from .operators import text as T
@@ -1834,6 +1835,18 @@ select {DOC_URL_SQL} as src,
 from documents
 where doc_id > 0 and doc_id % 7 <> 3
 """
+
+
+def _kg_void_description(spark, sf_dir):
+    """VoID dataset self-description (operators/void.void_description,
+    exact mode) over the microdata triple set — summary counts + one
+    propertyPartition node per predicate; the oracle is the generic SQL
+    mirror (operators/void.void_sql) over the same triples CTE."""
+    from .operators.void import void_description
+    from .web import microdata_to_triples
+    triples = microdata_to_triples(_kg_pages(spark, sf_dir))
+    return void_description(triples, "https://kg.example.org/dataset/docs") \
+        .select("subj", "pred", "obj")
 
 
 def _dedup_canonical_groups(spark, sf_dir):
@@ -3787,6 +3800,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical_groups": _dedup_canonical_groups,
     "kg_og_triples": _kg_og_triples,
     "kg_page_links_nofollow": _kg_page_links_nofollow,
+    "kg_void_description": _kg_void_description,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3846,6 +3860,8 @@ _ORACLES: dict[str, str] = {
     "dedup_canonical_groups": _DEDUP_CANONICAL_GROUPS_SQL,
     "kg_og_triples": _KG_OG_TRIPLES_SQL,
     "kg_page_links_nofollow": _KG_PAGE_LINKS_NOFOLLOW_SQL,
+    "kg_void_description": _void_sql(_KG_MICRODATA_TRIPLES_SQL,
+                                     "https://kg.example.org/dataset/docs"),
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),

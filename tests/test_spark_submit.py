@@ -208,6 +208,18 @@ def test_export_job_formats(spark, tmp_path):
                         "--out", ttl,
                         "--predicate", "http://schema.org/name"])
     assert 0 < res2["n_lines"] <= res["n_lines"]
+
+    # --void: HLL self-description rides along as N-Triples
+    nt2 = str(tmp_path / "nt2")
+    res3 = export_main(["--store", out_root, "--format", "nt",
+                        "--out", nt2, "--void", "http://ex.org/ds"])
+    void_lines = [r["value"] for r in
+                  spark.read.text(res3["void_out"]).collect()]
+    assert any("void#Dataset" in ln for ln in void_lines)
+    trip = [ln for ln in void_lines
+            if "<http://ex.org/ds> <http://rdfs.org/ns/void#triples>" in ln]
+    assert len(trip) == 1 and f'"{res["n_lines"]}"' in trip[0]
+    assert any("void#propertyPartition" in ln for ln in void_lines)
     blocks = [r["value"] for r in spark.read.text(ttl).collect()]
     assert all("schema.org/name" in b or not b.startswith("<")
                for b in blocks if b)
