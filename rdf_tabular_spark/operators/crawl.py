@@ -1,0 +1,107 @@
+"""Crawl operations: robots.txt compliance filtering and crawl-frontier
+discovery.
+
+These close the loop the page pipeline sits inside at web scale: the link
+graph discovers URLs (frontier = seen minus crawled), and robots.txt rules
+decide which of them a compliant crawler may fetch. Both are pure
+relational shapes — an anti-join and a host-keyed prefix-match join — so
+they survive 10^12 rows without any per-URL driver logic.
+
+robots.txt subset (documented contract): per-agent groups, ``Disallow:``
+prefix rules for the requested agent (falling back to ``*``), case-
+insensitive field names, ``#`` comments stripped, empty Disallow (allow
+all) ignored. ``Allow:`` precedence and wildcards are NOT modeled — rules
+here are conservative prefix blocks, the 99% case of real robots files.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+
+
+def parse_robots(txt: str, agent: str = "*") -> list[str]:
+    """robots.txt body → Disallow prefixes applying to ``agent``.
+
+    Group selection follows the de-facto standard: the most specific
+    matching ``User-agent`` group wins (exact agent name over ``*``);
+    consecutive User-agent lines share one group."""
+    groups: dict[str, list[str]] = {}
+    current: list[str] = []       # agents of the group being read
+    reading_rules = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            if reading_rules:      # a new group starts
+                current = []
+                reading_rules = False
+            current.append(value.lower())
+            for a in current:
+                groups.setdefault(a, [])
+        elif field == "disallow":
+            reading_rules = True
+            if value:
+                for a in current:
+                    groups.setdefault(a, []).append(value)
+    return groups.get(agent.lower(), groups.get("*", []))
+
+
+def robots_rules(robots: DataFrame, agent: str = "*",
+                 host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) → exploded ``(host, disallow)`` rule rows —
+    one Arrow kernel (group-state parsing is sequential per file), narrow,
+    no shuffle. Hosts whose file yields no rules emit nothing."""
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(robots.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, rules = [], []
+            for host, txt in zip(pdf[host_col], pdf[txt_col]):
+                for prefix in parse_robots(str(txt), agent):
+                    hosts.append(host)
+                    rules.append(prefix)
+            yield pd.DataFrame({"host": hosts, "disallow": rules})
+
+    return robots.mapInPandas(kernel, schema="host string, disallow string")
+
+
+def filter_disallowed(urls: DataFrame, rules: DataFrame,
+                      url_col: str = "url") -> DataFrame:
+    """Drop rows whose URL path starts with any Disallow prefix for its
+    host. Host/path split is JVM-side regexp; the match is a host-keyed
+    equi-join (rules tables are tiny next to the corpus — AQE broadcasts
+    them) followed by one aggregation that keeps rows with NO matching
+    prefix. Rows on hosts without rules pass through (left join)."""
+    host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
+    path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
+    tagged = urls.withColumn("__host", host).withColumn("__path", path)
+    joined = tagged.join(rules, tagged["__host"] == rules["host"], "left")
+    blocked = (F.col("disallow").isNotNull()
+               & F.col("__path").startswith(F.col("disallow")))
+    keep = (joined
+            .groupBy(*[F.col(c) for c in urls.columns])
+            .agg(F.max(blocked).alias("__blocked"))
+            .where(~F.coalesce("__blocked", F.lit(False))))
+    return keep.drop("__blocked")
+
+
+def frontier_urls(links: DataFrame, crawled: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Crawl-frontier discovery: distinct link targets not yet crawled —
+    ``links(src, dst)`` anti-joined against the crawled URL set. One
+    distinct + one anti-join, both keyed on the full URL space (no skew
+    concentration); this is the iteration step of a BFS crawler."""
+    return (links.select(F.col("dst").alias(url_col)).distinct()
+            .join(crawled.select(url_col), url_col, "left_anti"))

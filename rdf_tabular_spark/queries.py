@@ -1837,6 +1837,57 @@ where doc_id > 0 and doc_id % 7 <> 3
 """
 
 
+def _crawl_frontier(spark, sf_dir):
+    """Crawl-frontier discovery (operators/crawl.frontier_urls): crawled
+    set = pages with doc_id >= 10; their parent links point at doc_ids
+    did // 2, so the frontier is exactly the uncrawled parents 5..9."""
+    from .operators.crawl import frontier_urls
+    from .sources.pages import pages_from_documents
+    from .web import pages_to_links
+    docs = _t(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs.where("doc_id >= 10"))
+    return frontier_urls(pages_to_links(pages), pages.select("url"))
+
+
+_CRAWL_FRONTIER_SQL = """
+select distinct 'http://pages.example.org/doc/' || (doc_id // 2) as url
+from documents
+where doc_id >= 10 and doc_id // 2 < 10
+"""
+
+
+ROBOTS_FIXTURE = """# synthetic robots for the docs host
+User-agent: other-bot
+Disallow: /private
+
+User-agent: *
+Disallow: /doc/1
+Disallow:   # empty = allow all, ignored
+"""
+
+
+def _curate_robots_filter(spark, sf_dir):
+    """robots.txt compliance gate (operators/crawl): parse the fixture
+    robots body through the Arrow kernel, then host-keyed prefix filter —
+    every /doc/1* page (doc 1, 10-19, 100-199, ...) is dropped."""
+    from .operators.crawl import filter_disallowed, robots_rules
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.lit("http://pages.example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    robots = spark.createDataFrame(
+        [("pages.example.org", ROBOTS_FIXTURE)],
+        "host string, robots_txt string")
+    return filter_disallowed(urls, robots_rules(robots))
+
+
+_CURATE_ROBOTS_FILTER_SQL = """
+select 'http://pages.example.org/doc/' || doc_id as url
+from documents
+where cast(doc_id as varchar) not like '1%'
+"""
+
+
 def _kg_void_description(spark, sf_dir):
     """VoID dataset self-description (operators/void.void_description,
     exact mode) over the microdata triple set — summary counts + one
@@ -3801,6 +3852,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_og_triples": _kg_og_triples,
     "kg_page_links_nofollow": _kg_page_links_nofollow,
     "kg_void_description": _kg_void_description,
+    "crawl_frontier": _crawl_frontier,
+    "curate_robots_filter": _curate_robots_filter,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3862,6 +3915,8 @@ _ORACLES: dict[str, str] = {
     "kg_page_links_nofollow": _KG_PAGE_LINKS_NOFOLLOW_SQL,
     "kg_void_description": _void_sql(_KG_MICRODATA_TRIPLES_SQL,
                                      "https://kg.example.org/dataset/docs"),
+    "crawl_frontier": _CRAWL_FRONTIER_SQL,
+    "curate_robots_filter": _CURATE_ROBOTS_FILTER_SQL,
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),

@@ -1,0 +1,75 @@
+"""Crawl operations: robots.txt parsing/filtering and frontier discovery."""
+
+from rdf_tabular_spark.operators.crawl import (filter_disallowed,
+                                               frontier_urls, parse_robots,
+                                               robots_rules)
+
+ROBOTS = """# comment line
+User-agent: google-bot
+Disallow: /g-only
+
+User-agent: a-bot
+User-agent: b-bot
+Disallow: /ab
+Disallow: /ab2
+
+User-agent: *
+Disallow: /all
+Disallow:
+"""
+
+
+def test_parse_robots_groups():
+    assert parse_robots(ROBOTS, "google-bot") == ["/g-only"]
+    # consecutive User-agent lines share one rule group
+    assert parse_robots(ROBOTS, "a-bot") == ["/ab", "/ab2"]
+    assert parse_robots(ROBOTS, "B-Bot") == ["/ab", "/ab2"]   # case-insensitive
+    # unknown agent falls back to *; empty Disallow ignored
+    assert parse_robots(ROBOTS, "nobody") == ["/all"]
+    assert parse_robots("", "x") == []
+    assert parse_robots("Disallow: /orphan", "x") == []   # rule before any UA
+
+
+def test_robots_rules_kernel(spark):
+    robots = spark.createDataFrame(
+        [("h1", ROBOTS), ("h2", "User-agent: *\nDisallow: /x"),
+         ("h3", "# nothing\n")],
+        "host string, robots_txt string")
+    got = {(r.host, r.disallow) for r in robots_rules(robots).collect()}
+    assert got == {("h1", "/all"), ("h2", "/x")}
+    agent = {(r.host, r.disallow)
+             for r in robots_rules(robots, agent="a-bot").collect()}
+    assert agent == {("h1", "/ab"), ("h1", "/ab2"), ("h2", "/x")}
+
+
+def test_filter_disallowed(spark):
+    urls = spark.createDataFrame(
+        [("http://h1/all/page", 1), ("http://h1/ok", 2),
+         ("http://h2/x/deep", 3), ("http://h2/xy", 4),
+         ("http://h3/x", 5)],                      # no rules for h3
+        "url string, k int")
+    rules = spark.createDataFrame(
+        [("h1", "/all"), ("h2", "/x")], "host string, disallow string")
+    kept = {r.k for r in filter_disallowed(urls, rules).collect()}
+    # /xy starts with /x -> blocked (prefix semantics, the robots contract)
+    assert kept == {2, 5}
+    # extra columns survive untouched
+    cols = filter_disallowed(urls, rules).columns
+    assert cols == ["url", "k"]
+
+
+def test_frontier_urls(spark):
+    links = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d")],
+        "src string, dst string")
+    crawled = spark.createDataFrame([("a",), ("b",), ("c",)], "url string")
+    got = {r.url for r in frontier_urls(links, crawled).collect()}
+    assert got == {"d"}
+
+
+def test_filter_disallowed_no_blowup_plan(spark):
+    urls = spark.createDataFrame([("http://h/x", 1)], "url string, k int")
+    rules = spark.createDataFrame([("h", "/y")], "host string, disallow string")
+    plan = filter_disallowed(urls, rules)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
