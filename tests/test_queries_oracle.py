@@ -94,3 +94,32 @@ def test_entry_smoke(spark):
     import __spark_entry__ as E
     df = E.entry(spark)
     assert df.count() > 0
+
+
+# The driver's correctness artifact sweeps exactly the FIRST 50 registry
+# entries in order (round-3 verdict: the whole SPARQL/OWL/graph/curation
+# tier once sat past the cutoff and had no hard-signal row). Pin the window
+# so an append or refactor can never silently evict the risky tiers from
+# the driver's gate — new queries belong PAST position 50.
+_SWEEP_WINDOW = [
+    "kg_bgp_star", "kg_bgp_path", "kg_bgp_optional", "kg_bgp_filter",
+    "kg_bgp_union", "kg_bgp_minus", "kg_bgp_graph", "kg_bgp_having",
+    "kg_bgp_values", "kg_bgp_bind", "kg_bgp_exists", "kg_bgp_agg",
+    "kg_bgp_group_concat", "kg_bgp_subselect", "kg_sparql_select",
+    "kg_sparql_agg", "kg_sparql_funcs", "kg_describe_docs", "kg_term_lang",
+    "kg_term_datatype", "kg_term_sameterm", "graph_path_expr",
+    "graph_path_star", "graph_path_opt", "graph_closure_doubling",
+    "graph_closure_ancestors", "graph_pagerank", "kg_bgp_path_expr",
+    "kg_construct_derived", "kg_rdfs_derived", "kg_owl_derived",
+    "kg_sameas_mapping", "kg_sameas_canonical", "kg_entity_mentions_join",
+    "kg_microdata_triples", "kg_canonicalized_triples", "kg_canonical_dupes",
+    "kg_pred_stats", "kg_property_table", "text_pii_scrub",
+    "sample_stratified", "pack_sequences", "text_decontaminate",
+    "corpus_curated", "dedup_span_stats", "corpus_vocabulary",
+    "corpus_length_quantiles", "fk_group_integrity", "corpus_stats",
+    "ann_cosine_topk",
+]
+
+
+def test_driver_sweep_window_pinned():
+    assert list(Q._QUERIES)[:50] == _SWEEP_WINDOW
