@@ -58,6 +58,28 @@ def url_normalize_sql(expr: str) -> str:
     return f"{scheme} || '://' || {host} || {rest}"
 
 
+# tracking parameters every crawl-dedup pipeline strips: two URLs that
+# differ only in these are the same resource (one pattern, both engines)
+_P_TRACK = r"(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid)=[^&]*"
+
+
+def strip_tracking_params(url: Column) -> Column:
+    """Remove ad/analytics tracking query parameters (utm_*, gclid,
+    fbclid, msclkid, mc_eid) — apply AFTER :func:`normalize_url` (the
+    passes assume no fragment). Three global regexp passes: non-first
+    params, a first param followed by survivors, a lone leading param."""
+    u = F.regexp_replace(url, "&" + _P_TRACK, "")
+    u = F.regexp_replace(u, r"\?" + _P_TRACK + "&", "?")
+    return F.regexp_replace(u, r"\?" + _P_TRACK + "$", "")
+
+
+def strip_tracking_sql(expr: str) -> str:
+    """DuckDB mirror generated from the same pattern constant."""
+    u = f"regexp_replace({expr}, '&{_P_TRACK}', '', 'g')"
+    u = f"regexp_replace({u}, '\\?{_P_TRACK}&', '?', 'g')"
+    return f"regexp_replace({u}, '\\?{_P_TRACK}$', '', 'g')"
+
+
 def domain_suffixes(host: Column) -> Column:
     """All dot-suffixes of a host, most-specific first:
     ``a.b.co.uk → [a.b.co.uk, b.co.uk, co.uk, uk]`` — the key expansion

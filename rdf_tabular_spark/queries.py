@@ -1837,6 +1837,41 @@ where doc_id > 0 and doc_id % 7 <> 3
 """
 
 
+def _text_url_strip_tracking(spark, sf_dir):
+    """Tracking-param stripping (operators/urls.strip_tracking_params):
+    utm_*/gclid/fbclid query params synthesized deterministically around a
+    real param — the canonical same-resource dedup rule of crawl
+    pipelines."""
+    from .operators.urls import strip_tracking_params
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    messy = F.concat(
+        F.lit("https://pages.example.org/doc/"), did.cast("string"),
+        F.when(did % 4 == 0, F.lit("?utm_source=feed&id=")) \
+         .when(did % 4 == 1, F.lit("?id=")) \
+         .when(did % 4 == 2, F.lit("?gclid=abc123&utm_medium=x&id=")) \
+         .otherwise(F.lit("?utm_campaign=")),
+        did.cast("string"),
+        F.when(did % 4 == 2, F.lit("&fbclid=z")).otherwise(F.lit("")))
+    return docs.select("doc_id", messy.alias("raw"),
+                       strip_tracking_params(messy).alias("clean"))
+
+
+def _url_strip_tracking_sql() -> str:
+    from .operators.urls import strip_tracking_sql
+    messy = ("'https://pages.example.org/doc/' || doc_id"
+             " || (case when doc_id % 4 = 0 then '?utm_source=feed&id='"
+             " when doc_id % 4 = 1 then '?id='"
+             " when doc_id % 4 = 2 then '?gclid=abc123&utm_medium=x&id='"
+             " else '?utm_campaign=' end)"
+             " || doc_id"
+             " || (case when doc_id % 4 = 2 then '&fbclid=z' else '' end)")
+    return f"""
+with m as (select doc_id, {messy} as raw from documents)
+select doc_id, raw, {strip_tracking_sql('raw')} as clean from m
+"""
+
+
 def _crawl_frontier(spark, sf_dir):
     """Crawl-frontier discovery (operators/crawl.frontier_urls): crawled
     set = pages with doc_id >= 10; their parent links point at doc_ids
@@ -3854,6 +3889,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_void_description": _kg_void_description,
     "crawl_frontier": _crawl_frontier,
     "curate_robots_filter": _curate_robots_filter,
+    "text_url_strip_tracking": _text_url_strip_tracking,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3917,6 +3953,7 @@ _ORACLES: dict[str, str] = {
                                      "https://kg.example.org/dataset/docs"),
     "crawl_frontier": _CRAWL_FRONTIER_SQL,
     "curate_robots_filter": _CURATE_ROBOTS_FILTER_SQL,
+    "text_url_strip_tracking": _url_strip_tracking_sql(),
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),

@@ -73,3 +73,24 @@ def test_filter_disallowed_no_blowup_plan(spark):
     plan = filter_disallowed(urls, rules)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_strip_tracking_params(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_tabular_spark.operators.urls import strip_tracking_params
+    cases = [
+        ("https://h/p?utm_source=a&id=1", "https://h/p?id=1"),
+        ("https://h/p?id=1&utm_source=a", "https://h/p?id=1"),
+        ("https://h/p?utm_a=1&utm_b=2", "https://h/p"),
+        ("https://h/p?gclid=x&a=1&fbclid=y&b=2", "https://h/p?a=1&b=2"),
+        ("https://h/p?msclkid=1", "https://h/p"),
+        ("https://h/p?a=1", "https://h/p?a=1"),       # untouched
+        ("https://h/p", "https://h/p"),
+        ("https://h/p?autm_x=1", "https://h/p?autm_x=1"),  # not a prefix hit
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = [r.clean for r in
+           df.select(strip_tracking_params(F.col("raw")).alias("clean"))
+           .collect()]
+    assert got == [want for _, want in cases]
