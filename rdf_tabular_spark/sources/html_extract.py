@@ -270,10 +270,25 @@ def _fast_feed(p: "_PageParser", html: str) -> bool:
         # neither alternative and would be silently dropped — html.parser
         # emits it as text, so fall back to preserve byte-identical output
         return False
+    # html.parser treats <script>/<style> content as CDATA: entity refs
+    # stay raw and '<' is data until the matching close tag. The tokenizer
+    # mirrors that with an explicit mode; a '<...>' inside the block that
+    # is not the close tag means the regex split already mangled it — fall
+    # back to html.parser rather than guess.
+    cdata: Optional[str] = None   # open CDATA element name, or None
     for tok in tokens:
         if tok[0] != "<":
-            p.handle_data(unescape(tok) if "&" in tok else tok)
+            if cdata is not None:
+                p.handle_data(tok)             # raw, no unescape (CDATA)
+            else:
+                p.handle_data(unescape(tok) if "&" in tok else tok)
             continue
+        if cdata is not None:
+            if tok[1:-1].strip().lower() == "/" + cdata:
+                p.handle_endtag(cdata)
+                cdata = None
+                continue
+            return False
         if len(tok) < 3 or not tok.endswith(">"):
             return False
         body = tok[1:-1]
@@ -306,6 +321,8 @@ def _fast_feed(p: "_PageParser", html: str) -> bool:
         # (startendtag); bare void tags like <br> get NO handle_endtag call
         if self_closing:
             p.handle_endtag(tag)
+        elif tag in ("script", "style"):
+            cdata = tag
     return True
 
 

@@ -17,6 +17,13 @@ _FRAGMENTS = st.sampled_from([
     "<!-- c -->", "<!DOCTYPE html>", "<?pi?>", "<![CDATA[x]]>",
     "<script>var a=1;</script>", "<style>.c{}</style>",
     '<script type="application/csvw+json">{"url":"u"}</script>',
+    # CDATA semantics: entities stay raw, '<' is data inside script
+    '<script type="application/ld+json">{"a": "x &amp; y"}</script>',
+    '<script type="application/ld+json">{"a": "1 < 2", "b": "<b>"}</script>',
+    "<script>if (a < b && c) {}</script>",
+    '<title>T &amp; t</title>', '<link rel="canonical" href="/c">',
+    '<meta name="robots" content="noindex">',
+    '<meta property="og:title" content="O&amp;G">',
     '<div itemscope itemtype="http://schema.org/Thing">',
     '<span itemprop="name">n</span>', "</div>", "</span>",
     "\n", "  ", "é", "züm", "<h1>T</h1>", "<TABLE>", "</TABLE>",
@@ -34,7 +41,11 @@ def _slow_parse(html: str) -> H.PageContent:
         text="\n".join(p.text_parts),
         microdata=p.micro,
         links=p.links,
-        anchors=p.anchors)
+        anchors=p.anchors,
+        jsonld=p.jsonld,
+        title=p.title,
+        canonical=p.canonical,
+        meta=p.meta)
 
 
 @settings(max_examples=300, deadline=None, derandomize=True)
@@ -50,6 +61,10 @@ def test_fast_tokenizer_parity_fuzz(parts):
            [(m.item_id, m.itemtype, m.props) for m in slow.microdata], html
     assert fast.links == slow.links, html
     assert fast.anchors == slow.anchors, html
+    assert fast.jsonld == slow.jsonld, html
+    assert fast.title == slow.title, html
+    assert fast.canonical == slow.canonical, html
+    assert fast.meta == slow.meta, html
 
 
 @settings(max_examples=300, deadline=None, derandomize=True)
