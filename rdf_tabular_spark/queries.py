@@ -1923,6 +1923,53 @@ where cast(doc_id as varchar) not like '1%'
 """
 
 
+def _crawl_recrawl_schedule(spark, sf_dir):
+    """Change-rate re-crawl tiers (operators/crawl.recrawl_schedule) over 4
+    simulated snapshots per URL: every-6th doc changes at every re-crawl
+    (rate 1.0 → fast), every-3rd-not-6th changes once (rate 1/3 → slow),
+    the rest never change (static). Content is md5-digested map-side —
+    the text column never shuffles."""
+    from .operators.crawl import recrawl_schedule
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("http://pages.example.org/doc/"),
+                   did.cast("string"))
+    snaps = []
+    for k in range(4):
+        text_k = (F.when(did % 6 == 0,
+                         F.concat(F.col("text"), F.lit(f":v{k}")))
+                  .when((did % 3 == 0) & F.lit(k >= 1),
+                        F.concat(F.col("text"), F.lit(":v1")))
+                  .otherwise(F.col("text")))
+        snaps.append(docs.select(
+            url.alias("url"),
+            (F.to_timestamp(F.lit("2024-01-01"))
+             + F.expr(f"INTERVAL {k} DAY")).alias("warc_ts"),
+            text_k.alias("text")))
+    all_snaps = snaps[0]
+    for s in snaps[1:]:
+        all_snaps = all_snaps.unionByName(s)
+    out = recrawl_schedule(all_snaps)
+    return out.select("url", "n_snapshots", "n_versions", "change_rate",
+                      "tier", F.unix_timestamp("last_ts").alias("last_ts_epoch"))
+
+
+_CRAWL_RECRAWL_SCHEDULE_SQL = """
+select 'http://pages.example.org/doc/' || doc_id as url,
+       cast(4 as bigint) as n_snapshots,
+       cast(case when doc_id % 6 = 0 then 4
+                 when doc_id % 3 = 0 then 2 else 1 end as bigint)
+         as n_versions,
+       case when doc_id % 6 = 0 then 1.0
+            when doc_id % 3 = 0 then round(1.0 / 3, 4)
+            else 0.0 end as change_rate,
+       case when doc_id % 6 = 0 then 'fast'
+            when doc_id % 3 = 0 then 'slow' else 'static' end as tier,
+       epoch(timestamp '2024-01-04')::bigint as last_ts_epoch
+from documents
+"""
+
+
 def _kg_void_description(spark, sf_dir):
     """VoID dataset self-description (operators/void.void_description,
     exact mode) over the microdata triple set — summary counts + one
@@ -3890,6 +3937,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_frontier": _crawl_frontier,
     "curate_robots_filter": _curate_robots_filter,
     "text_url_strip_tracking": _text_url_strip_tracking,
+    "crawl_recrawl_schedule": _crawl_recrawl_schedule,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3954,6 +4002,7 @@ _ORACLES: dict[str, str] = {
     "crawl_frontier": _CRAWL_FRONTIER_SQL,
     "curate_robots_filter": _CURATE_ROBOTS_FILTER_SQL,
     "text_url_strip_tracking": _url_strip_tracking_sql(),
+    "crawl_recrawl_schedule": _CRAWL_RECRAWL_SCHEDULE_SQL,
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),

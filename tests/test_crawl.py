@@ -94,3 +94,45 @@ def test_strip_tracking_params(spark):
            df.select(strip_tracking_params(F.col("raw")).alias("clean"))
            .collect()]
     assert got == [want for _, want in cases]
+
+
+def test_recrawl_schedule(spark):
+    import datetime
+
+    from rdf_tabular_spark.operators.crawl import recrawl_schedule
+    t0 = datetime.datetime(2024, 1, 1)
+    d = datetime.timedelta(days=1)
+    rows = [
+        ("u-static", t0, "same"), ("u-static", t0 + d, "same"),
+        ("u-static", t0 + 2 * d, "same"),
+        ("u-slow", t0, "a"), ("u-slow", t0 + d, "b"),
+        ("u-slow", t0 + 2 * d, "b"), ("u-slow", t0 + 3 * d, "b"),
+        ("u-fast", t0, "x"), ("u-fast", t0 + d, "y"), ("u-fast", t0 + 2 * d, "z"),
+        ("u-once", t0, "only"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "url string, warc_ts timestamp, text string")
+    got = {r.url: (r.n_snapshots, r.n_versions, r.change_rate, r.tier)
+           for r in recrawl_schedule(df).collect()}
+    assert got["u-static"] == (3, 1, 0.0, "static")
+    assert got["u-slow"] == (4, 2, 0.3333, "slow")
+    assert got["u-fast"] == (3, 3, 1.0, "fast")
+    assert got["u-once"] == (1, 1, 0.0, "static")   # no evidence
+
+
+def test_recrawl_schedule_digest_shuffles_not_text(spark):
+    import datetime
+
+    from rdf_tabular_spark.operators.crawl import recrawl_schedule
+    df = spark.createDataFrame(
+        [("u", datetime.datetime(2024, 1, 1), "t")],
+        "url string, warc_ts timestamp, text string")
+    plan = recrawl_schedule(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    # content is digested in a Project BELOW the partial aggregation...
+    assert "md5(cast(text" in plan and "partial_count" in plan
+    # ...so the raw text column never appears in any exchange or
+    # aggregate output (only url/digest/counters cross the wire)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line or "output=[" in line:
+            assert "text#" not in line, line
