@@ -97,6 +97,66 @@ def filter_disallowed(urls: DataFrame, rules: DataFrame,
     return keep.drop("__blocked")
 
 
+def parse_sitemap(xml: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """sitemap XML → (kind, [(loc, lastmod|None), ...]) where kind is
+    ``urlset`` (leaf sitemap), ``sitemapindex`` (pointer file), or
+    ``invalid``. Namespace-agnostic (matches on local names — real
+    sitemaps vary between no-ns, 0.9-ns and Google extensions); malformed
+    XML yields ('invalid', []) — crawl robustness, never an exception."""
+    import xml.etree.ElementTree as ET
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError:
+        return ("invalid", [])
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    kind = local(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        return ("invalid", [])
+    out: list[tuple[str, str | None]] = []
+    for child in root:
+        if local(child.tag) not in ("url", "sitemap"):
+            continue
+        loc, lastmod = None, None
+        for f in child:
+            if local(f.tag) == "loc":
+                loc = (f.text or "").strip()
+            elif local(f.tag) == "lastmod":
+                lastmod = (f.text or "").strip()
+        if loc:
+            out.append((loc, lastmod))
+    return (kind, out)
+
+
+def sitemap_urls(sitemaps: DataFrame, host_col: str = "host",
+                 xml_col: str = "sitemap_xml") -> DataFrame:
+    """(host, sitemap_xml) → exploded ``(host, loc, lastmod, kind)`` rows —
+    one Arrow kernel, narrow, no shuffle. ``sitemapindex`` rows surface
+    child sitemap URLs (the caller fetches and feeds them back — the
+    sitemap tree is crawled level by level like the page frontier);
+    invalid files emit nothing."""
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(sitemaps.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, locs, mods, kinds = [], [], [], []
+            for host, xml in zip(pdf[host_col], pdf[xml_col]):
+                kind, entries = parse_sitemap(str(xml))
+                for loc, lastmod in entries:
+                    hosts.append(host)
+                    locs.append(loc)
+                    mods.append(lastmod)
+                    kinds.append(kind)
+            yield pd.DataFrame({"host": hosts, "loc": locs,
+                                "lastmod": mods, "kind": kinds})
+
+    return sitemaps.mapInPandas(
+        kernel, schema="host string, loc string, lastmod string, kind string")
+
+
 def recrawl_schedule(snapshots: DataFrame, url_col: str = "url",
                      ts_col: str = "warc_ts",
                      content_col: str = "text") -> DataFrame:

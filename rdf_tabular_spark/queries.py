@@ -1970,6 +1970,45 @@ from documents
 """
 
 
+def _crawl_sitemap_frontier(spark, sf_dir):
+    """Sitemap-driven frontier: sitemap XML files are ASSEMBLED
+    distributed (one <urlset> per 100-doc group, built with pure Column
+    exprs), parsed back through the Arrow kernel
+    (operators/crawl.sitemap_urls — the round trip pins the parser), and
+    anti-joined against the crawled set (every doc_id % 10 != 7) — the
+    output is exactly the %10==7 URLs with their declared lastmod."""
+    from .operators.crawl import sitemap_urls
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("http://pages.example.org/doc/"),
+                   did.cast("string"))
+    lastmod = F.date_add(F.lit("2024-01-01").cast("date"),
+                         (did % 5).cast("int")).cast("string")
+    frag = F.concat(F.lit("<url><loc>"), url, F.lit("</loc><lastmod>"),
+                    lastmod, F.lit("</lastmod></url>"))
+    sitemaps = (docs.groupBy((did / 100).cast("long").alias("g"))
+                .agg(F.concat(
+                    F.lit('<urlset xmlns="http://www.sitemaps.org/'
+                          'schemas/sitemap/0.9">'),
+                    F.concat_ws("", F.sort_array(F.collect_list(frag))),
+                    F.lit("</urlset>")).alias("sitemap_xml"))
+                .select(F.lit("pages.example.org").alias("host"),
+                        "sitemap_xml"))
+    declared = sitemap_urls(sitemaps)
+    crawled = docs.where(did % 10 != 7).select(url.alias("loc"))
+    return (declared.join(crawled, "loc", "left_anti")
+            .select("loc", "lastmod"))
+
+
+_CRAWL_SITEMAP_FRONTIER_SQL = """
+select 'http://pages.example.org/doc/' || doc_id as loc,
+       cast(date '2024-01-01'
+            + (doc_id % 5)::int * interval 1 day as date)::varchar as lastmod
+from documents
+where doc_id % 10 = 7
+"""
+
+
 def _kg_void_description(spark, sf_dir):
     """VoID dataset self-description (operators/void.void_description,
     exact mode) over the microdata triple set — summary counts + one
@@ -3938,6 +3977,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_robots_filter": _curate_robots_filter,
     "text_url_strip_tracking": _text_url_strip_tracking,
     "crawl_recrawl_schedule": _crawl_recrawl_schedule,
+    "crawl_sitemap_frontier": _crawl_sitemap_frontier,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4003,6 +4043,7 @@ _ORACLES: dict[str, str] = {
     "curate_robots_filter": _CURATE_ROBOTS_FILTER_SQL,
     "text_url_strip_tracking": _url_strip_tracking_sql(),
     "crawl_recrawl_schedule": _CRAWL_RECRAWL_SCHEDULE_SQL,
+    "crawl_sitemap_frontier": _CRAWL_SITEMAP_FRONTIER_SQL,
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),

@@ -2,7 +2,7 @@
 
 from rdf_tabular_spark.operators.crawl import (filter_disallowed,
                                                frontier_urls, parse_robots,
-                                               robots_rules)
+                                               parse_sitemap, robots_rules)
 
 ROBOTS = """# comment line
 User-agent: google-bot
@@ -136,3 +136,44 @@ def test_recrawl_schedule_digest_shuffles_not_text(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line or "output=[" in line:
             assert "text#" not in line, line
+
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://h/a</loc><lastmod>2024-01-02</lastmod></url>
+  <url><loc> http://h/b </loc></url>
+  <url><lastmod>2024-01-03</lastmod></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>http://h/sitemap1.xml</loc></sitemap>
+  <sitemap><loc>http://h/sitemap2.xml</loc><lastmod>2024-02-01</lastmod></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap():
+    kind, entries = parse_sitemap(SITEMAP)
+    assert kind == "urlset"
+    # loc-less <url> dropped; whitespace stripped
+    assert entries == [("http://h/a", "2024-01-02"), ("http://h/b", None)]
+    kind2, entries2 = parse_sitemap(SITEMAP_INDEX)   # namespace-less variant
+    assert kind2 == "sitemapindex"
+    assert entries2 == [("http://h/sitemap1.xml", None),
+                        ("http://h/sitemap2.xml", "2024-02-01")]
+    assert parse_sitemap("not xml <") == ("invalid", [])
+    assert parse_sitemap("<html><body>404</body></html>") == ("invalid", [])
+
+
+def test_sitemap_urls_kernel(spark):
+    from rdf_tabular_spark.operators.crawl import sitemap_urls
+    df = spark.createDataFrame(
+        [("h1", SITEMAP), ("h2", SITEMAP_INDEX), ("h3", "broken <")],
+        "host string, sitemap_xml string")
+    got = {(r.host, r.loc, r.lastmod, r.kind)
+           for r in sitemap_urls(df).collect()}
+    assert got == {
+        ("h1", "http://h/a", "2024-01-02", "urlset"),
+        ("h1", "http://h/b", None, "urlset"),
+        ("h2", "http://h/sitemap1.xml", None, "sitemapindex"),
+        ("h2", "http://h/sitemap2.xml", "2024-02-01", "sitemapindex"),
+    }
