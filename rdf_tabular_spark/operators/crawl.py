@@ -80,21 +80,21 @@ def robots_rules(robots: DataFrame, agent: str = "*",
 def filter_disallowed(urls: DataFrame, rules: DataFrame,
                       url_col: str = "url") -> DataFrame:
     """Drop rows whose URL path starts with any Disallow prefix for its
-    host. Host/path split is JVM-side regexp; the match is a host-keyed
-    equi-join (rules tables are tiny next to the corpus — AQE broadcasts
-    them) followed by one aggregation that keeps rows with NO matching
-    prefix. Rows on hosts without rules pass through (left join)."""
-    host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
-    path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
-    tagged = urls.withColumn("__host", host).withColumn("__path", path)
-    joined = tagged.join(rules, tagged["__host"] == rules["host"], "left")
-    blocked = (F.col("disallow").isNotNull()
-               & F.col("__path").startswith(F.col("disallow")))
-    keep = (joined
-            .groupBy(*[F.col(c) for c in urls.columns])
-            .agg(F.max(blocked).alias("__blocked"))
-            .where(~F.coalesce("__blocked", F.lit(False))))
-    return keep.drop("__blocked")
+    host. Host/path split is JVM-side regexp; the blocked set is computed
+    on a TWO-COLUMN projection (url only joins the tiny rules table —
+    never the caller's payload columns, which at pages-table width would
+    otherwise shuffle html bodies), then removed with one anti-join on the
+    URL. Rules tables are small next to the corpus, so AQE broadcasts the
+    inner join; the anti-join keys on the full URL space (no skew
+    concentration)."""
+    slim = urls.select(
+        F.col(url_col),
+        F.regexp_extract(F.col(url_col), _HOST_RE, 1).alias("__host"),
+        F.regexp_extract(F.col(url_col), _PATH_RE, 1).alias("__path"))
+    blocked = (slim.join(rules, slim["__host"] == rules["host"])
+               .where(F.col("__path").startswith(F.col("disallow")))
+               .select(url_col).distinct())
+    return urls.join(blocked, url_col, "left_anti")
 
 
 def parse_sitemap(xml: str) -> tuple[str, list[tuple[str, str | None]]]:

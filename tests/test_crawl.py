@@ -177,3 +177,17 @@ def test_sitemap_urls_kernel(spark):
         ("h2", "http://h/sitemap1.xml", None, "sitemapindex"),
         ("h2", "http://h/sitemap2.xml", "2024-02-01", "sitemapindex"),
     }
+
+
+def test_filter_disallowed_payload_never_joins(spark):
+    # the blocked-set join must see ONLY the url projection — payload
+    # columns (html at pages-table width) stay out of every join/exchange
+    urls = spark.createDataFrame([("http://h/x", "PAYLOAD" * 10)],
+                                 "url string, html string")
+    rules = spark.createDataFrame([("h", "/y")],
+                                  "host string, disallow string")
+    plan = filter_disallowed(urls, rules)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for line in plan.splitlines():
+        if "Join" in line or "Exchange" in line:
+            assert "html" not in line, line
