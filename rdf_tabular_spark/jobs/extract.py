@@ -53,9 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the canonical-URL dedup groups under "
                         "<out>/meta/<batch-id>")
     p.add_argument("--respect-noindex", action="store_true",
-                   help="drop pages whose <meta name=robots> declares "
-                        "noindex BEFORE triple extraction (crawler-"
-                        "compliance gate)")
+                   help="emit no triples for pages whose <meta "
+                        "name=robots> declares noindex (crawler-"
+                        "compliance gate, checked inside the fused parse; "
+                        "--head-meta side outputs still audit ALL pages)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--compact-after", type=int, default=0, metavar="N",
                    help="after committing this batch, if the store holds "
@@ -89,19 +90,14 @@ def main(argv: list[str] | None = None) -> dict:
         pages = read_pages_jsonl(spark, args.jsonl)
     else:
         pages = spark.read.parquet(args.pages)
-    if args.respect_noindex:
-        # one extra narrow pass (url, noindex) + a semi-join on url; the
-        # join stays map-side cheap because the noindex side projects two
-        # columns and AQE broadcast-converts small batches
-        from rdf_tabular_spark.web import pages_to_head_meta
-        keep = (pages_to_head_meta(pages)
-                .where("not noindex").select("url"))
-        pages = pages.join(keep, "url", "left_semi")
     manifest = web_pipeline(
         spark, pages, args.out, args.batch_id,
         entity_dict=entity_dictionary() if args.entity_dict else None,
         canonicalize=not args.no_canonicalize,
-        incremental_canonical=args.incremental_canonical)
+        incremental_canonical=args.incremental_canonical,
+        # compliance is checked INSIDE the fused parse kernel — a page-
+        # level pre-filter would cost a second full parse + a semi-join
+        respect_noindex=args.respect_noindex)
     if args.links:
         from rdf_tabular_spark.web import host_link_graph, pages_to_links
         links_dir = os.path.join(args.out, "links", args.batch_id)

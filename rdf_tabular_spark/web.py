@@ -155,7 +155,8 @@ def _emit_jsonld_triples(page, url: str,
 
 def pages_to_combined_triples(pages: DataFrame, minimal: bool = True,
                               default_meta: Optional[dict] = None,
-                              header_rows: int = 1) -> DataFrame:
+                              header_rows: int = 1,
+                              respect_noindex: bool = False) -> DataFrame:
     """Stages 1+1b+1d+2 in ONE Arrow pass: each page's HTML is parsed ONCE
     and the CSVW-table triples, the microdata triples, and the embedded
     JSON-LD triples are all emitted from the same ``extract_page`` result.
@@ -184,6 +185,10 @@ def pages_to_combined_triples(pages: DataFrame, minimal: bool = True,
             srcs: list[int] = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 page = extract_page(_decode(html))
+                # robots compliance INSIDE the one parse — a pre-filter
+                # would cost a second full parse pass + a semi-join
+                if respect_noindex and _page_noindex(page):
+                    continue
                 _emit_table_triples(page, url, default_meta_json, minimal,
                                     header_rows, out, urls, srcs)
                 _emit_microdata_triples(page, url, out, urls, srcs)
@@ -313,10 +318,17 @@ def link_entities_distributed(triples: DataFrame,
 LINKS_SCHEMA = "src string, dst string"
 
 
-def _page_nofollow(page) -> bool:
+def _robots_directives(page) -> set:
     robots = next((v for k, v in page.meta if k == "robots"), "")
-    return "nofollow" in {d.strip().lower()
-                          for d in robots.split(",") if d.strip()}
+    return {d.strip().lower() for d in robots.split(",") if d.strip()}
+
+
+def _page_nofollow(page) -> bool:
+    return "nofollow" in _robots_directives(page)
+
+
+def _page_noindex(page) -> bool:
+    return "noindex" in _robots_directives(page)
 
 
 def pages_to_links(pages: DataFrame,
@@ -723,7 +735,8 @@ def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
                  batch_id: str, entity_dict: Optional[dict[str, str]] = None,
                  canonicalize: bool = True, default_meta: Optional[dict] = None,
                  include_microdata: bool = True,
-                 incremental_canonical: bool = False) -> dict:
+                 incremental_canonical: bool = False,
+                 respect_noindex: bool = False) -> dict:
     """Full stage 1→4 run over a pages batch; returns the commit manifest.
 
     ``incremental_canonical``: subject identity becomes GLOBAL across
@@ -743,10 +756,18 @@ def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
                            out_root, batch_id)  # no-op resume hit
     held: list = []
     if include_microdata:
-        # fused single-parse kernel: tables + microdata from ONE scan
-        triples = pages_to_combined_triples(pages, default_meta=default_meta)
+        # fused single-parse kernel: tables + microdata + JSON-LD from ONE
+        # scan, robots-noindex compliance checked inside the same parse
+        triples = pages_to_combined_triples(pages, default_meta=default_meta,
+                                            respect_noindex=respect_noindex)
     else:
         triples = pages_to_triples(pages, default_meta=default_meta)
+        if respect_noindex:
+            from .web import pages_to_head_meta  # single-facet fallback path
+            keep = pages_to_head_meta(pages).where("not noindex") \
+                .select("url")
+            triples = triples.join(
+                keep, triples["table_url"] == keep["url"], "left_semi")
     if entity_dict:
         # branch point: the mention scan AND the final union both read the
         # base triples — without a persist, link_entities' lineage re-runs

@@ -88,21 +88,20 @@ def test_extract_job_head_meta_and_noindex(spark, tmp_path):
     m = main(["--pages", pages_dir, "--out", out_root, "--batch-id", "h1",
               "--no-canonicalize", "--shuffle-partitions", "8",
               "--head-meta", "--respect-noindex"])
-    # doc_ids 0..69: ten are noindex (3, 10, ..., 66) -> 60 pages survive
-    assert m["n_head_meta"] == 60
+    # --head-meta audits ALL crawled pages (incl. the ten noindex ones:
+    # doc_ids 3, 10, ..., 66); only TRIPLES respect the robots directive
+    assert m["n_head_meta"] == 70
     hm = spark.read.parquet(os.path.join(m["meta_dir"], "head"))
-    assert hm.count() == 60 and hm.where("noindex").count() == 0
+    assert hm.count() == 70 and hm.where("noindex").count() == 10
     assert {r.canonical for r in
             hm.where("url like '%/doc/12'").collect()} \
         == {"http://pages.example.org/doc/10"}
     cg = spark.read.parquet(os.path.join(m["meta_dir"], "canonical_groups"))
-    # groups of 5 over 0..69 = 14 groups; noindex drops <= 1 member each
+    # groups of 5 over 0..69 = 14 groups, each base crawled = representative
     assert cg.count() == 14
-    # group 10's canonical member (doc 10) was noindexed: lexical-min
-    # surviving member represents it
     rep = {r.canonical: r.representative for r in cg.collect()}
     assert rep["http://pages.example.org/doc/10"] \
-        == "http://pages.example.org/doc/11"
+        == "http://pages.example.org/doc/10"
     # noindexed pages contributed no triples to the store (doc pages embed
     # no CSVW script, so store subjects come from microdata + JSON-LD)
     from rdf_tabular_spark.sinks.graph_store import read_graph
