@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
-_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+# path INCLUDING the query string — RFC 9309 prefix matching covers both
+# ("Disallow: /search?q=" must be matchable)
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)"
 
 
 def parse_robots(txt: str, agent: str = "*") -> list[str]:
@@ -87,10 +89,13 @@ def filter_disallowed(urls: DataFrame, rules: DataFrame,
     URL. Rules tables are small next to the corpus, so AQE broadcasts the
     inner join; the anti-join keys on the full URL space (no skew
     concentration)."""
+    path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
     slim = urls.select(
         F.col(url_col),
         F.regexp_extract(F.col(url_col), _HOST_RE, 1).alias("__host"),
-        F.regexp_extract(F.col(url_col), _PATH_RE, 1).alias("__path"))
+        # an absent path is '/' per RFC 9309 ('http://h' with
+        # 'Disallow: /' must block, not fail open)
+        F.when(path == "", F.lit("/")).otherwise(path).alias("__path"))
     blocked = (slim.join(rules, slim["__host"] == rules["host"])
                .where(F.col("__path").startswith(F.col("disallow")))
                .select(url_col).distinct())
@@ -176,7 +181,11 @@ def recrawl_schedule(snapshots: DataFrame, url_col: str = "url",
     digested = snapshots.select(
         F.col(url_col).alias("url"),
         F.col(ts_col).alias("ts"),
-        F.md5(F.col(content_col).cast("string")).alias("digest"))
+        # NULL content (failed fetch) counts as its own empty version —
+        # md5(NULL) would vanish from countDistinct and drive the rate
+        # negative ((0-1)/(n-1)) with a bogus 'slow' tier
+        F.md5(F.coalesce(F.col(content_col).cast("string"), F.lit("")))
+        .alias("digest"))
     agg = (digested.groupBy("url")
            .agg(F.count("*").cast("long").alias("n_snapshots"),
                 F.countDistinct("digest").cast("long").alias("n_versions"),

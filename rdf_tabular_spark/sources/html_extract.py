@@ -92,7 +92,9 @@ class _PageParser(HTMLParser):
         a = dict(attrs)
         if tag in _SKIP_TEXT:
             if tag == "script":
-                stype = a.get("type")
+                # MIME types are case-insensitive and may carry parameters
+                # (";charset=utf-8") per WHATWG — match the essence only
+                stype = (a.get("type") or "").split(";")[0].strip().lower()
                 if stype == "application/csvw+json":
                     self._in_csvw_script = True
                 elif stype == "application/ld+json":
@@ -102,7 +104,9 @@ class _PageParser(HTMLParser):
             self._in_skip += 1
             return
         if tag == "link":
-            if (a.get("rel") == "canonical" and a.get("href")
+            # rel is a case-insensitive space-separated token list
+            rel_tokens = (a.get("rel") or "").lower().split()
+            if ("canonical" in rel_tokens and a.get("href")
                     and self.canonical is None):
                 self.canonical = a["href"]
         elif tag == "meta":

@@ -135,6 +135,12 @@ class _Expander:
             return
         if isinstance(value, dict):
             if "@value" in value:
+                # only JSON scalars are valid literal bodies — a null or
+                # object @value (templating glitches) must emit NOTHING,
+                # not a Python-repr literal
+                if value["@value"] is None or \
+                        isinstance(value["@value"], (dict, list)):
+                    return
                 lang = value.get("@language")
                 dt = (ctx.expand(value["@type"], self.url)
                       if isinstance(value.get("@type"), str) else None)

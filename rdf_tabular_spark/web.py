@@ -488,9 +488,7 @@ def pages_to_head_meta(pages: DataFrame) -> DataFrame:
             rows = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 page = extract_page(_decode(html))
-                robots = next((v for k, v in page.meta if k == "robots"), "")
-                directives = {d.strip().lower()
-                              for d in robots.split(",") if d.strip()}
+                directives = _robots_directives(page)
                 rows.append((url, page.title,
                              urljoin(url, page.canonical)
                              if page.canonical else None,
@@ -763,7 +761,6 @@ def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
     else:
         triples = pages_to_triples(pages, default_meta=default_meta)
         if respect_noindex:
-            from .web import pages_to_head_meta  # single-facet fallback path
             keep = pages_to_head_meta(pages).where("not noindex") \
                 .select("url")
             triples = triples.join(

@@ -130,7 +130,7 @@ def test_recrawl_schedule_digest_shuffles_not_text(spark):
     plan = recrawl_schedule(df)._jdf.queryExecution().executedPlan() \
         .toString()
     # content is digested in a Project BELOW the partial aggregation...
-    assert "md5(cast(text" in plan and "partial_count" in plan
+    assert "md5(cast(coalesce(text" in plan and "partial_count" in plan
     # ...so the raw text column never appears in any exchange or
     # aggregate output (only url/digest/counters cross the wire)
     for line in plan.splitlines():
@@ -191,3 +191,32 @@ def test_filter_disallowed_payload_never_joins(spark):
     for line in plan.splitlines():
         if "Join" in line or "Exchange" in line:
             assert "html" not in line, line
+
+
+def test_filter_disallowed_root_and_query(spark):
+    urls = spark.createDataFrame(
+        [("http://h", 1),                        # empty path == '/'
+         ("http://h/search?q=x", 2),             # query participates
+         ("http://h/search", 3)],
+        "url string, k int")
+    rules = spark.createDataFrame([("h", "/"), ],
+                                  "host string, disallow string")
+    assert {r.k for r in filter_disallowed(urls, rules).collect()} == set()
+    rules_q = spark.createDataFrame([("h", "/search?q=")],
+                                    "host string, disallow string")
+    assert {r.k for r in filter_disallowed(urls, rules_q).collect()} \
+        == {1, 3}
+
+
+def test_recrawl_schedule_null_content(spark):
+    import datetime
+
+    from rdf_tabular_spark.operators.crawl import recrawl_schedule
+    t0 = datetime.datetime(2024, 1, 1)
+    d = datetime.timedelta(days=1)
+    df = spark.createDataFrame(
+        [("u", t0, None), ("u", t0 + d, None), ("u", t0 + 2 * d, None)],
+        "url string, warc_ts timestamp, text string")
+    r = recrawl_schedule(df).first()
+    # three failed fetches = one (empty) version: static, never negative
+    assert (r.n_versions, r.change_rate, r.tier) == (1, 0.0, "static")

@@ -111,3 +111,13 @@ def test_links_respect_nofollow(spark):
     assert {r.src for r in
             pages_to_links(pages, respect_nofollow=True).collect()} \
         == {"http://h/f"}
+
+
+def test_canonical_rel_token_list_and_case():
+    for rel in ("canonical alternate", "CANONICAL", "Alternate CanonicaL"):
+        pc = extract_page(f'<html><head><link rel="{rel}" href="/c">'
+                          "</head><body>x</body></html>")
+        assert pc.canonical == "/c", rel
+    pc = extract_page('<html><head><link rel="canonicalx" href="/c">'
+                      "</head><body>x</body></html>")
+    assert pc.canonical is None

@@ -146,3 +146,21 @@ def test_pages_to_jsonld_plan_is_narrow(spark):
     plan = pages_to_jsonld_triples(pages)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_expand_null_or_object_at_value_emits_nothing():
+    t = expand_jsonld(json.dumps({"@context": "http://s.org/", "@id": "#n",
+                                  "p": {"@value": None},
+                                  "q": {"@value": {"a": 1}},
+                                  "r": {"@value": [1]},
+                                  "ok": {"@value": "v"}}), URL)
+    assert [(x[1], x[2]) for x in t] == [("http://s.org/ok", "v")]
+
+
+def test_parser_mime_params_and_case():
+    body = '{"a": 1}'
+    for stype in ("application/ld+json; charset=utf-8",
+                  "APPLICATION/LD+JSON", "Application/Ld+Json ;x=y"):
+        pc = extract_page(f'<html><head><script type="{stype}">{body}'
+                          "</script></head><body>x</body></html>")
+        assert pc.jsonld == [body], stype
