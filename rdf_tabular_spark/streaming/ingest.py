@@ -386,7 +386,9 @@ def stream_pages_to_store(spark: SparkSession, input_dir: str,
                           entity_dict: Optional[dict] = None,
                           available_now: bool = True,
                           max_files_per_trigger: Optional[int] = None,
-                          batch_prefix: str = "crawl"):
+                          batch_prefix: str = "crawl",
+                          combined: bool = False,
+                          respect_noindex: bool = False):
     """Continuous KG construction: crawled pages land in ``input_dir``,
     each micro-batch runs stages 1-2 (HTML extraction + CSVW triple
     kernel + optional broadcast entity linking — all narrow, identical
@@ -404,10 +406,19 @@ def stream_pages_to_store(spark: SparkSession, input_dir: str,
     north_rule's checkpoint/lineage design anticipates."""
     from ..session import ensure_package_on_executors
     from ..sinks.graph_store import materialize
-    from ..web import link_entities, pages_to_triples
+    from ..web import (link_entities, pages_to_combined_triples,
+                       pages_to_triples)
     ensure_package_on_executors(spark)
     pages = read_page_stream(spark, input_dir, max_files_per_trigger)
-    triples = pages_to_triples(pages, default_meta=default_meta)
+    if combined:
+        # fused single-parse kernel: tables + microdata + JSON-LD per
+        # micro-batch, optional robots-noindex compliance — mapInPandas is
+        # streaming-compatible, so batch and stream share the exact stage
+        triples = pages_to_combined_triples(
+            pages, default_meta=default_meta,
+            respect_noindex=respect_noindex)
+    else:
+        triples = pages_to_triples(pages, default_meta=default_meta)
     if entity_dict:
         triples = triples.unionByName(link_entities(triples, entity_dict))
 

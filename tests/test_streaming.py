@@ -376,3 +376,33 @@ def test_stream_sessionize_matches_batch_query(spark, tmp_path):
               round(r["sum_value"], 4))
              for r in Q.queries()["events_sessionize"](spark, sf_dir).collect()}
     assert streamed == batch
+
+
+def test_stream_pages_to_store_combined_facets(spark, tmp_path):
+    """combined=True streams the fused three-facet kernel (tables +
+    microdata + JSON-LD) with in-kernel robots compliance — the stream
+    path and the batch path share the exact stage, so per-facet subjects
+    all land in the store and noindex pages (doc_id % 7 == 3) emit
+    nothing."""
+    from rdf_tabular_spark.sinks.graph_store import read_graph
+    from rdf_tabular_spark.streaming.ingest import stream_pages_to_store
+
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "pages_in")
+    store = os.path.join(tmp, "graph")
+    ckpt = os.path.join(tmp, "ckpt")
+    _write_batch(spark, tmp, "b1", 0, 21)
+
+    q = stream_pages_to_store(spark, in_dir, store, ckpt,
+                              default_meta=DOC_PAGE_META,
+                              combined=True, respect_noindex=True)
+    q.awaitTermination(180)
+    subs = {r.subj for r in
+            read_graph(spark, store).select("subj").distinct().collect()}
+    base = "http://pages.example.org/doc/"
+    assert f"{base}4#doc-4" in subs      # CSVW table facet
+    assert f"{base}4#jld" in subs        # JSON-LD facet
+    assert any(s == f"{base}0#item" for s in subs)   # microdata facet
+    # robots: doc 3 (and 10, 17) are noindex — no facet emits for them
+    assert not any(f"/doc/3#" in s for s in subs)
+    assert not any(f"/doc/10#" in s for s in subs)
