@@ -72,6 +72,13 @@ BENCH_QUERIES = [
     # entry at sf0.1); semi-naive stays registered for breadth-dominated
     # graphs and is correctness-swept instead
     "graph_closure_doubling",
+    # round-4 cont. 9 tier: the fused parse kernel's JSON-LD facet, the
+    # zero-compute canonical-URL dedup groupBy, Q9-shape triple-broadcast
+    # dim join, and the recrawl change-rate agg (digests shuffle, not text)
+    "kg_jsonld_triples",
+    "dedup_canonical_groups",
+    "join_supplier_profit",
+    "crawl_recrawl_schedule",
     # round-3 continuation tiers (sameAs/subselect/SPARQL-string) are NOT
     # in the headline mix: their per-call cost is dominated by rebuilding
     # the 50k-doc microdata fixture, which measures the fixture, not the

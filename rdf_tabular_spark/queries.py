@@ -368,6 +368,42 @@ def _join_order_revenue(spark, sf_dir):
             .limit(10))
 
 
+def _join_supplier_profit(spark, sf_dir):
+    """TPC-H Q9 shape: fact scan with TWO broadcast dim joins (supplier →
+    nation chain + filtered part), profit summed decimal-exact per
+    (nation, brand). The p_type filter pushes to the part scan; both dim
+    sides broadcast — the only shuffle is the final low-cardinality
+    groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type").startswith("SMALL"))
+    profit = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              - F.col("l_quantity") * F.col("p_retailprice")) \
+        .cast("decimal(38,4)")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .groupBy("n_name", "p_brand")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 F.sum(profit).cast("double").alias("profit")))
+
+
+_JOIN_SUPPLIER_PROFIT_SQL = """
+select n_name, p_brand, cast(count(*) as bigint) as n_items,
+       cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+                     - l_quantity * p_retailprice as decimal(38,4)))
+            as double) as profit
+from lineitem
+join part on l_partkey = p_partkey
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+where p_type like 'SMALL%'
+group by n_name, p_brand
+"""
+
+
 _JOIN_ORDER_REVENUE_SQL = """
 select o_orderkey, o_orderdate,
        cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(38,4)))
@@ -3978,6 +4014,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_url_strip_tracking": _text_url_strip_tracking,
     "crawl_recrawl_schedule": _crawl_recrawl_schedule,
     "crawl_sitemap_frontier": _crawl_sitemap_frontier,
+    "join_supplier_profit": _join_supplier_profit,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4044,6 +4081,7 @@ _ORACLES: dict[str, str] = {
     "text_url_strip_tracking": _url_strip_tracking_sql(),
     "crawl_recrawl_schedule": _CRAWL_RECRAWL_SCHEDULE_SQL,
     "crawl_sitemap_frontier": _CRAWL_SITEMAP_FRONTIER_SQL,
+    "join_supplier_profit": _JOIN_SUPPLIER_PROFIT_SQL,
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),

@@ -694,3 +694,15 @@ def test_ppl_buckets_single_window_exchange_on_lang(spark):
     assert "SinglePartition" not in p, "NTILE must not collapse to one task"
     assert re.search(r"hashpartitioning\(lang", p), \
         "per-language window exchange missing"
+
+
+def test_join_supplier_profit_broadcasts_all_dims(spark):
+    """Q9 shape: three dim sides (part filtered, supplier, nation) all
+    broadcast; the p_type prefix filter reaches the part scan; the only
+    Exchange is the final (n_name, p_brand) groupBy."""
+    p = plan_of(Q.queries()["join_supplier_profit"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3, "all dim joins must broadcast"
+    assert "StringStartsWith(p_type,SMALL)" in p, \
+        "brand-prefix filter must reach the part scan (PushedFilters)"
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, \
+        "only the final groupBy may shuffle"
