@@ -68,12 +68,74 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pack kept docs into ~N-token sequences")
     p.add_argument("--report", default=None,
                    help="also write the JSON report to this path")
+    p.add_argument("--pipeline", default=None, metavar="CONFIG.json",
+                   help="declarative stage config (Dolma-style): a JSON "
+                        'file {"stages": [{"stage": "c4_lines", ...}, '
+                        '...]} selecting stages + parameters instead of '
+                        "individual flags. Stages run in the pipeline's "
+                        "fixed order (blocklist, c4_lines, quality, "
+                        "near_dedup, decontaminate, scrub_pii, pack) "
+                        "regardless of list order; the parsed config is "
+                        "recorded in the report for reproducibility")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p
 
 
+# pipeline-config stage name → (argv field assignments from stage params)
+_PIPELINE_STAGES = {
+    "blocklist": {"path": "blocklist", "url_col": "url_col"},
+    "c4_lines": {"_flag": "c4_lines", "min_words": "c4_min_words"},
+    "quality": {},          # always runs; present for explicitness
+    "near_dedup": {"_flag": "near_dedup", "jaccard": "jaccard",
+                   "num_perm": "num_perm", "num_bands": "num_bands"},
+    "decontaminate": {"path": "benchmark", "ngrams": "contam_ngrams"},
+    "scrub_pii": {"_flag": "scrub_pii"},
+    "pack": {"budget": "pack_budget"},
+}
+
+
+def apply_pipeline_config(args, config: dict) -> list[str]:
+    """Translate a ``{"stages": [...]}`` config onto the argv fields —
+    one declarative file instead of a flag soup; unknown stages or
+    parameters fail loudly (a silently-skipped curation stage is a
+    corpus-quality incident). Returns the ordered stage names."""
+    stages = config.get("stages")
+    if not isinstance(stages, list):
+        raise ValueError('pipeline config needs a "stages" list')
+    seen = []
+    for entry in stages:
+        if not isinstance(entry, dict) or "stage" not in entry:
+            raise ValueError(f'each stage needs a "stage" key: {entry!r}')
+        name = entry["stage"]
+        mapping = _PIPELINE_STAGES.get(name)
+        if mapping is None:
+            raise ValueError(
+                f"unknown stage {name!r} (known: {sorted(_PIPELINE_STAGES)})")
+        if name in seen:
+            raise ValueError(f"duplicate stage {name!r}")
+        seen.append(name)
+        if "_flag" in mapping:
+            setattr(args, mapping["_flag"], True)
+        for param, value in entry.items():
+            if param == "stage":
+                continue
+            if param not in mapping:
+                raise ValueError(
+                    f"unknown parameter {param!r} for stage {name!r} "
+                    f"(known: {sorted(k for k in mapping if k != '_flag')})")
+            setattr(args, mapping[param], value)
+        # flag-less stages carrying a required value: presence of the
+        # stage itself enables them via their path/budget field
+    return seen
+
+
 def main(argv: list[str] | None = None) -> dict:
     args = build_parser().parse_args(argv)
+    pipeline_stages = None
+    if args.pipeline:
+        with open(args.pipeline) as f:
+            pipeline_config = json.load(f)
+        pipeline_stages = apply_pipeline_config(args, pipeline_config)
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -89,6 +151,8 @@ def main(argv: list[str] | None = None) -> dict:
 
     docs = spark.read.parquet(args.src)
     report: dict = {"input": args.src, "n_input": docs.count()}
+    if pipeline_stages is not None:
+        report["pipeline_stages"] = pipeline_stages
 
     # -1. domain blocklist — cheapest gate, runs before anything touches text
     if args.blocklist:

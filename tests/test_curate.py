@@ -287,3 +287,53 @@ def test_curate_job_blocklist_stage(spark, tmp_path):
     assert report["blocklist_dropped"] == n_src1
     curated = spark.read.parquet(out)
     assert curated.filter(F.col("source") == "src1").count() == 0
+
+
+def test_curate_job_pipeline_config(spark, tmp_path):
+    """--pipeline CONFIG.json: declarative stage selection equivalent to
+    the flag spelling; config errors fail loudly."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from rdf_tabular_spark.jobs.curate import apply_pipeline_config
+    from rdf_tabular_spark.jobs.curate import main as curate_main
+
+    cfg = str(tmp_path / "pipeline.json")
+    with open(cfg, "w") as f:
+        # no c4_lines here: the fixture corpus is single-line without
+        # terminal punctuation, so that stage legitimately empties it
+        _json.dump({"stages": [
+            {"stage": "quality"},
+            {"stage": "near_dedup", "jaccard": 0.6},
+            {"stage": "scrub_pii"},
+            {"stage": "pack", "budget": 256},
+        ]}, f)
+    out = str(tmp_path / "curated")
+    report = curate_main(["--in", "/root/testdata/sf0.001/documents.parquet",
+                          "--out", out, "--pipeline", cfg])
+    assert report["pipeline_stages"] == ["quality", "near_dedup",
+                                         "scrub_pii", "pack"]
+    assert "near_dup_dropped" in report and "pii_masked" in report
+    assert report["n_sequences"] > 0 and report["n_kept"] > 0
+
+    class _Bag:
+        c4_lines = False
+        c4_min_words = 3
+    bag = _Bag()
+    assert apply_pipeline_config(
+        bag, {"stages": [{"stage": "c4_lines", "min_words": 2}]}) \
+        == ["c4_lines"]
+    assert bag.c4_lines is True and bag.c4_min_words == 2
+
+    class _A:                                     # bare attribute bag
+        pass
+
+    with _pytest.raises(ValueError, match="unknown stage"):
+        apply_pipeline_config(_A(), {"stages": [{"stage": "nope"}]})
+    with _pytest.raises(ValueError, match="unknown parameter"):
+        apply_pipeline_config(_A(), {"stages": [{"stage": "pack",
+                                                 "budgetx": 1}]})
+    with _pytest.raises(ValueError, match="duplicate"):
+        apply_pipeline_config(_A(), {"stages": [{"stage": "quality"},
+                                                {"stage": "quality"}]})
