@@ -210,6 +210,47 @@ def ivfpq_search(encoded: DataFrame, coarse, codebooks,
     return out.orderBy(F.col("approx_dist").asc(), F.col(id_col)).limit(topk)
 
 
+def l2_normalize(vec: "Column") -> "Column":
+    """Unit-normalize an ``array<float>`` embedding (pure Column exprs —
+    one fused fold for the norm, one transform; zero vectors pass through
+    unchanged via the epsilon guard). Normalized embeddings turn cosine
+    search into dot-product search — the standard retrieval prep."""
+    from pyspark.sql import functions as F
+    n = F.sqrt(F.aggregate(vec, F.lit(0.0),
+                           lambda acc, x: acc + x.cast("double") ** 2))
+    safe = F.greatest(n, F.lit(1e-30))
+    return F.transform(vec, lambda x: x.cast("double") / safe)
+
+
+def matryoshka_truncate(vec: "Column", dims: int,
+                        renormalize: bool = True) -> "Column":
+    """Matryoshka-representation truncation (Kusupati et al. 2022): keep
+    the first ``dims`` coordinates (MRL-trained models front-load
+    information), optionally re-normalizing — the storage/recall dial of
+    an embedding pipeline, as a pure slice (no UDF, no shuffle)."""
+    from pyspark.sql import functions as F
+    head = F.slice(vec, 1, dims)
+    return l2_normalize(head) if renormalize else head
+
+
+def scalar_quantize_int8(vec: "Column"):
+    """Per-vector absmax int8 quantization → (scale, codes) where
+    ``codes[i] = floor(v[i] / scale)`` with ``scale = absmax / 127`` —
+    4x embedding storage reduction with the per-vector scale kept for
+    asymmetric (dequantized) scoring. floor (not round) keeps the
+    lexical contract identical across engines; all Column exprs, no
+    Python. Zero vectors quantize to all-zero codes via the epsilon
+    guard."""
+    from pyspark.sql import functions as F
+    absmax = F.aggregate(vec, F.lit(0.0),
+                         lambda acc, x: F.greatest(acc,
+                                                   F.abs(x.cast("double"))))
+    scale = F.greatest(absmax / F.lit(127.0), F.lit(1e-30))
+    codes = F.transform(vec, lambda x:
+                        F.floor(x.cast("double") / scale).cast("int"))
+    return scale.alias("scale"), codes.alias("codes")
+
+
 def pq_search(codes_df: DataFrame, codebooks, query_vec: list[float],
               topk: int = 10, id_col: str = "vec_id",
               exclude_id=None) -> DataFrame:

@@ -2045,6 +2045,74 @@ where doc_id % 10 = 7
 """
 
 
+def _emb_int8_quantize(spark, sf_dir):
+    """Per-vector absmax int8 quantization (operators/quantize.
+    scalar_quantize_int8) — scale + code stats as scalars (the codes
+    array itself stays out of the driver canonicalizer)."""
+    from .operators.quantize import scalar_quantize_int8
+    emb = _t(spark, sf_dir, "embeddings")
+    scale, codes = scalar_quantize_int8(F.col("embedding"))
+    q = emb.select("vec_id", scale, codes)
+    return q.select(
+        "vec_id", F.round("scale", 6).alias("scale_r"),
+        F.aggregate("codes", F.lit(0).cast("long"),
+                    lambda a, x: a + x.cast("long")).alias("q_sum"),
+        F.array_min("codes").cast("long").alias("q_min"),
+        F.array_max("codes").cast("long").alias("q_max"))
+
+
+_EMB_INT8_QUANTIZE_SQL = """
+with s as (
+  select vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                                          x -> abs(x::double))) / 127.0,
+                  1e-30) as scale
+  from embeddings),
+q as (select vec_id, scale,
+             list_transform(embedding, x -> floor(x::double / scale)) as c
+      from s)
+select vec_id, round(scale, 6) as scale_r,
+       cast(list_sum(c) as bigint) as q_sum,
+       cast(list_min(c) as bigint) as q_min,
+       cast(list_max(c) as bigint) as q_max
+from q
+"""
+
+
+def _emb_matryoshka(spark, sf_dir):
+    """Matryoshka truncation to 8 dims + renormalization
+    (operators/quantize.matryoshka_truncate): the renormalized head has
+    unit norm and its coordinate sum equals sum(head)/norm(head) — both
+    scalars, SQL-predictable."""
+    from .operators.quantize import matryoshka_truncate
+    emb = _t(spark, sf_dir, "embeddings")
+    head = matryoshka_truncate(F.col("embedding"), 8, renormalize=True)
+    norm = F.sqrt(F.aggregate(head, F.lit(0.0), lambda a, x: a + x * x))
+    # coord_sum as sum-then-divide on the RAW slice (bit-identical to the
+    # SQL spelling; summing the renormalized coords one by one differs at
+    # ulp level and can flip a round-boundary)
+    raw = F.transform(F.slice("embedding", 1, 8),
+                      lambda x: x.cast("double"))
+    hn = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    total = F.aggregate(raw, F.lit(0.0), lambda a, x: a + x) / hn
+    return emb.select("vec_id",
+                      F.round(norm, 4).alias("unit_norm"),
+                      F.round(total, 4).alias("coord_sum"))
+
+
+_EMB_MATRYOSHKA_SQL = """
+with h as (
+  select vec_id, list_transform(embedding[1:8], x -> x::double) as head
+  from embeddings),
+n as (select vec_id, head,
+             sqrt(list_sum(list_transform(head, x -> x * x))) as hn
+      from h)
+select vec_id, round(1.0, 4) as unit_norm,
+       round(list_sum(head) / hn, 4) as coord_sum
+from n
+"""
+
+
 def _kg_void_description(spark, sf_dir):
     """VoID dataset self-description (operators/void.void_description,
     exact mode) over the microdata triple set — summary counts + one
@@ -4015,6 +4083,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_recrawl_schedule": _crawl_recrawl_schedule,
     "crawl_sitemap_frontier": _crawl_sitemap_frontier,
     "join_supplier_profit": _join_supplier_profit,
+    "emb_int8_quantize": _emb_int8_quantize,
+    "emb_matryoshka": _emb_matryoshka,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4082,6 +4152,8 @@ _ORACLES: dict[str, str] = {
     "crawl_recrawl_schedule": _CRAWL_RECRAWL_SCHEDULE_SQL,
     "crawl_sitemap_frontier": _CRAWL_SITEMAP_FRONTIER_SQL,
     "join_supplier_profit": _JOIN_SUPPLIER_PROFIT_SQL,
+    "emb_int8_quantize": _EMB_INT8_QUANTIZE_SQL,
+    "emb_matryoshka": _EMB_MATRYOSHKA_SQL,
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),

@@ -155,3 +155,46 @@ def test_semantic_dedup_pairs_and_keep(spark):
                                          dim=4).collect()}
     assert 0 in kept and 10 in kept and 20 in kept
     assert 1 not in kept and 11 not in kept  # lower-id near-dup exists
+
+
+def test_scalar_quantize_int8_roundtrip_error(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_tabular_spark.operators.quantize import scalar_quantize_int8
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(50)
+    scale, codes = scalar_quantize_int8(F.col("embedding"))
+    q = emb.select("embedding", scale, codes)
+    # dequantized coordinates are within one quantization step of the
+    # original (floor quantization: error in [0, scale))
+    err = q.select(F.aggregate(
+        F.zip_with("embedding", "codes",
+                   lambda x, c: F.abs(x.cast("double")
+                                      - c.cast("double") * F.col("scale"))),
+        F.lit(0.0), lambda a, x: F.greatest(a, x)).alias("max_err"),
+        F.col("scale"))
+    bad = err.where(F.col("max_err") >= F.col("scale")).count()
+    assert bad == 0
+    # codes stay in int8 range
+    rng = q.select(F.array_min("codes").alias("lo"),
+                   F.array_max("codes").alias("hi"))
+    r = rng.agg(F.min("lo"), F.max("hi")).first()
+    assert r[0] >= -128 and r[1] <= 127
+
+
+def test_l2_normalize_and_matryoshka(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_tabular_spark.operators.quantize import (l2_normalize,
+                                                      matryoshka_truncate)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(20)
+    unit = emb.select(l2_normalize(F.col("embedding")).alias("u"))
+    norms = unit.select(F.round(F.sqrt(F.aggregate(
+        "u", F.lit(0.0), lambda a, x: a + x * x)), 6).alias("n"))
+    assert {r.n for r in norms.collect()} == {1.0}
+    # truncation keeps exactly dims coordinates; zero vector is safe
+    z = spark.createDataFrame([([0.0] * 16,)], "embedding array<float>")
+    t = z.select(matryoshka_truncate(F.col("embedding"), 4).alias("h"))
+    row = t.first()
+    assert len(row.h) == 4 and all(v == 0.0 for v in row.h)
