@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also extract (src, dst, anchor) rows — anchor text "
                         "per link, the external-naming signal for entity "
                         "canonicalization — under <out>/links/<batch-id>/anchors")
+    p.add_argument("--text", action="store_true",
+                   help="also write the WET-style text-only view "
+                        "(url, extracted_text) as parquet under "
+                        "<out>/text/<batch-id> — the corpus most LLM "
+                        "pipelines consume")
     p.add_argument("--head-meta", action="store_true",
                    help="also extract per-page head metadata (title, "
                         "resolved canonical link, robots directives) and "
@@ -114,6 +119,11 @@ def main(argv: list[str] | None = None) -> dict:
         anchors = pages_to_anchors(pages)
         anchors.write.mode("overwrite").parquet(anchors_dir)
         manifest = dict(manifest, anchors_dir=anchors_dir)
+    if args.text:
+        from rdf_tabular_spark.sources.html_extract import pages_to_text
+        text_dir = os.path.join(args.out, "text", args.batch_id)
+        pages_to_text(pages).write.mode("overwrite").parquet(text_dir)
+        manifest = dict(manifest, text_dir=text_dir)
     if args.head_meta:
         from rdf_tabular_spark.web import canonical_groups, pages_to_head_meta
         meta_dir = os.path.join(args.out, "meta", args.batch_id)

@@ -322,3 +322,54 @@ def classifier_margin(col: Column) -> Column:
               + f["punct_ratio"] * F.lit(w["punct_ratio"])
               + f["awl_feat"] * F.lit(w["awl_feat"]))
     return F.round(margin, 6)
+
+
+# Unicode script ranges (BMP blocks that dominate web text) — ONE source of
+# truth for the Column exprs and the SQL mirror; counts are integer-exact
+# across engines because both regex dialects support literal char ranges
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "cjk": "぀-ヿ一-鿿",
+}
+
+
+def script_counts(col: Column) -> dict[str, Column]:
+    """Per-script character counts — the writing-system profile a
+    multilingual corpus pipeline routes on (lang-ID disagreement between
+    declared lang and dominant script is a classic spam signal). Pure
+    ``regexp_count`` exprs, one codegen stage."""
+    return {name: F.regexp_count(col, F.lit(f"[{rng}]"))
+            for name, rng in SCRIPT_RANGES.items()}
+
+
+def dominant_script(col: Column) -> Column:
+    """Script with the highest character count; ties break by the fixed
+    SCRIPT_RANGES order (latin first); all-zero → 'none'. Deterministic —
+    replayable as a chained CASE in SQL."""
+    counts = script_counts(col)
+    items = list(counts.items())
+    best = F.greatest(*[c for _, c in items]) if len(items) > 1 \
+        else items[0][1]
+    expr = F.lit("none")
+    for name, c in reversed(items):
+        expr = F.when((best > 0) & (c == best), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def script_counts_sql(expr: str) -> dict[str, str]:
+    return {name: f"len(regexp_extract_all({expr}, '[{rng}]'))"
+            for name, rng in SCRIPT_RANGES.items()}
+
+
+def dominant_script_sql(expr: str) -> str:
+    counts = script_counts_sql(expr)
+    items = list(counts.items())
+    best = "greatest(" + ", ".join(c for _, c in items) + ")"
+    out = "'none'"
+    for name, c in reversed(items):
+        out = (f"case when {best} > 0 and {c} = {best} "
+               f"then '{name}' else {out} end")
+    return out

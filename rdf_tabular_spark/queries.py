@@ -2045,6 +2045,36 @@ where doc_id % 10 = 7
 """
 
 
+def _text_script_profile(spark, sf_dir):
+    """Unicode-script profiling (operators/text.script_counts /
+    dominant_script): deterministic cyrillic/CJK padding appended per
+    doc_id so every branch of the dominant-script CASE is exercised —
+    counts are integer-exact across engines."""
+    did = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    mixed = F.concat(
+        # doc_id % 5 == 0: drop the latin text entirely so cyrillic wins
+        F.when(did % 5 == 0, F.lit("")).otherwise(F.col("text")),
+        F.expr("repeat('ж', cast(doc_id % 7 as int) * 3)"),
+        F.expr("repeat('中', cast(doc_id % 3 as int))"))
+    counts = T.script_counts(mixed)
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        T.dominant_script(mixed).alias("script"))
+
+
+def _text_script_profile_sql() -> str:
+    from .operators.text import dominant_script_sql, script_counts_sql
+    mixed = ("(case when doc_id % 5 = 0 then '' else text end)"
+             " || repeat('ж', (doc_id % 7)::int * 3)"
+             " || repeat('中', (doc_id % 3)::int)")
+    counts = script_counts_sql(mixed)
+    cols = ", ".join(f"{c} as n_{name}" for name, c in counts.items())
+    return (f"select doc_id, {cols}, {dominant_script_sql(mixed)} as script "
+            f"from documents")
+
+
 def _emb_int8_quantize(spark, sf_dir):
     """Per-vector absmax int8 quantization (operators/quantize.
     scalar_quantize_int8) — scale + code stats as scalars (the codes
@@ -4085,6 +4115,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_supplier_profit": _join_supplier_profit,
     "emb_int8_quantize": _emb_int8_quantize,
     "emb_matryoshka": _emb_matryoshka,
+    "text_script_profile": _text_script_profile,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4154,6 +4185,7 @@ _ORACLES: dict[str, str] = {
     "join_supplier_profit": _JOIN_SUPPLIER_PROFIT_SQL,
     "emb_int8_quantize": _EMB_INT8_QUANTIZE_SQL,
     "emb_matryoshka": _EMB_MATRYOSHKA_SQL,
+    "text_script_profile": _text_script_profile_sql(),
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),

@@ -135,3 +135,24 @@ def test_classifier_margin_is_deterministic_python_model(spark):
         exp = (w["bias"] + stop * w["stop_ratio"] + lenf * w["len_feat"]
                + pr * w["punct_ratio"] + awl * w["awl_feat"])
         assert abs(got[i] - exp) < 1e-6, (i, got[i], exp)
+
+
+def test_script_counts_and_dominant(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_tabular_spark.operators.text import (dominant_script,
+                                                  script_counts)
+    rows = [("hello world",), ("привет мир",), ("你好世界 こんにちは",),
+            ("مرحبا",), ("αβγ",), ("12345 !!!",), ("mix мир мир",)]
+    df = spark.createDataFrame(rows, "t string")
+    counts = script_counts(F.col("t"))
+    out = df.select("t", *[c.alias(k) for k, c in counts.items()],
+                    dominant_script(F.col("t")).alias("d")).collect()
+    by = {r.t: r for r in out}
+    assert by["hello world"].d == "latin" and by["hello world"].latin == 10
+    assert by["привет мир"].d == "cyrillic"
+    assert by["你好世界 こんにちは"].d == "cjk" and by["你好世界 こんにちは"].cjk == 9
+    assert by["مرحبا"].d == "arabic"
+    assert by["αβγ"].d == "greek"
+    assert by["12345 !!!"].d == "none"          # no letters at all
+    assert by["mix мир мир"].d == "cyrillic"    # 6 cyr > 3 latin
