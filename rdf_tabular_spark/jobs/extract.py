@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "name=robots> declares noindex (crawler-"
                         "compliance gate, checked inside the fused parse; "
                         "--head-meta side outputs still audit ALL pages)")
+    p.add_argument("--robots", default=None, metavar="PARQUET",
+                   help="robots.txt table (host, robots_txt); pages whose "
+                        "URL matches a Disallow prefix for agent '*' are "
+                        "dropped BEFORE extraction (post-hoc compliance "
+                        "re-processing of an already-crawled batch — "
+                        "url-projection anti-join, html never shuffles)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--compact-after", type=int, default=0, metavar="N",
                    help="after committing this batch, if the store holds "
@@ -95,6 +101,11 @@ def main(argv: list[str] | None = None) -> dict:
         pages = read_pages_jsonl(spark, args.jsonl)
     else:
         pages = spark.read.parquet(args.pages)
+    if args.robots:
+        from rdf_tabular_spark.operators.crawl import (filter_disallowed,
+                                                       robots_rules)
+        rules = robots_rules(spark.read.parquet(args.robots))
+        pages = filter_disallowed(pages, rules)
     manifest = web_pipeline(
         spark, pages, args.out, args.batch_id,
         entity_dict=entity_dictionary() if args.entity_dict else None,

@@ -502,3 +502,32 @@ def test_extract_job_anchors_side_output(spark, tmp_path):
     anchors = spark.read.parquet(os.path.join(out, "links", "an1", "anchors"))
     assert set(anchors.columns) == {"src", "dst", "anchor"}
     assert anchors.count() >= 0
+
+
+def test_extract_job_robots_filter(spark, tmp_path):
+    """--robots PARQUET drops Disallow-matched pages before extraction
+    (post-hoc compliance): /doc/1-prefixed pages emit no triples."""
+    import sys
+    sys.path.insert(0, REPO)
+    from rdf_tabular_spark.jobs.extract import main
+    from rdf_tabular_spark.sinks.graph_store import read_graph
+    from rdf_tabular_spark.sources.pages import pages_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(25)
+    pages_dir = str(tmp_path / "pages")
+    pages_from_documents(docs).write.parquet(pages_dir)
+    robots_dir = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("pages.example.org", "User-agent: *\nDisallow: /doc/1")],
+        "host string, robots_txt string").write.parquet(robots_dir)
+    out_root = str(tmp_path / "graph")
+    main(["--pages", pages_dir, "--out", out_root, "--batch-id", "r1",
+          "--no-canonicalize", "--shuffle-partitions", "8",
+          "--robots", robots_dir])
+    subs = {r.subj for r in
+            read_graph(spark, out_root).select("subj").distinct().collect()}
+    # doc 1 and 10-19 are Disallow-matched; doc 2 and 20-24 survive
+    assert "http://pages.example.org/doc/2#jld" in subs
+    assert "http://pages.example.org/doc/20#jld" in subs
+    assert not any("/doc/1#" in s or "/doc/12#" in s for s in subs)
