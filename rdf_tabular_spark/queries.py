@@ -1959,6 +1959,43 @@ where cast(doc_id as varchar) not like '1%'
 """
 
 
+def _dedup_url_canonical(spark, sf_dir):
+    """First-tier crawl dedup as a COMPOSITION: normalize_url ∘
+    strip_tracking_params collapses scheme/host case, default ports and
+    utm params, then latest_snapshot keeps one row per canonical URL —
+    two snapshots per doc (a messy old capture and a clean one-day-later
+    recrawl) collapse to the recrawl. Pure Column exprs + ONE keyed
+    shuffle."""
+    from .operators.dedup import latest_snapshot
+    from .operators.urls import normalize_url, strip_tracking_params
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base_ts = F.to_timestamp(F.lit("2024-01-01"))
+    messy = docs.select(
+        F.concat(F.lit("HTTP://Pages.Example.ORG:80/doc/"),
+                 did.cast("string"),
+                 F.lit("?utm_source=feed")).alias("url"),
+        base_ts.alias("warc_ts"), did.alias("k"))
+    clean = docs.select(
+        F.concat(F.lit("http://pages.example.org/doc/"),
+                 did.cast("string")).alias("url"),
+        (base_ts + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        did.alias("k"))
+    snaps = messy.unionByName(clean).withColumn(
+        "url", strip_tracking_params(normalize_url(F.col("url"))))
+    kept = latest_snapshot(snaps, tiebreak_col=None)  # no html column here
+    return kept.select("url", F.unix_timestamp("warc_ts").alias("ts_epoch"),
+                       "k")
+
+
+_DEDUP_URL_CANONICAL_SQL = """
+select 'http://pages.example.org/doc/' || doc_id as url,
+       epoch(timestamp '2024-01-02')::bigint as ts_epoch,
+       doc_id as k
+from documents
+"""
+
+
 def _crawl_recrawl_schedule(spark, sf_dir):
     """Change-rate re-crawl tiers (operators/crawl.recrawl_schedule) over 4
     simulated snapshots per URL: every-6th doc changes at every re-crawl
@@ -4116,6 +4153,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_int8_quantize": _emb_int8_quantize,
     "emb_matryoshka": _emb_matryoshka,
     "text_script_profile": _text_script_profile,
+    "dedup_url_canonical": _dedup_url_canonical,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4186,6 +4224,7 @@ _ORACLES: dict[str, str] = {
     "emb_int8_quantize": _EMB_INT8_QUANTIZE_SQL,
     "emb_matryoshka": _EMB_MATRYOSHKA_SQL,
     "text_script_profile": _text_script_profile_sql(),
+    "dedup_url_canonical": _DEDUP_URL_CANONICAL_SQL,
     "kg_canonicalized_triples": _KG_CANONICALIZED_TRIPLES_SQL,
     "kg_canonical_dupes": _KG_CANONICAL_DUPES_SQL,
     "ann_ivf_trained_topk": _ivf_trained_sql(),
