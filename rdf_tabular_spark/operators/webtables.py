@@ -1,0 +1,168 @@
+"""Distributed datatype intuition over extracted web tables.
+
+The reference intuits metadata CLASSES from JSON keys (metadata.rb:198-254)
+but never sniffs cell datatypes — CSVW columns default to string unless the
+metadata declares a type. At web scale most HTML tables carry NO CSVW
+metadata, so a useful KG extractor must infer per-column types from the data
+itself (the WebTables approach: vote per cell, aggregate per column, pick the
+most specific type that covers every non-blank cell).
+
+Pipeline shape (all JVM-side, zero Python UDFs):
+
+1. ``explode_cells``: virtual rows (url, table_index, values:array<string>)
+   → one row per cell via ``posexplode`` — narrow, no shuffle.
+2. ``intuit_column_types``: one groupBy on the (tiny-cardinality) column key
+   with map-side partial aggregation — boolean vote columns sum cheaply, and
+   the output is one row per distinct table column, always driver-small.
+3. ``apply_column_types``: broadcast the inferred profile back onto the cell
+   stream and emit typed triples (obj_datatype = the XSD IRI) — broadcast
+   hash join, no shuffle of the cell payload.
+
+At 100 TB the only shuffle is step 2's partial-agg exchange over
+(group key, col_idx) — a few thousand rows after map-side combine.
+
+Vote patterns are anchored character-class regexes that behave identically
+under Java regex (Spark ``rlike``) and RE2 (DuckDB ``regexp_matches``), so
+every step is oracle-checkable by the driver's DuckDB cross-check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# Anchored, engine-portable lexical patterns (Java regex == RE2 here).
+INT_RE = r"^[+-]?[0-9]+$"
+DEC_RE = r"^[+-]?([0-9]+\.[0-9]*|\.[0-9]+)$"          # has a decimal point
+SCI_RE = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)[eE][+-]?[0-9]+$"
+DATE_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"             # ISO 8601 date
+DATETIME_RE = (r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ]"
+               r"[0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?$")
+
+#: intuited name → (XSD IRI, Spark cast type) — precedence order is the dict
+#: order: most specific first, ``string`` is the fallback.
+TYPE_LATTICE: dict[str, str] = {
+    "boolean": XSD + "boolean",
+    "integer": XSD + "integer",
+    "decimal": XSD + "decimal",
+    "double": XSD + "double",
+    "date": XSD + "date",
+    "dateTime": XSD + "dateTime",
+    "string": XSD + "string",
+}
+
+
+def _is_blank(cell: Column) -> Column:
+    return cell.isNull() | (F.trim(cell) == F.lit(""))
+
+
+def cell_votes(cell: Column) -> dict[str, Column]:
+    """Per-cell type-compatibility votes (1/0 longs so sums combine
+    map-side). ``int`` counts toward decimal and double; ``decimal`` counts
+    toward double — compatibility, not exact-match, so the lattice pick is a
+    simple equality against the non-blank count."""
+    t = F.trim(cell)
+    is_int = t.rlike(INT_RE)
+    is_dec = t.rlike(DEC_RE)
+    is_sci = t.rlike(SCI_RE)
+    one = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    return {
+        "n_bool": one(F.lower(t).isin("true", "false")),
+        "n_int": one(is_int),
+        "n_dec": one(is_int | is_dec),
+        "n_dbl": one(is_int | is_dec | is_sci),
+        "n_date": one(t.rlike(DATE_RE)),
+        "n_datetime": one(t.rlike(DATETIME_RE)),
+    }
+
+
+def explode_cells(vrows: DataFrame) -> DataFrame:
+    """Virtual rows → one row per cell: (url, table_index, row_num,
+    source_num, col_idx, cell). ``posexplode`` is a narrow generator — no
+    shuffle, no Python."""
+    pos = F.posexplode("values").alias("col_idx", "cell")
+    return vrows.select("url", "table_index", "row_num", "source_num", pos)
+
+
+def intuit_column_types(cells: DataFrame,
+                        group_cols: tuple[str, ...] = ("col_idx",),
+                        min_frac: float = 1.0) -> DataFrame:
+    """Aggregate cell votes per column key and pick the most specific type
+    covering ≥ ``min_frac`` of the non-blank cells (default: ALL of them —
+    one stray word demotes the column to string, the conservative choice for
+    triple emission).
+
+    Output: group_cols + (n_cells, n_blank, datatype, datatype_iri), one row
+    per distinct column key — always tiny, safe to broadcast back.
+    """
+    votes = cell_votes(F.col("cell"))
+    aggs = [F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.when(_is_blank(F.col("cell")), 1).otherwise(0))
+             .cast("long").alias("n_blank")]
+    proj = cells
+    for name, col in votes.items():
+        # blanks vote for nothing: they are typeless, not counter-evidence
+        proj = proj.withColumn(name, F.when(_is_blank(F.col("cell")),
+                                            F.lit(0)).otherwise(col))
+        aggs.append(F.sum(name).cast("long").alias(name))
+    agg = proj.groupBy(*group_cols).agg(*aggs)
+
+    nb = (F.col("n_cells") - F.col("n_blank")).cast("double")
+    need = nb * F.lit(min_frac)
+    covers = lambda n: (nb > 0) & (F.col(n).cast("double") >= need)
+    datatype = (F.when(covers("n_bool"), "boolean")
+                 .when(covers("n_int"), "integer")
+                 .when(covers("n_dec"), "decimal")
+                 .when(covers("n_dbl"), "double")
+                 .when(covers("n_date"), "date")
+                 .when(covers("n_datetime"), "dateTime")
+                 .otherwise("string"))
+    iri = F.concat(F.lit(XSD), F.col("datatype"))
+    return (agg.withColumn("datatype", datatype)
+               .withColumn("datatype_iri", iri)
+               .select(*group_cols, "n_cells", "n_blank", "datatype",
+                       "datatype_iri"))
+
+
+def apply_column_types(cells: DataFrame, profile: DataFrame,
+                       group_cols: tuple[str, ...] = ("col_idx",)) -> DataFrame:
+    """Stamp each cell with its column's intuited datatype IRI: broadcast
+    hash join of the (tiny) profile onto the cell stream — the payload never
+    shuffles. Blank cells get a NULL datatype (they emit no triple)."""
+    prof = F.broadcast(profile.select(*group_cols, "datatype", "datatype_iri"))
+    joined = cells.join(prof, on=list(group_cols), how="left")
+    blank = _is_blank(F.col("cell"))
+    return (joined.withColumn("datatype",
+                              F.when(blank, F.lit(None)).otherwise(F.col("datatype")))
+                  .withColumn("datatype_iri",
+                              F.when(blank, F.lit(None)).otherwise(F.col("datatype_iri"))))
+
+
+def typed_cell_triples(cells_typed: DataFrame, headers: DataFrame | None = None,
+                       base_sep: str = "#col-") -> DataFrame:
+    """Typed triple emission from type-stamped cells: subject = url#row-N,
+    predicate = url#col-I (or a header-derived name when ``headers`` maps
+    (table_index, col_idx) → name), object = trimmed lexical value with the
+    intuited XSD datatype. Blank cells are suppressed (CSVW null semantics).
+    Pure projection — whole-stage codegen, no shuffle."""
+    df = cells_typed.filter(F.col("datatype_iri").isNotNull())
+    if headers is not None:
+        hdr = F.broadcast(headers.select("table_index", "col_idx",
+                                         F.col("name").alias("_hdr")))
+        df = df.join(hdr, on=["table_index", "col_idx"], how="left")
+        pred = F.concat(F.col("url"), F.lit(base_sep),
+                        F.coalesce(F.col("_hdr"), F.col("col_idx").cast("string")))
+    else:
+        pred = F.concat(F.col("url"), F.lit(base_sep),
+                        F.col("col_idx").cast("string"))
+    return df.select(
+        F.concat(F.col("url"), F.lit("#row-"),
+                 F.col("row_num").cast("string")).alias("subj"),
+        pred.alias("pred"),
+        F.trim(F.col("cell")).alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        F.col("datatype_iri").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )

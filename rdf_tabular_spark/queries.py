@@ -3993,6 +3993,163 @@ where not exists (
 """
 
 
+def _webtables_type_profile(spark, sf_dir):
+    """WebTables-style distributed datatype intuition over extracted HTML
+    table columns (operators/webtables): every cell votes for the lexical
+    types it satisfies, one map-side-combined groupBy aggregates the votes
+    per column, and the most specific type covering ALL non-blank cells
+    wins.  Generalizes the reference's metadata.rb type intuition (which
+    only classifies metadata JSON keys) to data-driven column typing —
+    the fixture's 4 columns profile as integer/string/string/integer.
+    The oracle recomputes the votes relationally with the same anchored
+    regexes (Java regex == RE2 on these patterns)."""
+    from .operators.webtables import explode_cells, intuit_column_types
+    from .sources.html_extract import pages_to_virtual_rows
+    cells = explode_cells(pages_to_virtual_rows(_kg_pages(spark, sf_dir)))
+    return (intuit_column_types(cells)
+            .withColumn("col_idx", F.col("col_idx").cast("int"))
+            .orderBy("col_idx"))
+
+
+# the same vote → lattice pick, relationally: one cell row per
+# (document, column), votes as filtered counts, most-specific covering
+# type by CASE precedence.  Blank cells are typeless (vote for nothing).
+_WEBTABLES_CELLS_SQL = f"""
+cells as (
+  select {DOC_URL_SQL} as url, cast(0 as integer) as col_idx,
+         cast(doc_id as varchar) as cell from documents
+  union all
+  select {DOC_URL_SQL}, cast(1 as integer), lang from documents
+  union all
+  select {DOC_URL_SQL}, cast(2 as integer), source from documents
+  union all
+  select {DOC_URL_SQL}, cast(3 as integer),
+         cast(n_chars as varchar) from documents
+),
+votes as (
+  select col_idx,
+         cast(count(*) as bigint) as n_cells,
+         cast(sum(case when cell is null or trim(cell) = ''
+                       then 1 else 0 end) as bigint) as n_blank,
+         cast(sum(case when lower(trim(cell)) in ('true', 'false')
+                       then 1 else 0 end) as bigint) as n_bool,
+         cast(sum(case when regexp_matches(trim(cell), '^[+-]?[0-9]+$')
+                       then 1 else 0 end) as bigint) as n_int,
+         cast(sum(case when regexp_matches(trim(cell),
+                           '^[+-]?[0-9]+$')
+                         or regexp_matches(trim(cell),
+                           '^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+)$')
+                       then 1 else 0 end) as bigint) as n_dec,
+         cast(sum(case when regexp_matches(trim(cell), '^[+-]?[0-9]+$')
+                         or regexp_matches(trim(cell),
+                           '^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+)$')
+                         or regexp_matches(trim(cell),
+                           '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)[eE][+-]?[0-9]+$')
+                       then 1 else 0 end) as bigint) as n_dbl,
+         cast(sum(case when regexp_matches(trim(cell),
+                           '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+                       then 1 else 0 end) as bigint) as n_date,
+         cast(sum(case when regexp_matches(trim(cell),
+                           '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}[T ][0-9]{{2}}:[0-9]{{2}}:[0-9]{{2}}(\\.[0-9]+)?$')
+                       then 1 else 0 end) as bigint) as n_datetime
+  from cells
+  group by col_idx
+),
+profile as (
+  select col_idx, n_cells, n_blank,
+         case when n_cells - n_blank > 0 and n_bool >= n_cells - n_blank
+                then 'boolean'
+              when n_cells - n_blank > 0 and n_int >= n_cells - n_blank
+                then 'integer'
+              when n_cells - n_blank > 0 and n_dec >= n_cells - n_blank
+                then 'decimal'
+              when n_cells - n_blank > 0 and n_dbl >= n_cells - n_blank
+                then 'double'
+              when n_cells - n_blank > 0 and n_date >= n_cells - n_blank
+                then 'date'
+              when n_cells - n_blank > 0 and n_datetime >= n_cells - n_blank
+                then 'dateTime'
+              else 'string' end as datatype
+  from votes
+)"""
+
+_WEBTABLES_TYPE_PROFILE_SQL = f"""
+with {_WEBTABLES_CELLS_SQL}
+select col_idx, n_cells, n_blank, datatype,
+       'http://www.w3.org/2001/XMLSchema#' || datatype as datatype_iri
+from profile
+"""
+
+
+def _webtables_typed_triples(spark, sf_dir):
+    """End-to-end typed triple emission from untyped web tables: intuit the
+    per-column profile (tiny), broadcast it back onto the cell stream, and
+    emit (url#row-N, url#col-I, value, xsd-type) triples — the payload never
+    shuffles; the only exchange is the profile aggregation.  This is the
+    no-metadata fallback of the CSVW kernel (reference always has metadata;
+    the open web mostly doesn't)."""
+    from .operators.webtables import (apply_column_types, explode_cells,
+                                      intuit_column_types, typed_cell_triples)
+    from .sources.html_extract import pages_to_virtual_rows
+    cells = explode_cells(
+        pages_to_virtual_rows(_kg_pages(spark, sf_dir))).persist()
+    profile = intuit_column_types(cells)
+    typed = apply_column_types(cells, profile)
+    return (typed_cell_triples(typed)
+            .select("subj", "pred", "obj",
+                    F.col("obj_datatype").alias("dt")))
+
+
+_WEBTABLES_TYPED_TRIPLES_SQL = f"""
+with {_WEBTABLES_CELLS_SQL}
+select url || '#row-1' as subj,
+       url || '#col-' || col_idx as pred,
+       trim(cell) as obj,
+       'http://www.w3.org/2001/XMLSchema#' || p.datatype as dt
+from cells c join profile p using (col_idx)
+where not (c.cell is null or trim(c.cell) = '')
+"""
+
+
+def _webtables_header_triples(spark, sf_dir):
+    """Same pipeline with header-derived predicates: ONE extraction pass
+    (header_rows=0), the header row (source_num=1) becomes the
+    (table_index, col_idx) → name map, data rows join it broadcast — so
+    predicates are url#col-doc_id / #col-lang / ... instead of ordinals."""
+    from .operators.webtables import (apply_column_types, explode_cells,
+                                      intuit_column_types, typed_cell_triples)
+    from .sources.html_extract import pages_to_virtual_rows
+    all_rows = pages_to_virtual_rows(_kg_pages(spark, sf_dir), header_rows=0)
+    all_cells = explode_cells(all_rows).persist()
+    headers = (all_cells.filter(F.col("source_num") == 1)
+               .select("table_index", "col_idx",
+                       F.trim("cell").alias("name")).distinct())
+    data = (all_cells.filter(F.col("source_num") > 1)
+            .withColumn("row_num", F.col("source_num") - 1))
+    profile = intuit_column_types(data)
+    typed = apply_column_types(data, profile)
+    return (typed_cell_triples(typed, headers=headers)
+            .select("subj", "pred", "obj",
+                    F.col("obj_datatype").alias("dt")))
+
+
+_WEBTABLES_HEADER_TRIPLES_SQL = f"""
+with {_WEBTABLES_CELLS_SQL},
+hdr as (
+  select cast(0 as integer) as col_idx, 'doc_id' as name
+  union all select 1, 'lang'
+  union all select 2, 'source'
+  union all select 3, 'n_chars'
+)
+select url || '#row-1' as subj,
+       url || '#col-' || h.name as pred,
+       trim(cell) as obj,
+       'http://www.w3.org/2001/XMLSchema#' || p.datatype as dt
+from cells c join profile p using (col_idx) join hdr h using (col_idx)
+where not (c.cell is null or trim(c.cell) = '')
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -4154,6 +4311,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_matryoshka": _emb_matryoshka,
     "text_script_profile": _text_script_profile,
     "dedup_url_canonical": _dedup_url_canonical,
+    # WebTables distributed type intuition (round-4 cont.; pytest-mirror
+    # oracle coverage — rotate into the window once it reopens)
+    "webtables_type_profile": _webtables_type_profile,
+    "webtables_typed_triples": _webtables_typed_triples,
+    "webtables_header_triples": _webtables_header_triples,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4262,6 +4424,9 @@ _ORACLES: dict[str, str] = {
     "corpus_ppl_buckets": _CORPUS_PPL_BUCKETS_SQL,
     "text_quality_classifier": _TEXT_QUALITY_CLASSIFIER_SQL,
     "curate_blocklist": _CURATE_BLOCKLIST_SQL,
+    "webtables_type_profile": _WEBTABLES_TYPE_PROFILE_SQL,
+    "webtables_typed_triples": _WEBTABLES_TYPED_TRIPLES_SQL,
+    "webtables_header_triples": _WEBTABLES_HEADER_TRIPLES_SQL,
     **_graph_sql(),
     **_webgraph_sql(),
 }

@@ -1,0 +1,130 @@
+"""Distributed datatype intuition over extracted web tables
+(operators/webtables) — the no-metadata fallback of the CSVW kernel.
+
+The reference intuits metadata classes from JSON keys (metadata.rb:198-254)
+but types columns only when metadata declares them; these tests pin the
+data-driven vote → lattice semantics and the scale shape (broadcast profile
+join, no payload shuffle).
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rdf_tabular_spark.operators.webtables import (
+    XSD,
+    apply_column_types,
+    explode_cells,
+    intuit_column_types,
+    typed_cell_triples,
+)
+
+
+def _vrows(spark, rows):
+    """rows: list of (url, table_index, row_num, source_num, values)."""
+    return spark.createDataFrame(
+        [Row(url=u, table_index=t, row_num=r, source_num=s, values=v)
+         for u, t, r, s, v in rows],
+        "url string, table_index int, row_num long, source_num long, "
+        "values array<string>")
+
+
+def _profile(spark, columns, **kw):
+    """columns: list of per-column cell lists → {col_idx: datatype}."""
+    n = max(len(c) for c in columns)
+    rows = [("u", 0, i + 1, i + 2, [c[i] if i < len(c) else "" for c in columns])
+            for i in range(n)]
+    prof = intuit_column_types(explode_cells(_vrows(spark, rows)), **kw)
+    return {r["col_idx"]: r.asDict() for r in prof.collect()}
+
+
+def test_lattice_most_specific_type(spark):
+    got = _profile(spark, [
+        ["1", "2", "-3"],                     # integer
+        ["1.5", "2", ".25"],                  # decimal (int promotes)
+        ["1e3", "2.5", "7"],                  # double (sci notation)
+        ["true", "FALSE", "True"],            # boolean, case-insensitive
+        ["2024-01-02", "1999-12-31", "2000-02-29"],   # date
+        ["2024-01-02T10:00:00", "2024-01-02 10:00:00.5", "2024-01-02T00:00:01"],
+        ["abc", "1", "2"],                    # one word demotes to string
+    ])
+    want = ["integer", "decimal", "double", "boolean", "date", "dateTime",
+            "string"]
+    for i, dt in enumerate(want):
+        assert got[i]["datatype"] == dt, (i, got[i])
+        assert got[i]["datatype_iri"] == XSD + dt
+
+
+def test_blanks_are_typeless_not_counterevidence(spark):
+    got = _profile(spark, [["1", "", None, "2"], ["", "", "", ""]])
+    assert got[0]["datatype"] == "integer"
+    assert got[0]["n_blank"] == 2 and got[0]["n_cells"] == 4
+    # all-blank column: nothing to vote → string fallback
+    assert got[1]["datatype"] == "string" and got[1]["n_blank"] == 4
+
+
+def test_min_frac_tolerates_dirty_cells(spark):
+    cols = [["1", "2", "3", "4", "5", "6", "7", "8", "9", "oops"]]
+    assert _profile(spark, cols)[0]["datatype"] == "string"       # strict
+    assert _profile(spark, cols, min_frac=0.9)[0]["datatype"] == "integer"
+
+
+def test_whitespace_trimmed_before_vote(spark):
+    # space-trim only (Spark trim == DuckDB trim — the oracle contract);
+    # a tab is data, so it demotes the column to string
+    got = _profile(spark, [[" 42 ", " 7", "9 "], [" 1", "\t7", "2"]])
+    assert got[0]["datatype"] == "integer"
+    assert got[1]["datatype"] == "string"
+
+
+def test_grouping_key_is_configurable(spark):
+    rows = [("a", 0, 1, 2, ["1"]), ("b", 0, 1, 2, ["x"])]
+    prof = intuit_column_types(
+        explode_cells(_vrows(spark, rows)), group_cols=("url", "col_idx"))
+    got = {(r["url"], r["col_idx"]): r["datatype"] for r in prof.collect()}
+    assert got == {("a", 0): "integer", ("b", 0): "string"}
+
+
+def test_apply_and_typed_triples(spark):
+    rows = [("http://x/p", 0, 1, 2, ["7", "hi", ""]),
+            ("http://x/q", 0, 1, 2, ["8", "", "2024-01-01"])]
+    cells = explode_cells(_vrows(spark, rows))
+    typed = apply_column_types(cells, intuit_column_types(cells))
+    # blank cells carry NULL datatype and emit no triple
+    assert typed.filter("cell = '' and datatype is not null").count() == 0
+    trip = typed_cell_triples(typed)
+    got = {(r.subj, r.pred): (r.obj, r.obj_datatype) for r in trip.collect()}
+    assert got[("http://x/p#row-1", "http://x/p#col-0")] == \
+        ("7", XSD + "integer")
+    assert got[("http://x/p#row-1", "http://x/p#col-1")] == \
+        ("hi", XSD + "string")
+    assert got[("http://x/q#row-1", "http://x/q#col-2")] == \
+        ("2024-01-01", XSD + "date")
+    assert len(got) == 4  # two blanks suppressed
+    assert trip.schema["obj_is_iri"].dataType.simpleString() == "boolean"
+
+
+def test_header_named_predicates(spark):
+    rows = [("http://x/p", 0, 1, 2, ["7"])]
+    cells = explode_cells(_vrows(spark, rows))
+    headers = spark.createDataFrame([(0, 0, "age")],
+                                    "table_index int, col_idx int, name string")
+    typed = apply_column_types(cells, intuit_column_types(cells))
+    trip = typed_cell_triples(typed, headers=headers)
+    assert trip.collect()[0].pred == "http://x/p#col-age"
+
+
+def test_profile_join_is_broadcast_no_payload_shuffle(spark):
+    """Scale shape: the profile comes back as a BroadcastHashJoin — the
+    cell stream itself never exchanges."""
+    rows = [("u%d" % i, 0, 1, 2, [str(i), "w"]) for i in range(50)]
+    cells = explode_cells(_vrows(spark, rows))
+    typed = apply_column_types(cells, intuit_column_types(cells))
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        typed.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
