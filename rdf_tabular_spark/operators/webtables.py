@@ -166,3 +166,84 @@ def typed_cell_triples(cells_typed: DataFrame, headers: DataFrame | None = None,
         F.col("datatype_iri").alias("obj_datatype"),
         F.lit(None).cast("string").alias("obj_lang"),
     )
+
+
+def column_stats(cells: DataFrame,
+                 group_cols: tuple[str, ...] = ("col_idx",)) -> DataFrame:
+    """Type profile + uniqueness per column key: adds ``n_distinct`` (exact
+    distinct non-blank values — Spark's two-phase distinct-agg rewrite keeps
+    the partial aggregation map-side) and ``uniqueness`` = n_distinct /
+    non-blank.  Output is one row per distinct column key — driver-small."""
+    blank = _is_blank(F.col("cell"))
+    dist = (cells.groupBy(*group_cols)
+            .agg(F.countDistinct(F.when(~blank, F.trim("cell")))
+                 .cast("long").alias("n_distinct")))
+    prof = intuit_column_types(cells, group_cols=group_cols)
+    nb = (F.col("n_cells") - F.col("n_blank")).cast("double")
+    uniq = F.when(nb > 0, F.col("n_distinct").cast("double") / nb) \
+            .otherwise(F.lit(0.0))
+    return (prof.join(dist, on=list(group_cols), how="left")
+                .withColumn("n_distinct",
+                            F.coalesce("n_distinct", F.lit(0).cast("long")))
+                .withColumn("uniqueness", uniq))
+
+
+def pick_subject_column(stats: DataFrame,
+                        group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """WebTables subject-column detection (Cafarella et al.; Venetis et al.):
+    among the STRING-typed columns of each table schema, the subject column
+    is the one with the highest value uniqueness (an entity key names mostly
+    distinct entities), ties broken leftmost.  ``group_cols`` identifies the
+    table schema ('' = one corpus-wide template, ("url","table_index") = per
+    table).  Input is :func:`column_stats` output — already tiny — so the
+    row_number window is over a driver-small frame."""
+    from pyspark.sql import Window
+    strings = stats.filter(F.col("datatype") == "string")
+    if group_cols:
+        w = Window.partitionBy(*group_cols)
+    else:
+        w = Window.partitionBy(F.lit(1))
+    w = w.orderBy(F.col("uniqueness").desc(), F.col("col_idx").asc())
+    return (strings.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*group_cols,
+                    F.col("col_idx").alias("subject_col_idx"),
+                    "n_distinct", "uniqueness"))
+
+
+def entity_triples(vrows: DataFrame, pick: DataFrame,
+                   group_cols: tuple[str, ...] = (),
+                   entity_prefix: str = "#e-") -> DataFrame:
+    """Entity-centric triple emission: every row's subject IRI is derived
+    from its subject-column VALUE (url + '#e-' + md5(value)) instead of the
+    row ordinal, so re-crawls of the same entity land on the same node.
+    The subject value is read with ``element_at`` BEFORE the cells explode
+    — the pick joins broadcast (per-schema, tiny) and everything else is a
+    narrow generator stage; the payload never shuffles.
+
+    Rows whose subject cell is blank are dropped (no entity to attach to);
+    the subject column itself is not re-emitted as a property."""
+    if group_cols:
+        joined = vrows.join(F.broadcast(pick.select(*group_cols,
+                                                    "subject_col_idx")),
+                            on=list(group_cols), how="inner")
+    else:
+        joined = vrows.crossJoin(
+            F.broadcast(pick.select("subject_col_idx").limit(1)))
+    sval = F.trim(F.element_at("values", F.col("subject_col_idx") + 1))
+    joined = (joined.withColumn("_sval", sval)
+              .filter(~(F.col("_sval").isNull() | (F.col("_sval") == "")))
+              .withColumn("_subj", F.concat(F.col("url"),
+                                            F.lit(entity_prefix),
+                                            F.md5(F.col("_sval")))))
+    pos = F.posexplode("values").alias("col_idx", "cell")
+    cells = joined.select("url", "table_index", "_subj", "_sval",
+                          "subject_col_idx", pos)
+    blank = _is_blank(F.col("cell"))
+    return (cells.filter((F.col("col_idx") != F.col("subject_col_idx"))
+                         & ~blank)
+            .select(F.col("_subj").alias("subj"),
+                    F.concat(F.col("url"), F.lit("#col-"),
+                             F.col("col_idx").cast("string")).alias("pred"),
+                    F.trim(F.col("cell")).alias("obj"),
+                    F.col("_sval").alias("subject_value")))

@@ -4133,6 +4133,84 @@ def _webtables_header_triples(spark, sf_dir):
                     F.col("obj_datatype").alias("dt")))
 
 
+def _webtables_subject_column(spark, sf_dir):
+    """WebTables subject-column detection (Cafarella et al.): among the
+    string-typed columns, the entity key is the one with the highest value
+    uniqueness, ties leftmost — the fixture's source column (20 distinct)
+    beats lang (5 distinct).  Both the type profile and the distinct counts
+    aggregate map-side; the pick is a row_number over a driver-small frame.
+    The oracle re-derives the whole pick relationally."""
+    from .operators.webtables import (column_stats, explode_cells,
+                                      pick_subject_column)
+    from .sources.html_extract import pages_to_virtual_rows
+    cells = explode_cells(pages_to_virtual_rows(_kg_pages(spark, sf_dir)))
+    return (pick_subject_column(column_stats(cells))
+            .withColumn("subject_col_idx",
+                        F.col("subject_col_idx").cast("int")))
+
+
+_WEBTABLES_STATS_SQL = f"""
+{_WEBTABLES_CELLS_SQL},
+dist as (
+  select col_idx, cast(count(distinct trim(cell)) as bigint) as n_distinct
+  from cells
+  where not (cell is null or trim(cell) = '')
+  group by col_idx
+),
+stats as (
+  select p.col_idx, p.datatype, d.n_distinct,
+         case when p.n_cells - p.n_blank > 0
+              then cast(d.n_distinct as double)
+                   / cast(p.n_cells - p.n_blank as double)
+              else 0.0 end as uniqueness
+  from profile p join dist d using (col_idx)
+),
+pick as (
+  select col_idx, n_distinct, uniqueness from stats
+  where datatype = 'string'
+  order by uniqueness desc, col_idx asc
+  limit 1
+)"""
+
+_WEBTABLES_SUBJECT_COLUMN_SQL = f"""
+with {_WEBTABLES_STATS_SQL}
+select col_idx as subject_col_idx, n_distinct, uniqueness from pick
+"""
+
+
+def _webtables_entity_triples(spark, sf_dir):
+    """Entity-centric triple emission: the subject-column VALUE keys the
+    subject IRI (url#e-md5(value)) so re-crawls of the same entity converge
+    on one node.  The pick broadcasts onto the UNEXPLODED virtual rows and
+    the subject value is read with element_at before the cell explode —
+    narrow generator stage, payload never shuffles."""
+    from .operators.webtables import (column_stats, entity_triples,
+                                      explode_cells, pick_subject_column)
+    from .sources.html_extract import pages_to_virtual_rows
+    vrows = pages_to_virtual_rows(_kg_pages(spark, sf_dir)).persist()
+    pick = pick_subject_column(column_stats(explode_cells(vrows)))
+    return entity_triples(vrows, pick) \
+        .select("subj", "pred", "obj", "subject_value")
+
+
+_WEBTABLES_ENTITY_TRIPLES_SQL = f"""
+with {_WEBTABLES_STATS_SQL},
+sv as (
+  select url, trim(cell) as subject_value
+  from cells join pick using (col_idx)
+  where not (cell is null or trim(cell) = '')
+)
+select sv.url || '#e-' || md5(sv.subject_value) as subj,
+       sv.url || '#col-' || c.col_idx as pred,
+       trim(c.cell) as obj,
+       sv.subject_value
+from cells c
+join sv on c.url = sv.url
+join pick p on c.col_idx <> p.col_idx
+where not (c.cell is null or trim(c.cell) = '')
+"""
+
+
 _WEBTABLES_HEADER_TRIPLES_SQL = f"""
 with {_WEBTABLES_CELLS_SQL},
 hdr as (
@@ -4316,6 +4394,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webtables_type_profile": _webtables_type_profile,
     "webtables_typed_triples": _webtables_typed_triples,
     "webtables_header_triples": _webtables_header_triples,
+    "webtables_subject_column": _webtables_subject_column,
+    "webtables_entity_triples": _webtables_entity_triples,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4427,6 +4507,8 @@ _ORACLES: dict[str, str] = {
     "webtables_type_profile": _WEBTABLES_TYPE_PROFILE_SQL,
     "webtables_typed_triples": _WEBTABLES_TYPED_TRIPLES_SQL,
     "webtables_header_triples": _WEBTABLES_HEADER_TRIPLES_SQL,
+    "webtables_subject_column": _WEBTABLES_SUBJECT_COLUMN_SQL,
+    "webtables_entity_triples": _WEBTABLES_ENTITY_TRIPLES_SQL,
     **_graph_sql(),
     **_webgraph_sql(),
 }

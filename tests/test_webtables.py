@@ -128,3 +128,68 @@ def test_profile_join_is_broadcast_no_payload_shuffle(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+from rdf_tabular_spark.operators.webtables import (  # noqa: E402
+    column_stats,
+    entity_triples,
+    pick_subject_column,
+)
+
+
+def test_column_stats_uniqueness(spark):
+    # col0: 3 distinct ints over 4 non-blank; col1: 2 distinct over 3 (blank
+    # excluded from both numerator and denominator)
+    rows = [("u", 0, i + 1, i + 2, v) for i, v in enumerate(
+        [["1", "a"], ["2", "b"], ["2", "a"], ["3", ""]])]
+    stats = {r["col_idx"]: r.asDict()
+             for r in column_stats(explode_cells(_vrows(spark, rows))).collect()}
+    assert stats[0]["n_distinct"] == 3 and stats[0]["uniqueness"] == 0.75
+    assert stats[1]["n_distinct"] == 2 and stats[1]["uniqueness"] == 2 / 3
+    assert stats[1]["datatype"] == "string"
+
+
+def test_pick_subject_column_prefers_unique_string(spark):
+    # col0 integer (excluded though fully unique); col1 string 2-distinct;
+    # col2 string fully distinct → the subject column
+    rows = [("u", 0, i + 1, i + 2, v) for i, v in enumerate(
+        [["1", "x", "alice"], ["2", "x", "bob"], ["3", "y", "carol"]])]
+    stats = column_stats(explode_cells(_vrows(spark, rows)))
+    pick = pick_subject_column(stats).collect()
+    assert len(pick) == 1 and pick[0]["subject_col_idx"] == 2
+
+
+def test_pick_subject_column_tie_breaks_leftmost(spark):
+    rows = [("u", 0, i + 1, i + 2, v) for i, v in enumerate(
+        [["a", "p"], ["b", "q"]])]
+    pick = pick_subject_column(
+        column_stats(explode_cells(_vrows(spark, rows)))).collect()
+    assert pick[0]["subject_col_idx"] == 0
+
+
+def test_pick_subject_column_per_group(spark):
+    rows = [("u1", 0, 1, 2, ["1", "alice"]), ("u1", 0, 2, 3, ["2", "bob"]),
+            ("u2", 0, 1, 2, ["x", "same"]), ("u2", 0, 2, 3, ["y", "same"])]
+    stats = column_stats(explode_cells(_vrows(spark, rows)),
+                         group_cols=("url", "col_idx"))
+    pick = {r["url"]: r["subject_col_idx"]
+            for r in pick_subject_column(stats, group_cols=("url",)).collect()}
+    # u1: col0 is integer → col1 wins; u2: col0 unique strings beat col1
+    assert pick == {"u1": 1, "u2": 0}
+
+
+def test_entity_triples_subject_from_value(spark):
+    rows = [("http://x/p", 0, 1, 2, ["7", "alice"]),
+            ("http://x/p", 0, 2, 3, ["8", "bob"]),
+            ("http://x/p", 0, 3, 4, ["9", ""])]   # blank subject → dropped
+    vrows = _vrows(spark, rows)
+    cells = explode_cells(vrows)
+    pick = pick_subject_column(column_stats(cells))
+    got = entity_triples(vrows, pick).collect()
+    assert {r.subject_value for r in got} == {"alice", "bob"}
+    import hashlib
+    alice = [r for r in got if r.subject_value == "alice"][0]
+    assert alice.subj == "http://x/p#e-" + hashlib.md5(b"alice").hexdigest()
+    assert alice.pred == "http://x/p#col-0" and alice.obj == "7"
+    # subject column itself is not re-emitted; blank-subject row dropped
+    assert len(got) == 2
