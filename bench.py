@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "dedup_canonical_groups",
     "join_supplier_profit",
     "crawl_recrawl_schedule",
+    # round-4 cont. 11 tier: metadata-less table typing — extract → vote
+    # profile (one tiny agg) → broadcast pick → entity-keyed triple emission
+    "webtables_entity_triples",
     # round-3 continuation tiers (sameAs/subselect/SPARQL-string) are NOT
     # in the headline mix: their per-call cost is dominated by rebuilding
     # the 50k-doc microdata fixture, which measures the fixture, not the

@@ -247,3 +247,57 @@ def entity_triples(vrows: DataFrame, pick: DataFrame,
                              F.col("col_idx").cast("string")).alias("pred"),
                     F.trim(F.col("cell")).alias("obj"),
                     F.col("_sval").alias("subject_value")))
+
+
+def table_schema_fingerprints(vrows_all: DataFrame) -> DataFrame:
+    """Schema fingerprint per extracted table: md5 over the unit-separated
+    header row (WebTables 'schema frequency' — stitching candidates are
+    tables sharing a fingerprint).  Input is ``pages_to_virtual_rows(...,
+    header_rows=0)`` output; the header is the source_num=1 row.  Pure
+    projection — no shuffle."""
+    hdr = vrows_all.filter(F.col("source_num") == 1)
+    sig = F.md5(F.concat_ws("\x1f", F.transform("values",
+                                                lambda v: F.trim(v))))
+    return hdr.select("url", "table_index",
+                      sig.alias("schema_sig"),
+                      F.concat_ws(",", F.transform("values",
+                                                   lambda v: F.trim(v)))
+                       .alias("header_names"),
+                      F.size("values").alias("n_cols"))
+
+
+def schema_frequency(fps: DataFrame) -> DataFrame:
+    """Stitchable-corpus profile: tables per schema fingerprint — ONE
+    map-side-combined groupBy on the (low-cardinality) fingerprint."""
+    return (fps.groupBy("schema_sig", "header_names", "n_cols")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tables"),
+                 F.countDistinct("url").cast("long").alias("n_pages")))
+
+
+def predicate_range_profile(triples: DataFrame,
+                            pred_key: Column | None = None) -> DataFrame:
+    """KG schema induction: per predicate (class), the dominant object
+    datatype and its share — the range induction step that turns emitted
+    instance triples back into a vocabulary.  Two keyed aggregations over
+    (pred_key, datatype) — both map-side-combined — then a row_number over
+    the per-predicate frame (rows = distinct datatypes per predicate,
+    driver-small).  ``pred_key`` defaults to the raw ``pred`` column; pass
+    e.g. the URI fragment to profile across pages."""
+    from pyspark.sql import Window
+    key = (pred_key if pred_key is not None else F.col("pred")) \
+        .alias("pred_class")
+    counts = (triples.select(key, F.col("obj_datatype").alias("datatype"))
+              .groupBy("pred_class", "datatype")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    totals = (counts.groupBy("pred_class")
+              .agg(F.sum("n").cast("long").alias("n_triples")))
+    w = Window.partitionBy("pred_class").orderBy(F.col("n").desc(),
+                                                 F.col("datatype").asc())
+    dom = (counts.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select("pred_class", F.col("datatype").alias("dominant_datatype"),
+                   F.col("n").alias("dominant_n")))
+    return (totals.join(dom, on="pred_class")
+            .withColumn("dominant_frac",
+                        F.col("dominant_n").cast("double")
+                        / F.col("n_triples").cast("double")))

@@ -4228,6 +4228,75 @@ where not (c.cell is null or trim(c.cell) = '')
 """
 
 
+def _webtables_schema_freq(spark, sf_dir):
+    """WebTables schema frequency: fingerprint each extracted table's header
+    row (md5 over unit-separated names) and count stitchable tables per
+    fingerprint — ONE map-side-combined groupBy on a low-cardinality key.
+    The fixture's pages share one template, so the corpus collapses to a
+    single (fingerprint, n_docs) row the oracle predicts exactly."""
+    from .operators.webtables import schema_frequency, table_schema_fingerprints
+    from .sources.html_extract import pages_to_virtual_rows
+    fps = table_schema_fingerprints(
+        pages_to_virtual_rows(_kg_pages(spark, sf_dir), header_rows=0))
+    return schema_frequency(fps)
+
+
+_WEBTABLES_SCHEMA_FREQ_SQL = """
+select md5('doc_id' || chr(31) || 'lang' || chr(31) || 'source'
+           || chr(31) || 'n_chars') as schema_sig,
+       'doc_id,lang,source,n_chars' as header_names,
+       4 as n_cols,
+       cast(count(*) as bigint) as n_tables,
+       cast(count(distinct doc_id) as bigint) as n_pages
+from documents
+"""
+
+
+def _webtables_pred_induction(spark, sf_dir):
+    """KG schema induction over the header-named typed triples: per
+    predicate FRAGMENT (col-doc_id / col-lang / ...) across all pages, the
+    dominant object datatype and its share — the step that turns emitted
+    instance triples back into a vocabulary.  Keyed on the fragment so the
+    profile is corpus-wide (4 rows), not per-page."""
+    from .operators.webtables import predicate_range_profile
+    triples = _webtables_header_triples(spark, sf_dir) \
+        .withColumnRenamed("dt", "obj_datatype")
+    frag = F.substring_index(F.col("pred"), "#", -1)
+    return predicate_range_profile(triples, pred_key=frag)
+
+
+_WEBTABLES_PRED_INDUCTION_SQL = f"""
+with {_WEBTABLES_CELLS_SQL},
+hdr as (
+  select cast(0 as integer) as col_idx, 'doc_id' as name
+  union all select 1, 'lang'
+  union all select 2, 'source'
+  union all select 3, 'n_chars'
+),
+typed as (
+  select 'col-' || h.name as pred_class,
+         'http://www.w3.org/2001/XMLSchema#' || p.datatype as datatype
+  from cells c join profile p using (col_idx) join hdr h using (col_idx)
+  where not (c.cell is null or trim(c.cell) = '')
+),
+counts as (
+  select pred_class, datatype, cast(count(*) as bigint) as n
+  from typed group by pred_class, datatype
+),
+ranked as (
+  select pred_class, datatype, n,
+         row_number() over (partition by pred_class
+                            order by n desc, datatype asc) as rn,
+         cast(sum(n) over (partition by pred_class) as bigint) as n_triples
+  from counts
+)
+select pred_class, n_triples, datatype as dominant_datatype,
+       n as dominant_n,
+       cast(n as double) / cast(n_triples as double) as dominant_frac
+from ranked where rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -4396,6 +4465,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webtables_header_triples": _webtables_header_triples,
     "webtables_subject_column": _webtables_subject_column,
     "webtables_entity_triples": _webtables_entity_triples,
+    "webtables_schema_freq": _webtables_schema_freq,
+    "webtables_pred_induction": _webtables_pred_induction,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4509,6 +4580,8 @@ _ORACLES: dict[str, str] = {
     "webtables_header_triples": _WEBTABLES_HEADER_TRIPLES_SQL,
     "webtables_subject_column": _WEBTABLES_SUBJECT_COLUMN_SQL,
     "webtables_entity_triples": _WEBTABLES_ENTITY_TRIPLES_SQL,
+    "webtables_schema_freq": _WEBTABLES_SCHEMA_FREQ_SQL,
+    "webtables_pred_induction": _WEBTABLES_PRED_INDUCTION_SQL,
     **_graph_sql(),
     **_webgraph_sql(),
 }

@@ -193,3 +193,46 @@ def test_entity_triples_subject_from_value(spark):
     assert alice.pred == "http://x/p#col-0" and alice.obj == "7"
     # subject column itself is not re-emitted; blank-subject row dropped
     assert len(got) == 2
+
+
+from rdf_tabular_spark.operators.webtables import (  # noqa: E402
+    predicate_range_profile,
+    schema_frequency,
+    table_schema_fingerprints,
+)
+
+
+def test_schema_fingerprints_and_frequency(spark):
+    # two tables share a header, one differs (extra col)
+    rows = [("u1", 0, 1, 1, ["a", "b"]), ("u1", 0, 2, 2, ["1", "2"]),
+            ("u2", 0, 1, 1, [" a", "b "]), ("u2", 0, 2, 2, ["3", "4"]),
+            ("u3", 0, 1, 1, ["a", "b", "c"])]
+    fps = table_schema_fingerprints(_vrows(spark, rows))
+    freq = {r["header_names"]: (r["n_tables"], r["n_pages"], r["n_cols"])
+            for r in schema_frequency(fps).collect()}
+    # headers are trimmed before fingerprinting, so u1 and u2 stitch
+    assert freq["a,b"] == (2, 2, 2)
+    assert freq["a,b,c"] == (1, 1, 3)
+    sigs = {r["url"]: r["schema_sig"] for r in fps.collect()}
+    assert sigs["u1"] == sigs["u2"] != sigs["u3"]
+
+
+def test_predicate_range_profile_dominant_type(spark):
+    t = spark.createDataFrame(
+        [("s1", "p", "1", XSD + "integer"), ("s2", "p", "2", XSD + "integer"),
+         ("s3", "p", "x", XSD + "string"), ("s4", "q", "hi", XSD + "string")],
+        "subj string, pred string, obj string, obj_datatype string")
+    got = {r["pred_class"]: r.asDict()
+           for r in predicate_range_profile(t).collect()}
+    assert got["p"]["n_triples"] == 3
+    assert got["p"]["dominant_datatype"] == XSD + "integer"
+    assert got["p"]["dominant_frac"] == 2 / 3
+    assert got["q"]["dominant_frac"] == 1.0
+
+
+def test_predicate_range_profile_tie_breaks_lexicographic(spark):
+    t = spark.createDataFrame(
+        [("s1", "p", "1", XSD + "integer"), ("s2", "p", "x", XSD + "string")],
+        "subj string, pred string, obj string, obj_datatype string")
+    got = predicate_range_profile(t).collect()[0]
+    assert got["dominant_datatype"] == XSD + "integer"  # asc tie-break
