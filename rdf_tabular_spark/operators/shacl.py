@@ -1,0 +1,161 @@
+"""SHACL-lite: distributed shape validation over triple DataFrames.
+
+The reference validates TABLES against CSVW metadata (metadata.rb validate!,
+errors accumulated per cell — ported in csvw/validate.py and the pipeline
+errors tier); a knowledge-graph pipeline additionally needs the GRAPH-side
+quality gate: validate emitted triples against shapes before materializing.
+This implements the useful core of SHACL node/property shapes:
+
+- ``targetClass`` — focus nodes are subjects of ``rdf:type <class>``
+  (``None`` targets every subject in the graph),
+- per property shape (``path``): ``minCount`` / ``maxCount`` (cardinality),
+  ``datatype`` (exact obj_datatype match), ``pattern`` (Java-regex ``rlike``
+  on the object lexical form — keep patterns RE2-compatible for the DuckDB
+  oracle), ``in`` (closed value list), ``nodeKind`` ('IRI' | 'Literal').
+
+Execution shape (all JVM-side, zero Python UDFs):
+
+- shapes live on the driver (a handful of dicts — the SHACL shapes graph is
+  always tiny); each property shape compiles to a filter + aggregation plan
+  over ONE pass of the path's triples,
+- cardinality: focus set (type triples, or distinct subjects) LEFT-joins the
+  per-focus path counts — one map-side-combined groupBy per (shape, path) on
+  an already-pred-filtered slice, so predicate pushdown prunes the scan,
+- value constraints: a narrow filter over the path slice — one violation row
+  per offending triple, no shuffle at all,
+- the report is the union of per-constraint violation DataFrames: (focus,
+  shape_id, path, constraint, actual, expected) — scalar columns only, so
+  the whole report is DuckDB-oracle-checkable.
+
+At 100 TB each shape touches only its path's partition slice (the graph
+store partitions by pred_bucket — see sinks/graph_store.py), the focus set
+is one more slice, and every aggregation keys on focus subjects (naturally
+high-cardinality, no skew beyond what salting already handles upstream).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+@dataclass(frozen=True)
+class PropertyShape:
+    path: str
+    min_count: int | None = None
+    max_count: int | None = None
+    datatype: str | None = None
+    pattern: str | None = None
+    in_values: tuple[str, ...] | None = None
+    node_kind: str | None = None      # 'IRI' | 'Literal'
+
+
+@dataclass(frozen=True)
+class NodeShape:
+    shape_id: str
+    target_class: str | None = None   # None = every subject
+    properties: tuple[PropertyShape, ...] = field(default_factory=tuple)
+
+
+_REPORT_COLS = ("focus", "shape_id", "path", "constraint", "actual",
+                "expected")
+
+
+def _report(df: DataFrame, shape: NodeShape, prop: PropertyShape,
+            constraint: str, actual, expected: str) -> DataFrame:
+    return df.select(
+        F.col("focus"),
+        F.lit(shape.shape_id).alias("shape_id"),
+        F.lit(prop.path).alias("path"),
+        F.lit(constraint).alias("constraint"),
+        actual.cast("string").alias("actual"),
+        F.lit(expected).alias("expected"))
+
+
+def _focus_nodes(triples: DataFrame, shape: NodeShape) -> DataFrame:
+    if shape.target_class is None:
+        return triples.select(F.col("subj").alias("focus")).distinct()
+    return (triples
+            .filter((F.col("pred") == RDF_TYPE)
+                    & (F.col("obj") == shape.target_class))
+            .select(F.col("subj").alias("focus")).distinct())
+
+
+def validate_shapes(triples: DataFrame,
+                    shapes: list[NodeShape]) -> DataFrame:
+    """Validation report: one row per violation, empty DataFrame when the
+    graph conforms.  ``triples`` needs (subj, pred, obj); ``obj_datatype``
+    and ``obj_is_iri`` are consulted only by datatype / nodeKind constraints
+    (validating a shape that uses them against a frame without them raises
+    the normal analysis error — declare the columns or drop the constraint).
+    """
+    spark = triples.sparkSession
+    reports: list[DataFrame] = []
+    for shape in shapes:
+        focus = _focus_nodes(triples, shape)
+        for prop in shape.properties:
+            slice_ = triples.filter(F.col("pred") == prop.path) \
+                            .withColumnRenamed("subj", "focus")
+            if prop.min_count is not None or prop.max_count is not None:
+                counts = (slice_.groupBy("focus")
+                          .agg(F.count(F.lit(1)).cast("long").alias("_n")))
+                per_focus = (focus.join(counts, on="focus", how="left")
+                             .withColumn("_n", F.coalesce("_n", F.lit(0)
+                                                          .cast("long"))))
+                if prop.min_count is not None:
+                    bad = per_focus.filter(F.col("_n") < prop.min_count)
+                    reports.append(_report(bad, shape, prop, "minCount",
+                                           F.col("_n"),
+                                           str(prop.min_count)))
+                if prop.max_count is not None:
+                    bad = per_focus.filter(F.col("_n") > prop.max_count)
+                    reports.append(_report(bad, shape, prop, "maxCount",
+                                           F.col("_n"),
+                                           str(prop.max_count)))
+            vals = slice_.join(focus, on="focus", how="leftsemi") \
+                if shape.target_class is not None else slice_
+            if prop.datatype is not None:
+                bad = vals.filter(
+                    F.coalesce(F.col("obj_datatype"), F.lit(""))
+                    != prop.datatype)
+                reports.append(_report(bad, shape, prop, "datatype",
+                                       F.coalesce(F.col("obj_datatype"),
+                                                  F.lit("")),
+                                       prop.datatype))
+            if prop.pattern is not None:
+                bad = vals.filter(~F.col("obj").rlike(prop.pattern))
+                reports.append(_report(bad, shape, prop, "pattern",
+                                       F.col("obj"), prop.pattern))
+            if prop.in_values is not None:
+                bad = vals.filter(~F.col("obj").isin(*prop.in_values))
+                reports.append(_report(bad, shape, prop, "in",
+                                       F.col("obj"),
+                                       ",".join(prop.in_values)))
+            if prop.node_kind is not None:
+                want_iri = prop.node_kind == "IRI"
+                bad = vals.filter(F.col("obj_is_iri") != F.lit(want_iri))
+                reports.append(_report(
+                    bad, shape, prop, "nodeKind",
+                    F.when(F.col("obj_is_iri"), "IRI").otherwise("Literal"),
+                    prop.node_kind))
+    if not reports:
+        return spark.createDataFrame(
+            [], "focus string, shape_id string, path string, "
+                "constraint string, actual string, expected string")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def conformance_summary(report: DataFrame) -> DataFrame:
+    """Violations per (shape, path, constraint) — the dashboard row; one
+    map-side-combined groupBy over the (already tiny relative to the graph)
+    report."""
+    return (report.groupBy("shape_id", "path", "constraint")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"),
+                 F.countDistinct("focus").cast("long").alias("n_focus")))

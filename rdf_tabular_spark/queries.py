@@ -4297,6 +4297,72 @@ from ranked where rn = 1
 """
 
 
+def _shacl_shapes():
+    from .operators.shacl import NodeShape, PropertyShape
+    return [NodeShape(
+        shape_id="https://kg.example.org/shapes/CreativeWorkShape",
+        target_class="http://schema.org/CreativeWork",
+        properties=(
+            # every work needs exactly one conforming name — the fixture
+            # conforms, so this contributes no rows (negative evidence)
+            PropertyShape(path="http://schema.org/name",
+                          min_count=1, max_count=1,
+                          pattern=r"^doc [0-9]+$"),
+            # closed language list — docs in de/zh/es violate
+            PropertyShape(path="http://schema.org/inLanguage",
+                          in_values=("en", "fr")),
+            # headline is absent from the microdata → one minCount
+            # violation per focus node
+            PropertyShape(path="http://schema.org/headline", min_count=1),
+        ))]
+
+
+def _kg_shacl_report(spark, sf_dir):
+    """SHACL-lite validation report over the microdata graph
+    (operators/shacl.validate_shapes): per-violation rows for a shapes
+    graph exercising cardinality (a missing-path minCount fires per focus),
+    closed value lists (langs outside en/fr), and a conforming
+    pattern+cardinality property that must contribute NOTHING.  Each
+    property shape touches one pred-filtered slice (pushdown-prunable) and
+    aggregates on the focus key."""
+    from .operators.shacl import validate_shapes
+    triples = _kg_microdata_triples(spark, sf_dir).persist()
+    return validate_shapes(triples, _shacl_shapes())
+
+
+_SHACL_SHAPE_ID = "https://kg.example.org/shapes/CreativeWorkShape"
+
+_KG_SHACL_REPORT_SQL = f"""
+select {DOC_URL_SQL} || '#item' as focus,
+       '{_SHACL_SHAPE_ID}' as shape_id,
+       'http://schema.org/inLanguage' as path,
+       'in' as constraint,
+       lang as actual,
+       'en,fr' as expected
+from documents where lang not in ('en', 'fr')
+union all
+select {DOC_URL_SQL} || '#item', '{_SHACL_SHAPE_ID}',
+       'http://schema.org/headline', 'minCount', '0', '1'
+from documents
+"""
+
+
+def _kg_shacl_summary(spark, sf_dir):
+    """Conformance dashboard: violations per (shape, path, constraint) —
+    one more map-side groupBy over the report."""
+    from .operators.shacl import conformance_summary
+    return conformance_summary(_kg_shacl_report(spark, sf_dir))
+
+
+_KG_SHACL_SUMMARY_SQL = f"""
+with r as ({_KG_SHACL_REPORT_SQL})
+select shape_id, path, "constraint",
+       cast(count(*) as bigint) as n_violations,
+       cast(count(distinct focus) as bigint) as n_focus
+from r group by shape_id, path, "constraint"
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -4467,6 +4533,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webtables_entity_triples": _webtables_entity_triples,
     "webtables_schema_freq": _webtables_schema_freq,
     "webtables_pred_induction": _webtables_pred_induction,
+    # SHACL-lite shape validation (round-4 cont. 12)
+    "kg_shacl_report": _kg_shacl_report,
+    "kg_shacl_summary": _kg_shacl_summary,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4582,6 +4651,8 @@ _ORACLES: dict[str, str] = {
     "webtables_entity_triples": _WEBTABLES_ENTITY_TRIPLES_SQL,
     "webtables_schema_freq": _WEBTABLES_SCHEMA_FREQ_SQL,
     "webtables_pred_induction": _WEBTABLES_PRED_INDUCTION_SQL,
+    "kg_shacl_report": _KG_SHACL_REPORT_SQL,
+    "kg_shacl_summary": _KG_SHACL_SUMMARY_SQL,
     **_graph_sql(),
     **_webgraph_sql(),
 }
