@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "re-processing of an already-crawled batch — "
                         "url-projection anti-join, html never shuffles)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--shapes", default=None, metavar="SHAPES.json",
+                   help="SHACL-lite quality gate: validate the committed "
+                        "batch against the JSON shapes graph and write the "
+                        "violation report + per-constraint summary as "
+                        "parquet under <out>/shacl/<batch-id>; violation "
+                        "counts land in the manifest")
     p.add_argument("--compact-after", type=int, default=0, metavar="N",
                    help="after committing this batch, if the store holds "
                         ">= N live batches, compact them into one and "
@@ -144,6 +150,23 @@ def main(argv: list[str] | None = None) -> dict:
             os.path.join(meta_dir, "canonical_groups"))
         manifest = dict(manifest, n_head_meta=hm.count(), meta_dir=meta_dir)
         hm.unpersist()
+    if args.shapes:
+        from rdf_tabular_spark.operators.shacl import (conformance_summary,
+                                                       shapes_from_json,
+                                                       validate_shapes)
+        from rdf_tabular_spark.sinks.graph_store import read_graph
+        with open(args.shapes) as fh:
+            shapes = shapes_from_json(json.load(fh))
+        batch_triples = read_graph(spark, args.out, batches=[args.batch_id])
+        report = validate_shapes(batch_triples, shapes).persist()
+        shacl_dir = os.path.join(args.out, "shacl", args.batch_id)
+        report.write.mode("overwrite").parquet(
+            os.path.join(shacl_dir, "report"))
+        conformance_summary(report).write.mode("overwrite").parquet(
+            os.path.join(shacl_dir, "summary"))
+        manifest = dict(manifest, n_shacl_violations=report.count(),
+                        shacl_dir=shacl_dir)
+        report.unpersist()
     if args.compact_after:
         from rdf_tabular_spark.sinks.graph_store import (compact,
                                                          expire_replaced,

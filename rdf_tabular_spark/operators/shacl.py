@@ -159,3 +159,47 @@ def conformance_summary(report: DataFrame) -> DataFrame:
     return (report.groupBy("shape_id", "path", "constraint")
             .agg(F.count(F.lit(1)).cast("long").alias("n_violations"),
                  F.countDistinct("focus").cast("long").alias("n_focus")))
+
+
+def shapes_from_json(spec) -> list[NodeShape]:
+    """Driver-side shapes loader for the jobs CLI: a JSON list of node
+    shapes, each ``{"shape_id": ..., "target_class": ... | null,
+    "properties": [{"path": ..., "min_count": ..., "max_count": ...,
+    "datatype": ..., "pattern": ..., "in": [...], "node_kind": ...}]}``.
+    Unknown keys are rejected loudly — a typo'd constraint silently
+    validating nothing is the worst failure mode for a quality gate."""
+    if not isinstance(spec, list):
+        raise ValueError("shapes spec must be a JSON list of node shapes")
+    allowed_node = {"shape_id", "target_class", "properties"}
+    allowed_prop = {"path", "min_count", "max_count", "datatype",
+                    "pattern", "in", "node_kind"}
+    shapes = []
+    for i, node in enumerate(spec):
+        extra = set(node) - allowed_node
+        if extra or "shape_id" not in node:
+            raise ValueError(f"node shape #{i}: unknown keys {sorted(extra)}"
+                             if extra else f"node shape #{i}: missing shape_id")
+        props = []
+        for j, pr in enumerate(node.get("properties", [])):
+            extra = set(pr) - allowed_prop
+            if extra or "path" not in pr:
+                raise ValueError(
+                    f"shape {node['shape_id']} property #{j}: "
+                    + (f"unknown keys {sorted(extra)}" if extra
+                       else "missing path"))
+            if pr.get("node_kind") not in (None, "IRI", "Literal"):
+                raise ValueError(
+                    f"shape {node['shape_id']} property #{j}: node_kind "
+                    f"must be 'IRI' or 'Literal', got {pr['node_kind']!r}")
+            props.append(PropertyShape(
+                path=pr["path"],
+                min_count=pr.get("min_count"),
+                max_count=pr.get("max_count"),
+                datatype=pr.get("datatype"),
+                pattern=pr.get("pattern"),
+                in_values=tuple(pr["in"]) if pr.get("in") else None,
+                node_kind=pr.get("node_kind")))
+        shapes.append(NodeShape(shape_id=node["shape_id"],
+                                target_class=node.get("target_class"),
+                                properties=tuple(props)))
+    return shapes

@@ -531,3 +531,58 @@ def test_extract_job_robots_filter(spark, tmp_path):
     assert "http://pages.example.org/doc/2#jld" in subs
     assert "http://pages.example.org/doc/20#jld" in subs
     assert not any("/doc/1#" in s or "/doc/12#" in s for s in subs)
+
+
+def test_extract_job_shacl_gate(spark, tmp_path):
+    """--shapes SHAPES.json: the committed batch is validated against the
+    SHACL-lite shapes graph; the violation report + summary land as parquet
+    side outputs and the manifest carries the count."""
+    import json as _json
+    import os as _os
+    import sys
+    sys.path.insert(0, REPO)
+    from rdf_tabular_spark.jobs.extract import main
+
+    shapes = [{
+        "shape_id": "https://kg.example.org/shapes/PlaceShape",
+        "target_class": "http://schema.org/Place",
+        "properties": [
+            {"path": "http://schema.org/name", "min_count": 1},     # conforms
+            {"path": "http://schema.org/headline", "min_count": 1},  # fires
+        ],
+    }]
+    shapes_path = tmp_path / "shapes.json"
+    shapes_path.write_text(_json.dumps(shapes))
+    out_root = str(tmp_path / "graph")
+    m = main(["--synth", "40", "--batch-id", "s1", "--out", out_root,
+              "--no-canonicalize", "--shuffle-partitions", "8",
+              "--shapes", str(shapes_path)])
+    # every Place item has a name but no headline → exactly one minCount
+    # violation per typed focus node (only some synth pages carry microdata)
+    from pyspark.sql import functions as F
+    from rdf_tabular_spark.operators.shacl import RDF_TYPE
+    from rdf_tabular_spark.sinks.graph_store import read_graph
+    n_places = (read_graph(spark, out_root, batches=["s1"])
+                .filter((F.col("pred") == RDF_TYPE)
+                        & (F.col("obj") == "http://schema.org/Place"))
+                .select("subj").distinct().count())
+    assert n_places > 0
+    assert m["n_shacl_violations"] == n_places
+    rep = spark.read.parquet(_os.path.join(m["shacl_dir"], "report"))
+    assert {r["constraint"] for r in rep.collect()} == {"minCount"}
+    assert {r["path"] for r in rep.collect()} == \
+        {"http://schema.org/headline"}
+    summ = spark.read.parquet(_os.path.join(m["shacl_dir"], "summary"))
+    row = summ.collect()[0]
+    assert row["n_violations"] == n_places and row["n_focus"] == n_places
+
+
+def test_shapes_from_json_rejects_typos(spark):
+    from rdf_tabular_spark.operators.shacl import shapes_from_json
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown keys"):
+        shapes_from_json([{"shape_id": "s", "properties": [
+            {"path": "p", "minCount": 1}]}])   # camelCase typo
+    with _pytest.raises(ValueError, match="node_kind"):
+        shapes_from_json([{"shape_id": "s", "properties": [
+            {"path": "p", "node_kind": "Blank"}]}])
