@@ -52,6 +52,10 @@ class PropertyShape:
     pattern: str | None = None
     in_values: tuple[str, ...] | None = None
     node_kind: str | None = None      # 'IRI' | 'Literal'
+    class_: str | None = None         # sh:class — object must be typed
+    min_length: int | None = None
+    max_length: int | None = None
+    unique_lang: bool = False         # sh:uniqueLang — needs obj_lang
 
 
 @dataclass(frozen=True)
@@ -142,6 +146,37 @@ def validate_shapes(triples: DataFrame,
                     bad, shape, prop, "nodeKind",
                     F.when(F.col("obj_is_iri"), "IRI").otherwise("Literal"),
                     prop.node_kind))
+            if prop.class_ is not None:
+                # sh:class — every value must be an instance of the class:
+                # anti-join the value set against the class's type slice
+                # (both pred-filtered; the instance set is usually the
+                # smaller side and AQE picks the build side at runtime)
+                instances = (triples
+                             .filter((F.col("pred") == RDF_TYPE)
+                                     & (F.col("obj") == prop.class_))
+                             .select(F.col("subj").alias("obj")).distinct())
+                bad = vals.join(instances, on="obj", how="leftanti")
+                reports.append(_report(bad, shape, prop, "class",
+                                       F.col("obj"), prop.class_))
+            if prop.min_length is not None:
+                bad = vals.filter(F.length("obj") < prop.min_length)
+                reports.append(_report(bad, shape, prop, "minLength",
+                                       F.length("obj"),
+                                       str(prop.min_length)))
+            if prop.max_length is not None:
+                bad = vals.filter(F.length("obj") > prop.max_length)
+                reports.append(_report(bad, shape, prop, "maxLength",
+                                       F.length("obj"),
+                                       str(prop.max_length)))
+            if prop.unique_lang:
+                # sh:uniqueLang — no two values of the path may share a
+                # language tag; one keyed groupBy on (focus, lang)
+                dup = (vals.filter(F.col("obj_lang").isNotNull())
+                       .groupBy("focus", "obj_lang")
+                       .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+                       .filter(F.col("_n") > 1))
+                reports.append(_report(dup, shape, prop, "uniqueLang",
+                                       F.col("obj_lang"), "unique"))
     if not reports:
         return spark.createDataFrame(
             [], "focus string, shape_id string, path string, "
@@ -172,7 +207,8 @@ def shapes_from_json(spec) -> list[NodeShape]:
         raise ValueError("shapes spec must be a JSON list of node shapes")
     allowed_node = {"shape_id", "target_class", "properties"}
     allowed_prop = {"path", "min_count", "max_count", "datatype",
-                    "pattern", "in", "node_kind"}
+                    "pattern", "in", "node_kind", "class", "min_length",
+                    "max_length", "unique_lang"}
     shapes = []
     for i, node in enumerate(spec):
         extra = set(node) - allowed_node
@@ -198,7 +234,11 @@ def shapes_from_json(spec) -> list[NodeShape]:
                 datatype=pr.get("datatype"),
                 pattern=pr.get("pattern"),
                 in_values=tuple(pr["in"]) if pr.get("in") else None,
-                node_kind=pr.get("node_kind")))
+                node_kind=pr.get("node_kind"),
+                class_=pr.get("class"),
+                min_length=pr.get("min_length"),
+                max_length=pr.get("max_length"),
+                unique_lang=bool(pr.get("unique_lang", False))))
         shapes.append(NodeShape(shape_id=node["shape_id"],
                                 target_class=node.get("target_class"),
                                 properties=tuple(props)))

@@ -133,3 +133,55 @@ def test_pred_filter_pushes_down(spark, graph):
     with contextlib.redirect_stdout(buf):
         rep.explain("formatted")
     assert "pred" in buf.getvalue()
+
+
+def test_class_constraint(spark):
+    g = _triples(spark, [
+        (EX + "doc", EX + "author", EX + "alice", True, None),
+        (EX + "doc", EX + "author", EX + "ghost", True, None),
+        (EX + "alice", RDF_TYPE, EX + "Person", True, None),
+    ])
+    shapes = [NodeShape("S", None,
+                        (PropertyShape(EX + "author",
+                                       class_=EX + "Person"),))]
+    got = _viol(validate_shapes(g, shapes))
+    assert got == {(EX + "doc", "class"): (EX + "ghost", EX + "Person")}
+
+
+def test_length_constraints(spark):
+    g = _triples(spark, [
+        (EX + "a", EX + "code", "US", False, None),
+        (EX + "b", EX + "code", "X", False, None),
+        (EX + "c", EX + "code", "TOOLONG", False, None),
+    ])
+    shapes = [NodeShape("S", None,
+                        (PropertyShape(EX + "code", min_length=2,
+                                       max_length=3),))]
+    got = _viol(validate_shapes(g, shapes))
+    assert got == {(EX + "b", "minLength"): ("1", "2"),
+                   (EX + "c", "maxLength"): ("7", "3")}
+
+
+def test_unique_lang(spark):
+    g = spark.createDataFrame(
+        [(EX + "a", EX + "label", "hi", False, None, "en"),
+         (EX + "a", EX + "label", "hello", False, None, "en"),
+         (EX + "a", EX + "label", "salut", False, None, "fr"),
+         (EX + "b", EX + "label", "x", False, None, "en")],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+    shapes = [NodeShape("S", None,
+                        (PropertyShape(EX + "label", unique_lang=True),))]
+    got = _viol(validate_shapes(g, shapes))
+    assert got == {(EX + "a", "uniqueLang"): ("en", "unique")}
+
+
+def test_shapes_from_json_new_constraints(spark):
+    from rdf_tabular_spark.operators.shacl import shapes_from_json
+    shapes = shapes_from_json([{
+        "shape_id": "s",
+        "properties": [{"path": "p", "class": "C", "min_length": 1,
+                        "max_length": 9, "unique_lang": True}]}])
+    pr = shapes[0].properties[0]
+    assert pr.class_ == "C" and pr.min_length == 1 and pr.max_length == 9
+    assert pr.unique_lang is True
