@@ -230,7 +230,10 @@ def entity_triples(vrows: DataFrame, pick: DataFrame,
     else:
         joined = vrows.crossJoin(
             F.broadcast(pick.select("subject_col_idx").limit(1)))
-    sval = F.trim(F.element_at("values", F.col("subject_col_idx") + 1))
+    # F.get (0-based) not element_at: ANSI mode (Spark 4 default) makes
+    # element_at THROW on out-of-bounds — a ragged scraped row must yield
+    # a NULL subject (dropped below), not kill the job
+    sval = F.trim(F.get("values", F.col("subject_col_idx")))
     joined = (joined.withColumn("_sval", sval)
               .filter(~(F.col("_sval").isNull() | (F.col("_sval") == "")))
               .withColumn("_subj", F.concat(F.col("url"),

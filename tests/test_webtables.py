@@ -236,3 +236,15 @@ def test_predicate_range_profile_tie_breaks_lexicographic(spark):
         "subj string, pred string, obj string, obj_datatype string")
     got = predicate_range_profile(t).collect()[0]
     assert got["dominant_datatype"] == XSD + "integer"  # asc tie-break
+
+
+def test_entity_triples_ragged_row_yields_null_subject_not_error(spark):
+    """ANSI mode (Spark 4 default) makes element_at throw on out-of-bounds;
+    a scraped row shorter than the subject column index must simply drop."""
+    rows = [("u", 0, 1, 2, ["1", "alice"]),
+            ("u", 0, 2, 3, ["2", "bob"]),
+            ("u", 0, 3, 4, ["9"])]   # ragged: no subject cell
+    vrows = _vrows(spark, rows)
+    pick = pick_subject_column(column_stats(explode_cells(vrows)))
+    got = entity_triples(vrows, pick).collect()
+    assert {r.subject_value for r in got} == {"alice", "bob"}
