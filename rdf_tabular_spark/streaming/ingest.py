@@ -532,3 +532,63 @@ def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DOCS_DDL = ("doc_id long, text string, lang string, source string, "
+            "n_chars long")
+
+
+def stream_docs_dedup_incremental(spark: SparkSession, input_dir: str,
+                                  out_dir: str, checkpoint_dir: str,
+                                  band_store: str,
+                                  available_now: bool = True,
+                                  max_files_per_trigger: Optional[int] = None):
+    """Continuous incremental near-dedup over a growing document corpus:
+    each micro-batch is near-deduped against the ACCUMULATED MinHash band
+    store (operators/dedup.incremental_keep — batch bands join stored
+    bands; old x old never forms), then survivors land under
+    ``out_dir/epoch=N`` and THEIR bands append under
+    ``band_store/epoch=N``.
+
+    Replay-safe without a manifest protocol: both writes are per-epoch
+    ``overwrite``, and the store read filters to ``epoch < current`` — a
+    replayed epoch never sees its own first attempt's bands (which would
+    make every document collide with itself) and re-produces byte-identical
+    output. The store side of the join is partition-pruned on ``band``;
+    state volume is the band table of the KEPT corpus (~50 B/row), not the
+    raw crawl.
+    """
+    from ..operators.dedup import (incremental_keep, minhash_md5_bands,
+                                   write_band_store)
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    reader = spark.readStream.schema(DOCS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_dir)
+
+    def commit(batch_df, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            old = (sess.read.option("basePath", band_store)
+                   .parquet(band_store)
+                   .filter(F.col("epoch").cast("long") < epoch_id)
+                   .select("id", "band", "band_key"))
+        except Exception:  # first epoch: no store yet
+            old = minhash_md5_bands(batch_df).limit(0)
+        releases: list = []
+        kept = incremental_keep(batch_df, old, releases=releases).persist()
+        kept.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id:08d}")
+        write_band_store(minhash_md5_bands(kept),
+                         f"{band_store}/epoch={epoch_id:08d}",
+                         mode="overwrite")
+        for df in [kept, *releases]:
+            df.unpersist()
+
+    writer = (docs.writeStream
+              .foreachBatch(commit)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,115 @@
+"""Incremental (cross-snapshot) near-dedup: band store + batch-vs-store join.
+
+The continuous-ingestion tier of MinHash-LSH dedup (operators/dedup.py):
+the accumulated corpus is represented by its thin (id, band, band_key)
+band table; each arriving batch computes its own bands and joins against
+the store — old x old never forms. Generalizes the reference's one-shot
+row dedup (rdf-tabular processes a table per run) to a corpus that grows
+batch by batch.
+"""
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_tabular_spark.operators import dedup as D
+
+# three near-identical docs (shared 3-gram shingles) + one distinct one;
+# long enough that every doc has shingles.
+_BASE = "the quick brown fox jumps over the lazy dog again and again"
+_DOCS = [
+    (1, _BASE),                                # old corpus
+    (2, "totally unrelated content about spark shuffles and parquet files"),
+    (11, _BASE + " exactly"),                  # new batch: near-dup of 1
+    (12, _BASE),                               # new batch: dup of 1 and 11
+    (13, "fresh novel text that matches nothing else in the corpus today"),
+]
+
+
+def _frames(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    return df.filter("doc_id < 10"), df.filter("doc_id >= 10")
+
+
+def test_incremental_pairs_only_cross_snapshot(spark):
+    old, new = _frames(spark)
+    old_bands = D.minhash_md5_bands(old)
+    pairs = D.incremental_md5_pairs(new, old_bands)
+    got = {(r["new_id"], r["old_id"]) for r in pairs.collect()}
+    # both near-dups of doc 1 collide with the store; nothing pairs with
+    # doc 2, and no new x new or old x old rows appear in the output shape
+    assert got == {(11, 1), (12, 1)}
+
+
+def test_incremental_keep_drops_store_hits_and_intra_batch(spark):
+    old, new = _frames(spark)
+    old_bands = D.minhash_md5_bands(old)
+    kept = D.incremental_keep(new, old_bands)
+    assert [r["doc_id"] for r in kept.orderBy("doc_id").collect()] == [13]
+
+
+def test_incremental_keep_without_store_dedups_batch_only(spark):
+    _, new = _frames(spark)
+    empty = D.minhash_md5_bands(new).limit(0)
+    kept = D.incremental_keep(new, empty)
+    # 11 survives as the min-id of the intra-batch near-dup group {11, 12}
+    assert [r["doc_id"] for r in kept.orderBy("doc_id").collect()] == [11, 13]
+
+
+def test_band_store_roundtrip_and_pruned_read(spark, tmp_path):
+    old, new = _frames(spark)
+    store = str(tmp_path / "bands")
+    D.write_band_store(D.minhash_md5_bands(old), store)
+    back = D.read_band_store(spark, store)
+    direct = D.minhash_md5_bands(old)
+    assert (sorted(map(tuple, back.collect()))
+            == sorted(map(tuple, direct.collect())))
+    # the store is partitioned by band: a band-restricted read must prune
+    plan = back.filter(F.col("band") == 0)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*band", plan)
+    # appending a second batch accumulates (the ingestion contract)
+    new_bands = D.minhash_md5_bands(new)
+    D.write_band_store(new_bands, store)
+    assert (D.read_band_store(spark, store).count()
+            == back.count() + new_bands.count())
+
+    pairs = D.incremental_md5_pairs(new, D.read_band_store(spark, store)
+                                    .filter("id < 10"))
+    assert {(r["new_id"], r["old_id"]) for r in pairs.collect()} \
+        == {(11, 1), (12, 1)}
+
+
+def test_stream_docs_dedup_incremental(spark, tmp_path):
+    """Streaming face: each micro-batch dedups against the accumulated band
+    store; survivors and their bands land per-epoch (replay-idempotent)."""
+    import os
+    from rdf_tabular_spark.streaming.ingest import (
+        stream_docs_dedup_incremental)
+
+    tmp = str(tmp_path)
+    in_dir, out_dir = os.path.join(tmp, "in"), os.path.join(tmp, "out")
+    ckpt, store = os.path.join(tmp, "ckpt"), os.path.join(tmp, "bands")
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def doc(i, text):
+        return (i, text, "en", "src", len(text))
+
+    # drop 1: one near-dup pair inside the batch
+    spark.createDataFrame([doc(1, _BASE), doc(2, _BASE + " exactly"),
+                           doc(3, _DOCS[1][1])], ddl) \
+        .write.mode("append").parquet(in_dir)
+    q = stream_docs_dedup_incremental(spark, in_dir, out_dir, ckpt, store)
+    q.awaitTermination(120)
+    kept1 = sorted(r["doc_id"]
+                   for r in spark.read.parquet(out_dir).collect())
+    assert kept1 == [1, 3]  # 2 shadowed by 1 inside the batch
+
+    # drop 2: a near-dup of epoch 1's survivor + a novel doc
+    spark.createDataFrame([doc(11, _BASE), doc(12, _DOCS[4][1])], ddl) \
+        .write.mode("append").parquet(in_dir)
+    q = stream_docs_dedup_incremental(spark, in_dir, out_dir, ckpt, store)
+    q.awaitTermination(120)
+    kept2 = sorted(r["doc_id"]
+                   for r in spark.read.parquet(out_dir).collect())
+    assert kept2 == [1, 3, 12]  # 11 collides with stored doc 1
