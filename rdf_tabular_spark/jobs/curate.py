@@ -64,6 +64,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contam-ngrams", type=int, default=8,
                    help="shared word-3-gram count that flags contamination")
     p.add_argument("--scrub-pii", action="store_true")
+    p.add_argument("--mixture-weights", default=None, metavar="JSON",
+                   help='target domain mixture, e.g. \'{"en": 0.6, '
+                        '"fr": 0.4}\' — per-stratum keep rates are computed '
+                        "so expected kept volume per stratum = weight x "
+                        "--mixture-budget; unweighted strata are dropped")
+    p.add_argument("--mixture-budget", type=int, default=None,
+                   help="total size budget (in --mixture-size-col units) "
+                        "the mixture weights apportion")
+    p.add_argument("--mixture-col", default="lang",
+                   help="stratum column for --mixture-weights "
+                        "(default: lang)")
+    p.add_argument("--mixture-size-col", default="n_chars",
+                   help="per-doc size column the budget counts "
+                        "(default: n_chars)")
     p.add_argument("--pack-budget", type=int, default=None,
                    help="pack kept docs into ~N-token sequences")
     p.add_argument("--report", default=None,
@@ -90,6 +104,8 @@ _PIPELINE_STAGES = {
                    "num_perm": "num_perm", "num_bands": "num_bands"},
     "decontaminate": {"path": "benchmark", "ngrams": "contam_ngrams"},
     "scrub_pii": {"_flag": "scrub_pii"},
+    "mixture": {"weights": "mixture_weights", "budget": "mixture_budget",
+                "col": "mixture_col", "size_col": "mixture_size_col"},
     "pack": {"budget": "pack_budget"},
 }
 
@@ -229,6 +245,27 @@ def main(argv: list[str] | None = None) -> dict:
                             for k, c in counts.items()]).first()
         report["pii_masked"] = {k: int(totals[k] or 0) for k in counts}
         kept = kept.withColumn("text", C.scrub_pii(F.col("text")))
+
+    # 4.5 token-budget mixture sampling over everything that survived the
+    # quality/dedup gates — the last selection decision before packing
+    if args.mixture_weights and args.mixture_budget:
+        weights = (args.mixture_weights
+                   if isinstance(args.mixture_weights, dict)
+                   else json.loads(args.mixture_weights))
+        if not weights or any(not isinstance(v, (int, float)) or v < 0
+                              for v in weights.values()):
+            raise ValueError(
+                "--mixture-weights must map strata to non-negative numbers")
+        n_before = kept.count()
+        kept = C.mixture_sample(kept, "doc_id", args.mixture_col,
+                                {k: float(v) for k, v in weights.items()},
+                                args.mixture_budget,
+                                size_col=args.mixture_size_col)
+        report["mixture_dropped"] = n_before - kept.count()
+        report["mixture_kept_volume"] = {
+            r[args.mixture_col]: int(r["vol"])
+            for r in kept.groupBy(args.mixture_col)
+            .agg(F.sum(args.mixture_size_col).alias("vol")).collect()}
 
     # 5. sequence packing
     if args.pack_budget:

@@ -117,6 +117,41 @@ def stratified_sample(df: DataFrame, key: str, strata: str,
     return df.where(hash_u32(F.col(key)) < thr)
 
 
+def mixture_sample(df: DataFrame, key: str, strata: str,
+                   weights: dict[str, float], budget: int,
+                   size_col: str = "n_chars") -> DataFrame:
+    """Token-budget mixture sampling: per-stratum keep rates are COMPUTED
+    so the expected kept volume of stratum ``s`` is ``weights[s] * budget``
+    (capped at the stratum's full size) — the DoReMi/Pile-style "hit a
+    target domain mixture under a total token budget" pass, where
+    :func:`stratified_sample` takes the rates as given.
+
+    rate_s = min(1, weights[s] * budget / volume_s); keep iff
+    hash_u32(key) < floor(rate_s * 2^32). One aggregation pass for the
+    per-stratum volumes (map-side partial agg over a handful of domains) +
+    a broadcast join of the tiny rate table back onto the stream — then a
+    pure deterministic filter: no sampling state, retry-reproducible,
+    identical output at any partitioning. Strata absent from ``weights``
+    are dropped (weight 0).
+    """
+    w: Column = F.lit(None).cast("double")
+    for s, v in sorted(weights.items()):
+        w = F.when(F.col(strata) == s, F.lit(float(v))).otherwise(w)
+    rates = (df.groupBy(strata)
+             .agg(F.sum(size_col).cast("double").alias("_vol"))
+             .withColumn("_w", w)
+             # filter BEFORE least: Spark's least skips nulls, so an
+             # unweighted stratum would otherwise get rate 1.0, not 0
+             .where(F.col("_w").isNotNull())
+             .withColumn("_rate", F.least(
+                 F.lit(1.0), F.col("_w") * F.lit(float(budget)) / F.col("_vol")))
+             .select(strata, F.floor(F.col("_rate") * F.lit(float(HASH_SPACE)))
+                     .cast("long").alias("_thr")))
+    return (df.join(F.broadcast(rates), strata)
+            .where(hash_u32(F.col(key)) < F.col("_thr"))
+            .drop("_thr"))
+
+
 def cap_per_source(df: DataFrame, key: str = "doc_id",
                    source: str = "source", max_docs: int = 10) -> DataFrame:
     """Domain-frequency capping: keep at most ``max_docs`` rows per source

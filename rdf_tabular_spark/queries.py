@@ -2346,6 +2346,45 @@ where {_hash_u32_sql('doc_id::varchar')} <
 """
 
 
+# target mixture under a total character budget; 'es' carries no weight and
+# is dropped entirely — the over-represented-domain case.
+_MIX_WEIGHTS = {"de": 0.2, "en": 0.5, "fr": 0.2, "zh": 0.1}
+_MIX_BUDGET = 30000
+
+
+def _sample_mixture(spark, sf_dir):
+    """Token-budget mixture sampling (operators/curate.mixture_sample):
+    per-language keep rates COMPUTED as min(1, w·B / volume) from one
+    aggregation pass, then the same deterministic md5-threshold filter as
+    sample_stratified — expected kept volume per language = w·B. Both
+    engines evaluate the identical IEEE double expression, so the floor'd
+    thresholds match exactly."""
+    from .operators import curate as C
+    docs = _t(spark, sf_dir, "documents")
+    return (C.mixture_sample(docs, "doc_id", "lang", _MIX_WEIGHTS,
+                             _MIX_BUDGET)
+            .select("doc_id", "lang", "n_chars"))
+
+
+_SAMPLE_MIXTURE_SQL = f"""
+with tot as (
+  select lang, cast(sum(n_chars) as double) as vol
+  from documents group by lang),
+thr as (
+  select lang,
+         cast(floor(least(1.0,
+           case lang {' '.join(f"when '{s}' then {float(w)!r}"
+                               for s, w in sorted(_MIX_WEIGHTS.items()))}
+           end * cast({_MIX_BUDGET} as double) / vol) * 4294967296.0)
+           as bigint) as t
+  from tot
+  where lang in ({', '.join(repr(s) for s in sorted(_MIX_WEIGHTS))}))
+select d.doc_id, d.lang, d.n_chars
+from documents d join thr on d.lang = thr.lang
+where {_hash_u32_sql('d.doc_id::varchar')} < thr.t
+"""
+
+
 _CAP_PER_SOURCE = 40
 
 
@@ -4603,6 +4642,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # incremental cross-snapshot near-dedup (round-4 cont. 13)
     "dedup_incremental_pairs": _dedup_incremental_pairs,
     "dedup_incremental_keep": _dedup_incremental_keep,
+    "sample_mixture": _sample_mixture,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4722,6 +4762,7 @@ _ORACLES: dict[str, str] = {
     "kg_shacl_summary": _KG_SHACL_SUMMARY_SQL,
     "dedup_incremental_pairs": _DEDUP_INCREMENTAL_PAIRS_SQL,
     "dedup_incremental_keep": _DEDUP_INCREMENTAL_KEEP_SQL,
+    "sample_mixture": _SAMPLE_MIXTURE_SQL,
     **_graph_sql(),
     **_webgraph_sql(),
 }

@@ -337,3 +337,54 @@ def test_curate_job_pipeline_config(spark, tmp_path):
     with _pytest.raises(ValueError, match="duplicate"):
         apply_pipeline_config(_A(), {"stages": [{"stage": "quality"},
                                                 {"stage": "quality"}]})
+
+
+def test_mixture_sample_semantics(spark):
+    """Computed-rate mixture sampling: saturated strata keep everything,
+    unweighted strata drop entirely, and the filter is deterministic."""
+    from rdf_tabular_spark.operators.curate import mixture_sample
+
+    rows = [(i, "en" if i % 2 == 0 else ("tiny" if i % 4 == 1 else "es"), 100)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    # en volume = 20000, tiny = 10000, es = 10000 (unweighted)
+    out = mixture_sample(df, "doc_id", "lang",
+                         {"en": 0.25, "tiny": 0.75}, 20000)
+    kept = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    assert "es" not in by_lang                       # weight 0 → dropped
+    assert by_lang["tiny"] == 100                    # rate saturates at 1.0
+    # en rate = 0.25·20000/20000 = 0.25 → expect ~50 of 200, md5-uniform
+    assert 25 <= by_lang.get("en", 0) <= 75
+    # pure deterministic filter: identical output on re-evaluation
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, mixture_sample(
+            df.repartition(7), "doc_id", "lang",
+            {"en": 0.25, "tiny": 0.75}, 20000).collect()))
+
+
+def test_curate_job_mixture_stage(spark, tmp_path):
+    """--mixture-weights/--mixture-budget stage: the kept corpus respects
+    the computed per-stratum rates and the report records the volumes."""
+    import json as _json
+    import os
+    from rdf_tabular_spark.jobs.curate import main
+
+    src = os.path.join(str(tmp_path), "docs")
+    out = os.path.join(str(tmp_path), "out")
+    text = ("the quick brown fox jumps over the lazy dog and keeps going "
+            "with plenty of distinct words so the quality gate passes %d")
+    rows = [(i, text % i, "en" if i % 2 == 0 else "fr", "src",
+             len(text % i)) for i in range(200)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(src)
+    report = main(["--in", src, "--out", out,
+                   "--mixture-weights", _json.dumps({"en": 1.0}),
+                   "--mixture-budget", "4000"])
+    kept = spark.read.parquet(out)
+    assert kept.filter("lang = 'fr'").count() == 0    # unweighted → dropped
+    n_en = kept.filter("lang = 'en'").count()
+    assert 0 < n_en < 100                             # downsampled, not all
+    assert report["mixture_dropped"] > 0
+    assert set(report["mixture_kept_volume"]) == {"en"}
