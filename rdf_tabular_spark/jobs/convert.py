@@ -9,7 +9,9 @@ Reader to an RDF writer or ``to_json``):
 
 Output formats:
   nt      N-Triples, sharded (the bulk interchange format)
+  nq      N-Quads (graph label = table_url, the per-statement provenance)
   ttl     subject-grouped Turtle
+  trig    named-graph TriG (one graph block per table_url)
   json    the reference-shaped SINGLE JSON document (reader.rb to_json) —
           assembled on the driver, guarded by --max-doc-rows
   jsonl   distributed JSON-lines (one row object per line, executor-side
@@ -27,7 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="convert CSVW to RDF/JSON")
     p.add_argument("--in", dest="src", required=True,
                    help="metadata .json or CSV/TSV/HTML path/url")
-    p.add_argument("--to", choices=("nt", "ttl", "json", "jsonl"),
+    p.add_argument("--to", choices=("nt", "nq", "ttl", "trig", "json",
+                                    "jsonl"),
                    default="nt")
     p.add_argument("--out", required=True,
                    help="output dir (nt/ttl/jsonl) or file path (json)")
@@ -53,7 +56,7 @@ def main(argv: list[str] | None = None) -> dict:
     from rdf_tabular_spark.session import ensure_package_on_executors
     ensure_package_on_executors(spark)
 
-    if args.to in ("nt", "ttl"):
+    if args.to in ("nt", "nq", "ttl", "trig"):
         from rdf_tabular_spark.pipeline import csvw_to_triples
         triples = csvw_to_triples(spark, args.src, base=args.base,
                                   minimal=args.minimal).persist()
@@ -64,6 +67,12 @@ def main(argv: list[str] | None = None) -> dict:
         if args.to == "nt":
             from rdf_tabular_spark.sinks.ntriples import write_ntriples
             write_ntriples(triples, args.out)
+        elif args.to == "nq":
+            from rdf_tabular_spark.sinks.ntriples import write_nquads
+            write_nquads(triples, args.out)
+        elif args.to == "trig":
+            from rdf_tabular_spark.sinks.turtle_sink import write_trig
+            write_trig(triples, args.out)
         else:
             from rdf_tabular_spark.sinks.turtle_sink import write_turtle
             write_turtle(triples, args.out)

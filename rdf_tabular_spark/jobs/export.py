@@ -8,9 +8,10 @@ extension — rdf-tabular script/parse:16-25):
         --store s3://kg/graph --format nt --out s3://exports/graph-nt \\
         [--as-of 2024-06-01T00:00:00] [--predicate <IRI>]
 
-Formats: ``nt`` (one statement per line — the bulk format), ``ttl``
-(subject-grouped Turtle — the readable one). ``--predicate`` exports one
-predicate's triples via the partition-pruned read path.
+Formats: ``nt`` (one statement per line — the bulk format), ``nq``
+(N-Quads, graph = per-statement provenance), ``ttl`` (subject-grouped
+Turtle — the readable one), ``trig`` (named-graph TriG). ``--predicate``
+exports one predicate's triples via the partition-pruned read path.
 """
 
 from __future__ import annotations
@@ -23,7 +24,8 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="export a graph store to RDF")
     p.add_argument("--store", required=True)
-    p.add_argument("--format", choices=("nt", "nq", "ttl"), default="nt")
+    p.add_argument("--format", choices=("nt", "nq", "ttl", "trig"),
+                   default="nt")
     p.add_argument("--out", required=True)
     p.add_argument("--as-of", default=None)
     p.add_argument("--predicate", default=None,
@@ -66,6 +68,9 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.format == "nq":
         from rdf_tabular_spark.sinks.ntriples import write_nquads
         write_nquads(g, args.out)
+    elif args.format == "trig":
+        from rdf_tabular_spark.sinks.turtle_sink import write_trig
+        write_trig(g, args.out)
     else:
         from rdf_tabular_spark.sinks.turtle_sink import write_turtle
         write_turtle(g, args.out)

@@ -223,6 +223,14 @@ def test_export_job_formats(spark, tmp_path):
     assert all("schema.org/name" in b or not b.startswith("<")
                for b in blocks if b)
 
+    # trig: the store's table_url provenance becomes named-graph blocks
+    trig = str(tmp_path / "trig")
+    res4 = export_main(["--store", out_root, "--format", "trig",
+                        "--out", trig])
+    trig_text = "\n".join(r["value"]
+                          for r in spark.read.text(trig).collect())
+    assert "{" in trig_text and "}" in trig_text
+
 
 def test_import_job_roundtrip(spark, tmp_path):
     """jobs/import_rdf.py: export a store to nt AND ttl, import each into
@@ -391,6 +399,24 @@ def test_convert_cli_formats(tmp_path):
         convert_main(["--in", str(meta), "--to", "json",
                       "--out", str(tmp_path / "doc2.json"),
                       "--max-doc-rows", "1"])
+
+    # quad-bearing formats: nq carries table_url as the 4th term, trig
+    # wraps each table's statements in one named-graph block
+    s4 = convert_main(["--in", str(meta), "--to", "nq",
+                       "--out", str(tmp_path / "nq"), "--minimal"])
+    assert s4["n_triples"] == 4
+    nq_text = "".join(open(tmp_path / "nq" / fn).read()
+                      for fn in os.listdir(tmp_path / "nq")
+                      if fn.startswith("part-"))
+    assert f"<{src}>" in nq_text.splitlines()[0]  # graph term present
+
+    s5 = convert_main(["--in", str(meta), "--to", "trig",
+                       "--out", str(tmp_path / "trig"), "--minimal"])
+    assert s5["n_triples"] == 4
+    trig_text = "".join(open(tmp_path / "trig" / fn).read()
+                        for fn in os.listdir(tmp_path / "trig")
+                        if fn.startswith("part-"))
+    assert trig_text.startswith(f"<{src}> {{")
 
 
 def test_convert_cli_jsonl_relative_url_and_bare_csv(tmp_path):

@@ -7,6 +7,8 @@ from __future__ import annotations
 import glob
 import os
 
+from pyspark.sql import functions as F
+
 from rdf_tabular_spark.pipeline import csvw_to_triples
 from rdf_tabular_spark.rdfio.compare import df_to_terms, triple_pr
 from rdf_tabular_spark.rdfio.turtle import parse_turtle
@@ -50,3 +52,46 @@ def test_turtle_groups_subjects(spark):
     assert ' ;\n    ' in s1 and s1.endswith(" .")
     s2 = next(l for l in lines if l.startswith("<http://s/2>"))
     assert '"hi\\nthere"@en' in s2              # escaped + lang-tagged
+
+
+def test_trig_groups_graphs(spark):
+    from rdf_tabular_spark.sinks.turtle_sink import to_trig_lines
+    rows = [("http://s/1", "http://p/a", "x", False, None, None,
+             "http://g/1", 0),
+            ("http://s/2", "http://p/a", "y", False, None, None,
+             "http://g/1", 0),
+            ("http://s/3", "http://p/a", "http://o", True, None, None,
+             "http://g/2", 0),
+            ("http://s/4", "http://p/a", "z", False, None, None, None, 0)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean, "
+              "obj_datatype string, obj_lang string, table_url string, "
+              "source_num long")
+    lines = {r["line"] for r in to_trig_lines(df).collect()}
+    assert len(lines) == 3                      # g1, g2, default graph
+    g1 = next(l for l in lines if l.startswith("<http://g/1> {"))
+    # both subjects inside one braced block, sorted, each a full statement
+    assert g1.index("<http://s/1>") < g1.index("<http://s/2>")
+    assert g1.rstrip().endswith("}")
+    default = next(l for l in lines if l.startswith("<http://s/4>"))
+    assert "{" not in default and default.endswith(" .")
+
+
+def test_trig_named_graph_content_reparses(spark, tmp_path):
+    """The inside of each named-graph block is valid Turtle equal to that
+    graph's triples (TriG = Turtle inside graph braces)."""
+    import re as _re
+    from rdf_tabular_spark.sinks.turtle_sink import write_trig
+    df = csvw_to_triples(spark, DATA + "/tree-ops.csv-metadata.json",
+                         base=BASE + "tree-ops.csv-metadata.json",
+                         resolver=resolver)
+    df = df.withColumn("table_url", F.lit("http://g/tree-ops"))
+    out = str(tmp_path / "trig")
+    write_trig(df, out)
+    text = "\n".join(open(p).read()
+                     for p in sorted(glob.glob(os.path.join(out, "part-*"))))
+    m = _re.match(r"<http://g/tree-ops> \{\n(.*)\n\}\s*$", text, _re.S)
+    assert m, text[:200]
+    reparsed = parse_turtle(m.group(1))
+    pr = triple_pr(reparsed, df_to_terms(df.collect()))
+    assert pr.precision == 1.0 and pr.recall == 1.0, (pr.missing, pr.extra)
