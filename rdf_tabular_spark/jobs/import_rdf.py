@@ -23,7 +23,8 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="import RDF into a graph store")
     p.add_argument("--in", dest="src", required=True)
-    p.add_argument("--format", choices=("nt", "nq", "ttl"), default="nt")
+    p.add_argument("--format", choices=("nt", "nq", "ttl", "trig"),
+                   default="nt")
     p.add_argument("--store", required=True)
     p.add_argument("--batch-id", required=True)
     p.add_argument("--strict", action="store_true",
@@ -52,6 +53,9 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.format == "nq":
         from rdf_tabular_spark.sources.ntriples_source import read_nquads
         triples = read_nquads(spark, args.src, strict=args.strict)
+    elif args.format == "trig":
+        from rdf_tabular_spark.sources.turtle_source import read_trig
+        triples = read_trig(spark, args.src, strict=args.strict)
     else:
         from rdf_tabular_spark.sources.turtle_source import read_turtle
         triples = read_turtle(spark, args.src, strict=args.strict)

@@ -32,11 +32,11 @@ _TOKEN_RE = re.compile(r"""
     | (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<lang>@[a-zA-Z][a-zA-Z0-9-]*)
     | (?P<dtsep>\^\^)
-    | (?P<punct>[;,.\[\]()])
+    | (?P<punct>[;,.\[\](){}])
     | (?P<bnode>_:[A-Za-z0-9_-]+)
     | (?P<pname>[A-Za-z][\w.-]*)?:(?P<local>(?:[\w.\-%~]|\\.)*)
     | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
-    | (?P<kw>\ba\b|true|false|@prefix|@base)
+    | (?P<kw>\ba\b|true|false|\bGRAPH\b|\bgraph\b|@prefix|@base)
     | (?P<ws>\s+)
 """, re.VERBOSE)
 
@@ -214,6 +214,64 @@ class TurtleParser:
 
 def parse_turtle(text: str) -> list[Triple]:
     return TurtleParser(text).parse()
+
+
+class TrigParser(TurtleParser):
+    """TriG = Turtle plus graph blocks: ``<g> { ... }``, an optional GRAPH
+    keyword, and bare ``{ ... }`` for the default graph. Produces quads —
+    (subj, pred, obj, graph) with graph None for the default graph."""
+
+    def parse_quads(self) -> list[tuple]:
+        quads: list[tuple] = []
+        while self.pos < len(self.tokens):
+            kind, val = self._peek()
+            if kind == "directive" and val == "@prefix":
+                self._next()
+                _, pname = self._next()
+                prefix = (pname[:-1] if pname.endswith(":")
+                          else pname.split(":")[0])
+                _, iri = self._next()
+                self.prefixes[prefix] = iri[1:-1]
+                self._expect(".")
+            elif kind == "directive" and val == "@base":
+                self._next()
+                _, iri = self._next()
+                self.base = iri[1:-1]
+                self._expect(".")
+            elif val == "{":
+                self._next()
+                self._graph_block(quads, None)
+            else:
+                if kind == "kw" and val.upper() == "GRAPH":
+                    self._next()
+                term = self._term()
+                if self._peek()[1] == "{":
+                    self._next()
+                    self._graph_block(quads, term)
+                else:           # top-level Turtle statement: default graph
+                    before = len(self.triples)
+                    if self._peek()[1] != ".":
+                        self._predicate_object_list(term)
+                    self._expect(".")
+                    quads.extend((s, p, o, None)
+                                 for s, p, o in self.triples[before:])
+        return quads
+
+    def _graph_block(self, quads: list, graph) -> None:
+        while self._peek()[1] != "}":
+            before = len(self.triples)
+            subj = self._term()
+            if self._peek()[1] not in (".", "}"):
+                self._predicate_object_list(subj)
+            if self._peek()[1] == ".":   # trailing '.' optional before '}'
+                self._next()
+            quads.extend((s, p, o, graph)
+                         for s, p, o in self.triples[before:])
+        self._expect("}")
+
+
+def parse_trig(text: str) -> list[tuple]:
+    return TrigParser(text).parse_quads()
 
 
 def parse_turtle_file(path: str) -> list[Triple]:

@@ -107,3 +107,55 @@ def read_turtle_errors(spark: SparkSession, path: str) -> DataFrame:
     return (spark.read.format("binaryFile").load(path)
             .select("path", "content")
             .mapInPandas(kernel, schema="file string, error string"))
+
+
+def _file_rows_trig(path: str, text: str) -> list[tuple]:
+    """Parse ONE TriG document into TRIPLE_SCHEMA rows; each quad's graph
+    label lands in ``table_url`` (the store's per-statement provenance
+    column — the inverse of sinks/turtle_sink.write_trig). Default-graph
+    statements fall back to the source file path, matching read_turtle."""
+    from ..rdfio.turtle import parse_trig
+    scope = "_:f" + hashlib.md5(path.encode("utf-8")).hexdigest()[:8] + "-"
+
+    def name(term) -> str:
+        if term.kind == "bnode":
+            return scope + term.value[2:]
+        return term.value
+
+    rows = []
+    for s, p, o, g in parse_trig(text):
+        graph = name(g) if g is not None else path
+        if o.kind == "literal":
+            dt = None if o.datatype in (None, _XSD_STRING) else o.datatype
+            rows.append((name(s), name(p), o.value, False, dt, o.lang,
+                         graph, 0))
+        else:
+            rows.append((name(s), name(p), name(o), True, None, None,
+                         graph, 0))
+    return rows
+
+
+def read_trig(spark: SparkSession, path: str,
+              strict: bool = False) -> DataFrame:
+    """.trig file/dir/glob → triples DataFrame with ``table_url`` = the
+    named graph (provenance round-trips through export --format trig).
+    Same per-file error isolation contract as :func:`read_turtle`."""
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    rows.extend(_file_rows_trig(path_, bytes(content)
+                                                .decode("utf-8")))
+                except (ValueError, KeyError, IndexError,
+                        UnicodeDecodeError):
+                    if strict:
+                        raise
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return (spark.read.format("binaryFile").load(path)
+            .select("path", "content")
+            .mapInPandas(kernel, schema=TRIPLE_SCHEMA))

@@ -90,3 +90,48 @@ def test_read_turtle_skips_bad_file_and_reports(spark, tmp_path):
     import pytest
     with pytest.raises(Exception):
         read_turtle(spark, str(tmp_path), strict=True).collect()
+
+
+def test_read_trig_roundtrip_with_graph_provenance(spark, tmp_path):
+    """write_trig → read_trig: triples isomorphic AND the named-graph
+    label (table_url provenance) survives the round-trip."""
+    from pyspark.sql import functions as F
+    from rdf_tabular_spark.sinks.turtle_sink import write_trig
+    from rdf_tabular_spark.sources.turtle_source import read_trig
+
+    df = csvw_to_triples(spark, DATA + "/tree-ops.csv-metadata.json",
+                         base=BASE + "tree-ops.csv-metadata.json",
+                         resolver=_resolver) \
+        .withColumn("table_url", F.lit("http://g/tree-ops"))
+    out = str(tmp_path / "trig")
+    write_trig(df, out)
+    back = read_trig(spark, out)
+    pr = triple_pr(df_to_terms(back.collect()), df_to_terms(df.collect()))
+    assert pr.precision == 1.0 and pr.recall == 1.0, (pr.missing, pr.extra)
+    assert (back.select("table_url").distinct().collect()
+            == [("http://g/tree-ops",)])
+
+
+def test_read_trig_mixed_graphs_and_default(spark, tmp_path):
+    """GRAPH keyword, bare braces, and top-level statements all parse;
+    default-graph rows fall back to the file path (read_turtle parity)."""
+    from rdf_tabular_spark.sources.turtle_source import read_trig
+    doc = tmp_path / "m.trig"
+    doc.write_text(
+        '@prefix ex: <http://ex.org/> .\n'
+        '<http://g/1> { ex:s ex:p "v" ; ex:q <http://o> . }\n'
+        'GRAPH <http://g/2> { ex:u ex:p "x"@en }\n'
+        'ex:top ex:p "default" .\n'
+        '{ ex:d ex:p "42"^^<http://www.w3.org/2001/XMLSchema#integer> . }\n')
+    rows = read_trig(spark, str(doc)).collect()
+    by_graph = {}
+    for r in rows:
+        by_graph.setdefault(r["table_url"], []).append(r)
+    assert len(by_graph["http://g/1"]) == 2
+    g2 = by_graph["http://g/2"][0]
+    assert g2["obj"] == "x" and g2["obj_lang"] == "en"
+    default = by_graph[next(k for k in by_graph if k.endswith("m.trig"))]
+    objs = {r["obj"] for r in default}
+    assert objs == {"default", "42"}
+    dtypes = {r["obj_datatype"] for r in default}
+    assert "http://www.w3.org/2001/XMLSchema#integer" in dtypes
