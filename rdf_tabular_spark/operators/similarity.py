@@ -314,3 +314,33 @@ def ivf_write_partitioned(assigned: DataFrame, path: str) -> None:
 def ivf_read_cells(spark, path: str, cells: list[int]) -> DataFrame:
     """Partition-pruned read of the probed cells."""
     return spark.read.parquet(path).filter(F.col("cell").isin(list(cells)))
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame,
+                query_col: str = "query_id",
+                id_col: str = "vec_id") -> DataFrame:
+    """ANN index quality gate: per-query recall of an approximate top-k
+    result against the brute-force ground truth →
+    (query, n_hits, n_exact, recall).
+
+    "Measure, don't guess": every approximate tier (LSH bucket, IVF probe,
+    PQ) trades scan for recall — this op closes the loop so the trade is a
+    number, not a hope. Both inputs are top-k result frames (query, id,
+    ...); eval query sets are small by design (hundreds of queries x k
+    rows), so the intersection join and the two groupBys are trivially
+    map-side — run it per index-build as a gate, the way a 10^12-vector
+    deployment must.
+    """
+    e = exact.select(query_col, id_col)
+    a = approx.select(query_col, id_col)
+    hits = (a.join(e, [query_col, id_col])
+            .groupBy(query_col).agg(F.count("*").alias("n_hits")))
+    totals = e.groupBy(query_col).agg(F.count("*").alias("n_exact"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (totals.join(hits, query_col, "left")
+            .select(F.col(query_col),
+                    n_hits.alias("n_hits"),
+                    F.col("n_exact").cast("long").alias("n_exact"),
+                    F.round(n_hits.cast("double")
+                            / F.col("n_exact").cast("double"), 4)
+                    .alias("recall")))

@@ -4464,6 +4464,73 @@ where doc_id % 4 <> 0
 
 
 # ---------------------------------------------------------------------------
+# ANN self-evaluation: recall@k of the LSH multiprobe tier vs brute force
+# ---------------------------------------------------------------------------
+
+_RECALL_QUERY_IDS = (0, 1, 2, 3)
+
+
+def _ann_recall_lsh(spark, sf_dir):
+    """Index quality gate (operators/similarity.recall_at_k): per-query
+    recall@10 of the hyperplane-LSH multiprobe search against brute-force
+    cosine ground truth, over a fixed eval query set. The approximate and
+    exact tiers are the SAME constructions the single-query ann_lsh_* /
+    ann_cosine_topk rows check; this row checks the metric that justifies
+    the approximate tier at all. On the synthetic embeddings the measured
+    recall is LOW (~0.1-0.2) and that is the honest answer: i.i.d. random
+    vectors are hyperplane-LSH's worst case (no cluster structure, all
+    cosines near 0, neighbors split across buckets) — exactly the
+    situation this gate exists to catch before a 10^12-vector rollout
+    (mitigations: more probes/max_flip, fewer planes, or the IVF tier)."""
+    from functools import reduce
+    emb = _t(spark, sf_dir, "embeddings")
+    approx, exact = [], []
+    for qid in _RECALL_QUERY_IDS:
+        approx.append(
+            S.lsh_bucket_topk(emb, qid, EMB_DIM, k=10, n_planes=8,
+                              max_flip=1)
+            .select(F.lit(qid).cast("long").alias("query_id"), "vec_id"))
+        exact.append(
+            S.cosine_topk(emb, qid, k=10, extra_cols=())
+            .select(F.lit(qid).cast("long").alias("query_id"), "vec_id"))
+    return S.recall_at_k(reduce(lambda x, y: x.unionByName(y), approx),
+                         reduce(lambda x, y: x.unionByName(y), exact))
+
+
+def _recall_side_sql(qid: int, probe: bool) -> str:
+    cond = (f"bit_count(xor(s.sig, q.qsig)) <= 1" if probe
+            else "s.vec_id <> -1")  # exact side scans everything
+    return (f"select {qid} as query_id, vec_id from ("
+            f"select s.vec_id, round({_cos_sql('s.embedding', 'qv')}, 4) "
+            f"as sim from s, (select embedding as qv, sig as qsig from s "
+            f"where vec_id = {qid}) q "
+            f"where s.vec_id <> {qid} and {cond} "
+            f"order by sim desc, vec_id limit 10)")
+
+
+_ANN_RECALL_LSH_SQL = f"""
+with s as (select vec_id, embedding,
+           {_hyperplane_sig_sql('embedding')} as sig from embeddings),
+approx as ({' union all '.join(_recall_side_sql(q, True)
+                               for q in _RECALL_QUERY_IDS)}),
+exact as ({' union all '.join(_recall_side_sql(q, False)
+                              for q in _RECALL_QUERY_IDS)}),
+tot as (select query_id, count(*) as n_exact from exact group by query_id),
+hits as (
+  select a.query_id, count(*) as n_hits
+  from approx a join exact e
+    on a.query_id = e.query_id and a.vec_id = e.vec_id
+  group by a.query_id)
+select t.query_id,
+       cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
+       cast(t.n_exact as bigint) as n_exact,
+       round(cast(coalesce(h.n_hits, 0) as double)
+             / cast(t.n_exact as double), 4) as recall
+from tot t left join hits h on t.query_id = h.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
 # entries of this dict (registry order).  Rounds 1-3 established three
@@ -4643,6 +4710,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_pairs": _dedup_incremental_pairs,
     "dedup_incremental_keep": _dedup_incremental_keep,
     "sample_mixture": _sample_mixture,
+    "ann_recall_lsh": _ann_recall_lsh,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4763,6 +4831,7 @@ _ORACLES: dict[str, str] = {
     "dedup_incremental_pairs": _DEDUP_INCREMENTAL_PAIRS_SQL,
     "dedup_incremental_keep": _DEDUP_INCREMENTAL_KEEP_SQL,
     "sample_mixture": _SAMPLE_MIXTURE_SQL,
+    "ann_recall_lsh": _ANN_RECALL_LSH_SQL,
     **_graph_sql(),
     **_webgraph_sql(),
 }

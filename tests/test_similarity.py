@@ -198,3 +198,20 @@ def test_l2_normalize_and_matryoshka(spark):
     t = z.select(matryoshka_truncate(F.col("embedding"), 4).alias("h"))
     row = t.first()
     assert len(row.h) == 4 and all(v == 0.0 for v in row.h)
+
+
+def test_recall_at_k_per_query_and_missing_query(spark):
+    from rdf_tabular_spark.operators.similarity import recall_at_k
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 7), (1, 8)],
+        "query_id long, vec_id long")
+    approx = spark.createDataFrame(
+        [(0, 1), (0, 9), (0, 3)],          # 2/3 for q0; q1 returned nothing
+        "query_id long, vec_id long")
+    rows = {r["query_id"]: r for r in
+            recall_at_k(approx, exact).collect()}
+    assert rows[0]["n_hits"] == 2 and rows[0]["n_exact"] == 3
+    assert abs(rows[0]["recall"] - 0.6667) < 1e-9
+    # a query the index missed entirely still reports (recall 0), so the
+    # gate cannot silently skip failing queries
+    assert rows[1]["n_hits"] == 0 and rows[1]["recall"] == 0.0
