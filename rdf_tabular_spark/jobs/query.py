@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     kind.add_argument("--merge-sameas", action="store_true",
                       help="fold owl:sameAs statements into the global "
                            "canonical map (no batch rewrite)")
+    kind.add_argument("--diff-since", default=None, metavar="TIME",
+                      help="time-travel delta: statements added/removed "
+                           "between TIME and --as-of (default: now) — one "
+                           "row per change with a 'change' column; feeds "
+                           "incremental downstream syncs without a full "
+                           "re-export")
     kind.add_argument("--infer-rdfs", action="store_true",
                       help="materialize RDFS entailment (rules rdfs2/3/5/"
                            "7/9/11) over the store; commits as a rule "
@@ -146,6 +152,29 @@ def main(argv: list[str] | None = None) -> dict:
         # matching a rendered graph with lexical --bgp/--path/--construct
         # patterns would return wrong (usually empty) results
         raise SystemExit("--term-graph requires --sparql")
+
+    if args.diff_since:
+        import time as _time
+        from pyspark.sql import functions as F
+        from rdf_tabular_spark.sinks.graph_store import diff_snapshots
+        to = args.as_of or _time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          _time.gmtime())
+        diff = diff_snapshots(spark, args.store, args.diff_since, to)
+        if args.out:
+            diff.write.mode("overwrite").parquet(args.out)
+            summary = {"from": args.diff_since, "to": to, "out": args.out,
+                       "n_changes": spark.read.parquet(args.out).count()}
+        else:
+            by = {r["change"]: r["n"] for r in
+                  diff.groupBy("change").agg(F.count("*").alias("n"))
+                  .collect()}
+            summary = {"from": args.diff_since, "to": to,
+                       "added": by.get("added", 0),
+                       "removed": by.get("removed", 0),
+                       "sample": [r.asDict() for r in
+                                  diff.limit(args.show).collect()]}
+        print(json.dumps(summary))
+        return summary
 
     algebra: dict = {}
     if args.values:

@@ -315,3 +315,51 @@ def test_update_data_rejects_property_paths():
         parse_update("INSERT DATA { <urn:s> <urn:a>/<urn:b> <urn:o> }")
     with pytest.raises(SparqlError, match="property paths"):
         parse_update("DELETE DATA { <urn:s> <urn:a>|<urn:b> <urn:o> }")
+
+
+def test_diff_snapshots_added_removed(spark, tmp_path):
+    """Time-travel delta: triples committed between two snapshot times show
+    as 'added', retractions as 'removed', and a diff spanning a compaction
+    is empty (compaction rewrites layout, not content)."""
+    import time as _t
+    from rdf_tabular_spark.sinks.graph_store import diff_snapshots
+    root = str(tmp_path / "g")
+    materialize(_store_rows(spark, ROWS[:2]), root, "b1")
+    _t.sleep(1.1)
+    t1 = _t.strftime("%Y-%m-%dT%H:%M:%SZ", _t.gmtime())
+    _t.sleep(1.1)
+    materialize(_store_rows(spark, ROWS[2:]), root, "b2")
+    update_store(spark, root, "u1", "DELETE DATA { b p c }")
+    _t.sleep(1.1)
+    t2 = _t.strftime("%Y-%m-%dT%H:%M:%SZ", _t.gmtime())
+
+    d = {(r["subj"], r["pred"], r["obj"], r["change"])
+         for r in diff_snapshots(spark, root, t1, t2).collect()}
+    assert d == {("a", "q", "x", "added"), ("c", "q", "y", "added"),
+                 ("b", "p", "c", "removed")}
+
+    # diff across a content-preserving compaction: no spurious rows
+    _t.sleep(1.1)
+    compact(spark, root)
+    _t.sleep(1.1)
+    t3 = _t.strftime("%Y-%m-%dT%H:%M:%SZ", _t.gmtime())
+    assert diff_snapshots(spark, root, t2, t3).count() == 0
+
+
+def test_query_job_diff_since(spark, tmp_path):
+    """jobs/query.py --diff-since: the time-travel delta surfaces through
+    the CLI with added/removed counts and a parquet --out mode."""
+    import time as _t
+    from rdf_tabular_spark.jobs.query import main as query_main
+    root = str(tmp_path / "g")
+    materialize(_store_rows(spark, ROWS[:2]), root, "b1")
+    _t.sleep(1.1)
+    t1 = _t.strftime("%Y-%m-%dT%H:%M:%SZ", _t.gmtime())
+    _t.sleep(1.1)
+    materialize(_store_rows(spark, ROWS[2:]), root, "b2")
+    s = query_main(["--store", root, "--diff-since", t1])
+    assert s["added"] == 2 and s["removed"] == 0
+    out = str(tmp_path / "delta")
+    s2 = query_main(["--store", root, "--diff-since", t1, "--out", out])
+    assert s2["n_changes"] == 2
+    assert spark.read.parquet(out).filter("change = 'added'").count() == 2
