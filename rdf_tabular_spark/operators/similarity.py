@@ -344,3 +344,31 @@ def recall_at_k(approx: DataFrame, exact: DataFrame,
                     F.round(n_hits.cast("double")
                             / F.col("n_exact").cast("double"), 4)
                     .alias("recall")))
+
+
+def cosine_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Batch ANN: top-k cosine neighbors for MANY query vectors in ONE
+    corpus pass → (query_id, vec_id, sim, rank).
+
+    ``queries`` is a driver-small frame (query_id, vector) — broadcast, so
+    the corpus is scanned exactly once and scored against every query in
+    the same task (vs |Q| separate single-query scans). Only the scored
+    (query_id, id, sim) rows enter the per-query row_number window — one
+    shuffle keyed on query_id, k·|Q| rows survive. This is the
+    embedding-join shape batch inference needs: 10^4 queries against
+    10^9 vectors is one scan + one k·|Q|-row shuffle, not 10^4 jobs.
+    """
+    from pyspark.sql.window import Window
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("q"))
+    scored = (df.crossJoin(F.broadcast(q))
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col),
+                      F.round(cosine_sim(_as_double(F.col(vec_col)),
+                                         F.col("q")), 4).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

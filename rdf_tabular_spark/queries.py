@@ -4530,6 +4530,32 @@ from tot t left join hits h on t.query_id = h.query_id
 """
 
 
+def _ann_cosine_batch_topk(spark, sf_dir):
+    """Batch ANN (operators/similarity.cosine_topk_batch): top-10 for the
+    whole eval query set in ONE corpus scan — broadcast query frame, one
+    row_number shuffle keyed on query_id. The single-query ann_cosine_topk
+    row checks the TakeOrdered plan; this row checks the batch shape that
+    replaces |Q| jobs with one."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_RECALL_QUERY_IDS))
+    return S.cosine_topk_batch(emb, queries, k=10)
+
+
+_ANN_COSINE_BATCH_TOPK_SQL = f"""
+with q as (select vec_id as query_id, embedding as qv from embeddings
+           where vec_id in ({', '.join(map(str, _RECALL_QUERY_IDS))})),
+scored as (
+  select q.query_id, e.vec_id,
+         round({_cos_sql('e.embedding', 'q.qv')}, 4) as sim
+  from embeddings e cross join q where e.vec_id <> q.query_id)
+select query_id, vec_id, sim, rank from (
+  select query_id, vec_id, sim,
+         row_number() over (partition by query_id
+                            order by sim desc, vec_id) as rank
+  from scored) where rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -4711,6 +4737,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_keep": _dedup_incremental_keep,
     "sample_mixture": _sample_mixture,
     "ann_recall_lsh": _ann_recall_lsh,
+    "ann_cosine_batch_topk": _ann_cosine_batch_topk,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4832,6 +4859,7 @@ _ORACLES: dict[str, str] = {
     "dedup_incremental_keep": _DEDUP_INCREMENTAL_KEEP_SQL,
     "sample_mixture": _SAMPLE_MIXTURE_SQL,
     "ann_recall_lsh": _ANN_RECALL_LSH_SQL,
+    "ann_cosine_batch_topk": _ANN_COSINE_BATCH_TOPK_SQL,
     **_graph_sql(),
     **_webgraph_sql(),
 }

@@ -706,3 +706,22 @@ def test_join_supplier_profit_broadcasts_all_dims(spark):
         "brand-prefix filter must reach the part scan (PushedFilters)"
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, \
         "only the final groupBy may shuffle"
+
+
+def test_ann_cosine_batch_topk_one_scan_one_shuffle(spark):
+    """Batch ANN: the query frame broadcasts (one corpus scan scores every
+    query) and the only hash Exchange is the per-query window key — scored
+    thin rows, never embedding arrays."""
+    import re
+    p = plan_of(Q.queries()["ann_cosine_batch_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, \
+        "query frame must broadcast"
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, \
+        "batch ANN must shuffle once (the per-query window key)"
+    assert re.search(r"hashpartitioning\(query_id", p)
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", p):
+        assert "embedding" not in keys, f"embedding arrays shuffled: {keys}"
+    # map-side top-k: WindowGroupLimit prunes to k rows per query per
+    # partition BEFORE the Exchange, so the shuffle carries ~k·|Q| rows
+    # per task, not the scored corpus
+    assert "WindowGroupLimit" in p
