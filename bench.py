@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     # round-4 cont. 11 tier: metadata-less table typing — extract → vote
     # profile (one tiny agg) → broadcast pick → entity-keyed triple emission
     "webtables_entity_triples",
+    # round-4 cont. 13 tier: incremental batch-vs-store near-dedup (batch
+    # bands join stored bands, two thin anti-joins) and computed-rate
+    # token-budget mixture sampling (one agg + broadcast rate join)
+    "dedup_incremental_keep",
+    "sample_mixture",
     # round-3 continuation tiers (sameAs/subselect/SPARQL-string) are NOT
     # in the headline mix: their per-call cost is dominated by rebuilding
     # the 50k-doc microdata fixture, which measures the fixture, not the
