@@ -135,3 +135,48 @@ def test_read_trig_mixed_graphs_and_default(spark, tmp_path):
     assert objs == {"default", "42"}
     dtypes = {r["obj_datatype"] for r in default}
     assert "http://www.w3.org/2001/XMLSchema#integer" in dtypes
+
+
+def test_trig_roundtrip_fuzz(spark, tmp_path):
+    """Deterministic fuzz: 60 generated statements across escapes, langs,
+    datatypes, IRI objects, and three graphs must survive
+    write_trig → read_trig exactly (term identity, graph included)."""
+    import hashlib
+    from rdf_tabular_spark.sinks.turtle_sink import write_trig
+    from rdf_tabular_spark.sources.turtle_source import read_trig
+
+    def h(i, salt):
+        return hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+
+    rows = []
+    nasty = ['plain', 'quote " inside', 'back\\slash', 'tab\there',
+             'new\nline', 'cr\rreturn', 'unicode héllo 漢字', '']
+    for i in range(60):
+        subj = f"http://ex.org/s/{h(i, 's')[:6]}"
+        pred = f"http://ex.org/p/{i % 5}"
+        graph = f"http://g/{i % 3}"
+        if i % 4 == 0:
+            rows.append((subj, pred, f"http://o/{h(i, 'o')[:6]}", True,
+                         None, None, graph, 0))
+        elif i % 4 == 1:
+            rows.append((subj, pred, nasty[i % len(nasty)], False,
+                         None, None, graph, 0))
+        elif i % 4 == 2:
+            rows.append((subj, pred, str(i * 7), False,
+                         "http://www.w3.org/2001/XMLSchema#integer",
+                         None, graph, 0))
+        else:
+            rows.append((subj, pred, nasty[i % len(nasty)], False,
+                         None, ("en" if i % 2 else "fr-CA"), graph, 0))
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean, "
+              "obj_datatype string, obj_lang string, table_url string, "
+              "source_num long")
+    out = str(tmp_path / "fuzz")
+    write_trig(df, out)
+    back = read_trig(spark, out, strict=True)
+    key = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype", "obj_lang",
+           "table_url"]
+    got = sorted(map(tuple, back.select(*key).collect()))
+    want = sorted(map(tuple, df.select(*key).distinct().collect()))
+    assert got == want
