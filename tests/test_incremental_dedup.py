@@ -113,3 +113,30 @@ def test_stream_docs_dedup_incremental(spark, tmp_path):
     kept2 = sorted(r["doc_id"]
                    for r in spark.read.parquet(out_dir).collect())
     assert kept2 == [1, 3, 12]  # 11 collides with stored doc 1
+
+
+def test_dedup_stream_job(spark, tmp_path):
+    """jobs/dedup_stream.py: the spark-submit surface for the streaming
+    incremental tier — one availableNow drain dedups, reports, resumes."""
+    import os
+    from rdf_tabular_spark.jobs.dedup_stream import main
+
+    tmp = str(tmp_path)
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(1, _BASE, "en", "s", 10), (2, _BASE + " exactly", "en", "s", 10)],
+        ddl).write.mode("append").parquet(os.path.join(tmp, "in"))
+    args = ["--in", os.path.join(tmp, "in"), "--out", os.path.join(tmp, "o"),
+            "--band-store", os.path.join(tmp, "b"),
+            "--checkpoint", os.path.join(tmp, "c")]
+    s1 = main(args)
+    assert s1["n_kept"] == 1 and s1["n_epochs"] == 1
+    # second drop: near-dup of the stored survivor + a novel doc
+    spark.createDataFrame(
+        [(11, _BASE, "en", "s", 10), (12, _DOCS[4][1], "en", "s", 10)],
+        ddl).write.mode("append").parquet(os.path.join(tmp, "in"))
+    s2 = main(args)
+    assert s2["n_kept"] == 2 and s2["n_epochs"] == 2
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(os.path.join(tmp, "o")).collect()}
+    assert kept == {1, 12}
