@@ -372,3 +372,48 @@ def cosine_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
                                                F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivf_search_batch(assigned: DataFrame, centroids: list[list[float]],
+                     queries: DataFrame, k: int = 10, n_probe: int = 3,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Batch probe search: top-k for a whole query set against a trained
+    IVF index in ONE pruned corpus pass → (query_id, vec_id, cell, sim,
+    rank).
+
+    The query set is an inference batch — driver-small by contract — so
+    centroid ranking happens driver-side (the centroid table is tiny) and
+    the (query, probed-cell, query-vector) table broadcasts: each corpus
+    row in a probed cell joins ONLY the queries probing its cell, so the
+    scan covers the union of probed cells (≈ n_probe/k_cells per query,
+    overlapping across queries) and scoring work is per-(row, probing
+    query), never per-(row, query). One window shuffle of thin scored
+    rows, map-side WindowGroupLimit pruning to k per query per partition —
+    the same replaces-|Q|-jobs-with-one shape as
+    :func:`cosine_topk_batch`, with the IVF pruning kept.
+    """
+    from pyspark.sql.window import Window
+    qrows = queries.select(F.col(id_col).alias("query_id"),
+                           _as_double(F.col(vec_col)).alias("q")).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["q"]]
+
+        def dist2(c, qv=qv):
+            return sum((a - b) ** 2 for a, b in zip(c, qv))
+        order = sorted(range(len(centroids)),
+                       key=lambda i: (dist2(centroids[i]), i))
+        for cell in order[:n_probe]:
+            probe_rows.append((r["query_id"], cell, qv))
+    probe = assigned.sparkSession.createDataFrame(
+        probe_rows, "query_id long, cell int, q array<double>")
+    scored = (assigned.join(F.broadcast(probe), "cell")
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col), F.col("cell"),
+                      F.round(cosine_sim(_as_double(F.col(vec_col)),
+                                         F.col("q")), 4).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -4530,6 +4530,52 @@ from tot t left join hits h on t.query_id = h.query_id
 """
 
 
+def _ann_ivf_batch_topk(spark, sf_dir):
+    """Batch trained-IVF probe search
+    (operators/similarity.ivf_search_batch): the whole eval query set
+    probes its n_probe nearest cells in ONE pruned corpus pass — broadcast
+    (query, cell, vector) probe table, per-query window top-k. Oracle
+    replays fit + per-query probe + pruned scoring relationally."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = S.ivf_fit_deterministic(emb, k=8, n_iter=2,
+                                                  dim=EMB_DIM)
+    queries = emb.filter(F.col("vec_id").isin(*_RECALL_QUERY_IDS))
+    return S.ivf_search_batch(assigned, centroids, queries, k=10, n_probe=3)
+
+
+def _ivf_batch_sql(k: int = 8, n_iter: int = 2, n_probe: int = 3,
+                   topk: int = 10, dim: int = EMB_DIM) -> str:
+    """Multi-query generalization of _ivf_trained_sql — same fit CTEs, a
+    per-query probe ranking, pruned scoring joined through the probe set."""
+    ctes, prev = _ivf_fit_ctes(k=k, n_iter=n_iter, dim=dim)
+    qdist = (f"list_sum(list_transform(range(1, {dim + 1}), d -> "
+             f"(q.qv[d]::double - c.cent[d]) * "
+             f"(q.qv[d]::double - c.cent[d])))")
+    body = ",\n".join(ctes)
+    ids = ", ".join(map(str, _RECALL_QUERY_IDS))
+    return f"""
+with {body},
+q as (select vec_id as query_id, embedding as qv from embeddings
+      where vec_id in ({ids})),
+probe as (
+  select query_id, cell from (
+    select q.query_id, c.cell,
+           row_number() over (partition by q.query_id
+                              order by {qdist}, c.cell) as rn
+    from c{n_iter} c cross join q) where rn <= {n_probe})
+select query_id, vec_id, cell, sim, rank from (
+  select q.query_id, s.vec_id, s.cell,
+         round({_cos_sql('s.embedding', 'q.qv')}, 4) as sim,
+         row_number() over (partition by q.query_id
+                            order by round({_cos_sql('s.embedding', 'q.qv')},
+                                           4) desc, s.vec_id) as rank
+  from {prev} s
+  join probe p on s.cell = p.cell
+  join q on q.query_id = p.query_id
+  where s.vec_id <> q.query_id) where rank <= {topk}
+"""
+
+
 def _ann_cosine_batch_topk(spark, sf_dir):
     """Batch ANN (operators/similarity.cosine_topk_batch): top-10 for the
     whole eval query set in ONE corpus scan — broadcast query frame, one
@@ -4738,6 +4784,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_mixture": _sample_mixture,
     "ann_recall_lsh": _ann_recall_lsh,
     "ann_cosine_batch_topk": _ann_cosine_batch_topk,
+    "ann_ivf_batch_topk": _ann_ivf_batch_topk,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4860,6 +4907,7 @@ _ORACLES: dict[str, str] = {
     "sample_mixture": _SAMPLE_MIXTURE_SQL,
     "ann_recall_lsh": _ANN_RECALL_LSH_SQL,
     "ann_cosine_batch_topk": _ANN_COSINE_BATCH_TOPK_SQL,
+    "ann_ivf_batch_topk": _ivf_batch_sql(),
     **_graph_sql(),
     **_webgraph_sql(),
 }
