@@ -417,3 +417,37 @@ def ivf_search_batch(assigned: DataFrame, centroids: list[list[float]],
                                                F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def incremental_embedding_pairs(new_df: DataFrame, old_sigs: DataFrame,
+                                dim: int, threshold: float = 0.4,
+                                n_planes: int = 8, id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup, incremental tier: the arriving batch's
+    hyperplane signatures equi-join the STORED corpus signature table →
+    verified (new_id, old_id, sim) pairs. The vector-space mirror of
+    operators/dedup.incremental_md5_pairs — the store holds
+    (id, sig, vector) rows (sig = one long, vector only needed for the
+    verify), old x old never forms, and each batch costs
+    O(batch + touched buckets). Store ``old_sigs`` partitioned by a
+    sig prefix for pruned reads at 10^12 vectors.
+    """
+    v = new_df.select(F.col(id_col).cast("long").alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    sig = v.withColumn("sig", hyperplane_signs(F.col("v"), dim, n_planes))
+    n, o = sig.alias("n"), old_sigs.alias("o")
+    sim = F.round(cosine_sim(F.col("n.v"), F.col("o.v")), 4)
+    return (n.join(o, F.col("n.sig") == F.col("o.sig"))
+            .select(F.col("n.id").alias("new_id"),
+                    F.col("o.id").alias("old_id"), sim.alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
+def embedding_sig_store(df: DataFrame, dim: int, n_planes: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(id, sig, v) rows for the incremental embedding store — what a kept
+    batch appends after deduplication."""
+    v = df.select(F.col(id_col).cast("long").alias("id"),
+                  _as_double(F.col(vec_col)).alias("v"))
+    return v.withColumn("sig", hyperplane_signs(F.col("v"), dim, n_planes))

@@ -4530,6 +4530,28 @@ from tot t left join hits h on t.query_id = h.query_id
 """
 
 
+def _dedup_embedding_incremental(spark, sf_dir):
+    """Incremental embedding near-dup: new batch (vec_id % 4 <> 0) against
+    the stored signature table of the accumulated corpus (vec_id % 4 = 0)
+    — the vector-space mirror of dedup_incremental_pairs
+    (operators/similarity.incremental_embedding_pairs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    store = S.embedding_sig_store(emb.filter("vec_id % 4 = 0"), dim=EMB_DIM)
+    return S.incremental_embedding_pairs(emb.filter("vec_id % 4 <> 0"),
+                                         store, dim=EMB_DIM, threshold=0.3)
+
+
+_DEDUP_EMBEDDING_INCREMENTAL_SQL = f"""
+with s as (select vec_id, embedding,
+           {_hyperplane_sig_sql('embedding')} as sig from embeddings)
+select n.vec_id as new_id, o.vec_id as old_id,
+       round({_cos_sql('n.embedding', 'o.embedding')}, 4) as sim
+from s n join s o on n.sig = o.sig
+where n.vec_id % 4 <> 0 and o.vec_id % 4 = 0
+  and round({_cos_sql('n.embedding', 'o.embedding')}, 4) >= 0.3
+"""
+
+
 def _ann_ivf_batch_topk(spark, sf_dir):
     """Batch trained-IVF probe search
     (operators/similarity.ivf_search_batch): the whole eval query set
@@ -4785,6 +4807,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_lsh": _ann_recall_lsh,
     "ann_cosine_batch_topk": _ann_cosine_batch_topk,
     "ann_ivf_batch_topk": _ann_ivf_batch_topk,
+    "dedup_embedding_incremental": _dedup_embedding_incremental,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4908,6 +4931,7 @@ _ORACLES: dict[str, str] = {
     "ann_recall_lsh": _ANN_RECALL_LSH_SQL,
     "ann_cosine_batch_topk": _ANN_COSINE_BATCH_TOPK_SQL,
     "ann_ivf_batch_topk": _ivf_batch_sql(),
+    "dedup_embedding_incremental": _DEDUP_EMBEDDING_INCREMENTAL_SQL,
     **_graph_sql(),
     **_webgraph_sql(),
 }
