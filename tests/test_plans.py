@@ -725,3 +725,15 @@ def test_ann_cosine_batch_topk_one_scan_one_shuffle(spark):
     # partition BEFORE the Exchange, so the shuffle carries ~k·|Q| rows
     # per task, not the scored corpus
     assert "WindowGroupLimit" in p
+
+
+def test_incremental_dedup_thin_shuffles(spark):
+    """Incremental batch-vs-store dedup: every Exchange carries band/id
+    columns only — document text never crosses the wire, and the anti-join
+    id projections broadcast."""
+    import re
+    p = plan_of(Q.queries()["dedup_incremental_keep"](spark, SF))
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in keys, f"document text shuffled: {keys}"
+    assert "BroadcastHashJoin" in p, \
+        "survivor anti-joins must broadcast the thin id sets"
