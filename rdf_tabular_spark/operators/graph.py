@@ -705,3 +705,59 @@ def label_propagation_sql(edges_sql: str, n_iter: int = 2) -> str:
             f" from c{i}) where rn = 1)")
     return ("with " + ",\n".join(parts)
             + f"\nselect node, label from l{n_iter}")
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 3) -> DataFrame:
+    """Fixed-round k-core peeling → surviving (node, degree).
+
+    Each round drops nodes whose UNDIRECTED degree among remaining edges is
+    < k (web-graph core extraction: link farms and boilerplate nav rings
+    survive high cores, long-tail leaf pages peel away). Fixed rounds keep
+    the operator oracle-exact (each round unrolls to three CTEs —
+    degree, keep-set, edge-filter — see :func:`kcore_sql`); true cores
+    need iteration to a fixpoint, which on power-law graphs converges in a
+    handful of rounds for small k — pass a larger ``n_rounds`` when the
+    degree histogram says the tail is deep.
+
+    Plan shape per round: one map-side-combined degree agg + two semi-joins
+    of the edge list against the keep set (vocabulary-sized at useful k —
+    AQE broadcasts it). Each round's edge set persists so the next round's
+    degree agg and joins scan it once.
+    """
+    und = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .distinct())
+    cur = und.persist()
+    owned = [cur]
+    try:
+        for _ in range(n_rounds):
+            keep = (cur.groupBy("src").agg(F.count("*").alias("d"))
+                    .filter(F.col("d") >= k).select("src"))
+            cur = (cur.join(keep, "src")
+                   .join(keep.withColumnRenamed("src", "dst"), "dst")
+                   .select("src", "dst").persist())
+            owned.append(cur)
+        return (cur.groupBy(F.col("src").alias("node"))
+                .agg(F.count("*").cast("long").alias("degree")))
+    finally:
+        # the returned frame re-reads only the LAST persisted round; free
+        # the intermediate rounds eagerly (the last unpersists lazily with
+        # the session or when the caller releases it)
+        for df in owned[:-1]:
+            df.unpersist()
+
+
+def kcore_sql(edges_sql: str, k: int = 3, n_rounds: int = 3) -> str:
+    """DuckDB mirror of :func:`kcore_peel`, generated by the same loop."""
+    parts = [f"e0 as (select src, dst from ({edges_sql}) "
+             f"union select dst, src from ({edges_sql}))"]
+    for i in range(1, n_rounds + 1):
+        parts.append(f"k{i} as (select src from (select src, count(*) as d "
+                     f"from e{i - 1} group by src) where d >= {k})")
+        parts.append(f"e{i} as (select e.src, e.dst from e{i - 1} e "
+                     f"join k{i} a on e.src = a.src "
+                     f"join k{i} b on e.dst = b.src)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect src as node, cast(count(*) as bigint) as degree "
+              f"from e{n_rounds} group by src")

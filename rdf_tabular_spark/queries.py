@@ -3903,6 +3903,15 @@ def _graph_triangles(spark, sf_dir):
     return triangle_counts(_doc_two_level_edges(spark, sf_dir))
 
 
+def _graph_kcore(spark, sf_dir):
+    """3-round 3-core peel over the two-level doc graph
+    (operators/graph.kcore_peel) — web-graph core extraction; oracle =
+    the same peel unrolled as degree/keep/filter CTE triples
+    (graph.kcore_sql, one loop generates both)."""
+    from .operators.graph import kcore_peel
+    return kcore_peel(_doc_two_level_edges(spark, sf_dir), k=3, n_rounds=3)
+
+
 def _kg_related_pages(spark, sf_dir):
     """Co-citation related-page pairs: out-neighborhood Jaccard over the
     two-level doc graph (operators/graph.neighbor_jaccard) — candidates
@@ -3962,12 +3971,13 @@ def _graph_communities(spark, sf_dir):
 
 
 def _webgraph_sql() -> dict[str, str]:
-    from .operators.graph import (label_propagation_sql,
+    from .operators.graph import (kcore_sql, label_propagation_sql,
                                   neighbor_jaccard_sql, triangles_sql)
     return {
         "graph_triangles": triangles_sql(_TWO_LEVEL_EDGES_SQL),
         "kg_related_pages": neighbor_jaccard_sql(_TWO_LEVEL_EDGES_SQL),
         "graph_communities": label_propagation_sql(_TWO_LEVEL_EDGES_SQL),
+        "graph_kcore": kcore_sql(_TWO_LEVEL_EDGES_SQL, k=3, n_rounds=3),
     }
 
 
@@ -4808,6 +4818,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_batch_topk": _ann_cosine_batch_topk,
     "ann_ivf_batch_topk": _ann_ivf_batch_topk,
     "dedup_embedding_incremental": _dedup_embedding_incremental,
+    "graph_kcore": _graph_kcore,
 }
 
 _ORACLES: dict[str, str] = {
