@@ -707,7 +707,8 @@ def label_propagation_sql(edges_sql: str, n_iter: int = 2) -> str:
             + f"\nselect node, label from l{n_iter}")
 
 
-def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 3) -> DataFrame:
+def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 3,
+               checkpoint_dir: str | None = None) -> DataFrame:
     """Fixed-round k-core peeling → surviving (node, degree).
 
     Each round drops nodes whose UNDIRECTED degree among remaining edges is
@@ -721,31 +722,26 @@ def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 3) -> DataFrame:
 
     Plan shape per round: one map-side-combined degree agg + two semi-joins
     of the edge list against the keep set (vocabulary-sized at useful k —
-    AQE broadcasts it). Each round's edge set persists so the next round's
-    degree agg and joins scan it once.
+    AQE broadcasts it). Each round's surviving edge set is EAGERLY
+    materialized via :func:`_ckpt` (the same lineage-truncation contract as
+    :func:`pagerank` / :func:`transitive_closure`): the next round reads
+    it three times (degree agg + two joins), so leaving it lazy would
+    recompute the whole peel per reference — 3^rounds blowup. Pass
+    ``checkpoint_dir`` for the fault-tolerant variant on a real cluster.
     """
     und = (edges.select("src", "dst")
            .unionByName(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
            .distinct())
-    cur = und.persist()
-    owned = [cur]
-    try:
-        for _ in range(n_rounds):
-            keep = (cur.groupBy("src").agg(F.count("*").alias("d"))
-                    .filter(F.col("d") >= k).select("src"))
-            cur = (cur.join(keep, "src")
-                   .join(keep.withColumnRenamed("src", "dst"), "dst")
-                   .select("src", "dst").persist())
-            owned.append(cur)
-        return (cur.groupBy(F.col("src").alias("node"))
-                .agg(F.count("*").cast("long").alias("degree")))
-    finally:
-        # the returned frame re-reads only the LAST persisted round; free
-        # the intermediate rounds eagerly (the last unpersists lazily with
-        # the session or when the caller releases it)
-        for df in owned[:-1]:
-            df.unpersist()
+    cur = _ckpt(und, checkpoint_dir)
+    for _ in range(n_rounds):
+        keep = (cur.groupBy("src").agg(F.count("*").alias("d"))
+                .filter(F.col("d") >= k).select("src"))
+        cur = _ckpt(cur.join(keep, "src")
+                    .join(keep.withColumnRenamed("src", "dst"), "dst")
+                    .select("src", "dst"), checkpoint_dir)
+    return (cur.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").cast("long").alias("degree")))
 
 
 def kcore_sql(edges_sql: str, k: int = 3, n_rounds: int = 3) -> str:
