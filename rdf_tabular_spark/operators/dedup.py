@@ -583,3 +583,50 @@ def incremental_keep(new_df: DataFrame, old_bands: DataFrame,
                 .select(F.col("l.id").alias(id_col)).distinct())
     return (new_df.join(hit_old, on=id_col, how="left_anti")
             .join(shadowed, on=id_col, how="left_anti"))
+
+
+def blocked_er_name_pairs(df: DataFrame, block_col: str, name_col: str,
+                          max_dist: int = 3) -> DataFrame:
+    """Blocked entity-resolution candidate pairs over an attribute table →
+    ``(block, name_a, name_b, dist, n_pairs)``.
+
+    The classic blocking design (Papadakis et al. survey shape): entities
+    are compared ONLY within a blocking-key partition, and the quadratic
+    Levenshtein verification runs over DISTINCT (block, name) values —
+    vocabulary-sized — never over entity rows; ``n_pairs`` expands each
+    surviving name pair back to its entity-pair cardinality
+    (``cnt_a * cnt_b``) without ever materializing those pairs. At
+    10^9 entities with a sane blocking key this keeps the comparison
+    matrix millions of times smaller than row-level all-pairs. Exact
+    same-name duplicates are the exact-dedup tier's job and are excluded
+    here (``name_a < name_b``).
+    """
+    names = (df.groupBy(F.col(block_col).alias("block"),
+                        F.col(name_col).alias("name"))
+             .agg(F.count("*").cast("long").alias("cnt")))
+    a, b = names.alias("a"), names.alias("b")
+    return (a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.name") < F.col("b.name")))
+            .select(F.col("a.block").alias("block"),
+                    F.col("a.name").alias("name_a"),
+                    F.col("b.name").alias("name_b"),
+                    F.levenshtein("a.name", "b.name").cast("long")
+                    .alias("dist"),
+                    (F.col("a.cnt") * F.col("b.cnt")).cast("long")
+                    .alias("n_pairs"))
+            .filter(F.col("dist") <= max_dist))
+
+
+def blocked_er_name_pairs_sql(table: str, block_col: str, name_col: str,
+                              max_dist: int = 3) -> str:
+    """DuckDB mirror of :func:`blocked_er_name_pairs`."""
+    return f"""
+with names as (select {block_col} as block, {name_col} as name,
+                      cast(count(*) as bigint) as cnt
+               from {table} group by 1, 2)
+select a.block as block, a.name as name_a, b.name as name_b,
+       cast(levenshtein(a.name, b.name) as bigint) as dist,
+       cast(a.cnt * b.cnt as bigint) as n_pairs
+from names a join names b on a.block = b.block and a.name < b.name
+where levenshtein(a.name, b.name) <= {max_dist}
+"""

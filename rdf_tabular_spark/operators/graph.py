@@ -51,6 +51,77 @@ def predicate_stats(triples: DataFrame) -> DataFrame:
                  F.countDistinct("obj").alias("n_objects")))
 
 
+def characteristic_sets(triples: DataFrame) -> DataFrame:
+    """Characteristic-set summary of the graph (Neumann & Moerkotte,
+    ICDE 2011): group subjects by their exact predicate SET → one row per
+    distinct schema shape ``(cs, n_props, n_subjects)``. The classic KG
+    structure-discovery / cardinality-estimation statistic; at web scale
+    the number of characteristic sets is vocabulary-small (thousands)
+    while subjects number in the billions.
+
+    Spark shape: distinct (subj, pred) projection → one groupBy(subj)
+    building the sorted predicate-set string (map-side combined collect_set
+    — predicate vocabularies per subject are tiny) → one vocabulary-sized
+    groupBy on the set string. Two keyed shuffles on narrow rows; the
+    object column never moves.
+    """
+    distinct_sp = (triples
+                   .select("subj", pred_local_name(F.col("pred")).alias("p"))
+                   .distinct())
+    per_subj = (distinct_sp.groupBy("subj")
+                .agg(F.array_join(F.sort_array(F.collect_set("p")),
+                                  " ").alias("cs"),
+                     F.count("*").cast("long").alias("n_props")))
+    return (per_subj.groupBy("cs", "n_props")
+            .agg(F.count("*").cast("long").alias("n_subjects")))
+
+
+def characteristic_sets_sql(triples_sql: str) -> str:
+    """DuckDB mirror of :func:`characteristic_sets`."""
+    return f"""
+with t as ({triples_sql}),
+d as (select distinct subj, split_part(pred, '#', 2) as p from t),
+s as (select subj, string_agg(p, ' ' order by p) as cs,
+             cast(count(*) as bigint) as n_props
+      from d group by subj)
+select cs, n_props, cast(count(*) as bigint) as n_subjects
+from s group by cs, n_props
+"""
+
+
+def pred_cooccurrence(triples: DataFrame) -> DataFrame:
+    """Predicate co-occurrence matrix: for each unordered property pair
+    ``(p1 < p2)``, the number of subjects carrying BOTH — the pairwise
+    marginal of :func:`characteristic_sets`, used for schema induction and
+    join-selectivity estimation.
+
+    Scale shape: the self-join runs on the distinct (subj, prop)
+    projection — per-subject property lists are vocabulary-bounded (a page
+    emits tens of properties, never millions), so the per-subject pair
+    expansion is quadratic only in that small constant. One shuffle on
+    subj, one vocabulary-sized groupBy.
+    """
+    d = (triples
+         .select("subj", pred_local_name(F.col("pred")).alias("p"))
+         .distinct())
+    a, b = d.alias("a"), d.alias("b")
+    return (a.join(b, (F.col("a.subj") == F.col("b.subj"))
+                   & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+            .agg(F.count("*").cast("long").alias("n_subjects")))
+
+
+def pred_cooccurrence_sql(triples_sql: str) -> str:
+    """DuckDB mirror of :func:`pred_cooccurrence`."""
+    return f"""
+with t as ({triples_sql}),
+d as (select distinct subj, split_part(pred, '#', 2) as p from t)
+select a.p as p1, b.p as p2, cast(count(*) as bigint) as n_subjects
+from d a join d b on a.subj = b.subj and a.p < b.p
+group by a.p, b.p
+"""
+
+
 def property_table(triples: DataFrame, props: Sequence[str]) -> DataFrame:
     """Pivot triples into one wide row per subject with a column per
     property local name (star-query / entity-export layout). ``props``

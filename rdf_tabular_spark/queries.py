@@ -2657,6 +2657,52 @@ from t group by subj
 """
 
 
+def _kg_characteristic_sets(spark, sf_dir):
+    """Graph summarization: characteristic sets (Neumann & Moerkotte) —
+    one row per distinct per-subject predicate SET with its subject count
+    (operators/graph.characteristic_sets). The statistic a SPARQL
+    cardinality estimator and a physical-design advisor both start from;
+    vocabulary-sized output from two narrow keyed shuffles."""
+    from .operators import graph as G
+    return G.characteristic_sets(_kg_pages_triples(spark, sf_dir))
+
+
+def _kg_pred_cooccurrence(spark, sf_dir):
+    """Schema induction: unordered property-pair co-occurrence counts over
+    subjects (operators/graph.pred_cooccurrence) — the pairwise marginal
+    of the characteristic sets, computed on the distinct (subj, prop)
+    projection so the pair expansion is bounded by the per-subject
+    property vocabulary."""
+    from .operators import graph as G
+    return G.pred_cooccurrence(_kg_pages_triples(spark, sf_dir))
+
+
+def _summary_er_sql() -> dict[str, str]:
+    from .operators.dedup import blocked_er_name_pairs_sql
+    from .operators.graph import (characteristic_sets_sql,
+                                  pred_cooccurrence_sql)
+    return {
+        "kg_characteristic_sets":
+            characteristic_sets_sql(_KG_PAGES_TRIPLES_SQL),
+        "kg_pred_cooccurrence":
+            pred_cooccurrence_sql(_KG_PAGES_TRIPLES_SQL),
+        "er_blocked_part_names":
+            blocked_er_name_pairs_sql("part", "p_brand", "p_name",
+                                      max_dist=3),
+    }
+
+
+def _er_blocked_part_names(spark, sf_dir):
+    """Blocked entity resolution over an attribute table: brand-blocked
+    Levenshtein candidate pairs on distinct part names
+    (operators/dedup.blocked_er_name_pairs) — quadratic verification runs
+    on the per-block NAME vocabulary, never on entity rows; n_pairs
+    carries the row-level pair cardinality without materializing it."""
+    from .operators.dedup import blocked_er_name_pairs
+    return blocked_er_name_pairs(_t(spark, sf_dir, "part"),
+                                 "p_brand", "p_name", max_dist=3)
+
+
 # ---------------------------------------------------------------------------
 # graph query tier: SPARQL-style BGP matching + link analysis + inference
 # (operators/bgp.py, operators/graph.py) — the consumption side of the KG.
@@ -4819,6 +4865,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_batch_topk": _ann_ivf_batch_topk,
     "dedup_embedding_incremental": _dedup_embedding_incremental,
     "graph_kcore": _graph_kcore,
+    # round-4 cont. 14: graph summarization + blocked ER
+    "kg_characteristic_sets": _kg_characteristic_sets,
+    "kg_pred_cooccurrence": _kg_pred_cooccurrence,
+    "er_blocked_part_names": _er_blocked_part_names,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4945,6 +4995,7 @@ _ORACLES: dict[str, str] = {
     "dedup_embedding_incremental": _DEDUP_EMBEDDING_INCREMENTAL_SQL,
     **_graph_sql(),
     **_webgraph_sql(),
+    **_summary_er_sql(),
 }
 
 
