@@ -87,6 +87,15 @@ BENCH_QUERIES = [
     # token-budget mixture sampling (one agg + broadcast rate join)
     "dedup_incremental_keep",
     "sample_mixture",
+    # round-4 cont. 14 tier: fixed-round k-core peeling (eager per-round
+    # materialization), batch trained-IVF probe search (one pruned corpus
+    # pass for the whole query set), characteristic-set graph summary
+    # (two narrow keyed shuffles), and brand-blocked Levenshtein ER over
+    # the distinct-name vocabulary
+    "graph_kcore",
+    "ann_ivf_batch_topk",
+    "kg_characteristic_sets",
+    "er_blocked_part_names",
     # round-3 continuation tiers (sameAs/subselect/SPARQL-string) are NOT
     # in the headline mix: their per-call cost is dominated by rebuilding
     # the 50k-doc microdata fixture, which measures the fixture, not the

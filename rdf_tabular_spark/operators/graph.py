@@ -828,3 +828,39 @@ def kcore_sql(edges_sql: str, k: int = 3, n_rounds: int = 3) -> str:
     return ("with " + ",\n".join(parts)
             + f"\nselect src as node, cast(count(*) as bigint) as degree "
               f"from e{n_rounds} group by src")
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus → ``(center, context,
+    n_pairs)`` — the embedding-training data-prep step downstream of
+    :func:`random_walks` (DeepWalk/node2vec pipelines feed exactly this
+    co-occurrence table to the trainer).
+
+    One self-join of the long-format walk table keyed on (start, walk):
+    each walk is ``length+1`` rows, so the within-walk pair expansion is
+    bounded by ``2*window`` per row — linear in corpus size, one keyed
+    shuffle, then a vocabulary-pair-sized groupBy with map-side combine.
+    """
+    a, b = walks.alias("a"), walks.alias("b")
+    step_gap = F.abs(F.col("a.step") - F.col("b.step"))
+    return (a.join(b, (F.col("a.start") == F.col("b.start"))
+                   & (F.col("a.walk") == F.col("b.walk"))
+                   & (F.col("a.step") != F.col("b.step"))
+                   & (step_gap <= window))
+            .groupBy(F.col("a.node").alias("center"),
+                     F.col("b.node").alias("context"))
+            .agg(F.count("*").cast("long").alias("n_pairs")))
+
+
+def skipgram_sql(walks_sql: str, window: int = 2) -> str:
+    """DuckDB mirror of :func:`skipgram_pairs` (walks SQL nests as a
+    subquery, so the recursive walk CTE stays self-contained)."""
+    return f"""
+with w as (select * from ({walks_sql}))
+select a.node as center, b.node as context,
+       cast(count(*) as bigint) as n_pairs
+from w a join w b
+  on a.start = b.start and a.walk = b.walk and a.step <> b.step
+ and abs(a.step - b.step) <= {window}
+group by a.node, b.node
+"""

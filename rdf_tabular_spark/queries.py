@@ -2680,7 +2680,7 @@ def _kg_pred_cooccurrence(spark, sf_dir):
 def _summary_er_sql() -> dict[str, str]:
     from .operators.dedup import blocked_er_name_pairs_sql
     from .operators.graph import (characteristic_sets_sql,
-                                  pred_cooccurrence_sql)
+                                  pred_cooccurrence_sql, skipgram_sql)
     return {
         "kg_characteristic_sets":
             characteristic_sets_sql(_KG_PAGES_TRIPLES_SQL),
@@ -2689,6 +2689,8 @@ def _summary_er_sql() -> dict[str, str]:
         "er_blocked_part_names":
             blocked_er_name_pairs_sql("part", "p_brand", "p_name",
                                       max_dist=3),
+        "graph_skipgram_pairs":
+            skipgram_sql(_GRAPH_RANDOM_WALKS_SQL, window=2),
     }
 
 
@@ -2838,6 +2840,17 @@ w(start, walk, step, node) as (
   from w join e on e.src = w.node where w.step < 4)
 select start, walk, step, node from w
 """
+
+
+def _graph_skipgram_pairs(spark, sf_dir):
+    """Embedding-training data prep: skip-gram (center, context) pair
+    counts from the DeepWalk corpus (operators/graph.skipgram_pairs) —
+    one (start, walk)-keyed self-join bounded to 2·window pairs per row,
+    then a vocabulary-pair groupBy."""
+    from .operators.graph import random_walks, skipgram_pairs
+    walks = random_walks(_doc_tree_edges(spark, sf_dir), length=4,
+                         walks_per_node=2)
+    return skipgram_pairs(walks, window=2)
 
 
 def _graph_bfs_depths(spark, sf_dir):
@@ -4865,10 +4878,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_batch_topk": _ann_ivf_batch_topk,
     "dedup_embedding_incremental": _dedup_embedding_incremental,
     "graph_kcore": _graph_kcore,
-    # round-4 cont. 14: graph summarization + blocked ER
+    # round-4 cont. 14: graph summarization + blocked ER + skip-gram prep
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
+    "graph_skipgram_pairs": _graph_skipgram_pairs,
 }
 
 _ORACLES: dict[str, str] = {

@@ -737,3 +737,33 @@ def test_incremental_dedup_thin_shuffles(spark):
         assert "text" not in keys, f"document text shuffled: {keys}"
     assert "BroadcastHashJoin" in p, \
         "survivor anti-joins must broadcast the thin id sets"
+
+
+def test_characteristic_sets_narrow_shuffles(spark):
+    """Characteristic sets: the object column must never shuffle — both
+    exchanges carry only subj / predicate-set keys."""
+    p = plan_of(Q.queries()["kg_characteristic_sets"](spark, SF))
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", p):
+        assert "obj" not in keys, f"object column shuffled: {keys}"
+    assert p.count("HashAggregate") >= 4, \
+        "both aggs must have map-side partials"
+
+
+def test_er_blocked_joins_vocab_not_rows(spark):
+    """Blocked ER: the Levenshtein join inputs are the distinct-name aggs
+    (vocabulary-sized), so only brand/name/cnt columns move — never the
+    other part attributes — and the scan reads just the two key columns."""
+    p = plan_of(Q.queries()["er_blocked_part_names"](spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"p_brand", "p_name"}, f"scan reads too much: {cols}"
+    assert p.count("HashAggregate") >= 2, \
+        "name-vocabulary agg must precede the pair join"
+
+
+def test_skipgram_single_keyed_selfjoin(spark):
+    """Skip-gram pairs: every exchange is keyed on the walk identity or the
+    output pair — node payloads ride along, never become the only key."""
+    p = plan_of(Q.queries()["graph_skipgram_pairs"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2, "pair count needs map-side partial"
