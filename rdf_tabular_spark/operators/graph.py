@@ -864,3 +864,115 @@ from w a join w b
  and abs(a.step - b.step) <= {window}
 group by a.node, b.node
 """
+
+
+def clustering_coeff(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node → ``(node, deg, n_triangles,
+    lcc)`` with ``lcc = 2·t / (deg·(deg−1))`` (Watts & Strogatz 1998) —
+    the template-farm / link-ring detector on a host graph: organic
+    neighborhoods close triangles, spam rings and hub pages do not.
+
+    Rides :func:`triangle_counts` (degree-oriented wedge join — the
+    power-law-safe enumeration) plus one degree aggregation on the same
+    deduplicated undirected edge set.  The division happens once per node
+    on two exact integers and is rounded to 6 places, so both engines
+    agree bit-for-bit.
+    """
+    und = (edges.where(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    tri = triangle_counts(edges)
+    return (deg.join(tri, "node")
+            .select("node", F.col("deg").cast("long").alias("deg"),
+                    "n_triangles",
+                    F.when(F.col("deg") < 2, F.lit(0.0))
+                    .otherwise(F.round(2.0 * F.col("n_triangles")
+                                       / (F.col("deg")
+                                          * (F.col("deg") - 1)), 6))
+                    .alias("lcc")))
+
+
+def clustering_coeff_sql(edges_sql: str) -> str:
+    """DuckDB oracle for :func:`clustering_coeff` — triangles oracle plus
+    the same degree/round arithmetic."""
+    return f"""
+with und as (
+  select distinct least(src, dst) as a, greatest(src, dst) as b
+  from ({edges_sql}) where src <> dst),
+deg as (
+  select node, count(*) as deg from (
+    select a as node from und union all select b from und) group by node),
+tri as ({triangles_sql(edges_sql)})
+select deg.node, deg.deg::bigint as deg, tri.n_triangles,
+       case when deg.deg < 2 then 0.0
+            else round(2.0 * tri.n_triangles / (deg.deg * (deg.deg - 1)), 6)
+       end as lcc
+from deg join tri on deg.node = tri.node
+"""
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) → one row
+    ``(n_edges, assortativity)``: the Pearson correlation of endpoint
+    degrees over undirected edges — negative on web graphs (hubs attach
+    to leaves), near zero on random graphs; a one-number structural
+    fingerprint cheap enough to compute per crawl snapshot.
+
+    Sum-form Pearson over the symmetrized edge list: every sum is an
+    exact integer computed by one map-side-combined aggregation (the only
+    shuffle is the single-row final combine), and the floating division
+    happens once on the driver-side row — bit-stable across engines.
+    """
+    und = (edges.where(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    e = und.join(da, "a").join(db, "b")
+    # symmetrized sums: each edge contributes (da,db) and (db,da)
+    s = e.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("da") + F.col("db")).alias("sx"),
+        F.sum(F.col("da") * F.col("db") * 2).alias("sxy"),
+        F.sum(F.col("da") * F.col("da")
+              + F.col("db") * F.col("db")).alias("sxx"))
+    n = F.col("m") * 2
+    num = n * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(F.col("m").cast("long").alias("n_edges"),
+                    F.when(den == 0, F.lit(0.0))
+                    .otherwise(F.round(num.cast("double") / den, 6))
+                    .alias("assortativity"))
+
+
+def degree_assortativity_sql(edges_sql: str) -> str:
+    """DuckDB oracle for :func:`degree_assortativity` — identical integer
+    sum-form Pearson."""
+    return f"""
+with und as (
+  select distinct least(src, dst) as a, greatest(src, dst) as b
+  from ({edges_sql}) where src <> dst),
+deg as (
+  select node, count(*) as deg from (
+    select a as node from und union all select b from und) group by node),
+e as (
+  select x.deg as da, y.deg as db
+  from und join deg x on und.a = x.node join deg y on und.b = y.node),
+s as (
+  select count(*) as m, sum(da + db) as sx, sum(2 * da * db) as sxy,
+         sum(da * da + db * db) as sxx from e)
+select m::bigint as n_edges,
+       case when (2 * m * sxx - sx * sx) = 0 then 0.0
+            else round((2 * m * sxy - sx * sx)::double
+                       / (2 * m * sxx - sx * sx), 6)
+       end as assortativity
+from s
+"""

@@ -373,3 +373,102 @@ def dominant_script_sql(expr: str) -> str:
         out = (f"case when {best} > 0 and {c} = {best} "
                f"then '{name}' else {out} end")
     return out
+
+
+# --- BPE merge statistics ---------------------------------------------------
+
+def bpe_pair_counts(docs, text_col: str = "text") -> "DataFrame":
+    """First-round BPE merge statistics → ``(pair, n_occurrences)``: the
+    corpus-weighted adjacent-symbol pair counts the first merge of a BPE
+    tokenizer train (Sennrich et al. 2016) is chosen from.  Symbols start
+    as characters with the standard ``_`` end-of-word marker, so ``pair``
+    is a 2-char string and the arg-max row IS the first merge.
+
+    Scale shape: the corpus collapses to its word VOCABULARY first (one
+    map-side-combined count keyed on the word), and the quadratic-ish
+    pair expansion runs over distinct words only — the same
+    vocabulary-not-rows discipline as blocked ER.  At 100 TB the word
+    vocab is millions of rows where the corpus is trillions; every later
+    BPE round reuses the same vocab table with re-segmented symbols.
+    """
+    from pyspark.sql import functions as F
+    words = (docs.select(F.explode(
+        F.split(F.trim(F.col(text_col)), WS)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("freq"))
+        .withColumn("word", F.concat(F.col("word"), F.lit("_"))))
+    pair = F.expr("transform(sequence(1, length(word) - 1),"
+                  " i -> substring(word, i, 2))")
+    return (words.select(F.col("freq"), F.explode(pair).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("n_occurrences")))
+
+
+def bpe_pair_counts_sql(docs_sql: str, text_expr: str = "text") -> str:
+    """DuckDB oracle for :func:`bpe_pair_counts` — same vocab-first plan
+    with ``generate_series`` standing in for ``sequence``."""
+    return f"""
+with w as (
+  select word || '_' as word, count(*) as freq from (
+    select unnest(string_split_regex(trim({text_expr}), '\\s+')) as word
+    from ({docs_sql}))
+  where word <> '' group by word),
+p as (
+  select substring(word, i, 2) as pair, freq
+  from w, unnest(generate_series(1, length(word) - 1)) as t(i))
+select pair, sum(freq)::bigint as n_occurrences from p group by pair
+"""
+
+
+# --- readability ------------------------------------------------------------
+
+_SENTENCE_RE = r"[.!?]+"
+_SYLLABLE_RE = r"[aeiouyAEIOUY]+"
+
+
+def readability_metrics(col: Column) -> dict[str, Column]:
+    """Flesch reading-ease inputs as exact integer counts: whitespace
+    words, ``[.!?]+`` sentence breaks (min 1), and vowel-group syllables —
+    the standard cheap approximation (each maximal vowel run ≈ one
+    syllable).  Pure ``regexp_count`` expressions, one codegen stage."""
+    return {
+        "n_words": token_count(col),
+        "n_sentences": F.greatest(F.regexp_count(col, F.lit(_SENTENCE_RE)),
+                                  F.lit(1)),
+        "n_syllables": F.regexp_count(col, F.lit(_SYLLABLE_RE)),
+    }
+
+
+def flesch_reading_ease_milli(col: Column) -> Column:
+    """Flesch reading ease = 206.835 − 1.015·(words/sentence) −
+    84.6·(syllables/word) (Flesch 1948), emitted in floored MILLI-units
+    as a bigint.  Rationale: ``round(double, k)`` differs between the JVM
+    (decimal-string HALF_UP) and DuckDB (binary rounding) exactly at
+    representational ties, so instead the formula is folded into ONE
+    integer-valued numerator N = 206835·S·W − 1015·W² − 84600·Y·S over
+    denominator S·W (flesch·1000 = N/(S·W)); both engines perform the
+    same single exact-int division and ``floor`` of the identical double
+    is bit-stable.  Exact while N < 2⁵³ (holds beyond 10⁶-word docs).
+    Quality gates band-filter on it (60000–80000 ≈ plain English)."""
+    m = readability_metrics(col)
+    w = m["n_words"].cast("long")
+    s = m["n_sentences"].cast("long")
+    y = m["n_syllables"].cast("long")
+    w1 = F.greatest(w, F.lit(1))
+    num = (F.lit(206835) * s * w1 - F.lit(1015) * w * w
+           - F.lit(84600) * y * s)
+    return F.floor(num / (s * w1)).cast("long")
+
+
+def readability_sql(expr: str) -> dict[str, str]:
+    """DuckDB oracle expressions mirroring :func:`readability_metrics` /
+    :func:`flesch_reading_ease`."""
+    n_words = f"len(string_split_regex(trim({expr}), '\\s+'))"
+    n_sent = f"greatest(len(regexp_extract_all({expr}, '{_SENTENCE_RE}')), 1)"
+    n_syll = f"len(regexp_extract_all({expr}, '{_SYLLABLE_RE}'))"
+    w1 = f"greatest({n_words}, 1)"
+    num = (f"(206835 * {n_sent} * {w1} - 1015 * {n_words} * {n_words}"
+           f" - 84600 * {n_syll} * {n_sent})")
+    flesch = f"floor({num}::double / ({n_sent} * {w1}))::bigint"
+    return {"n_words": n_words, "n_sentences": n_sent,
+            "n_syllables": n_syll, "flesch_milli": flesch}

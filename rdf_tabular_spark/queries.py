@@ -4694,6 +4694,187 @@ select query_id, vec_id, sim, rank from (
 
 
 # ---------------------------------------------------------------------------
+# fusion / relation-extraction / graph-structure / tokenizer-stats tier
+# (round 4 cont.: operators/fusion.py, operators/relations.py, graph.py,
+# text.py additions)
+# ---------------------------------------------------------------------------
+
+# Three extraction sources assert each document's language; sources 2 and 3
+# inject deterministic disagreement (doc_id%7 → a '-alt' variant, doc_id%4 →
+# uppercase), so the fixture exercises clean majorities, 2-1 conflicts, and
+# the 1-1-1 tie broken by lexical-min (doc_id%28).
+_FUSE_PRED = "http://pages.example.org/doc/lang"
+
+_KG_FUSED_TRIPLES_SQL = f"""
+with a as (
+  select {DOC_URL_SQL} as subj, '{_FUSE_PRED}' as pred, lang as obj
+  from documents
+  union all
+  select {DOC_URL_SQL}, '{_FUSE_PRED}',
+         case when doc_id % 7 = 0 then lang || '-alt' else lang end
+  from documents
+  union all
+  select {DOC_URL_SQL}, '{_FUSE_PRED}',
+         case when doc_id % 4 = 0 then upper(lang) else lang end
+  from documents)
+select * from a
+"""
+
+
+def _fusion_assertions(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("http://pages.example.org/doc/"), F.col("doc_id"))
+    pred = F.lit(_FUSE_PRED)
+    a1 = d.select(subj.alias("subj"), pred.alias("pred"),
+                  F.col("lang").alias("obj"))
+    a2 = d.select(subj.alias("subj"), pred.alias("pred"),
+                  F.when(F.col("doc_id") % 7 == 0,
+                         F.concat(F.col("lang"), F.lit("-alt")))
+                  .otherwise(F.col("lang")).alias("obj"))
+    a3 = d.select(subj.alias("subj"), pred.alias("pred"),
+                  F.when(F.col("doc_id") % 4 == 0, F.upper("lang"))
+                  .otherwise(F.col("lang")).alias("obj"))
+    return a1.unionByName(a2).unionByName(a3)
+
+
+def _kg_fused_triples(spark, sf_dir):
+    """Truth-discovery fusion (operators/fusion.fuse_majority): majority
+    vote per (subj, pred) over three deterministic conflicting extraction
+    sources, lexical-min tie-break — the post-canonicalization stage that
+    picks the value the graph publishes (Dong et al. VLDB'09).  Two keyed
+    payload-free shuffles; conflict cardinality bounds the window fan-in."""
+    from .operators.fusion import fuse_majority
+    return fuse_majority(_fusion_assertions(spark, sf_dir))
+
+
+def _kg_reified_triples(spark, sf_dir):
+    """RDF reification of the stage-2 statement set
+    (operators/fusion.reify_statements): content-addressed ``urn:stmt:``
+    anchors + the 4 reification triples each, so provenance annotations
+    (source url, confidence, crawl ts) attach as ordinary triples.  One
+    distinct exchange, then a narrow 4× inline explode."""
+    from .operators.fusion import reify_statements
+    return reify_statements(_kg_pages_triples(spark, sf_dir))
+
+
+# Deterministic Hearst corpus: each document contributes one synthetic
+# sentence block built from its own leading tokens (both engines assemble
+# the identical string), so the extractor sees real list syntax — comma
+# lists, and/or tails, "and other", "including" — with corpus-scale word
+# repetition.
+def _hearst_text_sql() -> str:
+    w = [f"coalesce({TOKS_SQL}[{i + 1}], 'data')" for i in range(5)]
+    return (f"'Engines such as ' || {w[0]} || ', ' || {w[1]} || ' and ' || "
+            f"{w[2]} || ' scale. ' || {w[3]} || ' and other operators help. '"
+            f" || 'pipelines, including ' || {w[4]} || ', run'")
+
+
+_KG_HEARST_DOCS_SQL = (f"select doc_id, {_hearst_text_sql()} as text "
+                       "from documents")
+
+
+def _hearst_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = [F.coalesce(F.get(toks, i), F.lit("data")) for i in range(5)]
+    text = F.concat(
+        F.lit("Engines such as "), w[0], F.lit(", "), w[1], F.lit(" and "),
+        w[2], F.lit(" scale. "), w[3], F.lit(" and other operators help. "),
+        F.lit("pipelines, including "), w[4], F.lit(", run"))
+    return d.select("doc_id", text.alias("text"))
+
+
+def _kg_hearst_pairs(spark, sf_dir):
+    """Open-world relation extraction (operators/relations.hearst_pair_
+    counts): Hearst-pattern hyponym/hypernym pairs with mention/document
+    support over a deterministic per-doc sentence corpus — the
+    taxonomy-induction bootstrap (Hearst '92, WebIsA over Common Crawl).
+    Pure JVM regexp per row; the only shuffle keys on the extracted-pair
+    vocabulary."""
+    from .operators.relations import hearst_pair_counts
+    return hearst_pair_counts(_hearst_docs(spark, sf_dir))
+
+
+def _graph_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient over the two-level doc graph
+    (operators/graph.clustering_coeff) — template-farm/link-ring detection:
+    exact-integer triangle and degree counts, one rounded division per
+    node."""
+    from .operators.graph import clustering_coeff
+    return clustering_coeff(_doc_two_level_edges(spark, sf_dir))
+
+
+def _graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the two-level doc graph
+    (operators/graph.degree_assortativity): integer sum-form Pearson over
+    symmetrized endpoint degrees — one map-side-combined aggregate to a
+    single row."""
+    from .operators.graph import degree_assortativity
+    return degree_assortativity(_doc_two_level_edges(spark, sf_dir))
+
+
+def _text_bpe_pairs(spark, sf_dir):
+    """First-round BPE merge statistics (operators/text.bpe_pair_counts):
+    corpus-weighted adjacent character-pair counts with the ``_``
+    end-of-word marker, computed on the word VOCABULARY (vocab-not-rows
+    discipline) — the argmax row is the tokenizer's first merge."""
+    from .operators.text import bpe_pair_counts
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+def _text_readability(spark, sf_dir):
+    """Flesch reading-ease per document (operators/text.readability_*):
+    exact integer word/sentence/syllable counts + one rounded formula,
+    all regexp_count codegen — another column for the fused curation
+    decision.  Sentence breaks come from a deterministic ' the ' → '. '
+    rewrite so the fixture actually has sentences."""
+    from .operators.text import (flesch_reading_ease_milli,
+                                 readability_metrics)
+    d = _t(spark, sf_dir, "documents")
+    body = F.regexp_replace(F.col("text"), " the ", ". ")
+    m = readability_metrics(body)
+    return d.select(
+        "doc_id", m["n_words"].cast("long").alias("n_words"),
+        m["n_sentences"].cast("long").alias("n_sentences"),
+        m["n_syllables"].cast("long").alias("n_syllables"),
+        flesch_reading_ease_milli(body).alias("flesch_milli"))
+
+
+_TEXT_READABILITY_BODY = "regexp_replace(text, ' the ', '. ', 'g')"
+
+
+def _text_readability_sql() -> str:
+    from .operators.text import readability_sql
+    m = readability_sql(_TEXT_READABILITY_BODY)
+    return f"""
+select doc_id, {m['n_words']}::bigint as n_words,
+       {m['n_sentences']}::bigint as n_sentences,
+       {m['n_syllables']}::bigint as n_syllables,
+       {m['flesch_milli']} as flesch_milli
+from documents
+"""
+
+
+def _fusion_relations_sql() -> dict[str, str]:
+    from .operators.fusion import fuse_majority_sql, reify_statements_sql
+    from .operators.graph import (clustering_coeff_sql,
+                                  degree_assortativity_sql)
+    from .operators.relations import hearst_pair_counts_sql
+    from .operators.text import bpe_pair_counts_sql
+    return {
+        "kg_fused_triples": fuse_majority_sql(_KG_FUSED_TRIPLES_SQL),
+        "kg_reified_triples": reify_statements_sql(_KG_PAGES_TRIPLES_SQL),
+        "kg_hearst_pairs": hearst_pair_counts_sql(_KG_HEARST_DOCS_SQL),
+        "graph_clustering_coeff": clustering_coeff_sql(_TWO_LEVEL_EDGES_SQL),
+        "graph_assortativity":
+            degree_assortativity_sql(_TWO_LEVEL_EDGES_SQL),
+        "text_bpe_pairs":
+            bpe_pair_counts_sql("select text from documents"),
+        "text_readability": _text_readability_sql(),
+    }
+
+
+# ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
 # entries of this dict (registry order).  Rounds 1-3 established three
@@ -4879,6 +5060,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_incremental": _dedup_embedding_incremental,
     "graph_kcore": _graph_kcore,
     # round-4 cont. 14: graph summarization + blocked ER + skip-gram prep
+    "kg_fused_triples": _kg_fused_triples,
+    "kg_reified_triples": _kg_reified_triples,
+    "kg_hearst_pairs": _kg_hearst_pairs,
+    "graph_clustering_coeff": _graph_clustering_coeff,
+    "graph_assortativity": _graph_assortativity,
+    "text_bpe_pairs": _text_bpe_pairs,
+    "text_readability": _text_readability,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5010,6 +5198,7 @@ _ORACLES: dict[str, str] = {
     **_graph_sql(),
     **_webgraph_sql(),
     **_summary_er_sql(),
+    **_fusion_relations_sql(),
 }
 
 

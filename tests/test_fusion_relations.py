@@ -1,0 +1,163 @@
+"""Unit tests for the fusion / relation-extraction / graph-structure /
+tokenizer-stats tier — hand-computed expectations on tiny fixtures (the
+oracle-parity sweep covers the corpus-scale versions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_tabular_spark.operators.fusion import (RDF_NS, fuse_majority,
+                                                reify_statements)
+from rdf_tabular_spark.operators.graph import (clustering_coeff,
+                                               degree_assortativity)
+from rdf_tabular_spark.operators.relations import (hearst_matches,
+                                                   hearst_pair_counts)
+from rdf_tabular_spark.operators.text import (bpe_pair_counts,
+                                              flesch_reading_ease_milli,
+                                              readability_metrics)
+
+
+# --- fusion -----------------------------------------------------------------
+
+def test_fuse_majority_votes_and_ties(spark):
+    rows = [
+        # e1/p: clean 2-1 majority for 'x'
+        ("e1", "p", "x"), ("e1", "p", "x"), ("e1", "p", "y"),
+        # e2/p: 1-1-1 tie -> lexical min 'a'
+        ("e2", "p", "c"), ("e2", "p", "b"), ("e2", "p", "a"),
+        # e3/p: no conflict, 2 identical assertions
+        ("e3", "p", "z"), ("e3", "p", "z"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {(r["subj"], r["pred"]): (r["obj"], r["n_support"], r["n_values"])
+           for r in fuse_majority(df).collect()}
+    assert out == {
+        ("e1", "p"): ("x", 2, 2),
+        ("e2", "p"): ("a", 1, 3),
+        ("e3", "p"): ("z", 2, 1),
+    }
+
+
+def test_reify_statements_anchor_stable_and_complete(spark):
+    df = spark.createDataFrame(
+        [("s", "p", "o"), ("s", "p", "o"), ("s2", "p", "o")],
+        "subj string, pred string, obj string")
+    rows = reify_statements(df).collect()
+    # 2 distinct statements x 4 reification triples
+    assert len(rows) == 8
+    anchors = {r["stmt"] for r in rows}
+    assert len(anchors) == 2
+    by_stmt = {}
+    for r in rows:
+        by_stmt.setdefault(r["stmt"], {})[r["pred"]] = r["obj"]
+    for stmt, props in by_stmt.items():
+        assert stmt.startswith("urn:stmt:")
+        assert props[RDF_NS + "type"] == RDF_NS + "Statement"
+        assert props[RDF_NS + "predicate"] == "p"
+        assert props[RDF_NS + "object"] == "o"
+    # content-addressed: same statement reifies to the same anchor on rerun
+    again = {r["stmt"] for r in reify_statements(df).collect()}
+    assert again == anchors
+
+
+# --- Hearst patterns --------------------------------------------------------
+
+def test_hearst_patterns_all_four(spark):
+    text = ("We love engines such as spark, flink and trino. "
+            "pandas and other libraries help. "
+            "databases, including duckdb, appear. "
+            "formats, especially parquet and orc, win.")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {(r["hyponym"], r["hypernym"], r["pattern"])
+           for r in hearst_matches(df).collect()}
+    assert ("spark", "engines", "such_as") in got
+    assert ("flink", "engines", "such_as") in got
+    assert ("trino", "engines", "such_as") in got
+    assert ("pandas", "libraries", "and_other") in got
+    assert ("duckdb", "databases", "including") in got
+    assert ("parquet", "formats", "especially") in got
+
+
+def test_hearst_pair_counts_support(spark):
+    df = spark.createDataFrame(
+        [(1, "tools such as spark"), (2, "tools such as spark"),
+         (3, "tools such as flink")],
+        "doc_id long, text string")
+    out = {(r["hyponym"], r["hypernym"]): (r["n_mentions"], r["n_docs"])
+           for r in hearst_pair_counts(df).collect()}
+    assert out == {("spark", "tools"): (2, 2), ("flink", "tools"): (1, 1)}
+
+
+def test_hearst_no_match_is_empty(spark):
+    df = spark.createDataFrame([(1, "nothing to see here")],
+                               "doc_id long, text string")
+    assert hearst_matches(df).count() == 0
+
+
+# --- graph structure --------------------------------------------------------
+
+def test_clustering_coeff_triangle_plus_tail(spark):
+    # triangle a-b-c plus pendant d hanging off a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")],
+        "src string, dst string")
+    out = {r["node"]: (r["deg"], r["n_triangles"], r["lcc"])
+           for r in clustering_coeff(edges).collect()}
+    assert out["a"] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
+    assert out["b"] == (2, 1, 1.0)
+    assert out["c"] == (2, 1, 1.0)
+    assert out["d"] == (1, 0, 0.0)
+
+
+def test_assortativity_star_is_negative(spark):
+    # star: hub with 3 leaves -> perfectly disassortative (r = -1)
+    edges = spark.createDataFrame(
+        [("h", "l1"), ("h", "l2"), ("h", "l3")], "src string, dst string")
+    row = degree_assortativity(edges).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["assortativity"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    # 4-cycle: all degrees equal -> zero variance -> defined 0.0
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string")
+    row = degree_assortativity(edges).collect()[0]
+    assert row["n_edges"] == 4
+    assert row["assortativity"] == 0.0
+
+
+# --- BPE pair stats ---------------------------------------------------------
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    df = spark.createDataFrame([(1, "ab ab b")], "doc_id long, text string")
+    out = {r["pair"]: r["n_occurrences"]
+           for r in bpe_pair_counts(df).collect()}
+    # vocab: ab_ (freq 2) -> pairs ab, b_ ; b_ (freq 1) -> pair b_
+    assert out == {"ab": 2, "b_": 3}
+
+
+def test_bpe_first_merge_argmax(spark):
+    df = spark.createDataFrame([(1, "low low lower")],
+                               "doc_id long, text string")
+    top = (bpe_pair_counts(df)
+           .orderBy(F.desc("n_occurrences"), "pair").first())
+    # 'lo' and 'ow' both occur 3x; lexical tie-break -> 'lo'
+    assert (top["pair"], top["n_occurrences"]) == ("lo", 3)
+
+
+# --- readability ------------------------------------------------------------
+
+def test_readability_counts_and_score(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran! done?")], "doc_id long, text string")
+    out = df.select(
+        *[v.alias(k) for k, v in readability_metrics(F.col("text")).items()],
+        flesch_reading_ease_milli(F.col("text")).alias("fm")).first()
+    assert out["n_words"] == 7
+    assert out["n_sentences"] == 3
+    # vowel groups: e,a,a,e,o,a,o,e -> 8
+    assert out["n_syllables"] == 8
+    w, s, y = 7, 3, 8
+    expected = (206835 * s * w - 1015 * w * w - 84600 * y * s) // (s * w)
+    assert out["fm"] == expected

@@ -767,3 +767,68 @@ def test_skipgram_single_keyed_selfjoin(spark):
     p = plan_of(Q.queries()["graph_skipgram_pairs"](spark, SF))
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2, "pair count needs map-side partial"
+
+
+def n_exchanges(p):
+    # formatted mode prints each node twice (tree + details); count the
+    # details header, once per physical Exchange node
+    return len(re.findall(r"\(\d+\) Exchange", p))
+
+
+def test_fuse_majority_payload_free_shuffles(spark):
+    """Fusion: exactly two keyed exchanges — the vote count (with map-side
+    partial) and the per-attribute window — and no join or cartesian
+    anywhere."""
+    p = plan_of(Q.queries()["kg_fused_triples"](spark, SF))
+    assert n_exchanges(p) == 2, "fusion must be two keyed shuffles"
+    assert p.count("HashAggregate") >= 2, "vote count needs map-side partial"
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_reify_statements_single_exchange(spark):
+    """Reification: the distinct is the only exchange; the 4x explode is a
+    narrow projection (Generate) after it."""
+    from rdf_tabular_spark.operators.fusion import reify_statements
+    from rdf_tabular_spark.sources.pages import DOC_PAGE_META, pages_from_documents
+    from rdf_tabular_spark.web import pages_to_triples
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = pages_to_triples(pages_from_documents(docs), minimal=True,
+                         default_meta=DOC_PAGE_META)
+    p = plan_of(reify_statements(t))
+    assert n_exchanges(p) == 1, "only the distinct may shuffle"
+    assert "Generate" in p, "explode must stay narrow"
+
+
+def test_hearst_single_vocab_shuffle(spark):
+    """Hearst extraction: regexp work is all narrow; the only exchange keys
+    on the extracted-pair vocabulary (the aggregate), and the scan reads
+    only doc_id + text."""
+    p = plan_of(Q.queries()["kg_hearst_pairs"](spark, SF))
+    # 2 = pair-vocabulary agg + countDistinct's second phase — extraction
+    # itself contributes none
+    assert n_exchanges(p) == 2, "extraction itself must not shuffle"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, f"scan reads too much: {cols}"
+
+
+def test_bpe_pairs_vocab_first(spark):
+    """BPE pair stats: corpus collapses to the word vocabulary before the
+    pair expansion — two exchanges total, both aggs with map-side
+    partials, text column only in the scan."""
+    p = plan_of(Q.queries()["text_bpe_pairs"](spark, SF))
+    assert n_exchanges(p) == 2
+    assert p.count("HashAggregate") >= 4, "both aggs need map-side partials"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"text"}, f"scan reads too much: {cols}"
+
+
+def test_readability_shuffle_free(spark):
+    """Readability: pure per-row regexp_count projection — zero exchanges,
+    pruned scan."""
+    p = plan_of(Q.queries()["text_readability"](spark, SF))
+    assert "Exchange" not in p, "readability must stay narrow"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, f"scan reads too much: {cols}"
