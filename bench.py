@@ -96,6 +96,17 @@ BENCH_QUERIES = [
     "ann_ivf_batch_topk",
     "kg_characteristic_sets",
     "er_blocked_part_names",
+    # round-4 cont. 15 tier: majority-vote fusion (two payload-free keyed
+    # shuffles), Hearst relation extraction (narrow regexp + pair-vocab
+    # agg), statement reification (distinct + 4x explode), vocab-first BPE
+    # pair stats, and the shuffle-free readability projection.
+    # graph_clustering_coeff is excluded: its cost IS graph_triangles
+    # (already in the mix) plus one degree join.
+    "kg_fused_triples",
+    "kg_hearst_pairs",
+    "kg_reified_triples",
+    "text_bpe_pairs",
+    "text_readability",
     # round-3 continuation tiers (sameAs/subselect/SPARQL-string) are NOT
     # in the headline mix: their per-call cost is dominated by rebuilding
     # the 50k-doc microdata fixture, which measures the fixture, not the

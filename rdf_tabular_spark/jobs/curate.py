@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contam-ngrams", type=int, default=8,
                    help="shared word-3-gram count that flags contamination")
     p.add_argument("--scrub-pii", action="store_true")
+    p.add_argument("--readability-band", default=None, metavar="LO:HI",
+                   help="keep documents whose Flesch reading ease (milli-"
+                        "units, e.g. 30000:90000) falls inside the band — "
+                        "a shuffle-free per-row gate after the quality "
+                        "pass; counts land in the report")
     p.add_argument("--mixture-weights", default=None, metavar="JSON",
                    help='target domain mixture, e.g. \'{"en": 0.6, '
                         '"fr": 0.4}\' — per-stratum keep rates are computed '
@@ -104,6 +109,7 @@ _PIPELINE_STAGES = {
                    "num_perm": "num_perm", "num_bands": "num_bands"},
     "decontaminate": {"path": "benchmark", "ngrams": "contam_ngrams"},
     "scrub_pii": {"_flag": "scrub_pii"},
+    "readability": {"band": "readability_band"},
     "mixture": {"weights": "mixture_weights", "budget": "mixture_budget",
                 "col": "mixture_col", "size_col": "mixture_size_col"},
     "pack": {"budget": "pack_budget"},
@@ -198,6 +204,21 @@ def main(argv: list[str] | None = None) -> dict:
                          decisions.groupBy("reason")
                          .agg(F.count("*").alias("n")).collect()}
     kept = docs.join(decisions.filter("keep").select("doc_id"), "doc_id")
+
+    # 1.5 readability band — another shuffle-free per-row gate
+    if args.readability_band:
+        from rdf_tabular_spark.operators.text import flesch_reading_ease_milli
+        try:
+            lo, hi = (int(x) for x in args.readability_band.split(":"))
+        except ValueError:
+            raise ValueError("--readability-band must be LO:HI in "
+                             "milli-units, e.g. 30000:90000")
+        n_before = kept.count()
+        kept = kept.withColumn(
+            "_fm", flesch_reading_ease_milli(F.col("text")))
+        kept = kept.filter((F.col("_fm") >= lo) & (F.col("_fm") <= hi)) \
+            .drop("_fm")
+        report["readability_dropped"] = n_before - kept.count()
 
     # 2. near-dedup over the survivors only
     if args.near_dedup:

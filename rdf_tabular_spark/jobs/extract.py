@@ -75,6 +75,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "violation report + per-constraint summary as "
                         "parquet under <out>/shacl/<batch-id>; violation "
                         "counts land in the manifest")
+    p.add_argument("--fuse", action="store_true",
+                   help="majority-vote fusion of the committed batch: one "
+                        "published value per (subj, pred) with vote "
+                        "support + conflict cardinality, written as "
+                        "parquet under <out>/fused/<batch-id>")
+    p.add_argument("--reify", action="store_true",
+                   help="RDF-reify the committed batch's statements "
+                        "(content-addressed urn:stmt: anchors + 4 "
+                        "reification triples each) under "
+                        "<out>/reified/<batch-id> — the provenance hook "
+                        "later batches attach annotations to")
+    p.add_argument("--hearst", action="store_true",
+                   help="Hearst-pattern hyponym/hypernym extraction over "
+                        "the page text column -> "
+                        "<out>/relations/<batch-id> parquet")
+    p.add_argument("--hearst-min-docs", type=int, default=2, metavar="N",
+                   help="keep extracted pairs supported by >= N distinct "
+                        "pages (default 2 — single-page pairs are mostly "
+                        "noise, cf. WebIsA's support threshold)")
     p.add_argument("--compact-after", type=int, default=0, metavar="N",
                    help="after committing this batch, if the store holds "
                         ">= N live batches, compact them into one and "
@@ -167,6 +186,36 @@ def main(argv: list[str] | None = None) -> dict:
         manifest = dict(manifest, n_shacl_violations=report.count(),
                         shacl_dir=shacl_dir)
         report.unpersist()
+    if args.fuse or args.reify:
+        from rdf_tabular_spark.operators.fusion import (fuse_majority,
+                                                        reify_statements)
+        from rdf_tabular_spark.sinks.graph_store import read_graph
+        batch_triples = read_graph(spark, args.out, batches=[args.batch_id])
+        if args.fuse:
+            fused_dir = os.path.join(args.out, "fused", args.batch_id)
+            fused = fuse_majority(batch_triples).persist()
+            fused.write.mode("overwrite").parquet(fused_dir)
+            n_conflicted = fused.filter("n_values > 1").count()
+            manifest = dict(manifest, fused_dir=fused_dir,
+                            n_fused=fused.count(),
+                            n_conflicted_attrs=n_conflicted)
+            fused.unpersist()
+        if args.reify:
+            reified_dir = os.path.join(args.out, "reified", args.batch_id)
+            reified = reify_statements(batch_triples)
+            reified.write.mode("overwrite").parquet(reified_dir)
+            manifest = dict(manifest, reified_dir=reified_dir)
+    if args.hearst:
+        from pyspark.sql import functions as F
+        from rdf_tabular_spark.operators.relations import hearst_pair_counts
+        rel_dir = os.path.join(args.out, "relations", args.batch_id)
+        pairs = (hearst_pair_counts(pages, text_col="text", id_col="url")
+                 .filter(F.col("n_docs") >= args.hearst_min_docs)
+                 .persist())
+        pairs.write.mode("overwrite").parquet(rel_dir)
+        manifest = dict(manifest, relations_dir=rel_dir,
+                        n_hearst_pairs=pairs.count())
+        pairs.unpersist()
     if args.compact_after:
         from rdf_tabular_spark.sinks.graph_store import (compact,
                                                          expire_replaced,

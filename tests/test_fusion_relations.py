@@ -161,3 +161,58 @@ def test_readability_counts_and_score(spark):
     w, s, y = 7, 3, 8
     expected = (206835 * s * w - 1015 * w * w - 84600 * y * s) // (s * w)
     assert out["fm"] == expected
+
+
+# --- job integration --------------------------------------------------------
+
+def test_extract_job_fuse_reify_hearst(spark, tmp_path):
+    """--fuse / --reify / --hearst side outputs: fused attributes, the
+    reified provenance anchors, and the supported Hearst pairs, each as
+    parquet under the store with manifest entries."""
+    import os
+
+    from rdf_tabular_spark.jobs.extract import main
+    out = str(tmp_path / "store")
+    m = main(["--synth", "40", "--out", out, "--batch-id", "fr1",
+              "--no-canonicalize", "--fuse", "--reify", "--hearst",
+              "--hearst-min-docs", "1"])
+    fused = spark.read.parquet(os.path.join(out, "fused", "fr1"))
+    assert set(fused.columns) == {"subj", "pred", "obj", "n_support",
+                                  "n_values"}
+    assert m["n_fused"] == fused.count() > 0
+    # one batch, one assertion per (subj, pred) -> no conflicts
+    assert m["n_conflicted_attrs"] == fused.filter("n_values > 1").count()
+    reified = spark.read.parquet(os.path.join(out, "reified", "fr1"))
+    assert set(reified.columns) == {"stmt", "pred", "obj"}
+    # 4 reification triples per distinct statement
+    n_stmts = reified.select("stmt").distinct().count()
+    assert reified.count() == 4 * n_stmts > 0
+    assert m["relations_dir"].endswith("relations/fr1")
+    rel = spark.read.parquet(os.path.join(out, "relations", "fr1"))
+    assert set(rel.columns) == {"hyponym", "hypernym", "n_mentions",
+                                "n_docs"}
+
+
+def test_curate_job_readability_band(spark, tmp_path):
+    """--readability-band drops documents outside the Flesch milli-unit
+    band and reports the count."""
+    from rdf_tabular_spark.jobs.curate import main as curate_main
+    out = str(tmp_path / "curated")
+    report = curate_main(["--in", "/root/testdata/sf0.001/documents.parquet",
+                          "--out", out,
+                          "--readability-band=-1000000:1000000"])
+    assert report["readability_dropped"] == 0  # the wide band keeps all
+    out2 = str(tmp_path / "curated2")
+    report2 = curate_main(["--in",
+                           "/root/testdata/sf0.001/documents.parquet",
+                           "--out", out2,
+                           "--readability-band", "999000:1000000"])
+    assert report2["readability_dropped"] > 0  # the absurd band drops
+
+
+def test_curate_job_readability_band_validation(spark, tmp_path):
+    from rdf_tabular_spark.jobs.curate import main as curate_main
+    with pytest.raises(ValueError, match="LO:HI"):
+        curate_main(["--in", "/root/testdata/sf0.001/documents.parquet",
+                     "--out", str(tmp_path / "x"),
+                     "--readability-band", "broad"])
