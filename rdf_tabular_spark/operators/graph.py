@@ -976,3 +976,122 @@ select m::bigint as n_edges,
        end as assortativity
 from s
 """
+
+
+def neighbor_sample(edges: DataFrame, k: int = 10,
+                    salt: str = "s0") -> DataFrame:
+    """Deterministic per-node neighbor sampling → ``(src, dst, rank)``,
+    ``rank ∈ [1, k]`` — the GraphSAGE fan-out step (Hamilton et al. 2017):
+    training needs a bounded neighborhood per node, and a *hash-ranked*
+    top-k (md5 over salt+src+dst) is reproducible across retries, resumed
+    checkpoints, and engines, where ``rand()`` is not.  Changing ``salt``
+    redraws the sample (one salt per epoch).
+
+    One keyed shuffle; the per-node window is bounded by out-degree and
+    AQE's skew handling splits hub partitions.  md5 is the oracle-stable
+    choice (swap xxhash64 at production scale, same plan).
+    """
+    e = edges.select("src", "dst").distinct()
+    h = F.md5(F.concat_ws("|", F.lit(salt), "src", "dst"))
+    w = Window.partitionBy("src").orderBy(h.asc(), F.col("dst").asc())
+    return (e.select("src", "dst", F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= k))
+
+
+def neighbor_sample_sql(edges_sql: str, k: int = 10, salt: str = "s0") -> str:
+    """DuckDB oracle for :func:`neighbor_sample` — identical hash ranking."""
+    return f"""
+with e as (select distinct src, dst from ({edges_sql})),
+r as (
+  select src, dst,
+         row_number() over (
+           partition by src
+           order by md5('{salt}' || '|' || src || '|' || dst), dst) as rank
+  from e)
+select src, dst, rank from r where rank <= {k}
+"""
+
+
+def neighbor_mean_agg(edges: DataFrame, features: DataFrame,
+                      node_col: str = "node",
+                      feature_col: str = "f") -> DataFrame:
+    """Two-round mean neighborhood aggregation → ``(node, f, h1, h2)`` —
+    the message-passing feature prep a GraphSAGE/GCN training job consumes:
+    ``h1(v) = mean f(u)`` over out-neighbors, ``h2(v) = mean h1(u)`` over
+    the same edges (missing neighbors → null, as in masked aggregation).
+
+    Each round is one edge-keyed join + one dst-keyed aggregate — the
+    standard two-shuffle-per-layer budget of distributed GNN sampling
+    systems; K layers compose linearly.  Means are single divisions of
+    exact integer sums rounded to 6 places → engine-stable.
+    """
+    e = edges.select("src", "dst").distinct()
+    f0 = features.select(F.col(node_col).alias("node"),
+                         F.col(feature_col).cast("long").alias("f"))
+    nb = (e.join(f0.withColumnsRenamed({"node": "dst", "f": "nf"}), "dst")
+          .groupBy("src")
+          .agg(F.round(F.sum("nf").cast("double") / F.count("nf"), 6)
+               .alias("h1")))
+    h1 = f0.join(nb.withColumnRenamed("src", "node"), "node", "left")
+    nb2 = (e.join(h1.select(F.col("node").alias("dst"),
+                            F.col("h1").alias("nh")), "dst")
+           .where(F.col("nh").isNotNull())
+           .groupBy("src")
+           .agg(F.round(F.sum("nh") / F.count("nh"), 6).alias("h2")))
+    return (h1.join(nb2.withColumnRenamed("src", "node"), "node", "left")
+            .select("node", "f", "h1", "h2"))
+
+
+def neighbor_mean_agg_sql(edges_sql: str, features_sql: str) -> str:
+    """DuckDB oracle for :func:`neighbor_mean_agg` (h2 averages the
+    *rounded* h1, mirroring the Spark composition exactly)."""
+    return f"""
+with e as (select distinct src, dst from ({edges_sql})),
+f0 as (select node, f::bigint as f from ({features_sql})),
+nb as (
+  select e.src, round(sum(f0.f)::double / count(f0.f), 6) as h1
+  from e join f0 on e.dst = f0.node group by e.src),
+h1 as (select f0.node, f0.f, nb.h1 from f0 left join nb on f0.node = nb.src),
+nb2 as (
+  select e.src, round(sum(h1.h1) / count(h1.h1), 6) as h2
+  from e join h1 on e.dst = h1.node where h1.h1 is not null group by e.src)
+select h1.node, h1.f, h1.h1, nb2.h2
+from h1 left join nb2 on h1.node = nb2.src
+"""
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-edge reciprocity → one row ``(n_edges, n_reciprocal,
+    reciprocity)``: the fraction of directed edges whose reverse also
+    exists — near zero on hierarchies and content DAGs, high inside link
+    exchanges and mutual-citation rings, which makes it a cheap per-crawl
+    spam fingerprint next to assortativity.
+
+    One self-semi-join on the reversed key; the ratio is a single integer
+    division rounded to 6 — engine-stable.
+    """
+    e = edges.where(F.col("src") != F.col("dst")) \
+        .select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return (e.agg(F.count("*").alias("n_edges"))
+            .crossJoin(recip.agg(F.count("*").alias("n_reciprocal")))
+            .select(F.col("n_edges").cast("long").alias("n_edges"),
+                    F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+                    F.round(F.col("n_reciprocal").cast("double")
+                            / F.col("n_edges"), 6).alias("reciprocity")))
+
+
+def reciprocity_sql(edges_sql: str) -> str:
+    """DuckDB oracle for :func:`reciprocity`."""
+    return f"""
+with e as (select distinct src, dst from ({edges_sql}) where src <> dst),
+r as (select count(*) as n_reciprocal from e
+      where exists (select 1 from e e2
+                    where e2.src = e.dst and e2.dst = e.src))
+select (select count(*) from e)::bigint as n_edges,
+       r.n_reciprocal::bigint as n_reciprocal,
+       round(r.n_reciprocal::double / (select count(*) from e), 6)
+         as reciprocity
+from r
+"""

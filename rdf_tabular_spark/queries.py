@@ -4874,6 +4874,76 @@ def _fusion_relations_sql() -> dict[str, str]:
     }
 
 
+# --- GNN feature prep + reciprocity (graph.py round-4 cont.) ----------------
+
+def _graph_neighbor_sample(spark, sf_dir):
+    """GraphSAGE fan-out (operators/graph.neighbor_sample): deterministic
+    hash-ranked top-k neighbors per node — reproducible across retries and
+    engines where rand() is not; one keyed window shuffle."""
+    from .operators.graph import neighbor_sample
+    return neighbor_sample(_doc_two_level_edges(spark, sf_dir), k=1,
+                           salt="epoch0")
+
+
+def _doc_feature_nodes_sql() -> str:
+    return (f"select {DOC_URL_SQL} as node, n_chars as f from documents")
+
+
+def _graph_sage_features(spark, sf_dir):
+    """Two-layer mean neighborhood aggregation
+    (operators/graph.neighbor_mean_agg) over the doc graph with n_chars as
+    the node feature — the message-passing feature prep a GraphSAGE
+    training job consumes; two edge-keyed shuffles per layer.  The
+    operator's masked-aggregation nulls (frontier nodes with no sampled
+    neighbors) are coalesced to a -1.0 sentinel here — scalar sortable
+    output is the registry's harness contract."""
+    from .operators.graph import neighbor_mean_agg
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        F.concat(F.lit("http://pages.example.org/doc/"),
+                 F.col("doc_id")).alias("node"),
+        F.col("n_chars").alias("f"))
+    out = neighbor_mean_agg(_doc_two_level_edges(spark, sf_dir), feats)
+    return out.select("node", "f",
+                      F.coalesce("h1", F.lit(-1.0)).alias("h1"),
+                      F.coalesce("h2", F.lit(-1.0)).alias("h2"))
+
+
+_RECIP_EDGES_SQL = (f"{_TWO_LEVEL_EDGES_SQL} union all "
+                    f"select 'http://pages.example.org/doc/' || (doc_id // 2)"
+                    f" as src, {DOC_URL_SQL} as dst from documents"
+                    " where doc_id > 0 and doc_id % 3 = 0")
+
+
+def _graph_reciprocity(spark, sf_dir):
+    """Directed reciprocity (operators/graph.reciprocity) over the doc
+    graph with every third parent edge reversed — the mutual-link spam
+    fingerprint; one reversed-key semi-join to a single row."""
+    from .operators.graph import reciprocity
+    base = _doc_two_level_edges(spark, sf_dir)
+    prefix = "http://pages.example.org/doc/"
+    rev = (_t(spark, sf_dir, "documents")
+           .filter((F.col("doc_id") > 0) & (F.col("doc_id") % 3 == 0))
+           .select(F.concat(F.lit(prefix), F.expr("doc_id div 2"))
+                   .alias("src"),
+                   F.concat(F.lit(prefix), F.col("doc_id")).alias("dst")))
+    return reciprocity(base.unionByName(rev))
+
+
+def _gnn_sql() -> dict[str, str]:
+    from .operators.graph import (neighbor_mean_agg_sql, neighbor_sample_sql,
+                                  reciprocity_sql)
+    return {
+        "graph_neighbor_sample":
+            neighbor_sample_sql(_TWO_LEVEL_EDGES_SQL, k=1, salt="epoch0"),
+        "graph_sage_features":
+            f"select node, f, coalesce(h1, -1.0) as h1,"
+            f" coalesce(h2, -1.0) as h2 from ("
+            f"{neighbor_mean_agg_sql(_TWO_LEVEL_EDGES_SQL, _doc_feature_nodes_sql())})",
+        "graph_reciprocity": reciprocity_sql(_RECIP_EDGES_SQL),
+    }
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5067,6 +5137,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_assortativity": _graph_assortativity,
     "text_bpe_pairs": _text_bpe_pairs,
     "text_readability": _text_readability,
+    "graph_neighbor_sample": _graph_neighbor_sample,
+    "graph_sage_features": _graph_sage_features,
+    "graph_reciprocity": _graph_reciprocity,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5199,6 +5272,7 @@ _ORACLES: dict[str, str] = {
     **_webgraph_sql(),
     **_summary_er_sql(),
     **_fusion_relations_sql(),
+    **_gnn_sql(),
 }
 
 

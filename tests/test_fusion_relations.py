@@ -216,3 +216,52 @@ def test_curate_job_readability_band_validation(spark, tmp_path):
         curate_main(["--in", "/root/testdata/sf0.001/documents.parquet",
                      "--out", str(tmp_path / "x"),
                      "--readability-band", "broad"])
+
+
+# --- GNN feature prep + reciprocity -----------------------------------------
+
+def test_neighbor_sample_bounded_and_deterministic(spark):
+    from rdf_tabular_spark.operators.graph import neighbor_sample
+    edges = spark.createDataFrame(
+        [("a", f"n{i}") for i in range(10)] + [("b", "n0")],
+        "src string, dst string")
+    s1 = neighbor_sample(edges, k=3, salt="e0").collect()
+    per_src = {}
+    for r in s1:
+        per_src.setdefault(r["src"], []).append((r["rank"], r["dst"]))
+    assert len(per_src["a"]) == 3 and sorted(r for r, _ in per_src["a"]) == [1, 2, 3]
+    assert per_src["b"] == [(1, "n0")]
+    # deterministic: identical on rerun...
+    s2 = neighbor_sample(edges, k=3, salt="e0").collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    # ...and a different salt redraws the sample (10 choose 3 makes a
+    # collision across all ranks unlikely; assert ranks move for SOME dst)
+    s3 = neighbor_sample(edges, k=10, salt="e1").collect()
+    r0 = {(r["src"], r["dst"]): r["rank"] for r in
+          neighbor_sample(edges, k=10, salt="e0").collect()}
+    r1 = {(r["src"], r["dst"]): r["rank"] for r in s3}
+    assert r0 != r1
+
+
+def test_neighbor_mean_agg_two_hops(spark):
+    from rdf_tabular_spark.operators.graph import neighbor_mean_agg
+    # chain a -> b -> c with features 1, 10, 100
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  "src string, dst string")
+    feats = spark.createDataFrame([("a", 1), ("b", 10), ("c", 100)],
+                                  "node string, f long")
+    out = {r["node"]: (r["f"], r["h1"], r["h2"])
+           for r in neighbor_mean_agg(edges, feats).collect()}
+    assert out["a"] == (1, 10.0, 100.0)   # h1 = f(b); h2 = h1(b) = f(c)
+    assert out["b"] == (10, 100.0, None)  # c has no h1 -> masked
+    assert out["c"] == (100, None, None)
+
+
+def test_reciprocity_half(spark):
+    from rdf_tabular_spark.operators.graph import reciprocity
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d")],
+        "src string, dst string")
+    row = reciprocity(edges).collect()[0]
+    assert (row["n_edges"], row["n_reciprocal"]) == (4, 2)
+    assert row["reciprocity"] == 0.5

@@ -832,3 +832,22 @@ def test_readability_shuffle_free(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"doc_id", "text"}, f"scan reads too much: {cols}"
+
+
+def test_neighbor_sample_single_window_shuffle(spark):
+    """GraphSAGE fan-out: distinct + one src-keyed window — two exchanges
+    total, no join."""
+    p = plan_of(Q.queries()["graph_neighbor_sample"](spark, SF))
+    assert n_exchanges(p) <= 2
+    assert "Join" not in p
+
+
+def test_sage_features_layer_budget(spark):
+    """Two-layer mean aggregation: each layer is one edge join + one keyed
+    agg — the standard 2-shuffle-per-layer budget; no cartesian, and the
+    feature scan reads only doc_id + n_chars."""
+    p = plan_of(Q.queries()["graph_sage_features"](spark, SF))
+    assert "CartesianProduct" not in p
+    ms = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for m in ms for c in m.split(",")}
+    assert cols == {"doc_id", "n_chars"}, f"scan reads too much: {cols}"
