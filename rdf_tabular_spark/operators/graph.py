@@ -1095,3 +1095,40 @@ select (select count(*) from e)::bigint as n_edges,
          as reciprocity
 from r
 """
+
+
+def edge_split(edges: DataFrame, salt: str = "split0",
+               train_buckets: int = 8, valid_buckets: int = 1,
+               n_buckets: int = 10) -> DataFrame:
+    """Deterministic link-prediction split → ``(src, dst, split)`` with
+    ``split ∈ {train, valid, test}`` — the evaluation prep for KG-
+    embedding training (pairs with ``negative_samples``): hashing
+    md5(salt|src|dst) into buckets gives a retry-stable 80/10/10 split
+    where ``randomSplit`` would reshuffle on every recomputation, and the
+    assignment is a pure per-row projection (zero shuffles beyond the
+    dedup distinct), so the split of a 10^12-edge graph is free.
+    """
+    e = edges.select("src", "dst").distinct()
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), "src", "dst")), 1, 8), 16, 10) \
+        .cast("long") % n_buckets
+    split = (F.when(h < train_buckets, "train")
+             .when(h < train_buckets + valid_buckets, "valid")
+             .otherwise("test"))
+    return e.select("src", "dst", split.alias("split"))
+
+
+def edge_split_sql(edges_sql: str, salt: str = "split0",
+                   train_buckets: int = 8, valid_buckets: int = 1,
+                   n_buckets: int = 10) -> str:
+    """DuckDB oracle for :func:`edge_split` — identical md5-prefix bucket."""
+    h = (f"(('0x' || substr(md5('{salt}' || '|' || src || '|' || dst),"
+         f" 1, 8))::bigint % {n_buckets})")
+    return f"""
+with e as (select distinct src, dst from ({edges_sql}))
+select src, dst,
+       case when {h} < {train_buckets} then 'train'
+            when {h} < {train_buckets + valid_buckets} then 'valid'
+            else 'test' end as split
+from e
+"""

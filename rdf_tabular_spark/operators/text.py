@@ -472,3 +472,165 @@ def readability_sql(expr: str) -> dict[str, str]:
     flesch = f"floor({num}::double / ({n_sent} * {w1}))::bigint"
     return {"n_words": n_words, "n_sentences": n_sent,
             "n_syllables": n_syll, "flesch_milli": flesch}
+
+
+# --- host-scoped boilerplate ------------------------------------------------
+
+def host_boilerplate_lines(docs, host_col: str = "host",
+                           text_col: str = "text", id_col: str = "doc_id",
+                           min_frac: float = 0.5,
+                           min_pages: int = 2) -> "DataFrame":
+    """Per-host boilerplate detection → ``(host, line, n_pages,
+    n_host_pages, frac)``: lines that repeat across ≥ ``min_frac`` of a
+    host's pages (nav bars, cookie banners, copyright footers) — the
+    host-SCOPED complement of C4's global repeated-line rule, and the
+    classic template-removal trick (cf. boilerplate handling in CCNet /
+    Dresden Web Table Corpus).
+
+    Scale shape: lines collapse to distinct (host, page, line) first, the
+    count keys on (host, line) — the per-host line VOCABULARY, not the
+    corpus — and the page totals broadcast back.  The fraction is one
+    integer division rounded to 6.  At 100 TB, hash the line (md5) instead
+    of carrying it; the plan is unchanged.
+
+    ``min_pages`` floors the evidence: on a 1-page host EVERY line is
+    "100% of pages", so lines must repeat on at least that many pages
+    before counting as template.
+    """
+    from pyspark.sql import functions as F
+    lines = (docs.select(F.col(host_col).alias("host"),
+                         F.col(id_col).alias("id"),
+                         F.explode(F.split(F.col(text_col), "\n"))
+                         .alias("line"))
+             .where(F.trim(F.col("line")) != "")
+             .distinct())
+    per_line = lines.groupBy("host", "line").agg(
+        F.count("*").alias("n_pages"))
+    totals = (docs.select(F.col(host_col).alias("host"),
+                          F.col(id_col).alias("id")).distinct()
+              .groupBy("host").agg(F.count("*").alias("n_host_pages")))
+    return (per_line.join(F.broadcast(totals), "host")
+            .withColumn("frac", F.round(F.col("n_pages").cast("double")
+                                        / F.col("n_host_pages"), 6))
+            .where((F.col("frac") >= min_frac)
+                   & (F.col("n_pages") >= min_pages))
+            .select("host", "line", F.col("n_pages").cast("long")
+                    .alias("n_pages"),
+                    F.col("n_host_pages").cast("long").alias("n_host_pages"),
+                    "frac"))
+
+
+def host_boilerplate_lines_sql(docs_sql: str, host_expr: str = "host",
+                               text_expr: str = "text",
+                               id_expr: str = "doc_id",
+                               min_frac: float = 0.5,
+                               min_pages: int = 2) -> str:
+    """DuckDB oracle for :func:`host_boilerplate_lines`."""
+    return f"""
+with d as (select {host_expr} as host, {id_expr} as id, {text_expr} as text
+           from ({docs_sql})),
+lines as (
+  select distinct host, id, line from (
+    select host, id, unnest(string_split(text, chr(10))) as line from d)
+  where trim(line) <> ''),
+per_line as (select host, line, count(*) as n_pages
+             from lines group by host, line),
+totals as (select host, count(distinct id) as n_host_pages
+           from d group by host)
+select per_line.host, line, n_pages::bigint as n_pages,
+       n_host_pages::bigint as n_host_pages,
+       round(n_pages::double / n_host_pages, 6) as frac
+from per_line join totals on per_line.host = totals.host
+where n_pages::double / n_host_pages >= {min_frac}
+  and n_pages >= {min_pages}
+"""
+
+
+def remove_host_boilerplate(docs, host_col: str = "host",
+                            text_col: str = "text", id_col: str = "doc_id",
+                            min_frac: float = 0.5,
+                            min_pages: int = 2) -> "DataFrame":
+    """Strip detected host boilerplate from each page → ``(id, clean_text,
+    n_removed)``.  The per-host boilerplate line set is collected into one
+    array per host (bounded by the host's template vocabulary) and joined
+    back broadcast-style, so the cleanup itself is a narrow array-filter
+    projection — the page text shuffles zero times."""
+    from pyspark.sql import functions as F
+    bl = (host_boilerplate_lines(docs, host_col, text_col, id_col,
+                                 min_frac, min_pages)
+          .groupBy("host").agg(F.collect_set("line").alias("bl")))
+    joined = (docs.select(F.col(host_col).alias("host"),
+                          F.col(id_col).alias("id"),
+                          F.split(F.col(text_col), "\n").alias("lines"))
+              .join(F.broadcast(bl), "host", "left"))
+    kept = F.when(F.col("bl").isNull(), F.col("lines")).otherwise(
+        F.filter("lines", lambda l: ~F.array_contains(F.col("bl"), l)))
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.concat_ws("\n", kept).alias("clean_text"),
+        (F.size("lines") - F.size(kept)).cast("long").alias("n_removed"))
+
+
+# --- RAKE-lite keyphrases ---------------------------------------------------
+
+KEYPHRASE_STOPWORDS = ENGLISH_STOPWORDS + ("this", "that", "was", "are",
+                                           "be", "by", "an", "or", "and")
+
+
+def _stop_split_re(stopwords: tuple[str, ...]) -> str:
+    alt = "|".join(stopwords)
+    # split on runs of stopwords and/or non-alphanumerics (RAKE's phrase
+    # delimiter rule: stopwords and punctuation both break candidates)
+    return rf"(?:\s*\b(?:{alt})\b\s*|[^a-z0-9\s]+\s*|\s\s+)+"
+
+
+def keyphrases(docs, text_col: str = "text",
+               stopwords: tuple[str, ...] = KEYPHRASE_STOPWORDS,
+               max_words: int = 3, min_freq: int = 2) -> "DataFrame":
+    """RAKE-style keyphrase candidates → ``(phrase, n_words, freq,
+    score)``: contiguous non-stopword word runs (Rose et al. 2010), scored
+    ``freq · n_words`` — the simplified corpus-level variant of RAKE's
+    degree/frequency ratio (full per-phrase co-occurrence degree needs a
+    phrase-word explode; same plan shape, omitted until needed).
+
+    One narrow regexp-split + explode, one aggregation keyed on the
+    phrase vocabulary.  ``min_freq`` keeps the long tail from dominating
+    the output at corpus scale.
+    """
+    from pyspark.sql import functions as F
+    rx = _stop_split_re(stopwords)
+    cand = (docs.select(F.explode(
+        F.split(F.lower(F.col(text_col)), rx)).alias("phrase"))
+        .select(F.trim(F.col("phrase")).alias("phrase"))
+        .where(F.col("phrase") != ""))
+    nw = F.size(F.split(F.col("phrase"), r"\s+"))
+    return (cand.where(nw <= max_words)
+            .groupBy("phrase")
+            .agg(F.count("*").alias("freq"))
+            .where(F.col("freq") >= min_freq)
+            .select("phrase",
+                    F.size(F.split(F.col("phrase"), r"\s+")).cast("long")
+                    .alias("n_words"),
+                    F.col("freq").cast("long").alias("freq"),
+                    (F.size(F.split(F.col("phrase"), r"\s+"))
+                     * F.col("freq")).cast("long").alias("score")))
+
+
+def keyphrases_sql(docs_sql: str, text_expr: str = "text",
+                   stopwords: tuple[str, ...] = KEYPHRASE_STOPWORDS,
+                   max_words: int = 3, min_freq: int = 2) -> str:
+    """DuckDB oracle for :func:`keyphrases` (same split regex, RE2)."""
+    rx = _stop_split_re(stopwords)
+    return f"""
+with cand as (
+  select trim(p) as phrase from (
+    select unnest(string_split_regex(lower({text_expr}), '{rx}')) as p
+    from ({docs_sql}))
+  where trim(p) <> ''),
+sized as (select phrase, len(string_split_regex(phrase, '\\s+')) as n_words
+          from cand)
+select phrase, n_words::bigint as n_words, count(*)::bigint as freq,
+       (n_words * count(*))::bigint as score
+from sized where n_words <= {max_words}
+group by phrase, n_words having count(*) >= {min_freq}
+"""

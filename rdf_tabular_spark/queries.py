@@ -4944,6 +4944,69 @@ def _gnn_sql() -> dict[str, str]:
     }
 
 
+# --- edge split / boilerplate / keyphrases (round-4 cont.) ------------------
+
+def _graph_edge_split(spark, sf_dir):
+    """Link-prediction 80/10/10 split (operators/graph.edge_split):
+    retry-stable md5-bucket assignment — a pure per-row projection where
+    randomSplit would redraw per recomputation; pairs with the TransE
+    negative-sampling op for KG-embedding eval prep."""
+    from .operators.graph import edge_split
+    return edge_split(_doc_two_level_edges(spark, sf_dir))
+
+
+# Host-boilerplate fixture: a shared per-source header/footer wrapped
+# around each doc's body — both engines assemble the identical string;
+# `source` stands in for the page host.
+_BOILER_DOCS_SQL = """
+select doc_id, source as host,
+       'Copyright ' || source || chr(10) || text || chr(10) ||
+       'All rights reserved ' || source as text
+from documents
+"""
+
+
+def _boiler_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.col("source").alias("host"),
+        F.concat(F.lit("Copyright "), F.col("source"), F.lit("\n"),
+                 F.col("text"), F.lit("\n"),
+                 F.lit("All rights reserved "), F.col("source"))
+        .alias("text"))
+
+
+def _text_host_boilerplate(spark, sf_dir):
+    """Host-scoped boilerplate detection
+    (operators/text.host_boilerplate_lines): lines repeating across ≥50%
+    of a host's pages — the template-removal complement of C4's global
+    repeated-line rule; counts key on the per-host line vocabulary, page
+    totals broadcast back."""
+    from .operators.text import host_boilerplate_lines
+    return host_boilerplate_lines(_boiler_docs(spark, sf_dir))
+
+
+def _text_keyphrases(spark, sf_dir):
+    """RAKE-style keyphrase candidates (operators/text.keyphrases):
+    stopword/punctuation-delimited word runs scored freq·n_words (Rose et
+    al. 2010, corpus-level simplification) — one narrow split+explode and
+    one phrase-vocabulary aggregation."""
+    from .operators.text import keyphrases
+    return keyphrases(_t(spark, sf_dir, "documents"), min_freq=5)
+
+
+def _split_boiler_sql() -> dict[str, str]:
+    from .operators.graph import edge_split_sql
+    from .operators.text import host_boilerplate_lines_sql, keyphrases_sql
+    return {
+        "graph_edge_split": edge_split_sql(_TWO_LEVEL_EDGES_SQL),
+        "text_host_boilerplate":
+            host_boilerplate_lines_sql(_BOILER_DOCS_SQL),
+        "text_keyphrases":
+            keyphrases_sql("select text from documents", min_freq=5),
+    }
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5140,6 +5203,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_neighbor_sample": _graph_neighbor_sample,
     "graph_sage_features": _graph_sage_features,
     "graph_reciprocity": _graph_reciprocity,
+    "graph_edge_split": _graph_edge_split,
+    "text_host_boilerplate": _text_host_boilerplate,
+    "text_keyphrases": _text_keyphrases,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5273,6 +5339,7 @@ _ORACLES: dict[str, str] = {
     **_summary_er_sql(),
     **_fusion_relations_sql(),
     **_gnn_sql(),
+    **_split_boiler_sql(),
 }
 
 

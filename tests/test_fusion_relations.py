@@ -265,3 +265,65 @@ def test_reciprocity_half(spark):
     row = reciprocity(edges).collect()[0]
     assert (row["n_edges"], row["n_reciprocal"]) == (4, 2)
     assert row["reciprocity"] == 0.5
+
+
+# --- edge split / boilerplate / keyphrases ----------------------------------
+
+def test_edge_split_deterministic_partition(spark):
+    from rdf_tabular_spark.operators.graph import edge_split
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"m{i}") for i in range(200)], "src string, dst string")
+    s1 = {(r["src"], r["dst"]): r["split"]
+          for r in edge_split(edges).collect()}
+    s2 = {(r["src"], r["dst"]): r["split"]
+          for r in edge_split(edges).collect()}
+    assert s1 == s2 and len(s1) == 200          # stable, total
+    counts = {}
+    for v in s1.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"] and \
+        counts["train"] > counts["test"]        # ~80/10/10
+    # a different salt reassigns some edges
+    s3 = {(r["src"], r["dst"]): r["split"]
+          for r in edge_split(edges, salt="epoch1").collect()}
+    assert s3 != s1
+
+
+def test_host_boilerplate_detect_and_remove(spark):
+    from rdf_tabular_spark.operators.text import (host_boilerplate_lines,
+                                                  remove_host_boilerplate)
+    rows = [
+        (1, "h1", "NAV BAR\nunique body one\nFOOTER"),
+        (2, "h1", "NAV BAR\nunique body two\nFOOTER"),
+        (3, "h1", "no template this time"),
+        (4, "h2", "NAV BAR\nother host body"),   # h2: 1 page -> min_pages floor
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    bl = {(r["host"], r["line"]): r["frac"]
+          for r in host_boilerplate_lines(docs, min_frac=0.6).collect()}
+    assert bl[("h1", "NAV BAR")] == pytest.approx(2 / 3, abs=1e-6)
+    assert bl[("h1", "FOOTER")] == pytest.approx(2 / 3, abs=1e-6)
+    assert ("h1", "unique body one") not in bl
+    # 1-page host: every line is 100% of pages, but min_pages=2 floors it
+    assert not any(h == "h2" for h, _ in bl)
+    cleaned = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in remove_host_boilerplate(docs, min_frac=0.6).collect()}
+    assert cleaned[1] == ("unique body one", 2)
+    assert cleaned[3] == ("no template this time", 0)
+    assert cleaned[4] == ("NAV BAR\nother host body", 0)
+
+
+def test_keyphrases_stopword_delimited(spark):
+    from rdf_tabular_spark.operators.text import keyphrases
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the quick brown fox. slow snail"),
+         (2, "quick brown fox wins")],
+        "doc_id long, text string")
+    out = {r["phrase"]: (r["n_words"], r["freq"], r["score"])
+           for r in keyphrases(docs, min_freq=2).collect()}
+    # twice in doc1; doc2's run is "quick brown fox wins" — 4 words,
+    # dropped by max_words=3 (a DIFFERENT candidate, not this phrase)
+    assert out["quick brown fox"] == (3, 2, 6)
+    # single-occurrence phrases filtered by min_freq
+    assert "slow snail" not in out

@@ -851,3 +851,30 @@ def test_sage_features_layer_budget(spark):
     ms = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     cols = {c.split(":")[0] for m in ms for c in m.split(",")}
     assert cols == {"doc_id", "n_chars"}, f"scan reads too much: {cols}"
+
+
+def test_edge_split_no_shuffle_beyond_distinct(spark):
+    """Link-prediction split: the md5-bucket assignment is a pure
+    projection — the dedup distinct is the only exchange."""
+    p = plan_of(Q.queries()["graph_edge_split"](spark, SF))
+    assert n_exchanges(p) <= 1
+    assert "Join" not in p
+
+
+def test_host_boilerplate_vocab_keyed_and_broadcast_totals(spark):
+    """Boilerplate detection: counts key on the per-host line vocabulary
+    and the page totals come back via a broadcast join — never a
+    sort-merge on the line table."""
+    p = plan_of(Q.queries()["text_host_boilerplate"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_keyphrases_single_vocab_agg(spark):
+    """Keyphrases: narrow split+explode, one aggregation keyed on the
+    phrase vocabulary, text-only scan."""
+    p = plan_of(Q.queries()["text_keyphrases"](spark, SF))
+    assert n_exchanges(p) == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"text"}, f"scan reads too much: {cols}"
