@@ -5007,6 +5007,52 @@ def _split_boiler_sql() -> dict[str, str]:
     }
 
 
+# --- RDFa-lite facet (round-4 cont.) ----------------------------------------
+
+def _kg_rdfa_triples(spark, sf_dir):
+    """Stage 1e: RDFa-lite scopes → triples (web.rdfa_to_triples over the
+    sources/html_extract parser's vocab/prefix expansion) — the fourth
+    structured-data facet after tables, microdata, and JSON-LD.  The
+    fixture page per document exercises vocab term expansion (name,
+    inLanguage, wordCount), a declared CURIE prefix (ex:rank), fragment
+    subject resolution (#art-N against the url), text-content vs
+    content/href-attribute values, and IRI-vs-literal object detection;
+    the oracle predicts all five triples relationally."""
+    from .web import rdfa_to_triples
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><div vocab="http://schema.org/" '
+              'prefix="ex: http://ex.org/ns#" typeof="Article" '
+              'resource="#art-'), F.col("doc_id"),
+        F.lit('"><span property="name">Doc '), F.col("doc_id"),
+        F.lit('</span><link property="inLanguage" '
+              'href="http://lang.example.org/'), F.col("lang"),
+        F.lit('"><meta property="wordCount" content="'), F.col("n_chars"),
+        F.lit('"><b property="ex:rank" content="'), F.col("doc_id") % 5,
+        F.lit('"></b></div></body></html>'))
+    pages = d.select(
+        F.concat(F.lit("http://pages.example.org/doc/"),
+                 F.col("doc_id")).alias("url"),
+        html.alias("html"))
+    return rdfa_to_triples(pages).select("subj", "pred", "obj", "obj_is_iri")
+
+
+_KG_RDFA_TRIPLES_SQL = f"""
+with s as (select {DOC_URL_SQL} || '#art-' || doc_id as subj, * from documents)
+select subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' as pred,
+       'http://schema.org/Article' as obj, true as obj_is_iri from s
+union all
+select subj, 'http://schema.org/name', 'Doc ' || doc_id, false from s
+union all
+select subj, 'http://schema.org/inLanguage',
+       'http://lang.example.org/' || lang, true from s
+union all
+select subj, 'http://schema.org/wordCount', n_chars::varchar, false from s
+union all
+select subj, 'http://ex.org/ns#rank', (doc_id % 5)::varchar, false from s
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5206,6 +5252,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_edge_split": _graph_edge_split,
     "text_host_boilerplate": _text_host_boilerplate,
     "text_keyphrases": _text_keyphrases,
+    "kg_rdfa_triples": _kg_rdfa_triples,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5340,6 +5387,7 @@ _ORACLES: dict[str, str] = {
     **_fusion_relations_sql(),
     **_gnn_sql(),
     **_split_boiler_sql(),
+    "kg_rdfa_triples": _KG_RDFA_TRIPLES_SQL,
 }
 
 

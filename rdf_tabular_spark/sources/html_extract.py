@@ -42,6 +42,16 @@ class MicroItem:
 
 
 @dataclass
+class RdfaItem:
+    """One RDFa-lite ``typeof`` scope: subject (resource/about attr or a
+    blank-node label), expanded type IRIs (space-joined), and expanded
+    (property, value) pairs in document order."""
+    subject: str
+    types: str
+    props: list[tuple[str, str]] = field(default_factory=list)
+
+
+@dataclass
 class PageContent:
     tables: list[HtmlTable] = field(default_factory=list)
     csvw_meta: Optional[str] = None
@@ -59,6 +69,8 @@ class PageContent:
     canonical: Optional[str] = None
     # (name lowercased, content) per <meta name content>, document order
     meta: list[tuple[str, str]] = field(default_factory=list)
+    # RDFa-lite typeof scopes (vocab/prefix-expanded), document order
+    rdfa: list[RdfaItem] = field(default_factory=list)
 
 
 class _PageParser(HTMLParser):
@@ -87,6 +99,14 @@ class _PageParser(HTMLParser):
         self._cell_span: tuple[int, int] = (1, 1)
         self._item_stack: list[MicroItem] = []
         self._prop_stack: list[tuple[str, list[str]]] = []
+        # RDFa-lite state: vocab/prefixes apply from their declaration
+        # onward (document-order scoping — the crawl-practice shape is one
+        # vocab per document; element-scoped shadowing is out of subset)
+        self.rdfa: list[RdfaItem] = []
+        self._rdfa_vocab: str = ""
+        self._rdfa_prefixes: dict[str, str] = {}
+        self._rdfa_stack: list[RdfaItem] = []
+        self._rdfa_prop_stack: list[tuple[str, list[str]]] = []
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
@@ -150,6 +170,45 @@ class _PageParser(HTMLParser):
                 self._item_stack[-1].props.append((a["itemprop"], href))
             else:
                 self._prop_stack.append((a["itemprop"], []))
+        # RDFa-lite (vocab / prefix / typeof / property / resource).
+        # vocab+prefix are processed BEFORE typeof so the common
+        # <div vocab=... typeof=...> shape expands its own types.
+        if a.get("vocab"):
+            self._rdfa_vocab = a["vocab"].strip()
+        if a.get("prefix"):
+            toks = a["prefix"].split()
+            for pfx, iri in zip(toks[::2], toks[1::2]):
+                if pfx.endswith(":"):
+                    self._rdfa_prefixes[pfx[:-1]] = iri
+        if "typeof" in a:
+            subject = (a.get("resource") or a.get("about")
+                       or f"_:rdfa{len(self.rdfa)}")
+            types = " ".join(self._rdfa_expand(t)
+                             for t in (a.get("typeof") or "").split())
+            ritem = RdfaItem(subject=subject, types=types)
+            self.rdfa.append(ritem)
+            self._rdfa_stack.append(ritem)
+        elif a.get("property") and self._rdfa_stack:
+            value = (a.get("content") or a.get("href") or a.get("src")
+                     or a.get("resource"))
+            prop = self._rdfa_expand(a["property"])
+            if value is not None:
+                self._rdfa_stack[-1].props.append((prop, value))
+            else:
+                self._rdfa_prop_stack.append((prop, []))
+
+    def _rdfa_expand(self, term: str) -> str:
+        """CURIE/term → IRI: declared prefix ▷ absolute IRI kept ▷ vocab
+        concatenation ▷ bare term (no vocab in scope)."""
+        term = term.strip()
+        if ":" in term:
+            pfx, local = term.split(":", 1)
+            if pfx in self._rdfa_prefixes:
+                return self._rdfa_prefixes[pfx] + local
+            return term  # http://... and friends
+        if self._rdfa_vocab:
+            return self._rdfa_vocab + term
+        return term
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TEXT:
@@ -184,6 +243,11 @@ class _PageParser(HTMLParser):
             prop, parts = self._prop_stack.pop()
             if self._item_stack:
                 self._item_stack[-1].props.append((prop, "".join(parts).strip()))
+        if self._rdfa_prop_stack:
+            prop, parts = self._rdfa_prop_stack.pop()
+            if self._rdfa_stack:
+                self._rdfa_stack[-1].props.append(
+                    (prop, "".join(parts).strip()))
 
     @staticmethod
     def _expand_row(cells: list[tuple], carry: dict) -> list[str]:
@@ -244,6 +308,8 @@ class _PageParser(HTMLParser):
             self._cell.append(data)
         if self._prop_stack:
             self._prop_stack[-1][1].append(data)
+        if self._rdfa_prop_stack:
+            self._rdfa_prop_stack[-1][1].append(data)
         if self._anchor_stack:
             self._anchor_stack[-1][1].append(data)
         stripped = data.strip()
@@ -349,6 +415,7 @@ def extract_page(html: str) -> PageContent:
         title=p.title,
         canonical=p.canonical,
         meta=p.meta,
+        rdfa=p.rdfa,
     )
 
 
@@ -367,6 +434,14 @@ MICRODATA_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("item_id", StringType(), False),
     StructField("itemtype", StringType(), True),
+    StructField("prop", StringType(), False),
+    StructField("value", StringType(), True),
+])
+
+RDFA_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("subject", StringType(), False),
+    StructField("typeof", StringType(), True),
     StructField("prop", StringType(), False),
     StructField("value", StringType(), True),
 ])
@@ -429,6 +504,33 @@ def pages_to_microdata(pages: DataFrame) -> DataFrame:
     from ..session import ensure_package_on_executors
     ensure_package_on_executors(pages.sparkSession)
     return pages.mapInPandas(kernel, schema=MICRODATA_SCHEMA)
+
+
+def pages_to_rdfa(pages: DataFrame) -> DataFrame:
+    """RDFa-lite scopes → one row per (url, subject, typeof, prop, value).
+
+    Same fused Arrow kernel discipline as :func:`pages_to_microdata` —
+    vocab/prefix expansion already happened inside the parser, blank-node
+    subjects skolemize per url so reruns and engines agree.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                page = extract_page(_decode(html))
+                for item in page.rdfa:
+                    subj = item.subject
+                    if subj.startswith("_:"):
+                        uh = hashlib.sha1(url.encode()).hexdigest()[:10]
+                        subj = f"_:ra-{uh}-{item.subject[2:]}"
+                    for prop, value in item.props:
+                        rows.append((url, subj, item.types, prop, value))
+            yield pd.DataFrame(
+                rows, columns=["url", "subject", "typeof", "prop", "value"])
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(pages.sparkSession)
+    return pages.mapInPandas(kernel, schema=RDFA_SCHEMA)
 
 
 def pages_to_text(pages: DataFrame) -> DataFrame:

@@ -153,13 +153,43 @@ def _emit_jsonld_triples(page, url: str,
         srcs.extend([-(i + 1)] * len(ts))
 
 
+def _emit_rdfa_triples(page, url: str,
+                       out: list, urls: list, srcs: list) -> None:
+    """Shared per-page RDFa-lite emission — same subject resolution and
+    IRI detection as :func:`rdfa_to_triples` (set-parity CI-tested);
+    ``source_num`` 0 like the microdata facet."""
+    import hashlib
+    import re as _re
+    seen_types = set()
+    for item in page.rdfa:
+        subj = item.subject
+        if subj.startswith("_:"):
+            uh = hashlib.sha1(url.encode()).hexdigest()[:10]
+            subj = f"_:ra-{uh}-{item.subject[2:]}"
+        elif subj.startswith("#"):
+            subj = url + subj
+        for prop, value in item.props:
+            out.append((subj, prop, value,
+                        bool(_re.match(r"https?://", value)), None, None))
+            urls.append(url)
+            srcs.append(0)
+        for t in item.types.split():
+            if (subj, t) in seen_types:
+                continue
+            seen_types.add((subj, t))
+            out.append((subj, RDF_TYPE, t, True, None, None))
+            urls.append(url)
+            srcs.append(0)
+
+
 def pages_to_combined_triples(pages: DataFrame, minimal: bool = True,
                               default_meta: Optional[dict] = None,
                               header_rows: int = 1,
                               respect_noindex: bool = False) -> DataFrame:
-    """Stages 1+1b+1d+2 in ONE Arrow pass: each page's HTML is parsed ONCE
-    and the CSVW-table triples, the microdata triples, and the embedded
-    JSON-LD triples are all emitted from the same ``extract_page`` result.
+    """Stages 1+1b+1d+1e+2 in ONE Arrow pass: each page's HTML is parsed
+    ONCE and the CSVW-table triples, the microdata triples, the embedded
+    JSON-LD triples, and the RDFa-lite triples are all emitted from the
+    same ``extract_page`` result.
 
     The separate operators (:func:`pages_to_triples`,
     :func:`microdata_to_triples`) parse every page twice — two full scans
@@ -193,6 +223,7 @@ def pages_to_combined_triples(pages: DataFrame, minimal: bool = True,
                                     header_rows, out, urls, srcs)
                 _emit_microdata_triples(page, url, out, urls, srcs)
                 _emit_jsonld_triples(page, url, out, urls, srcs)
+                _emit_rdfa_triples(page, url, out, urls, srcs)
             res = pd.DataFrame(out, columns=cols)
             res["table_url"] = pd.Series(urls, dtype="object")
             res["source_num"] = pd.Series(srcs, dtype="int64")
@@ -229,6 +260,43 @@ def microdata_to_triples(pages: DataFrame) -> DataFrame:
              .select(F.col("item_id").alias("subj"),
                      F.lit(RDF_TYPE).alias("pred"),
                      F.col("itemtype").alias("obj"),
+                     F.lit(True).alias("obj_is_iri"),
+                     F.lit(None).cast("string").alias("obj_datatype"),
+                     F.lit(None).cast("string").alias("obj_lang"),
+                     F.col("url").alias("table_url"),
+                     F.lit(0).cast("long").alias("source_num")))
+    return props.unionByName(types)
+
+
+def rdfa_to_triples(pages: DataFrame) -> DataFrame:
+    """Stage 1d: RDFa-lite scopes → triples (the fourth structured-data
+    facet next to tables, microdata, and JSON-LD).
+
+    Predicates and types arrive already vocab/prefix-expanded from the
+    parser; here fragment subjects (``#x``) resolve against the page url,
+    each typeof token becomes one rdf:type triple, and values that look
+    like IRIs stay IRIs.  Pure projection over the Arrow kernel
+    (sources/html_extract.pages_to_rdfa) — same narrow discipline as
+    :func:`microdata_to_triples`.
+    """
+    from .sources.html_extract import pages_to_rdfa
+    rd = pages_to_rdfa(pages)
+    subj = F.when(F.col("subject").startswith("#"),
+                  F.concat(F.col("url"), F.col("subject"))) \
+        .otherwise(F.col("subject"))
+    obj_is_iri = F.col("value").rlike("^https?://")
+    props = rd.select(
+        subj.alias("subj"), F.col("prop").alias("pred"),
+        F.col("value").alias("obj"), obj_is_iri.alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.col("url").alias("table_url"),
+        F.lit(0).cast("long").alias("source_num"))
+    types = (rd.filter(F.col("typeof") != "")
+             .select(subj.alias("subj"),
+                     F.explode(F.split("typeof", " ")).alias("obj"), "url")
+             .distinct()
+             .select("subj", F.lit(RDF_TYPE).alias("pred"), "obj",
                      F.lit(True).alias("obj_is_iri"),
                      F.lit(None).cast("string").alias("obj_datatype"),
                      F.lit(None).cast("string").alias("obj_lang"),
