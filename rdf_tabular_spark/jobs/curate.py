@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contam-ngrams", type=int, default=8,
                    help="shared word-3-gram count that flags contamination")
     p.add_argument("--scrub-pii", action="store_true")
+    p.add_argument("--host-boilerplate", type=float, default=None,
+                   metavar="FRAC", dest="host_boilerplate",
+                   help="strip lines repeating across >= FRAC of a host's "
+                        "pages (host-scoped template removal, min 2 pages "
+                        "of evidence); requires --host-col")
+    p.add_argument("--host-col", default="source",
+                   help="column holding the page host for "
+                        "--host-boilerplate (default: source)")
     p.add_argument("--readability-band", default=None, metavar="LO:HI",
                    help="keep documents whose Flesch reading ease (milli-"
                         "units, e.g. 30000:90000) falls inside the band — "
@@ -110,6 +118,8 @@ _PIPELINE_STAGES = {
     "decontaminate": {"path": "benchmark", "ngrams": "contam_ngrams"},
     "scrub_pii": {"_flag": "scrub_pii"},
     "readability": {"band": "readability_band"},
+    "host_boilerplate": {"frac": "host_boilerplate",
+                         "host_col": "host_col"},
     "mixture": {"weights": "mixture_weights", "budget": "mixture_budget",
                 "col": "mixture_col", "size_col": "mixture_size_col"},
     "pack": {"budget": "pack_budget"},
@@ -196,6 +206,23 @@ def main(argv: list[str] | None = None) -> dict:
         docs = (docs.drop("text")
                 .join(cleaned.filter(F.col("n_kept") > 0)
                       .select("doc_id", F.col("clean_text").alias("text")),
+                      "doc_id"))
+
+    # 0.5 host-scoped boilerplate removal — template lines die before any
+    # document-level statistic (they would otherwise pollute quality
+    # scores, shingles, and packing alike)
+    if args.host_boilerplate is not None:
+        from rdf_tabular_spark.operators.text import remove_host_boilerplate
+        if args.host_col not in docs.columns:
+            raise ValueError(f"--host-boilerplate needs column "
+                             f"{args.host_col!r} (set --host-col)")
+        cleaned = remove_host_boilerplate(
+            docs, host_col=args.host_col, min_frac=args.host_boilerplate)
+        report["boilerplate_lines_removed"] = int(
+            cleaned.agg(F.sum("n_removed")).first()[0] or 0)
+        docs = (docs.drop("text")
+                .join(cleaned.select("doc_id",
+                                     F.col("clean_text").alias("text")),
                       "doc_id"))
 
     # 1. quality gate (gopher + langid + exact dedup) — one decision pass

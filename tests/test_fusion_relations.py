@@ -327,3 +327,22 @@ def test_keyphrases_stopword_delimited(spark):
     assert out["quick brown fox"] == (3, 2, 6)
     # single-occurrence phrases filtered by min_freq
     assert "slow snail" not in out
+
+
+def test_curate_job_host_boilerplate_stage(spark, tmp_path):
+    """--host-boilerplate strips per-source template lines before the
+    quality gate and reports the removed-line count."""
+    from pyspark.sql import functions as F
+
+    from rdf_tabular_spark.jobs.curate import main as curate_main
+    src = str(tmp_path / "docs.parquet")
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+     .withColumn("text", F.concat(F.lit("COOKIE BANNER\n"), F.col("text")))
+     .write.parquet(src))
+    out = str(tmp_path / "curated")
+    report = curate_main(["--in", src, "--out", out,
+                          "--host-boilerplate", "0.5"])
+    n_docs = report["n_input"]
+    assert report["boilerplate_lines_removed"] == n_docs
+    cleaned = spark.read.parquet(out)
+    assert cleaned.filter(F.col("text").contains("COOKIE BANNER")).count() == 0
