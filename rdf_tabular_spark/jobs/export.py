@@ -10,7 +10,8 @@ extension — rdf-tabular script/parse:16-25):
 
 Formats: ``nt`` (one statement per line — the bulk format), ``nq``
 (N-Quads, graph = per-statement provenance), ``ttl`` (subject-grouped
-Turtle — the readable one), ``trig`` (named-graph TriG). ``--predicate``
+Turtle — the readable one), ``trig`` (named-graph TriG), ``rdfxml``
+(legacy-toolchain RDF/XML). ``--predicate``
 exports one predicate's triples via the partition-pruned read path.
 """
 
@@ -24,7 +25,7 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="export a graph store to RDF")
     p.add_argument("--store", required=True)
-    p.add_argument("--format", choices=("nt", "nq", "ttl", "trig"),
+    p.add_argument("--format", choices=("nt", "nq", "ttl", "trig", "rdfxml"),
                    default="nt")
     p.add_argument("--out", required=True)
     p.add_argument("--as-of", default=None)
@@ -71,6 +72,9 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.format == "trig":
         from rdf_tabular_spark.sinks.turtle_sink import write_trig
         write_trig(g, args.out)
+    elif args.format == "rdfxml":
+        from rdf_tabular_spark.sinks.rdfxml import write_rdfxml
+        write_rdfxml(g, args.out)
     else:
         from rdf_tabular_spark.sinks.turtle_sink import write_turtle
         write_turtle(g, args.out)

@@ -23,7 +23,7 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="import RDF into a graph store")
     p.add_argument("--in", dest="src", required=True)
-    p.add_argument("--format", choices=("nt", "nq", "ttl", "trig"),
+    p.add_argument("--format", choices=("nt", "nq", "ttl", "trig", "rdfxml"),
                    default="nt")
     p.add_argument("--store", required=True)
     p.add_argument("--batch-id", required=True)
@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.format == "trig":
         from rdf_tabular_spark.sources.turtle_source import read_trig
         triples = read_trig(spark, args.src, strict=args.strict)
+    elif args.format == "rdfxml":
+        from rdf_tabular_spark.sources.rdfxml_source import read_rdfxml
+        triples = read_rdfxml(spark, args.src, strict=args.strict)
     else:
         from rdf_tabular_spark.sources.turtle_source import read_turtle
         triples = read_turtle(spark, args.src, strict=args.strict)
