@@ -11,6 +11,7 @@ Output formats:
   nt      N-Triples, sharded (the bulk interchange format)
   nq      N-Quads (graph label = table_url, the per-statement provenance)
   ttl     subject-grouped Turtle
+  rdfxml  subject-grouped RDF/XML (legacy toolchains)
   trig    named-graph TriG (one graph block per table_url)
   json    the reference-shaped SINGLE JSON document (reader.rb to_json) —
           assembled on the driver, guarded by --max-doc-rows
@@ -29,8 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="convert CSVW to RDF/JSON")
     p.add_argument("--in", dest="src", required=True,
                    help="metadata .json or CSV/TSV/HTML path/url")
-    p.add_argument("--to", choices=("nt", "nq", "ttl", "trig", "json",
-                                    "jsonl"),
+    p.add_argument("--to", choices=("nt", "nq", "ttl", "trig", "rdfxml",
+                                    "json", "jsonl"),
                    default="nt")
     p.add_argument("--out", required=True,
                    help="output dir (nt/ttl/jsonl) or file path (json)")
@@ -56,7 +57,7 @@ def main(argv: list[str] | None = None) -> dict:
     from rdf_tabular_spark.session import ensure_package_on_executors
     ensure_package_on_executors(spark)
 
-    if args.to in ("nt", "nq", "ttl", "trig"):
+    if args.to in ("nt", "nq", "ttl", "trig", "rdfxml"):
         from rdf_tabular_spark.pipeline import csvw_to_triples
         triples = csvw_to_triples(spark, args.src, base=args.base,
                                   minimal=args.minimal).persist()
@@ -73,6 +74,9 @@ def main(argv: list[str] | None = None) -> dict:
         elif args.to == "trig":
             from rdf_tabular_spark.sinks.turtle_sink import write_trig
             write_trig(triples, args.out)
+        elif args.to == "rdfxml":
+            from rdf_tabular_spark.sinks.rdfxml import write_rdfxml
+            write_rdfxml(triples, args.out)
         else:
             from rdf_tabular_spark.sinks.turtle_sink import write_turtle
             write_turtle(triples, args.out)

@@ -141,3 +141,32 @@ def test_export_import_job_rdfxml(spark, tmp_path):
 
     a, b2 = rows_of(store), rows_of(store2)
     assert canon(a) == canon(b2) and len(a) > 0
+
+
+def test_convert_cli_rdfxml(tmp_path):
+    """csvw -> rdfxml through the convert CLI: parseable parts, right
+    triple count in the summary."""
+    import json as _json
+
+    from rdf_tabular_spark.jobs.convert import main as convert_main
+    src = tmp_path / "d.csv"
+    src.write_text("id,name\n1,alice\n2,bob\n")
+    meta = tmp_path / "d.csv-metadata.json"
+    meta.write_text(_json.dumps({
+        "@context": "http://www.w3.org/ns/csvw", "url": str(src),
+        "tableSchema": {"aboutUrl": "http://example.org/p/{id}",
+                        "columns": [{"name": "id", "titles": "id"},
+                                    {"name": "name", "titles": "name"}]}}))
+    out = str(tmp_path / "out-rdfxml")
+    summary = convert_main(["--in", str(meta), "--to", "rdfxml",
+                            "--out", out, "--minimal"])
+    assert summary["n_triples"] == 4
+    parts = glob.glob(os.path.join(out, "part-*"))
+    assert parts
+    names = set()
+    for p in parts:
+        for desc in ET.parse(p).getroot():
+            for el in desc:
+                if _el_pred(el).endswith("name"):
+                    names.add(el.text)
+    assert names == {"alice", "bob"}
