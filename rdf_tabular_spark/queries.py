@@ -5053,6 +5053,45 @@ select subj, 'http://ex.org/ns#rank', (doc_id % 5)::varchar, false from s
 """
 
 
+# --- entity disambiguation (round-4 cont.) ----------------------------------
+
+# Ambiguous surface → candidate entities with context bags; contexts are
+# drawn from the corpus vocabulary so documents genuinely separate the
+# senses. Both engines construct the identical table.
+_DISAMB_CANDIDATES = [
+    ("spark", "https://kg.example.org/entity/tool/spark-engine",
+     "batch stream window executor"),
+    ("spark", "https://kg.example.org/entity/fire/spark-ember",
+     "flame ember ash heat"),
+    ("merge", "https://kg.example.org/entity/op/merge-join",
+     "join sort hash table"),
+    ("merge", "https://kg.example.org/entity/vcs/merge-commit",
+     "branch commit repo diff"),
+]
+
+_DISAMB_CANDIDATES_SQL = "select * from (values " + ", ".join(
+    f"('{s}', '{e}', '{c}')" for s, e, c in _DISAMB_CANDIDATES
+) + ") t(surface, entity, context)"
+
+
+def _kg_entity_disambiguation(spark, sf_dir):
+    """Stage 2c: context-scored entity disambiguation
+    (web.disambiguate_mentions): ambiguous surfaces resolve to the
+    candidate whose context bag best overlaps the document (wikify-style),
+    lexical-min entity tie-break — broadcast candidate join, one
+    array_intersect projection, one (doc, surface)-keyed window."""
+    from .web import disambiguate_mentions
+    cands = spark.createDataFrame(
+        _DISAMB_CANDIDATES, "surface string, entity string, context string")
+    return disambiguate_mentions(_t(spark, sf_dir, "documents"), cands)
+
+
+def _kg_entity_disambiguation_sql() -> str:
+    from .web import disambiguate_sql
+    return disambiguate_sql("select doc_id, text from documents",
+                            _DISAMB_CANDIDATES_SQL)
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5253,6 +5292,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_host_boilerplate": _text_host_boilerplate,
     "text_keyphrases": _text_keyphrases,
     "kg_rdfa_triples": _kg_rdfa_triples,
+    "kg_entity_disambiguation": _kg_entity_disambiguation,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5388,6 +5428,7 @@ _ORACLES: dict[str, str] = {
     **_gnn_sql(),
     **_split_boiler_sql(),
     "kg_rdfa_triples": _KG_RDFA_TRIPLES_SQL,
+    "kg_entity_disambiguation": _kg_entity_disambiguation_sql(),
 }
 
 

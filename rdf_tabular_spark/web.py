@@ -21,7 +21,7 @@ import json
 from typing import Iterator, Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .csvw.model import load_metadata
@@ -880,3 +880,81 @@ def web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
         # free per-batch caches so storage memory stays flat across batches
         for df in held:
             df.unpersist()
+
+
+def disambiguate_mentions(docs: DataFrame, candidates: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Stage 2c: context-scored entity disambiguation → one
+    ``(doc, surface, entity, score, n_candidates)`` row per detected
+    mention.
+
+    ``link_entities`` resolves a surface against ONE dictionary entry;
+    real dictionaries are ambiguous ("jaguar" → car ∨ cat).  The classic
+    fix (Mihalcea & Csomai 2007 wikify-style) scores each candidate by
+    overlap between the document's tokens and the candidate's CONTEXT
+    bag (e.g. neighbor labels from the KG), then argmaxes per mention —
+    deterministic tie-break on the entity IRI so reruns publish the same
+    links.
+
+    Scale shape: ``candidates`` (surface, entity, context) is
+    dictionary-sized → broadcast; the containment join fans each doc out
+    only by its matching surfaces' candidate counts; scoring is one
+    ``array_intersect`` Column expression (distinct-token semantics, the
+    cross-engine-stable choice); the argmax is one window keyed on
+    (doc, surface).  One keyed shuffle total.
+    """
+    d = docs.select(F.col(id_col).alias("doc"),
+                    F.split(F.lower(F.col(text_col)), r"\s+").alias("dtoks"),
+                    F.lower(F.col(text_col)).alias("ltext"))
+    c = candidates.select(F.lower(F.col("surface")).alias("surface"),
+                          "entity",
+                          F.split(F.lower(F.col("context")), r"\s+")
+                          .alias("ctoks"))
+    scored = (d.join(F.broadcast(c),
+                     F.col("ltext").contains(F.col("surface")))
+              .select("doc", "surface", "entity",
+                      F.round(F.size(F.array_intersect("dtoks", "ctoks"))
+                              .cast("double") / F.size("ctoks"), 6)
+                      .alias("score")))
+    w = Window.partitionBy("doc", "surface")
+    ranked = scored.select(
+        "doc", "surface", "entity", "score",
+        F.row_number().over(w.orderBy(F.col("score").desc(),
+                                      F.col("entity").asc())).alias("_rn"),
+        F.count("*").over(w).alias("n_candidates"))
+    return (ranked.where(F.col("_rn") == 1)
+            .select(F.col("doc").alias(id_col), "surface", "entity",
+                    "score", F.col("n_candidates").cast("long")
+                    .alias("n_candidates")))
+
+
+def disambiguate_sql(docs_sql: str, candidates_sql: str,
+                     text_expr: str = "text",
+                     id_expr: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`disambiguate_mentions` — list_intersect
+    carries the same distinct-element semantics as array_intersect."""
+    return f"""
+with d as (select {id_expr} as doc,
+                  string_split_regex(lower({text_expr}), '\\s+') as dtoks,
+                  lower({text_expr}) as ltext
+           from ({docs_sql})),
+c as (select lower(surface) as surface, entity,
+             string_split_regex(lower(context), '\\s+') as ctoks
+      from ({candidates_sql})),
+scored as (
+  select doc, surface, entity,
+         round(len(list_intersect(list_distinct(dtoks),
+                                  list_distinct(ctoks)))::double
+               / len(ctoks), 6) as score
+  from d join c on contains(ltext, surface)),
+ranked as (
+  select doc, surface, entity, score,
+         row_number() over (partition by doc, surface
+                            order by score desc, entity asc) as rn,
+         count(*) over (partition by doc, surface) as n_candidates
+  from scored)
+select doc as doc_id, surface, entity, score,
+       n_candidates::bigint as n_candidates
+from ranked where rn = 1
+"""

@@ -81,3 +81,48 @@ def test_rdfa_triple_face_and_fused_parity(spark):
              for r in fused.select("subj", "pred", "obj", "obj_is_iri")
              .collect()}
     assert frows == rows
+
+
+# --- entity disambiguation (stage 2c) ---------------------------------------
+
+def test_disambiguate_mentions_context_argmax(spark):
+    from rdf_tabular_spark.web import disambiguate_mentions
+    docs = spark.createDataFrame(
+        [(1, "the jaguar sprinted across the savanna plains"),
+         (2, "the jaguar engine and gearbox roared on the track"),
+         (3, "nothing relevant here")],
+        "doc_id long, text string")
+    cands = spark.createDataFrame(
+        [("jaguar", "http://kg/cat", "savanna plains predator cat"),
+         ("jaguar", "http://kg/car", "engine gearbox track car")],
+        "surface string, entity string, context string")
+    out = {r["doc_id"]: (r["entity"], r["score"], r["n_candidates"])
+           for r in disambiguate_mentions(docs, cands).collect()}
+    assert out[1][0] == "http://kg/cat" and out[1][2] == 2
+    assert out[2][0] == "http://kg/car"
+    assert 3 not in out            # no mention, no row
+    assert out[1][1] == 0.5        # 2 of 4 context tokens present
+
+
+def test_disambiguate_tie_breaks_on_entity(spark):
+    from rdf_tabular_spark.web import disambiguate_mentions
+    docs = spark.createDataFrame([(1, "jaguar spotted")],
+                                 "doc_id long, text string")
+    cands = spark.createDataFrame(
+        [("jaguar", "http://kg/b", "x1 y1"),
+         ("jaguar", "http://kg/a", "x2 y2")],
+        "surface string, entity string, context string")
+    row = disambiguate_mentions(docs, cands).collect()[0]
+    assert row["entity"] == "http://kg/a" and row["score"] == 0.0
+
+
+def test_disambiguation_plan_broadcast_one_shuffle(spark):
+    import re as _re
+
+    from rdf_tabular_spark import queries as Q
+    from tests.test_plans import n_exchanges, plan_of
+    p = plan_of(Q.queries()["kg_entity_disambiguation"](
+        spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert n_exchanges(p) == 1     # only the (doc, surface) window
