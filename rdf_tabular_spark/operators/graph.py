@@ -1132,3 +1132,84 @@ select src, dst,
             else 'test' end as split
 from e
 """
+
+
+def bfs_per_seed(edges: DataFrame, seeds: DataFrame,
+                 max_hops: int = 4,
+                 checkpoint_dir: str | None = None) -> DataFrame:
+    """Per-seed BFS hop-distances → ``(seed, node, dist)`` — the
+    :func:`bfs_distances` frontier loop keyed on (seed, node) so each
+    seed's distance field stays separate (K seeds cost one shared edge
+    scan per round, not K traversals).  ``seeds`` is a one-column
+    ``node`` DataFrame; rounds are bounded by ``max_hops`` (sampled
+    centrality wants a horizon, not eccentricity)."""
+    e = edges.select("src", "dst").distinct().persist()
+    e.count()
+    known = _ckpt(seeds.select(F.col("node").alias("seed"))
+                  .distinct()
+                  .withColumn("node", F.col("seed"))
+                  .withColumn("dist", F.lit(0).cast("long")),
+                  checkpoint_dir)
+    frontier = known.select("seed", "node")
+    for d in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select("seed", F.col("dst").alias("node")).distinct()
+               .join(known.select("seed", "node"), ["seed", "node"],
+                     "left_anti")
+               .withColumn("dist", F.lit(d).cast("long")))
+        nxt = _ckpt(nxt, checkpoint_dir)
+        if nxt.isEmpty():
+            break
+        known = _ckpt(known.unionByName(nxt), checkpoint_dir)
+        frontier = nxt.select("seed", "node")
+    e.unpersist()
+    return known
+
+
+def _lcm_upto(n: int) -> int:
+    import math
+    out = 1
+    for i in range(1, n + 1):
+        out = out * i // math.gcd(out, i)
+    return out
+
+
+def harmonic_centrality_sampled(edges: DataFrame, seeds: DataFrame,
+                                max_hops: int = 4,
+                                checkpoint_dir: str | None = None
+                                ) -> DataFrame:
+    """Sampled harmonic centrality (Boldi & Vigna 2014's centrality, over
+    a seed sample instead of all-pairs) → ``(node, harmonic_x, n_seeds)``:
+    ``harmonic_x = Σ_seeds L/d(seed, node)`` for reachable seeds at
+    ``0 < d ≤ max_hops``, with ``L = lcm(1..max_hops)`` so every term —
+    and therefore the SUM — is an exact integer: floating ``Σ 1/d`` is
+    summation-order-dependent and can never hash-match across engines;
+    the scaled-integer form is bit-exact (divide by L for the standard
+    value).  Cost: one shared frontier iteration for all K seeds."""
+    L = _lcm_upto(max_hops)
+    d = bfs_per_seed(edges, seeds, max_hops=max_hops,
+                     checkpoint_dir=checkpoint_dir)
+    return (d.where(F.col("dist") > 0)
+            .groupBy("node")
+            .agg(F.sum(F.expr(f"{L} div dist")).cast("long")
+                 .alias("harmonic_x"),
+                 F.count("*").cast("long").alias("n_seeds")))
+
+
+def harmonic_sql(edges_sql: str, seeds_sql: str, max_hops: int = 4) -> str:
+    """DuckDB oracle for :func:`harmonic_centrality_sampled` — recursive
+    per-seed BFS CTE, identical integer scaling."""
+    L = _lcm_upto(max_hops)
+    return f"""
+with recursive e as (select distinct src, dst from ({edges_sql})),
+s as (select distinct node as seed from ({seeds_sql})),
+r(seed, node, d) as (
+  select seed, seed, 0 from s
+  union
+  select r.seed, e.dst, r.d + 1 from r join e on e.src = r.node
+  where r.d < {max_hops}),
+m as (select seed, node, min(d) as dist from r group by seed, node)
+select node, sum({L} // dist)::bigint as harmonic_x,
+       count(*)::bigint as n_seeds
+from m where dist > 0 group by node
+"""

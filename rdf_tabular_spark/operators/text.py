@@ -634,3 +634,86 @@ select phrase, n_words::bigint as n_words, count(*)::bigint as freq,
 from sized where n_words <= {max_words}
 group by phrase, n_words having count(*) >= {min_freq}
 """
+
+
+# --- corpus drift / stratum divergence --------------------------------------
+
+def source_divergence(docs, strat_col: str = "source",
+                      text_col: str = "text") -> "DataFrame":
+    """Total-variation distance between each stratum's word distribution
+    and the corpus-wide distribution → ``(stratum, n_tokens, tv_micro)``
+    with ``tv_micro = ⌊10⁶·TV⌋`` — the drift statistic that flags a
+    source (or crawl snapshot) whose language shifted, feeding mixture
+    re-weighting and quality triage.
+
+    TV is chosen over KL/JS deliberately: log-based divergences go
+    through libm and ``Σ p·log(p/q)`` is summation-order-dependent — they
+    can never hash-match across engines.  TV in exact integers can:
+    ``TV_s = Σ_w |c_ws·N − C_w·N_s| / (2·N_s·N)`` where every numerator
+    term is an integer product; absent-from-stratum words fold into the
+    closed form ``(N − Σ_{w∈s} C_w)·N_s`` so the sum runs only over the
+    stratum's own vocabulary.  One floored integer division at the end.
+    Exact while ``2·N_s·N·10⁶ < 2⁶³`` (≈ 10¹² corpus tokens with 10⁵-token
+    strata — switch to decimal beyond).
+
+    Plan: one (stratum, word) count, one word-level corpus re-aggregate,
+    broadcast stratum totals, map-side partial sums — vocabulary-keyed
+    shuffles only, the text never moves twice.
+    """
+    from pyspark.sql import functions as F
+    words = (docs.select(F.col(strat_col).alias("stratum"),
+                         F.explode(F.split(F.trim(F.col(text_col)), WS))
+                         .alias("word"))
+             .where(F.col("word") != ""))
+    c = words.groupBy("stratum", "word").agg(F.count("*").alias("c_ws"))
+    corpus = c.groupBy("word").agg(F.sum("c_ws").alias("c_w"))
+    totals = c.groupBy("stratum").agg(F.sum("c_ws").alias("n_s"))
+    n_total = totals.agg(F.sum("n_s").alias("n"))
+    j = (c.join(corpus, "word")
+         .join(F.broadcast(totals), "stratum")
+         .crossJoin(F.broadcast(n_total)))
+    per_strat = (j.groupBy("stratum")
+                 .agg(F.sum(F.abs(F.col("c_ws") * F.col("n")
+                                  - F.col("c_w") * F.col("n_s")))
+                      .alias("sum1"),
+                      F.sum("c_w").alias("cov"),
+                      F.first("n_s").alias("n_s"),
+                      F.first("n").alias("n")))
+    s = (F.col("sum1") + (F.col("n") - F.col("cov")) * F.col("n_s"))
+    return (per_strat
+            .select(F.col("stratum").alias(strat_col),
+                    F.col("n_s").cast("long").alias("n_tokens"),
+                    (s * 1000000).cast("long").alias("_num"),
+                    (2 * F.col("n_s") * F.col("n")).cast("long")
+                    .alias("_den"))
+            .select(strat_col, "n_tokens",
+                    F.expr("_num div _den").cast("long").alias("tv_micro")))
+
+
+def source_divergence_sql(docs_sql: str, strat_expr: str = "source",
+                          text_expr: str = "text") -> str:
+    """DuckDB oracle for :func:`source_divergence` — identical integer
+    arithmetic."""
+    return f"""
+with w as (
+  select {strat_expr} as stratum,
+         unnest(string_split_regex(trim({text_expr}), '\\s+')) as word
+  from ({docs_sql})),
+c as (select stratum, word, count(*) as c_ws from w
+      where word <> '' group by stratum, word),
+corpus as (select word, sum(c_ws) as c_w from c group by word),
+totals as (select stratum, sum(c_ws) as n_s from c group by stratum),
+n_total as (select sum(n_s) as n from totals),
+per as (
+  select c.stratum,
+         sum(abs(c.c_ws * n_total.n - corpus.c_w * totals.n_s)) as sum1,
+         sum(corpus.c_w) as cov,
+         first(totals.n_s) as n_s, first(n_total.n) as n
+  from c join corpus using (word) join totals using (stratum)
+       cross join n_total
+  group by c.stratum)
+select stratum as {strat_expr}, n_s::bigint as n_tokens,
+       (((sum1 + (n - cov) * n_s) * 1000000) // (2 * n_s * n))::bigint
+         as tv_micro
+from per
+"""

@@ -5092,6 +5092,49 @@ def _kg_entity_disambiguation_sql() -> str:
                             _DISAMB_CANDIDATES_SQL)
 
 
+# --- corpus drift + sampled centrality (round-4 cont.) ----------------------
+
+def _corpus_source_divergence(spark, sf_dir):
+    """Per-source corpus drift (operators/text.source_divergence):
+    total-variation distance between each source's word distribution and
+    the corpus — in exact scaled integers (log divergences are
+    summation-order-dependent and can never hash-match; TV can).
+    Vocabulary-keyed shuffles only."""
+    from .operators.text import source_divergence
+    return source_divergence(_t(spark, sf_dir, "documents"))
+
+
+_HARMONIC_SEEDS_SQL = ("select 'http://pages.example.org/doc/' || doc_id"
+                       " as node from documents where doc_id % 97 = 0")
+
+
+def _graph_harmonic_sampled(spark, sf_dir):
+    """Sampled harmonic centrality (operators/graph.
+    harmonic_centrality_sampled) over the two-level doc graph from the
+    deterministic 1-in-97 seed sample: Σ L/d in exact integers (L =
+    lcm(1..4)) so the per-node sum is engine-stable where floating Σ 1/d
+    is not; all K seeds share one frontier iteration."""
+    from .operators.graph import harmonic_centrality_sampled
+    seeds = (_t(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % 97 == 0)
+             .select(F.concat(F.lit("http://pages.example.org/doc/"),
+                              F.col("doc_id")).alias("node")))
+    return harmonic_centrality_sampled(
+        _doc_two_level_edges(spark, sf_dir), seeds, max_hops=4)
+
+
+def _drift_centrality_sql() -> dict[str, str]:
+    from .operators.graph import harmonic_sql
+    from .operators.text import source_divergence_sql
+    return {
+        "corpus_source_divergence":
+            source_divergence_sql("select source, text from documents"),
+        "graph_harmonic_sampled":
+            harmonic_sql(_TWO_LEVEL_EDGES_SQL, _HARMONIC_SEEDS_SQL,
+                         max_hops=4),
+    }
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5293,6 +5336,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_keyphrases": _text_keyphrases,
     "kg_rdfa_triples": _kg_rdfa_triples,
     "kg_entity_disambiguation": _kg_entity_disambiguation,
+    "corpus_source_divergence": _corpus_source_divergence,
+    "graph_harmonic_sampled": _graph_harmonic_sampled,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5429,6 +5474,7 @@ _ORACLES: dict[str, str] = {
     **_split_boiler_sql(),
     "kg_rdfa_triples": _KG_RDFA_TRIPLES_SQL,
     "kg_entity_disambiguation": _kg_entity_disambiguation_sql(),
+    **_drift_centrality_sql(),
 }
 
 

@@ -772,3 +772,47 @@ def test_label_propagation_deterministic_ties(spark):
     labs = dict(r1)
     assert labs["c"] == "c"           # round 2: all neighbors carry 'c'
     assert labs["l1"] == labs["l2"] == labs["l3"] == "l1"  # sync swap
+
+
+def test_bfs_per_seed_and_harmonic(spark):
+    from rdf_tabular_spark.operators.graph import (bfs_per_seed,
+                                                   harmonic_centrality_sampled)
+    # path a -> b -> c -> d plus seed e -> c
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "c")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("e",)], "node string")
+    d = {(r["seed"], r["node"]): r["dist"]
+         for r in bfs_per_seed(edges, seeds, max_hops=3).collect()}
+    assert d[("a", "b")] == 1 and d[("a", "c")] == 2 and d[("a", "d")] == 3
+    assert d[("e", "c")] == 1 and d[("e", "d")] == 2
+    assert ("e", "b") not in d
+    h = {r["node"]: (r["harmonic_x"], r["n_seeds"])
+         for r in harmonic_centrality_sampled(edges, seeds,
+                                              max_hops=3).collect()}
+    # L = lcm(1..3) = 6: c <- 6/2 (from a) + 6/1 (from e) = 9
+    assert h["c"] == (9, 2)
+    assert h["d"] == (6 // 3 + 6 // 2, 2)
+    assert h["b"] == (6, 1)
+
+
+def test_source_divergence_identical_strata_zero(spark):
+    from rdf_tabular_spark.operators.text import source_divergence
+    docs = spark.createDataFrame(
+        [(1, "s1", "x y"), (2, "s2", "x y")],
+        "doc_id long, source string, text string")
+    out = {r["source"]: (r["n_tokens"], r["tv_micro"])
+           for r in source_divergence(docs).collect()}
+    # both strata match the corpus distribution exactly -> TV = 0
+    assert out == {"s1": (2, 0), "s2": (2, 0)}
+
+
+def test_source_divergence_disjoint_vocab(spark):
+    from rdf_tabular_spark.operators.text import source_divergence
+    docs = spark.createDataFrame(
+        [(1, "s1", "x x"), (2, "s2", "y y")],
+        "doc_id long, source string, text string")
+    out = {r["source"]: r["tv_micro"]
+           for r in source_divergence(docs).collect()}
+    # stratum {x:1} vs corpus {x:.5, y:.5} -> TV = 0.5
+    assert out == {"s1": 500000, "s2": 500000}
