@@ -1213,3 +1213,74 @@ select node, sum({L} // dist)::bigint as harmonic_x,
        count(*)::bigint as n_seeds
 from m where dist > 0 group by node
 """
+
+
+def predicate_cardinality(triples: DataFrame,
+                          functional_frac: float = 0.99) -> DataFrame:
+    """Schema mining: per-predicate cardinality profile →
+    ``(pred, n_triples, n_subjects, n_objects, n_single_subj,
+    is_functional, is_inverse_functional)``.
+
+    A predicate is (quasi-)functional when ≥ ``functional_frac`` of its
+    subjects carry exactly one distinct object (owl:FunctionalProperty as
+    a statistic, not an axiom) — the signal that drives FK/key discovery
+    over extracted web data and tells the fusion stage which attributes
+    SHOULD be single-valued.  Inverse-functional mirrors it on the object
+    side (the identity-resolution hint: email, canonical url).
+
+    Two aggregation passes keyed on (pred, subj) / (pred, obj) — both
+    map-side combinable, payload-free; output is vocabulary-sized.
+    The functional test is exact-integer (n_single·100 ≥ frac·100·n) so
+    both engines agree without float thresholds.
+    """
+    pct = int(round(functional_frac * 100))
+    by_subj = (triples.groupBy("pred", "subj")
+               .agg(F.countDistinct("obj").alias("nv"),
+                    F.count("*").alias("nt")))
+    subj_side = (by_subj.groupBy("pred")
+                 .agg(F.sum("nt").alias("n_triples"),
+                      F.count("*").alias("n_subjects"),
+                      F.sum((F.col("nv") == 1).cast("long"))
+                      .alias("n_single_subj")))
+    by_obj = (triples.groupBy("pred", "obj")
+              .agg(F.countDistinct("subj").alias("ns")))
+    obj_side = (by_obj.groupBy("pred")
+                .agg(F.count("*").alias("n_objects"),
+                     F.sum((F.col("ns") == 1).cast("long"))
+                     .alias("n_single_obj")))
+    j = subj_side.join(obj_side, "pred")
+    return j.select(
+        "pred",
+        F.col("n_triples").cast("long").alias("n_triples"),
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.col("n_objects").cast("long").alias("n_objects"),
+        F.col("n_single_subj").cast("long").alias("n_single_subj"),
+        (F.col("n_single_subj") * 100 >= F.col("n_subjects") * pct)
+        .alias("is_functional"),
+        (F.col("n_single_obj") * 100 >= F.col("n_objects") * pct)
+        .alias("is_inverse_functional"))
+
+
+def predicate_cardinality_sql(triples_sql: str,
+                              functional_frac: float = 0.99) -> str:
+    """DuckDB oracle for :func:`predicate_cardinality`."""
+    pct = int(round(functional_frac * 100))
+    return f"""
+with t as ({triples_sql}),
+bs as (select pred, subj, count(distinct obj) as nv, count(*) as nt
+       from t group by pred, subj),
+ss as (select pred, sum(nt) as n_triples, count(*) as n_subjects,
+              sum(case when nv = 1 then 1 else 0 end) as n_single_subj
+       from bs group by pred),
+bo as (select pred, obj, count(distinct subj) as ns
+       from t group by pred, obj),
+os as (select pred, count(*) as n_objects,
+              sum(case when ns = 1 then 1 else 0 end) as n_single_obj
+       from bo group by pred)
+select ss.pred, n_triples::bigint as n_triples,
+       n_subjects::bigint as n_subjects, n_objects::bigint as n_objects,
+       n_single_subj::bigint as n_single_subj,
+       (n_single_subj * 100 >= n_subjects * {pct}) as is_functional,
+       (n_single_obj * 100 >= n_objects * {pct}) as is_inverse_functional
+from ss join os on ss.pred = os.pred
+"""

@@ -5124,7 +5124,7 @@ def _graph_harmonic_sampled(spark, sf_dir):
 
 
 def _drift_centrality_sql() -> dict[str, str]:
-    from .operators.graph import harmonic_sql
+    from .operators.graph import harmonic_sql, predicate_cardinality_sql
     from .operators.text import source_divergence_sql
     return {
         "corpus_source_divergence":
@@ -5132,7 +5132,19 @@ def _drift_centrality_sql() -> dict[str, str]:
         "graph_harmonic_sampled":
             harmonic_sql(_TWO_LEVEL_EDGES_SQL, _HARMONIC_SEEDS_SQL,
                          max_hops=4),
+        "kg_pred_cardinality":
+            predicate_cardinality_sql(_KG_PAGES_TRIPLES_SQL),
     }
+
+
+def _kg_pred_cardinality(spark, sf_dir):
+    """Schema mining (operators/graph.predicate_cardinality): per-predicate
+    functional / inverse-functional profile with an exact-integer threshold
+    test — doc-graph predicates are all functional, and only the unique-
+    valued ones (doc_id) come out inverse-functional, so the fixture
+    discriminates both flags."""
+    from .operators.graph import predicate_cardinality
+    return predicate_cardinality(_kg_pages_triples(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -5338,6 +5350,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_disambiguation": _kg_entity_disambiguation,
     "corpus_source_divergence": _corpus_source_divergence,
     "graph_harmonic_sampled": _graph_harmonic_sampled,
+    "kg_pred_cardinality": _kg_pred_cardinality,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,

@@ -816,3 +816,25 @@ def test_source_divergence_disjoint_vocab(spark):
            for r in source_divergence(docs).collect()}
     # stratum {x:1} vs corpus {x:.5, y:.5} -> TV = 0.5
     assert out == {"s1": 500000, "s2": 500000}
+
+
+def test_predicate_cardinality_flags(spark):
+    from rdf_tabular_spark.operators.graph import predicate_cardinality
+    rows = [
+        # p_fun: every subject exactly one object; objects shared -> not IFP
+        ("s1", "p_fun", "x"), ("s2", "p_fun", "x"), ("s3", "p_fun", "y"),
+        # p_multi: s1 has two values -> 1/2 single < 99%
+        ("s1", "p_multi", "a"), ("s1", "p_multi", "b"), ("s2", "p_multi", "c"),
+        # p_id: unique both ways -> functional AND inverse-functional
+        ("s1", "p_id", "i1"), ("s2", "p_id", "i2"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {r["pred"]: r for r in predicate_cardinality(df).collect()}
+    assert out["p_fun"]["is_functional"] and \
+        not out["p_fun"]["is_inverse_functional"]
+    assert not out["p_multi"]["is_functional"]
+    assert out["p_id"]["is_functional"] and \
+        out["p_id"]["is_inverse_functional"]
+    assert out["p_fun"]["n_subjects"] == 3 and out["p_fun"]["n_objects"] == 2
+    assert out["p_multi"]["n_triples"] == 3 and \
+        out["p_multi"]["n_single_subj"] == 1
