@@ -346,3 +346,25 @@ def test_curate_job_host_boilerplate_stage(spark, tmp_path):
     assert report["boilerplate_lines_removed"] == n_docs
     cleaned = spark.read.parquet(out)
     assert cleaned.filter(F.col("text").contains("COOKIE BANNER")).count() == 0
+
+
+def test_profile_job_datacard(spark, tmp_path):
+    """jobs/profile.py over sf0.001 documents: one JSON card with sizes,
+    language mix, quantiles, dup rate, and per-source drift."""
+    import json as _json
+
+    from rdf_tabular_spark.jobs.profile import main as profile_main
+    out = str(tmp_path / "card.json")
+    card = profile_main(["--in", "/root/testdata/sf0.001/documents.parquet",
+                         "--out", out, "--lang-col", "lang",
+                         "--source-col", "source"])
+    assert card["n_docs"] == 500
+    assert card["n_tokens"] > 0 and card["n_chars"] > 0
+    assert set(card["languages"]) == {"en", "de", "fr", "es", "zh"}
+    assert sum(card["languages"].values()) == 500
+    assert card["token_quantiles"]["p10"] <= card["token_quantiles"]["p99"]
+    assert 0.0 <= card["exact_dup_rate"] <= 1.0
+    assert len(card["sources"]) == 20
+    for v in card["sources"].values():
+        assert v["n_tokens"] > 0 and 0 <= v["tv_micro"] <= 1_000_000
+    assert _json.load(open(out)) == card
