@@ -717,3 +717,97 @@ select stratum as {strat_expr}, n_s::bigint as n_tokens,
          as tv_micro
 from per
 """
+
+
+# --- BM25 relevance scoring -------------------------------------------------
+
+def bm25_scores(docs, query_terms: tuple[str, ...],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> "DataFrame":
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set → ``(id, n_matched, score)`` — the query-relevance filter a
+    targeted-corpus build runs over a crawl (keep pages relevant to a
+    topic), and the classic retrieval baseline next to the TF-IDF tier.
+
+    Engine-exactness: corpus statistics (N, avgdl as an exact ratio,
+    per-term document frequencies) come from ONE aggregation and join
+    back broadcast; each term's contribution
+    ``ln(1 + (N−df+0.5)/(df+0.5)) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``
+    is a single fixed expression tree evaluated identically by both
+    engines, and the per-document total is a FIXED-ORDER column sum over
+    the (small, constant) query-term list — never a shuffle-ordered
+    aggregate, so the doubles match bit-for-bit (same discipline as the
+    PMI tier; rounded to 4).
+
+    Plan: one stats aggregation + one broadcast crossJoin + one narrow
+    scoring projection.  The corpus text is read twice (stats, score) —
+    cache upstream if both passes matter.
+    """
+    from pyspark.sql import functions as F
+    toks = F.split(F.trim(F.col(text_col)), WS)
+
+    def _tf(term):
+        # NB: a 1-arg lambda — F.filter treats 2-arg callables as
+        # (element, index), which would shadow the closed-over term
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf = {t: _tf(t) for t in query_terms}
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_len"),
+        *[F.sum((tf[t] > 0).cast("long")).alias(f"df_{i}")
+          for i, t in enumerate(query_terms)])
+    d = docs.select(F.col(id_col).alias("id"),
+                    F.size(toks).alias("dl"),
+                    *[tf[t].alias(f"tf_{i}")
+                      for i, t in enumerate(query_terms)]) \
+        .crossJoin(F.broadcast(stats))
+    # avgdl enters as the exact ratio total_len/n_docs inside the norm
+    # denominator: k1*(1-b) + k1*b*dl*n_docs/total_len — one division
+    norm = (F.lit(k1) * F.lit(1 - b)
+            + F.lit(k1) * F.lit(b) * F.col("dl").cast("double")
+            * F.col("n_docs") / F.col("total_len"))
+    score = F.lit(0.0)
+    n_matched = F.lit(0)
+    for i in range(len(query_terms)):
+        tfc = F.col(f"tf_{i}").cast("double")
+        idf = F.log(F.lit(1.0)
+                    + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+                    / (F.col(f"df_{i}") + F.lit(0.5)))
+        score = score + idf * tfc * F.lit(k1 + 1) / (tfc + norm)
+        n_matched = n_matched + (F.col(f"tf_{i}") > 0).cast("int")
+    return d.select(F.col("id").alias(id_col),
+                    n_matched.cast("long").alias("n_matched"),
+                    F.round(score, 4).alias("score"))
+
+
+def bm25_sql(docs_sql: str, query_terms: tuple[str, ...],
+             text_expr: str = "text", id_expr: str = "doc_id",
+             k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB oracle for :func:`bm25_scores` — identical expression tree
+    and term order."""
+    toks = f"string_split_regex(trim({text_expr}), '\\s+')"
+    tf = {i: f"len(list_filter({toks}, x -> x = '{t}'))"
+          for i, t in enumerate(query_terms)}
+    dfs = ", ".join(
+        f"sum(case when {tf[i]} > 0 then 1 else 0 end) as df_{i}"
+        for i in range(len(query_terms)))
+    tfs = ", ".join(f"{tf[i]} as tf_{i}" for i in range(len(query_terms)))
+    norm = (f"({k1} * {1 - b} + {k1} * {b} * dl::double * n_docs"
+            f" / total_len)")
+    score = " + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i}::double * {k1 + 1} / (tf_{i}::double + {norm})"
+        for i in range(len(query_terms)))
+    matched = " + ".join(f"(case when tf_{i} > 0 then 1 else 0 end)"
+                         for i in range(len(query_terms)))
+    return f"""
+with stats as (
+  select count(*) as n_docs, sum(len({toks})) as total_len, {dfs}
+  from ({docs_sql})),
+d as (select {id_expr} as id, len({toks}) as dl, {tfs}
+      from ({docs_sql}))
+select id as {id_expr}, ({matched})::bigint as n_matched,
+       round({score}, 4) as score
+from d cross join stats
+"""

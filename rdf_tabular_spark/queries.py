@@ -5147,6 +5147,24 @@ def _kg_pred_cardinality(spark, sf_dir):
     return predicate_cardinality(_kg_pages_triples(spark, sf_dir))
 
 
+_BM25_TERMS = ("join", "merge", "sort")
+
+
+def _text_bm25(spark, sf_dir):
+    """Okapi BM25 relevance against a fixed query-term set
+    (operators/text.bm25_scores) — the topic-relevance filter for
+    targeted corpus builds.  One stats aggregation, broadcast crossJoin,
+    narrow fixed-order scoring expression; the per-doc total never goes
+    through a shuffle-ordered sum, so the doubles are engine-stable."""
+    from .operators.text import bm25_scores
+    return bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+def _text_bm25_sql() -> str:
+    from .operators.text import bm25_sql
+    return bm25_sql("select doc_id, text from documents", _BM25_TERMS)
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5351,6 +5369,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_source_divergence": _corpus_source_divergence,
     "graph_harmonic_sampled": _graph_harmonic_sampled,
     "kg_pred_cardinality": _kg_pred_cardinality,
+    "text_bm25": _text_bm25,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5488,6 +5507,7 @@ _ORACLES: dict[str, str] = {
     "kg_rdfa_triples": _KG_RDFA_TRIPLES_SQL,
     "kg_entity_disambiguation": _kg_entity_disambiguation_sql(),
     **_drift_centrality_sql(),
+    "text_bm25": _text_bm25_sql(),
 }
 
 

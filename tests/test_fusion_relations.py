@@ -368,3 +368,29 @@ def test_profile_job_datacard(spark, tmp_path):
     for v in card["sources"].values():
         assert v["n_tokens"] > 0 and 0 <= v["tv_micro"] <= 1_000_000
     assert _json.load(open(out)) == card
+
+
+def test_bm25_ranking_and_idf_behavior(spark):
+    import math
+
+    from rdf_tabular_spark.operators.text import bm25_scores
+    docs = spark.createDataFrame(
+        [(1, "join join join filler filler"),
+         (2, "join filler filler filler filler"),
+         (3, "filler filler filler filler filler"),
+         (4, "rare filler filler filler filler")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_matched"], r["score"])
+           for r in bm25_scores(docs, ("join", "rare")).collect()}
+    # more tf -> higher score; no match -> 0
+    assert out[1][1] > out[2][1] > 0
+    assert out[3] == (0, 0.0)
+    # rarer term carries higher idf: doc4's single 'rare' (df=1) outscores
+    # doc2's single 'join' (df=2) at equal tf and length
+    assert out[4][1] > out[2][1]
+    # spot-check doc2 against the closed formula
+    N, df, tf, dl, avgdl = 4, 2, 1, 5, 5.0
+    k1, b = 1.2, 0.75
+    idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+    expected = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert out[2][1] == round(expected, 4)
