@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host-col", default="source",
                    help="column holding the page host for "
                         "--host-boilerplate (default: source)")
+    p.add_argument("--bm25-terms", default=None, metavar="T1,T2,...",
+                   help="topic-relevance gate: keep documents whose Okapi "
+                        "BM25 score against these query terms is >= "
+                        "--bm25-min (targeted-corpus builds)")
+    p.add_argument("--bm25-min", type=float, default=0.1,
+                   help="minimum BM25 score for --bm25-terms (default 0.1)")
     p.add_argument("--readability-band", default=None, metavar="LO:HI",
                    help="keep documents whose Flesch reading ease (milli-"
                         "units, e.g. 30000:90000) falls inside the band — "
@@ -118,6 +124,7 @@ _PIPELINE_STAGES = {
     "decontaminate": {"path": "benchmark", "ngrams": "contam_ngrams"},
     "scrub_pii": {"_flag": "scrub_pii"},
     "readability": {"band": "readability_band"},
+    "bm25": {"terms": "bm25_terms", "min_score": "bm25_min"},
     "host_boilerplate": {"frac": "host_boilerplate",
                          "host_col": "host_col"},
     "mixture": {"weights": "mixture_weights", "budget": "mixture_budget",
@@ -246,6 +253,20 @@ def main(argv: list[str] | None = None) -> dict:
         kept = kept.filter((F.col("_fm") >= lo) & (F.col("_fm") <= hi)) \
             .drop("_fm")
         report["readability_dropped"] = n_before - kept.count()
+
+    # 1.6 BM25 topic-relevance gate — corpus stats come from the CURRENT
+    # survivor set (relevance is relative to what's left)
+    if args.bm25_terms:
+        from rdf_tabular_spark.operators.text import bm25_scores
+        terms = tuple(t for t in args.bm25_terms.split(",") if t)
+        if not terms:
+            raise ValueError("--bm25-terms needs at least one term")
+        n_before = kept.count()
+        scores = bm25_scores(kept, terms)
+        keep_ids = scores.filter(
+            F.col("score") >= args.bm25_min).select("doc_id")
+        kept = kept.join(keep_ids, "doc_id", "left_semi")
+        report["bm25_dropped"] = n_before - kept.count()
 
     # 2. near-dedup over the survivors only
     if args.near_dedup:

@@ -394,3 +394,20 @@ def test_bm25_ranking_and_idf_behavior(spark):
     idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
     expected = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
     assert out[2][1] == round(expected, 4)
+
+
+def test_curate_job_bm25_stage(spark, tmp_path):
+    """--bm25-terms keeps only topic-relevant documents."""
+    from rdf_tabular_spark.jobs.curate import main as curate_main
+    report = curate_main(["--in", "/root/testdata/sf0.001/documents.parquet",
+                          "--out", str(tmp_path / "c1"),
+                          "--bm25-terms", "join,merge", "--bm25-min", "0.1"])
+    assert report["bm25_dropped"] >= 0
+    report2 = curate_main(["--in",
+                           "/root/testdata/sf0.001/documents.parquet",
+                           "--out", str(tmp_path / "c2"),
+                           "--bm25-terms", "zzzznope"])
+    # a term absent from the corpus drops every surviving doc
+    assert report2["bm25_dropped"] > 0
+    out2 = spark.read.parquet(str(tmp_path / "c2"))
+    assert out2.count() == 0
