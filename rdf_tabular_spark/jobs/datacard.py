@@ -1,8 +1,13 @@
 """spark-submit entry point: corpus profile ("data card") for a documents
 table.
 
+Named ``datacard`` (not ``profile``) deliberately: spark-submit prepends
+the job script's directory to sys.path, so a jobs/profile.py would
+shadow the stdlib ``profile`` module and break cProfile inside pyspark
+itself.
+
     spark-submit --py-files rdf_tabular_spark.zip \\
-        -m rdf_tabular_spark.jobs.profile \\
+        -m rdf_tabular_spark.jobs.datacard \\
         --in s3://corpus/docs.parquet --out card.json
 
 One JSON document summarizing the corpus the way a training-data review

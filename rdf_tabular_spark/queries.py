@@ -5165,6 +5165,39 @@ def _text_bm25_sql() -> str:
     return bm25_sql("select doc_id, text from documents", _BM25_TERMS)
 
 
+def _graph_component_sizes(spark, sf_dir):
+    """Component-size histogram over a many-component star fixture
+    (decade stars: doc → its decade root): stage 3's distributed
+    connected components (operators/components.connected_components)
+    must recover exactly the decade partition, so the histogram has a
+    direct closed-form relational oracle — a structural check on CC
+    itself, complementing the canonicalization profile mirrors."""
+    from .operators.components import connected_components
+    prefix = "http://pages.example.org/doc/"
+    edges = (_t(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % 10 != 0)
+             .select(F.concat(F.lit(prefix), F.col("doc_id")).alias("a"),
+                     F.concat(F.lit(prefix),
+                              F.expr("doc_id - doc_id % 10")).alias("b")))
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("sz"))
+    return (sizes.groupBy("sz")
+            .agg(F.count("*").cast("long").alias("n_components"))
+            .select(F.col("sz").cast("long").alias("component_size"),
+                    "n_components"))
+
+
+# decade d holds docs [10d, 10d+9] ∩ corpus → the component is the whole
+# decade; decades with a lone root have no edges and no CC row
+_GRAPH_COMPONENT_SIZES_SQL = """
+with dec as (select doc_id // 10 as d, count(*) as sz
+             from documents group by doc_id // 10
+             having count(*) >= 2)
+select sz::bigint as component_size, count(*)::bigint as n_components
+from dec group by sz
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5370,6 +5403,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_harmonic_sampled": _graph_harmonic_sampled,
     "kg_pred_cardinality": _kg_pred_cardinality,
     "text_bm25": _text_bm25,
+    "graph_component_sizes": _graph_component_sizes,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5508,6 +5542,7 @@ _ORACLES: dict[str, str] = {
     "kg_entity_disambiguation": _kg_entity_disambiguation_sql(),
     **_drift_centrality_sql(),
     "text_bm25": _text_bm25_sql(),
+    "graph_component_sizes": _GRAPH_COMPONENT_SIZES_SQL,
 }
 
 

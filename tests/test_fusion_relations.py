@@ -349,11 +349,11 @@ def test_curate_job_host_boilerplate_stage(spark, tmp_path):
 
 
 def test_profile_job_datacard(spark, tmp_path):
-    """jobs/profile.py over sf0.001 documents: one JSON card with sizes,
+    """jobs/datacard.py over sf0.001 documents: one JSON card with sizes,
     language mix, quantiles, dup rate, and per-source drift."""
     import json as _json
 
-    from rdf_tabular_spark.jobs.profile import main as profile_main
+    from rdf_tabular_spark.jobs.datacard import main as profile_main
     out = str(tmp_path / "card.json")
     card = profile_main(["--in", "/root/testdata/sf0.001/documents.parquet",
                          "--out", out, "--lang-col", "lang",
