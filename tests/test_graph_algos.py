@@ -838,3 +838,18 @@ def test_predicate_cardinality_flags(spark):
     assert out["p_fun"]["n_subjects"] == 3 and out["p_fun"]["n_objects"] == 2
     assert out["p_multi"]["n_triples"] == 3 and \
         out["p_multi"]["n_single_subj"] == 1
+
+
+def test_component_sizes_histogram(spark):
+    from rdf_tabular_spark.operators.components import connected_components
+    from pyspark.sql import functions as F
+    # two triangles-ish stars + one pair
+    edges = spark.createDataFrame(
+        [("a1", "a0"), ("a2", "a0"), ("b1", "b0"), ("b2", "b0"),
+         ("c1", "c0")],
+        "a string, b string")
+    cc = connected_components(edges)
+    sizes = (cc.groupBy("component").agg(F.count("*").alias("sz"))
+             .groupBy("sz").agg(F.count("*").alias("n")).collect())
+    out = {r["sz"]: r["n"] for r in sizes}
+    assert out == {3: 2, 2: 1}
