@@ -107,6 +107,14 @@ BENCH_QUERIES = [
     "kg_reified_triples",
     "text_bpe_pairs",
     "text_readability",
+    # round-4 cont. 17 tier: RDFa facet (fused-parse family), BM25 topic
+    # scoring (stats agg + broadcast + narrow fixed-order expression),
+    # per-source TV drift (vocabulary-keyed integer sums), and sampled
+    # harmonic centrality (shared per-seed frontier loop)
+    "kg_rdfa_triples",
+    "text_bm25",
+    "corpus_source_divergence",
+    "graph_harmonic_sampled",
     # round-3 continuation tiers (sameAs/subselect/SPARQL-string) are NOT
     # in the headline mix: their per-call cost is dominated by rebuilding
     # the 50k-doc microdata fixture, which measures the fixture, not the

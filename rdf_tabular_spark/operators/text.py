@@ -811,3 +811,59 @@ select id as {id_expr}, ({matched})::bigint as n_matched,
        round({score}, 4) as score
 from d cross join stats
 """
+
+
+# --- sliding-window chunking ------------------------------------------------
+
+def chunk_documents(docs, size: int = 64, overlap: int = 16,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> "DataFrame":
+    """Sliding-window document chunking → ``(id, chunk_idx, chunk_text,
+    n_tokens)`` with ``size``-token windows advancing by ``size −
+    overlap`` — the retrieval/embedding prep step (every RAG index and
+    long-document embedding job runs exactly this shape).  The final
+    window is the remainder (possibly < size); a document shorter than
+    one window yields a single chunk.
+
+    Pure array expressions: one ``sequence`` over window starts, one
+    ``slice`` per window, one explode — narrow, no shuffle, no Python.
+    Stride is enforced positive (overlap < size) at call time.
+    """
+    from pyspark.sql import functions as F
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    stride = size - overlap
+    toks = F.split(F.trim(F.col(text_col)), WS)
+    n = F.size(toks)
+    # window starts: 1, 1+stride, ... while start <= max(n - overlap, 1)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)),
+                        F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s, size)))
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+            .select(F.col("id").alias(id_col), "chunk_idx", "chunk_text",
+                    F.size(F.split(F.col("chunk_text"), WS)).cast("long")
+                    .alias("n_tokens")))
+
+
+def chunk_documents_sql(docs_sql: str, size: int = 64, overlap: int = 16,
+                        text_expr: str = "text",
+                        id_expr: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`chunk_documents` — same start sequence
+    and slice semantics (list slicing clamps at the end in both)."""
+    stride = size - overlap
+    toks = f"string_split_regex(trim({text_expr}), '\\s+')"
+    return f"""
+with d as (select {id_expr} as id, {toks} as toks from ({docs_sql})),
+s as (select id, toks,
+             unnest(generate_series(1, greatest(len(toks) - {overlap}, 1),
+                                    {stride})) as st
+      from d),
+c as (select id, (st - 1) // {stride} as chunk_idx,
+             array_to_string(toks[st : st + {size} - 1], ' ') as chunk_text
+      from s)
+select id as {id_expr}, chunk_idx::bigint as chunk_idx, chunk_text,
+       len(string_split_regex(chunk_text, '\\s+'))::bigint as n_tokens
+from c
+"""

@@ -5198,6 +5198,22 @@ from dec group by sz
 """
 
 
+def _text_chunks(spark, sf_dir):
+    """RAG-prep sliding-window chunking (operators/text.chunk_documents):
+    64-token windows, 16-token overlap — one sequence + slice + explode,
+    narrow and shuffle-free; the oracle mirrors the start sequence and
+    the clamped slice semantics."""
+    from .operators.text import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           size=64, overlap=16)
+
+
+def _text_chunks_sql() -> str:
+    from .operators.text import chunk_documents_sql
+    return chunk_documents_sql("select doc_id, text from documents",
+                               size=64, overlap=16)
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5404,6 +5420,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pred_cardinality": _kg_pred_cardinality,
     "text_bm25": _text_bm25,
     "graph_component_sizes": _graph_component_sizes,
+    "text_chunks": _text_chunks,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5543,6 +5560,7 @@ _ORACLES: dict[str, str] = {
     **_drift_centrality_sql(),
     "text_bm25": _text_bm25_sql(),
     "graph_component_sizes": _GRAPH_COMPONENT_SIZES_SQL,
+    "text_chunks": _text_chunks_sql(),
 }
 
 

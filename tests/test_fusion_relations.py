@@ -411,3 +411,24 @@ def test_curate_job_bm25_stage(spark, tmp_path):
     assert report2["bm25_dropped"] > 0
     out2 = spark.read.parquet(str(tmp_path / "c2"))
     assert out2.count() == 0
+
+
+def test_chunk_documents_windows(spark):
+    from rdf_tabular_spark.operators.text import chunk_documents
+    text = " ".join(f"w{i}" for i in range(1, 11))   # 10 tokens
+    docs = spark.createDataFrame([(1, text), (2, "short doc")],
+                                 "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+           for r in chunk_documents(docs, size=4, overlap=1).collect()}
+    # stride 3: windows at 1, 4, 7 (stop = 10 - 1 = 9)
+    assert out[(1, 0)] == ("w1 w2 w3 w4", 4)
+    assert out[(1, 1)] == ("w4 w5 w6 w7", 4)
+    assert out[(1, 2)] == ("w7 w8 w9 w10", 4)
+    assert (1, 3) not in out
+    # overlap: consecutive windows share exactly one token
+    assert out[(1, 0)][0].split()[-1] == out[(1, 1)][0].split()[0]
+    # short doc -> one remainder chunk
+    assert out[(2, 0)] == ("short doc", 2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, size=4, overlap=4)
