@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep extracted pairs supported by >= N distinct "
                         "pages (default 2 — single-page pairs are mostly "
                         "noise, cf. WebIsA's support threshold)")
+    p.add_argument("--disambiguate", default=None, metavar="CANDS.parquet",
+                   help="context-scored entity disambiguation over the "
+                        "page text: candidates parquet (surface, entity, "
+                        "context) -> one argmax link per detected mention "
+                        "under <out>/mentions/<batch-id>")
     p.add_argument("--compact-after", type=int, default=0, metavar="N",
                    help="after committing this batch, if the store holds "
                         ">= N live batches, compact them into one and "
@@ -216,6 +221,16 @@ def main(argv: list[str] | None = None) -> dict:
         manifest = dict(manifest, relations_dir=rel_dir,
                         n_hearst_pairs=pairs.count())
         pairs.unpersist()
+    if args.disambiguate:
+        from rdf_tabular_spark.web import disambiguate_mentions
+        cands = spark.read.parquet(args.disambiguate)
+        mdir = os.path.join(args.out, "mentions", args.batch_id)
+        links = disambiguate_mentions(pages, cands, text_col="text",
+                                      id_col="url").persist()
+        links.write.mode("overwrite").parquet(mdir)
+        manifest = dict(manifest, mentions_dir=mdir,
+                        n_mentions=links.count())
+        links.unpersist()
     if args.compact_after:
         from rdf_tabular_spark.sinks.graph_store import (compact,
                                                          expire_replaced,

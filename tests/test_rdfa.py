@@ -126,3 +126,23 @@ def test_disambiguation_plan_broadcast_one_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert n_exchanges(p) == 1     # only the (doc, surface) window
+
+
+def test_extract_job_disambiguate(spark, tmp_path):
+    """--disambiguate CANDS.parquet writes argmax mention links."""
+    import os
+
+    from rdf_tabular_spark.jobs.extract import main
+    cands_path = str(tmp_path / "cands.parquet")
+    spark.createDataFrame(
+        [("sighting", "http://kg/event/sighting", "spotted reported seen")],
+        "surface string, entity string, context string") \
+        .write.parquet(cands_path)
+    out = str(tmp_path / "store")
+    m = main(["--synth", "30", "--out", out, "--batch-id", "d1",
+              "--no-canonicalize", "--disambiguate", cands_path])
+    assert m["mentions_dir"].endswith("mentions/d1")
+    links = spark.read.parquet(os.path.join(out, "mentions", "d1"))
+    assert set(links.columns) == {"url", "surface", "entity", "score",
+                                  "n_candidates"}
+    assert m["n_mentions"] == links.count()
