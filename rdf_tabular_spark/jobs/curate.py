@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: n_chars)")
     p.add_argument("--pack-budget", type=int, default=None,
                    help="pack kept docs into ~N-token sequences")
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help="emit sliding-window chunks of N tokens instead "
+                        "of whole documents (RAG/embedding prep; "
+                        "mutually exclusive with --pack-budget)")
+    p.add_argument("--chunk-overlap", type=int, default=16)
     p.add_argument("--report", default=None,
                    help="also write the JSON report to this path")
     p.add_argument("--pipeline", default=None, metavar="CONFIG.json",
@@ -130,6 +135,7 @@ _PIPELINE_STAGES = {
     "mixture": {"weights": "mixture_weights", "budget": "mixture_budget",
                 "col": "mixture_col", "size_col": "mixture_size_col"},
     "pack": {"budget": "pack_budget"},
+    "chunk": {"size": "chunk_size", "overlap": "chunk_overlap"},
 }
 
 
@@ -337,12 +343,20 @@ def main(argv: list[str] | None = None) -> dict:
             .agg(F.sum(args.mixture_size_col).alias("vol")).collect()}
 
     # 5. sequence packing
+    if args.pack_budget and args.chunk_size:
+        raise ValueError("--pack-budget and --chunk-size are mutually "
+                         "exclusive output shapes")
     if args.pack_budget:
         packed = C.pack_sequences(kept, budget=args.pack_budget)
         kept = kept.join(packed.select("doc_id", "grp", "seq_no", "n_tok"),
                          "doc_id")
         report["n_sequences"] = (kept.select("grp", "seq_no")
                                  .distinct().count())
+    elif args.chunk_size:
+        from rdf_tabular_spark.operators.text import chunk_documents
+        kept = chunk_documents(kept, size=args.chunk_size,
+                               overlap=args.chunk_overlap)
+        report["n_chunks"] = kept.count()
 
     kept.write.mode("overwrite").parquet(args.out)
     decisions.unpersist()

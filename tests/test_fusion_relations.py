@@ -432,3 +432,22 @@ def test_chunk_documents_windows(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, size=4, overlap=4)
+
+
+def test_curate_job_chunk_output(spark, tmp_path):
+    """--chunk-size swaps the output shape to sliding-window chunks."""
+    from rdf_tabular_spark.jobs.curate import main as curate_main
+    out = str(tmp_path / "chunks")
+    report = curate_main(["--in", "/root/testdata/sf0.001/documents.parquet",
+                          "--out", out, "--chunk-size", "32",
+                          "--chunk-overlap", "8"])
+    chunks = spark.read.parquet(out)
+    assert set(chunks.columns) == {"doc_id", "chunk_idx", "chunk_text",
+                                   "n_tokens"}
+    assert report["n_chunks"] == chunks.count() > 0
+    assert chunks.agg({"n_tokens": "max"}).first()[0] <= 32
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mutually"):
+        curate_main(["--in", "/root/testdata/sf0.001/documents.parquet",
+                     "--out", out, "--chunk-size", "32",
+                     "--pack-budget", "64"])
