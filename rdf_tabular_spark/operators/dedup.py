@@ -630,3 +630,63 @@ select a.block as block, a.name as name_a, b.name as name_b,
 from names a join names b on a.block = b.block and a.name < b.name
 where levenshtein(a.name, b.name) <= {max_dist}
 """
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    the MOSS algorithm) → ``(id, fp)``: per sliding window of ``w``
+    consecutive word-``k``-gram hashes, keep the window minimum; the
+    distinct selected hashes are a position-robust LOCAL fingerprint set
+    with a guarantee the global MinHash tier lacks — any shared run of
+    ``w + k − 1`` words between two documents yields at least one shared
+    fingerprint, which makes it the candidate generator for partial-
+    overlap/quotation detection rather than whole-document near-dup.
+
+    Pure array expressions (k-gram transform → hash → window-min
+    transform → explode → distinct): narrow until the final distinct, and
+    the fingerprint table is the only thing that ever shuffles.  Hash =
+    md5 32-bit prefix (the cross-engine-stable choice; xxhash64 at
+    production scale).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    hashes = F.transform(grams, lambda g: F.conv(
+        F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
+    nh = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(nh - (w - 1), F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i, w)))
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.explode(mins).alias("fp"))
+            .distinct()
+            .select(F.col("id").alias(id_col), F.col("fp").cast("long")
+                    .alias("fp")))
+
+
+def winnow_fingerprints_sql(docs_sql: str, k: int = 4, w: int = 4,
+                            text_expr: str = "text",
+                            id_expr: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`winnow_fingerprints`."""
+    toks = f"string_split_regex(trim({text_expr}), '\\s+')"
+    return f"""
+with d as (select {id_expr} as id, {toks} as toks from ({docs_sql})),
+g as (select id,
+             [array_to_string(toks[i : i + {k} - 1], ' ')
+              for i in generate_series(1, greatest(len(toks) - {k - 1}, 0))]
+               as grams
+      from d),
+h as (select id,
+             [('0x' || substr(md5(x), 1, 8))::bigint for x in grams] as hs
+      from g),
+m as (select id,
+             [list_aggregate(hs[i : i + {w} - 1], 'min')
+              for i in generate_series(1, greatest(len(hs) - {w - 1}, 0))]
+               as mins
+      from h)
+select distinct id as {id_expr}, unnest(mins)::bigint as fp from m
+"""

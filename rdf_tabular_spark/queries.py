@@ -5214,6 +5214,21 @@ def _text_chunks_sql() -> str:
                                size=64, overlap=16)
 
 
+def _dedup_winnow_fps(spark, sf_dir):
+    """Winnowing fingerprints (operators/dedup.winnow_fingerprints — the
+    MOSS/SIGMOD'03 algorithm): window-min k-gram hashes with the
+    shared-run guarantee MinHash lacks — the candidate generator for
+    partial-overlap and quotation detection; narrow array pipeline, one
+    distinct shuffle on the fingerprint table."""
+    from .operators.dedup import winnow_fingerprints
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_winnow_sql() -> str:
+    from .operators.dedup import winnow_fingerprints_sql
+    return winnow_fingerprints_sql("select doc_id, text from documents")
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5421,6 +5436,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25": _text_bm25,
     "graph_component_sizes": _graph_component_sizes,
     "text_chunks": _text_chunks,
+    "dedup_winnow_fps": _dedup_winnow_fps,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5561,6 +5577,7 @@ _ORACLES: dict[str, str] = {
     "text_bm25": _text_bm25_sql(),
     "graph_component_sizes": _GRAPH_COMPONENT_SIZES_SQL,
     "text_chunks": _text_chunks_sql(),
+    "dedup_winnow_fps": _dedup_winnow_sql(),
 }
 
 

@@ -451,3 +451,25 @@ def test_curate_job_chunk_output(spark, tmp_path):
         curate_main(["--in", "/root/testdata/sf0.001/documents.parquet",
                      "--out", out, "--chunk-size", "32",
                      "--pack-budget", "64"])
+
+
+def test_winnow_shared_run_guarantee(spark):
+    from rdf_tabular_spark.operators.dedup import winnow_fingerprints
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, "x1 x2 x3 " + base + " y1 y2"),
+         (2, "z9 " + base + " q7 q8 q9"),
+         (3, "totally different words here entirely now ok fine")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=3, w=3)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # docs 1 and 2 share an 8-word run >= w + k - 1 = 5 -> shared fp
+    assert by_doc[1] & by_doc[2]
+    # unrelated doc shares nothing with either
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # deterministic across recomputation
+    again = {(r["doc_id"], r["fp"]) for r in
+             winnow_fingerprints(docs, k=3, w=3).collect()}
+    assert again == {(d, f) for d, s in by_doc.items() for f in s}
