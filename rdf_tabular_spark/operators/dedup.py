@@ -690,3 +690,54 @@ m as (select id,
       from h)
 select distinct id as {id_expr}, unnest(mins)::bigint as fp from m
 """
+
+
+def winnow_overlap_pairs(docs: DataFrame, k: int = 4, w: int = 4,
+                         min_shared: int = 2,
+                         max_fp_docs: int | None = 1000,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Partial-overlap candidate pairs from winnowing fingerprints →
+    ``(a, b, n_shared)`` with ``a < b`` — quotation/boilerplate-overlap
+    detection at corpus scale.
+
+    Same cap discipline as the LSH bucket cap: candidate generation is a
+    fingerprint equi-join (never all-pairs), and ``max_fp_docs`` drops
+    stop-fingerprints (a hash carried by more documents contributes pairs
+    quadratically but almost no overlap signal).  ``min_shared`` then
+    prunes the accidental single-collision tail.
+    """
+    fps = winnow_fingerprints(docs, k=k, w=w, text_col=text_col,
+                              id_col=id_col)
+    if max_fp_docs is not None:
+        hot = (fps.groupBy("fp").agg(F.count("*").alias("nd"))
+               .where(F.col("nd") > max_fp_docs).select("fp"))
+        fps = fps.join(hot, "fp", "left_anti")
+    l = fps.withColumnRenamed(id_col, "a")
+    r = fps.withColumnRenamed(id_col, "b")
+    return (l.join(r, "fp")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
+def winnow_overlap_pairs_sql(docs_sql: str, k: int = 4, w: int = 4,
+                             min_shared: int = 2,
+                             max_fp_docs: int | None = 1000,
+                             text_expr: str = "text",
+                             id_expr: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`winnow_overlap_pairs`."""
+    fps = winnow_fingerprints_sql(docs_sql, k=k, w=w, text_expr=text_expr,
+                                  id_expr=id_expr)
+    cap = (f"where fp not in (select fp from fps group by fp"
+           f" having count(*) > {max_fp_docs})"
+           if max_fp_docs is not None else "")
+    return f"""
+with fps as ({fps}),
+kept as (select * from fps {cap})
+select l.{id_expr} as a, r.{id_expr} as b,
+       count(*)::bigint as n_shared
+from kept l join kept r on l.fp = r.fp and l.{id_expr} < r.{id_expr}
+group by a, b having count(*) >= {min_shared}
+"""

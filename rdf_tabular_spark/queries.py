@@ -5229,6 +5229,22 @@ def _dedup_winnow_sql() -> str:
     return winnow_fingerprints_sql("select doc_id, text from documents")
 
 
+def _dedup_winnow_pairs(spark, sf_dir):
+    """Winnow overlap pairs (operators/dedup.winnow_overlap_pairs):
+    fingerprint equi-join with a stop-fingerprint cap and a min-shared
+    prune — the quotation/partial-duplicate candidate tier; never
+    all-pairs."""
+    from .operators.dedup import winnow_overlap_pairs
+    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"),
+                                min_shared=2)
+
+
+def _dedup_winnow_pairs_sql() -> str:
+    from .operators.dedup import winnow_overlap_pairs_sql
+    return winnow_overlap_pairs_sql("select doc_id, text from documents",
+                                    min_shared=2)
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5437,6 +5453,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_component_sizes": _graph_component_sizes,
     "text_chunks": _text_chunks,
     "dedup_winnow_fps": _dedup_winnow_fps,
+    "dedup_winnow_pairs": _dedup_winnow_pairs,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5578,6 +5595,7 @@ _ORACLES: dict[str, str] = {
     "graph_component_sizes": _GRAPH_COMPONENT_SIZES_SQL,
     "text_chunks": _text_chunks_sql(),
     "dedup_winnow_fps": _dedup_winnow_sql(),
+    "dedup_winnow_pairs": _dedup_winnow_pairs_sql(),
 }
 
 

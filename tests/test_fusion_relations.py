@@ -473,3 +473,20 @@ def test_winnow_shared_run_guarantee(spark):
     again = {(r["doc_id"], r["fp"]) for r in
              winnow_fingerprints(docs, k=3, w=3).collect()}
     assert again == {(d, f) for d, s in by_doc.items() for f in s}
+
+
+def test_winnow_overlap_pairs_and_cap(spark):
+    from rdf_tabular_spark.operators.dedup import winnow_overlap_pairs
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, "x1 x2 " + base), (2, base + " q7 q8"),
+         (3, "unrelated totally different words entirely here ok")],
+        "doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["n_shared"]
+             for r in winnow_overlap_pairs(docs, k=3, w=3,
+                                           min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+    # capping every fingerprint kills all candidates
+    assert winnow_overlap_pairs(docs, k=3, w=3, min_shared=1,
+                                max_fp_docs=1).count() == 0
