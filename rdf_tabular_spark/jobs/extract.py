@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep extracted pairs supported by >= N distinct "
                         "pages (default 2 — single-page pairs are mostly "
                         "noise, cf. WebIsA's support threshold)")
+    p.add_argument("--stats", action="store_true",
+                   help="ANALYZE-style graph statistics for the committed "
+                        "batch: per-predicate cardinality profile "
+                        "(functional/inverse-functional flags) and "
+                        "characteristic sets under <out>/stats/<batch-id> "
+                        "— the inputs a SPARQL planner and the fusion "
+                        "stage read")
     p.add_argument("--disambiguate", default=None, metavar="CANDS.parquet",
                    help="context-scored entity disambiguation over the "
                         "page text: candidates parquet (surface, entity, "
@@ -221,6 +228,20 @@ def main(argv: list[str] | None = None) -> dict:
         manifest = dict(manifest, relations_dir=rel_dir,
                         n_hearst_pairs=pairs.count())
         pairs.unpersist()
+    if args.stats:
+        from rdf_tabular_spark.operators.graph import (characteristic_sets,
+                                                       predicate_cardinality)
+        from rdf_tabular_spark.sinks.graph_store import read_graph
+        sdir = os.path.join(args.out, "stats", args.batch_id)
+        bt = read_graph(spark, args.out, batches=[args.batch_id])
+        card = predicate_cardinality(bt).persist()
+        card.write.mode("overwrite").parquet(
+            os.path.join(sdir, "pred_cardinality"))
+        characteristic_sets(bt).write.mode("overwrite").parquet(
+            os.path.join(sdir, "char_sets"))
+        manifest = dict(manifest, stats_dir=sdir,
+                        n_predicates=card.count())
+        card.unpersist()
     if args.disambiguate:
         from rdf_tabular_spark.web import disambiguate_mentions
         cands = spark.read.parquet(args.disambiguate)
