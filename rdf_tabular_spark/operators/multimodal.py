@@ -196,3 +196,35 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+EMBED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("embedding", ArrayType(DoubleType()), False),
+])
+
+
+def pseudo_embeddings(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Deterministic content-addressed pseudo-embedding per blob →
+    ``(media_id, embedding: array<double>)`` — the PLUMBING of a CLIP-
+    style media-embedding stage with the model swapped for md5 bytes
+    (``e[i] = digest_byte_i / 255``): batch shape, Arrow transfer,
+    schema, and the hand-off into the ANN tier are all real; replacing
+    the digest with an ONNX/torch call is a one-line kernel change on
+    the same partitioning.  Deterministic → oracle-checkable end-to-end
+    (DuckDB reproduces the bytes), unlike a real model."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for blob in pdf["content"]:
+                d = hashlib.md5(bytes(blob)).hexdigest()
+                embs.append([int(d[2 * i:2 * i + 2], 16) / 255.0
+                             for i in range(dim)])
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "embedding": embs})
+
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(media.sparkSession)
+    return media.mapInPandas(kernel, schema=EMBED_SCHEMA)

@@ -5245,6 +5245,35 @@ def _dedup_winnow_pairs_sql() -> str:
                                     min_shared=2)
 
 
+def _multimodal_ann_topk(spark, sf_dir):
+    """Multimodal → ANN bridge: binary blobs → deterministic pseudo-
+    embeddings (operators/multimodal.pseudo_embeddings — real Arrow
+    batch shape, md5 standing in for the model) → brute cosine top-k
+    against media 0 (operators/similarity.cosine_topk, fused fold +
+    TakeOrderedAndProject).  The full media-retrieval path, end-to-end
+    oracle-checked because every stage is content-addressed."""
+    from .operators.multimodal import media_from_documents, pseudo_embeddings
+    from .operators.similarity import cosine_topk
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    embs = pseudo_embeddings(media, dim=8)
+    return cosine_topk(embs, query_id=0, k=10, id_col="media_id",
+                       vec_col="embedding", extra_cols=())
+
+
+def _multimodal_ann_sql() -> str:
+    e = ("[(('0x' || substr(md5(text), 2 * i + 1, 2))::bigint / 255.0)"
+         " for i in generate_series(0, 7)]")
+    cos = _cos_sql("e.embedding", "q.embedding", dim=8)
+    return f"""
+with emb as (select doc_id as media_id, {e} as embedding from documents),
+q as (select embedding from emb where media_id = 0),
+scored as (
+  select e.media_id, round({cos}, 4) as sim
+  from emb e cross join q where e.media_id <> 0)
+select media_id, sim from scored order by sim desc, media_id limit 10
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5454,6 +5483,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunks": _text_chunks,
     "dedup_winnow_fps": _dedup_winnow_fps,
     "dedup_winnow_pairs": _dedup_winnow_pairs,
+    "multimodal_ann_topk": _multimodal_ann_topk,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5596,6 +5626,7 @@ _ORACLES: dict[str, str] = {
     "text_chunks": _text_chunks_sql(),
     "dedup_winnow_fps": _dedup_winnow_sql(),
     "dedup_winnow_pairs": _dedup_winnow_pairs_sql(),
+    "multimodal_ann_topk": _multimodal_ann_sql(),
 }
 
 

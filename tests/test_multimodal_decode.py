@@ -45,3 +45,23 @@ def test_decode_audio_real_path():
     soundfile.write(buf, np.zeros(8, dtype="float32"), 8000, format="WAV")
     samples, rate = M.decode_audio(buf.getvalue())
     assert rate == 8000 and len(samples) == 8
+
+
+def test_pseudo_embeddings_deterministic_unit_range(spark):
+    from rdf_tabular_spark.operators.multimodal import (media_from_documents,
+                                                        pseudo_embeddings)
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11), (2, "other text", "de", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    media = media_from_documents(docs)
+    e1 = {r["media_id"]: r["embedding"]
+          for r in pseudo_embeddings(media, dim=8).collect()}
+    assert all(len(v) == 8 for v in e1.values())
+    assert all(0.0 <= x <= 1.0 for v in e1.values() for x in v)
+    # content-addressed: rerun identical; distinct content -> distinct vec
+    e2 = {r["media_id"]: r["embedding"]
+          for r in pseudo_embeddings(media, dim=8).collect()}
+    assert e1 == e2 and e1[1] != e1[2]
+    import hashlib
+    d = hashlib.md5(b"hello world").hexdigest()
+    assert e1[1] == [int(d[2 * i:2 * i + 2], 16) / 255.0 for i in range(8)]
