@@ -269,3 +269,71 @@ def pq_search(codes_df: DataFrame, codebooks, query_vec: list[float],
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
     return out.orderBy(F.col("approx_dist").asc(), F.col(id_col)).limit(topk)
+
+
+def int8_topk(df: DataFrame, query_id: int, k: int = 10,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Int8 maximum-inner-product top-k → ``(id, int_dot, sim)``: score
+    every vector's int8 codes against the query's with an exact INTEGER
+    dot product, then rescale asymmetrically (``sim ≈ dot·scale_a·
+    scale_q``) — the 4×-compressed exact-ordering scan tier between the
+    raw brute-force scan and PQ: the integer dot is bit-exact across
+    engines by construction, and the rescale is a fixed two-
+    multiplication chain of exact values, so even the float column
+    hash-matches.
+
+    Plan: quantization is a narrow projection; the query row is fetched
+    driver-side and scored as a literal (no join); ORDER BY … LIMIT k
+    collapses to TakeOrderedAndProject.
+    """
+    from pyspark.sql import functions as F
+    scale, codes = scalar_quantize_int8(F.col(vec_col))
+    q = df.select(F.col(id_col).alias("id"), scale, codes)
+    qrow = q.where(F.col("id") == query_id).first()
+    if qrow is None:
+        return (q.where(F.lit(False))
+                .select(F.col("id").alias(id_col),
+                        F.lit(0).cast("long").alias("int_dot"),
+                        F.lit(0.0).alias("sim")))
+    qcodes = [int(c) for c in qrow["codes"]]
+    qscale = float(qrow["scale"])
+    dot = F.aggregate(
+        F.zip_with("codes", F.array(*[F.lit(c) for c in qcodes]),
+                   lambda a, b: (a.cast("long") * b.cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (q.where(F.col("id") != query_id)
+            .select(F.col("id").alias(id_col), dot.alias("int_dot"),
+                    F.round((dot.cast("double") * F.col("scale"))
+                            * F.lit(qscale), 4).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def int8_topk_sql(query_id: int, k: int = 10, dim: int = 64,
+                  table: str = "embeddings", id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> str:
+    """DuckDB oracle for :func:`int8_topk` — identical quantization,
+    fixed-order integer dot, and rescale chain."""
+    dot = " + ".join(f"(a.codes[{i}]::bigint * q.codes[{i}]::bigint)"
+                     for i in range(1, dim + 1))
+    return f"""
+with qz as (
+  select {id_col} as id,
+         greatest(list_max(list_transform({vec_col},
+                                          x -> abs(x::double))) / 127.0,
+                  1e-30) as scale,
+         list_transform({vec_col},
+                        x -> floor(x::double /
+                                   greatest(list_max(list_transform(
+                                       {vec_col}, y -> abs(y::double)))
+                                       / 127.0, 1e-30))::int) as codes
+  from {table}),
+q as (select * from qz where id = {query_id}),
+scored as (
+  select a.id, ({dot}) as int_dot,
+         round((({dot})::double * a.scale) * q.scale, 4) as sim
+  from qz a cross join q where a.id <> {query_id})
+select id as {id_col}, int_dot::bigint as int_dot, sim from scored
+order by sim desc, id limit {k}
+"""

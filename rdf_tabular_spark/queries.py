@@ -5274,6 +5274,20 @@ select media_id, sim from scored order by sim desc, media_id limit 10
 """
 
 
+def _ann_int8_topk(spark, sf_dir):
+    """Int8 MIPS scan tier (operators/quantize.int8_topk): exact integer
+    dot over absmax codes + asymmetric rescale — 4x-compressed scan
+    between brute-force and PQ, bit-exact across engines by
+    construction (integer dot, fixed rescale chain)."""
+    from .operators.quantize import int8_topk
+    return int8_topk(_t(spark, sf_dir, "embeddings"), query_id=7, k=10)
+
+
+def _ann_int8_sql() -> str:
+    from .operators.quantize import int8_topk_sql
+    return int8_topk_sql(query_id=7, k=10, dim=EMB_DIM)
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5484,6 +5498,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_winnow_fps": _dedup_winnow_fps,
     "dedup_winnow_pairs": _dedup_winnow_pairs,
     "multimodal_ann_topk": _multimodal_ann_topk,
+    "ann_int8_topk": _ann_int8_topk,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5627,6 +5642,7 @@ _ORACLES: dict[str, str] = {
     "dedup_winnow_fps": _dedup_winnow_sql(),
     "dedup_winnow_pairs": _dedup_winnow_pairs_sql(),
     "multimodal_ann_topk": _multimodal_ann_sql(),
+    "ann_int8_topk": _ann_int8_sql(),
 }
 
 

@@ -215,3 +215,26 @@ def test_recall_at_k_per_query_and_missing_query(spark):
     # a query the index missed entirely still reports (recall 0), so the
     # gate cannot silently skip failing queries
     assert rows[1]["n_hits"] == 0 and rows[1]["recall"] == 0.0
+
+
+def test_int8_topk_exact_integer_ordering(spark):
+    from rdf_tabular_spark.operators.quantize import int8_topk
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),     # query
+        (1, [1.0, 0.0, 0.0]),     # identical direction -> top
+        (2, [0.5, 0.5, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),    # opposite -> most negative
+        (4, [0.0, 1.0, 0.0]),     # orthogonal -> ~0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = int8_topk(df, query_id=0, k=4).collect()
+    order = [r["vec_id"] for r in rows]
+    assert order[0] == 1 and order[-1] == 3
+    by_id = {r["vec_id"]: r for r in rows}
+    assert by_id[1]["int_dot"] == 127 * 127
+    assert by_id[4]["int_dot"] == 0
+    assert by_id[3]["int_dot"] < 0
+    # unknown query id -> empty frame with stable schema
+    empty = int8_topk(df, query_id=99, k=4)
+    assert empty.count() == 0
+    assert empty.columns == ["vec_id", "int_dot", "sim"]
