@@ -56,6 +56,9 @@ class PropertyShape:
     min_length: int | None = None
     max_length: int | None = None
     unique_lang: bool = False         # sh:uniqueLang — needs obj_lang
+    has_value: str | None = None      # sh:hasValue — some value == X
+    less_than: str | None = None      # sh:lessThan OTHER_PATH (pairwise)
+    equals: str | None = None         # sh:equals OTHER_PATH (set equality)
 
 
 @dataclass(frozen=True)
@@ -168,6 +171,48 @@ def validate_shapes(triples: DataFrame,
                 reports.append(_report(bad, shape, prop, "maxLength",
                                        F.length("obj"),
                                        str(prop.max_length)))
+            if prop.has_value is not None:
+                # sh:hasValue — the focus node must carry AT LEAST ONE
+                # value equal to X on this path: anti-join focus against
+                # the matching-value slice
+                having = (slice_.filter(F.col("obj") == prop.has_value)
+                          .select("focus").distinct())
+                bad = focus.join(having, on="focus", how="leftanti")
+                reports.append(_report(bad, shape, prop, "hasValue",
+                                       F.lit("absent"), prop.has_value))
+            if prop.less_than is not None:
+                # sh:lessThan — every (v, w) pair across the two paths on
+                # one focus must satisfy v < w; numeric when both sides
+                # cast, else lexicographic (deterministic either way).
+                # One focus-keyed join, fan-out bounded by per-focus
+                # value multiplicities (CSVW attributes: tiny).
+                other = (triples.filter(F.col("pred") == prop.less_than)
+                         .select(F.col("subj").alias("focus"),
+                                 F.col("obj").alias("_w")))
+                pairs = vals.join(other, on="focus")
+                va = F.col("obj").try_cast("double")
+                vb = F.col("_w").try_cast("double")
+                violates = F.when(va.isNotNull() & vb.isNotNull(),
+                                  ~(va < vb))                     .otherwise(~(F.col("obj") < F.col("_w")))
+                bad = pairs.filter(violates)
+                reports.append(_report(bad, shape, prop, "lessThan",
+                                       F.concat_ws(" !< ", "obj", "_w"),
+                                       prop.less_than))
+            if prop.equals is not None:
+                # sh:equals — the two paths' value SETS must coincide per
+                # focus: report each value present on exactly one side
+                # (two anti-joins on (focus, obj))
+                other = (triples.filter(F.col("pred") == prop.equals)
+                         .select(F.col("subj").alias("focus"), "obj"))
+                mine = vals.select("focus", "obj")
+                only_mine = mine.join(other, on=["focus", "obj"],
+                                      how="leftanti")
+                only_other = (other.join(focus, on="focus", how="leftsemi")
+                              .join(mine, on=["focus", "obj"],
+                                    how="leftanti"))
+                bad = only_mine.unionByName(only_other)
+                reports.append(_report(bad, shape, prop, "equals",
+                                       F.col("obj"), prop.equals))
             if prop.unique_lang:
                 # sh:uniqueLang — no two values of the path may share a
                 # language tag; one keyed groupBy on (focus, lang)
@@ -207,6 +252,7 @@ def shapes_from_json(spec) -> list[NodeShape]:
         raise ValueError("shapes spec must be a JSON list of node shapes")
     allowed_node = {"shape_id", "target_class", "properties"}
     allowed_prop = {"path", "min_count", "max_count", "datatype",
+                    "has_value", "less_than", "equals",
                     "pattern", "in", "node_kind", "class", "min_length",
                     "max_length", "unique_lang"}
     shapes = []
@@ -238,7 +284,10 @@ def shapes_from_json(spec) -> list[NodeShape]:
                 class_=pr.get("class"),
                 min_length=pr.get("min_length"),
                 max_length=pr.get("max_length"),
-                unique_lang=bool(pr.get("unique_lang", False))))
+                unique_lang=bool(pr.get("unique_lang", False)),
+                has_value=pr.get("has_value"),
+                less_than=pr.get("less_than"),
+                equals=pr.get("equals")))
         shapes.append(NodeShape(shape_id=node["shape_id"],
                                 target_class=node.get("target_class"),
                                 properties=tuple(props)))

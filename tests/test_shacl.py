@@ -185,3 +185,48 @@ def test_shapes_from_json_new_constraints(spark):
     pr = shapes[0].properties[0]
     assert pr.class_ == "C" and pr.min_length == 1 and pr.max_length == 9
     assert pr.unique_lang is True
+
+
+def test_has_value_less_than_equals(spark):
+    from rdf_tabular_spark.operators.shacl import (NodeShape, PropertyShape,
+                                                   validate_shapes)
+    rows = [
+        # e1 conforms to all three; e2 violates all three
+        ("e1", "p:flag", "yes"), ("e1", "p:lo", "3"), ("e1", "p:hi", "7"),
+        ("e1", "p:a", "x"), ("e1", "p:b", "x"),
+        ("e2", "p:flag", "no"), ("e2", "p:lo", "9"), ("e2", "p:hi", "7"),
+        ("e2", "p:a", "x"), ("e2", "p:b", "y"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    shapes = [NodeShape("s", None, (
+        PropertyShape(path="p:flag", has_value="yes"),
+        PropertyShape(path="p:lo", less_than="p:hi"),
+        PropertyShape(path="p:a", equals="p:b"),
+    ))]
+    rep = {(r["focus"], r["constraint"]) for r in
+           validate_shapes(t, shapes).collect()}
+    assert ("e2", "hasValue") in rep
+    assert ("e2", "lessThan") in rep
+    assert ("e2", "equals") in rep
+    assert not any(f == "e1" for f, _ in rep)
+
+
+def test_less_than_numeric_not_lexical(spark):
+    from rdf_tabular_spark.operators.shacl import (NodeShape, PropertyShape,
+                                                   validate_shapes)
+    # lexically "10" < "9" is FALSE... lexical would flag it; numeric must not
+    t = spark.createDataFrame([("e", "p:lo", "9"), ("e", "p:hi", "10")],
+                              "subj string, pred string, obj string")
+    shapes = [NodeShape("s", None,
+                        (PropertyShape(path="p:lo", less_than="p:hi"),))]
+    assert validate_shapes(t, shapes).count() == 0
+
+
+def test_shapes_from_json_new_keys(spark):
+    from rdf_tabular_spark.operators.shacl import shapes_from_json
+    shapes = shapes_from_json([
+        {"shape_id": "s", "target_class": None,
+         "properties": [{"path": "p", "has_value": "v",
+                         "less_than": "q", "equals": "r"}]}])
+    pr = shapes[0].properties[0]
+    assert (pr.has_value, pr.less_than, pr.equals) == ("v", "q", "r")
