@@ -652,15 +652,20 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 4,
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    empty = F.array().cast("array<string>")
+    # guard BOTH window expansions: F.sequence(1, 0) yields a DESCENDING
+    # [1, 0] (step is inferred), not an empty array — a doc shorter than
+    # k tokens (or with fewer than w hashes) must produce no fingerprints
+    grams = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)))).otherwise(empty)
     hashes = F.transform(grams, lambda g: F.conv(
         F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
     nh = F.size(hashes)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(nh - (w - 1), F.lit(0))),
-        lambda i: F.array_min(F.slice(hashes, i, w)))
+    mins = F.when(nh >= w, F.transform(
+        F.sequence(F.lit(1), nh - (w - 1)),
+        lambda i: F.array_min(F.slice(hashes, i, w)))) \
+        .otherwise(F.array().cast("array<long>"))
     return (docs.select(F.col(id_col).alias("id"),
                         F.explode(mins).alias("fp"))
             .distinct()
@@ -676,17 +681,19 @@ def winnow_fingerprints_sql(docs_sql: str, k: int = 4, w: int = 4,
     return f"""
 with d as (select {id_expr} as id, {toks} as toks from ({docs_sql})),
 g as (select id,
-             [array_to_string(toks[i : i + {k} - 1], ' ')
-              for i in generate_series(1, greatest(len(toks) - {k - 1}, 0))]
-               as grams
+             case when len(toks) >= {k} then
+               [array_to_string(toks[i : i + {k} - 1], ' ')
+                for i in generate_series(1, len(toks) - {k - 1})]
+             else [] end as grams
       from d),
 h as (select id,
              [('0x' || substr(md5(x), 1, 8))::bigint for x in grams] as hs
       from g),
 m as (select id,
-             [list_aggregate(hs[i : i + {w} - 1], 'min')
-              for i in generate_series(1, greatest(len(hs) - {w - 1}, 0))]
-               as mins
+             case when len(hs) >= {w} then
+               [list_aggregate(hs[i : i + {w} - 1], 'min')
+                for i in generate_series(1, len(hs) - {w - 1})]
+             else [] end as mins
       from h)
 select distinct id as {id_expr}, unnest(mins)::bigint as fp from m
 """
