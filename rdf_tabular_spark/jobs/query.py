@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     kind.add_argument("--merge-sameas", action="store_true",
                       help="fold owl:sameAs statements into the global "
                            "canonical map (no batch rewrite)")
+    kind.add_argument("--fuse-majority", action="store_true",
+                      help="truth-discovery maintenance: retract every "
+                           "assertion losing its (subj, pred) majority "
+                           "vote (requires --derive-batch-id)")
     kind.add_argument("--diff-since", default=None, metavar="TIME",
                       help="time-travel delta: statements added/removed "
                            "between TIME and --as-of (default: now) — one "
@@ -211,6 +215,14 @@ def main(argv: list[str] | None = None) -> dict:
                                if "skipped" in m]}
         print(json.dumps(summary))
         return summary
+    if args.fuse_majority:
+        if not args.derive_batch_id:
+            raise SystemExit("--fuse-majority requires --derive-batch-id")
+        from rdf_tabular_spark.sinks.graph_store import fuse_retract_batch
+        manifest = fuse_retract_batch(spark, args.store,
+                                      args.derive_batch_id, batches=batches)
+        print(json.dumps(manifest))
+        return manifest
     if args.merge_sameas:
         if not args.derive_batch_id:
             raise SystemExit("--merge-sameas requires --derive-batch-id")

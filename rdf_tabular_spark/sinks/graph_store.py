@@ -682,6 +682,32 @@ def refresh_rule_batches(spark: SparkSession, root: str,
     return out
 
 
+def fuse_retract_batch(spark: SparkSession, root: str, batch_id: str,
+                       batches: Optional[list[str]] = None) -> dict:
+    """Truth-discovery fusion as store MAINTENANCE: where several live
+    assertions disagree on one (subj, pred), elect the majority value
+    (operators/fusion.fuse_majority — lexical-min tie-break) and commit a
+    retraction batch for every LOSING assertion, so the published graph
+    carries one value per attribute while immutability, lineage, and
+    time travel survive (pre-fusion reads via --as-of, recompute via the
+    rule-refresh machinery).  The retraction keys on the full RDF term
+    (obj_is_iri/datatype/lang ride along), so two terms sharing a lexical
+    form are retracted precisely.  Idempotent per ``batch_id``."""
+    from ..operators.fusion import fuse_majority
+    g = read_graph(spark, root, batches=batches)
+    winners = (fuse_majority(g.select("subj", "pred", "obj"))
+               .where(F.col("n_values") > 1)
+               .select("subj", "pred", F.col("obj").alias("_win")))
+    losers = (g.join(winners, ["subj", "pred"])
+              .where(F.col("obj") != F.col("_win"))
+              .select("subj", "pred", "obj", "obj_is_iri",
+                      "obj_datatype", "obj_lang"))
+    return retract_batch(spark, root, batch_id, losers,
+                         lineage={"source": "rule",
+                                  "rule_id": "fuse-majority",
+                                  "input_batches": batches})
+
+
 def retract_batch(spark: SparkSession, root: str, batch_id: str,
                   triples: DataFrame,
                   lineage: Optional[dict] = None) -> dict:

@@ -490,3 +490,44 @@ def test_winnow_overlap_pairs_and_cap(spark):
     # capping every fingerprint kills all candidates
     assert winnow_overlap_pairs(docs, k=3, w=3, min_shared=1,
                                 max_fp_docs=1).count() == 0
+
+
+def test_fuse_retract_batch_maintenance(spark, tmp_path):
+    """Fusion as store maintenance: losing assertions are retracted
+    (term-exact), the winner survives, and time travel still sees the
+    pre-fusion graph."""
+    import time as _time
+
+    from rdf_tabular_spark.jobs.query import main as query_main
+    from rdf_tabular_spark.sinks.graph_store import materialize, read_graph
+    root = str(tmp_path / "store")
+    rows = [
+        ("e1", "p:lang", "en", False, None, None, "u", 0),
+        ("e1", "p:lang", "en", False, None, None, "u2", 0),
+        ("e1", "p:lang", "xx", False, None, None, "u3", 0),
+        ("e2", "p:lang", "fr", False, None, None, "u", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean, "
+              "obj_datatype string, obj_lang string, table_url string, "
+              "source_num long")
+    materialize(df, root, "b1")
+    pre_fusion = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime())
+    _time.sleep(1.1)
+    m = query_main(["--store", root, "--fuse-majority",
+                    "--derive-batch-id", "fuse1"])
+    assert m["kind"] == "retraction" and m["n_triples"] == 1
+    live = {(r["subj"], r["obj"]) for r in
+            read_graph(spark, root).select("subj", "obj").collect()}
+    assert ("e1", "en") in live and ("e1", "xx") not in live
+    assert ("e2", "fr") in live                  # no conflict -> untouched
+    # idempotent per batch id
+    m2 = query_main(["--store", root, "--fuse-majority",
+                     "--derive-batch-id", "fuse1"])
+    assert m2["n_triples"] == 1
+    # time travel: the pre-fusion graph still shows the loser
+    from rdf_tabular_spark.sinks.graph_store import snapshots_as_of
+    pre = read_graph(spark, root,
+                     batches=snapshots_as_of(root, pre_fusion))
+    assert ("e1", "xx") in {(r["subj"], r["obj"])
+                            for r in pre.select("subj", "obj").collect()}
