@@ -1284,3 +1284,70 @@ select ss.pred, n_triples::bigint as n_triples,
        (n_single_obj * 100 >= n_objects * {pct}) as is_inverse_functional
 from ss join os on ss.pred = os.pred
 """
+
+
+def schema_drift(triples_a: DataFrame, triples_b: DataFrame) -> DataFrame:
+    """Schema drift between two graph snapshots: full-outer join of their
+    characteristic sets → ``(cs, n_a, n_b, delta)`` — which subject
+    SHAPES appeared, vanished, or changed population between crawls
+    (new template on a host, a vocabulary migration, an extractor
+    regression).  Characteristic-set tables are vocabulary-sized, so the
+    join is trivially broadcastable; the expensive part is the two
+    summaries, each two narrow keyed shuffles."""
+    a = characteristic_sets(triples_a).select(
+        "cs", F.col("n_subjects").alias("n_a"))
+    b = characteristic_sets(triples_b).select(
+        "cs", F.col("n_subjects").alias("n_b"))
+    return (a.join(b, "cs", "full_outer")
+            .select("cs",
+                    F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+                    F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"))
+            .withColumn("delta", (F.col("n_b") - F.col("n_a")).cast("long")))
+
+
+def schema_drift_sql(triples_a_sql: str, triples_b_sql: str) -> str:
+    """DuckDB oracle for :func:`schema_drift`."""
+    return f"""
+with a as (select cs, n_subjects as n_a
+           from ({characteristic_sets_sql(triples_a_sql)})),
+b as (select cs, n_subjects as n_b
+      from ({characteristic_sets_sql(triples_b_sql)}))
+select coalesce(a.cs, b.cs) as cs,
+       coalesce(n_a, 0)::bigint as n_a, coalesce(n_b, 0)::bigint as n_b,
+       (coalesce(n_b, 0) - coalesce(n_a, 0))::bigint as delta
+from a full outer join b on a.cs = b.cs
+"""
+
+
+def pred_value_profiles(triples: DataFrame) -> DataFrame:
+    """Per-predicate VALUE profile → ``(prop, n_values, n_numeric,
+    min_len, max_len, total_len)`` — the data-profiling statistic a
+    mapping-quality review reads next to the cardinality flags: a
+    should-be-numeric column with a nonzero non-numeric remainder is an
+    extraction bug surfacing as data.  One map-side-combined aggregation
+    keyed on the predicate local name; exact integers only."""
+    num = F.col("obj").try_cast("double").isNotNull()
+    return (triples
+            .select(pred_local_name(F.col("pred")).alias("prop"),
+                    F.length("obj").alias("_l"), num.alias("_n"))
+            .groupBy("prop")
+            .agg(F.count("*").cast("long").alias("n_values"),
+                 F.sum(F.col("_n").cast("long")).cast("long")
+                 .alias("n_numeric"),
+                 F.min("_l").cast("long").alias("min_len"),
+                 F.max("_l").cast("long").alias("max_len"),
+                 F.sum("_l").cast("long").alias("total_len")))
+
+
+def pred_value_profiles_sql(triples_sql: str) -> str:
+    """DuckDB oracle for :func:`pred_value_profiles`."""
+    return f"""
+select split_part(pred, '#', 2) as prop,
+       count(*)::bigint as n_values,
+       sum(case when try_cast(obj as double) is not null
+                then 1 else 0 end)::bigint as n_numeric,
+       min(length(obj))::bigint as min_len,
+       max(length(obj))::bigint as max_len,
+       sum(length(obj))::bigint as total_len
+from ({triples_sql}) group by split_part(pred, '#', 2)
+"""

@@ -5288,6 +5288,72 @@ def _ann_int8_sql() -> str:
     return int8_topk_sql(query_id=7, k=10, dim=EMB_DIM)
 
 
+def _kg_triples_half_sql(parity: int) -> str:
+    return (f"select * from ({_KG_PAGES_TRIPLES_SQL}) "
+            f"where (subj like '%#doc-%') and "
+            f"(cast(split_part(subj, '#doc-', 2) as bigint) % 2 = {parity})")
+
+
+def _kg_schema_drift(spark, sf_dir):
+    """Schema drift between two deterministic snapshot halves of the
+    pages corpus, with the odd half's doc_id predicate DROPPED — the
+    extractor-regression shape the detector exists for
+    (operators/graph.schema_drift): the full characteristic set loses
+    population, a new smaller set appears."""
+    from .operators.graph import schema_drift
+    t = _kg_pages_triples(spark, sf_dir).withColumn(
+        "_id", F.split(F.col("subj"), "#doc-").getItem(1).cast("long"))
+    a = t.where(F.col("_id") % 2 == 0).drop("_id")
+    b = (t.where(F.col("_id") % 2 == 1)
+         .where(~F.col("pred").endswith("#doc_id")).drop("_id"))
+    return schema_drift(a, b)
+
+
+def _kg_schema_drift_sql() -> str:
+    from .operators.graph import schema_drift_sql
+    b = (f"select * from ({_kg_triples_half_sql(1)}) "
+         "where pred not like '%#doc_id'")
+    return schema_drift_sql(_kg_triples_half_sql(0), b)
+
+
+def _kg_pred_profiles(spark, sf_dir):
+    """Per-predicate value profiling (operators/graph.pred_value_profiles):
+    numeric fraction + length stats per property — mapping-quality
+    review material; one map-side-combined vocabulary-keyed agg."""
+    from .operators.graph import pred_value_profiles
+    return pred_value_profiles(_kg_pages_triples(spark, sf_dir))
+
+
+def _corpus_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the documents table's declared lang
+    column vs the marker-word identifier (operators/text.lang_id) →
+    (lang, lang_id, n_docs) — the diagnostic that says where the cheap
+    identifier disagrees with ground truth before anyone trusts it as a
+    router.  One small keyed agg over a narrow projection."""
+    from .operators.text import lang_id
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(F.col("lang"), lang_id(F.col("text")).alias("lang_id"))
+            .groupBy("lang", "lang_id")
+            .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+def _corpus_lang_confusion_sql() -> str:
+    lid = _langid_case_sql(TOKS_SQL)
+    return f"""
+select lang, {lid} as lang_id, count(*)::bigint as n_docs
+from documents group by lang, {lid}
+"""
+
+
+def _profiling_sql() -> dict[str, str]:
+    from .operators.graph import pred_value_profiles_sql
+    return {
+        "kg_schema_drift": _kg_schema_drift_sql(),
+        "kg_pred_profiles": pred_value_profiles_sql(_KG_PAGES_TRIPLES_SQL),
+        "corpus_lang_confusion": _corpus_lang_confusion_sql(),
+    }
+
+
 # ---------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the correctness driver sweeps exactly the FIRST 50
@@ -5499,6 +5565,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_winnow_pairs": _dedup_winnow_pairs,
     "multimodal_ann_topk": _multimodal_ann_topk,
     "ann_int8_topk": _ann_int8_topk,
+    "kg_schema_drift": _kg_schema_drift,
+    "kg_pred_profiles": _kg_pred_profiles,
+    "corpus_lang_confusion": _corpus_lang_confusion,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
@@ -5643,6 +5712,7 @@ _ORACLES: dict[str, str] = {
     "dedup_winnow_pairs": _dedup_winnow_pairs_sql(),
     "multimodal_ann_topk": _multimodal_ann_sql(),
     "ann_int8_topk": _ann_int8_sql(),
+    **_profiling_sql(),
 }
 
 

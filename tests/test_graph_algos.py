@@ -853,3 +853,32 @@ def test_component_sizes_histogram(spark):
              .groupBy("sz").agg(F.count("*").alias("n")).collect())
     out = {r["sz"]: r["n"] for r in sizes}
     assert out == {3: 2, 2: 1}
+
+
+def test_schema_drift_detects_dropped_predicate(spark):
+    from rdf_tabular_spark.operators.graph import schema_drift
+    a = spark.createDataFrame(
+        [("s1", "v#name", "x"), ("s1", "v#age", "1"),
+         ("s2", "v#name", "y"), ("s2", "v#age", "2")],
+        "subj string, pred string, obj string")
+    # snapshot b: age vanished from s2 -> a new, smaller shape appears
+    b = spark.createDataFrame(
+        [("s1", "v#name", "x"), ("s1", "v#age", "1"), ("s2", "v#name", "y")],
+        "subj string, pred string, obj string")
+    out = {r["cs"]: (r["n_a"], r["n_b"], r["delta"])
+           for r in schema_drift(a, b).collect()}
+    assert out["age name"] == (2, 1, -1)
+    assert out["name"] == (0, 1, 1)
+
+
+def test_pred_value_profiles_numeric_fraction(spark):
+    from rdf_tabular_spark.operators.graph import pred_value_profiles
+    t = spark.createDataFrame(
+        [("s1", "v#n", "12"), ("s2", "v#n", "oops"), ("s3", "v#n", "3.5"),
+         ("s1", "v#name", "ab")],
+        "subj string, pred string, obj string")
+    out = {r["prop"]: r for r in pred_value_profiles(t).collect()}
+    n = out["n"]
+    assert (n["n_values"], n["n_numeric"]) == (3, 2)
+    assert (n["min_len"], n["max_len"], n["total_len"]) == (2, 4, 9)
+    assert out["name"]["n_numeric"] == 0
