@@ -882,3 +882,28 @@ def test_pred_value_profiles_numeric_fraction(spark):
     assert (n["n_values"], n["n_numeric"]) == (3, 2)
     assert (n["min_len"], n["max_len"], n["total_len"]) == (2, 4, 9)
     assert out["name"]["n_numeric"] == 0
+
+
+def test_query_job_schema_drift_since(spark, tmp_path):
+    """--schema-drift-since surfaces shape changes between two commits."""
+    import time as _time
+
+    from rdf_tabular_spark.jobs.query import main as query_main
+    from rdf_tabular_spark.sinks.graph_store import materialize
+    root = str(tmp_path / "store")
+    df1 = spark.createDataFrame(
+        [("s1", "v#name", "x", False, None, None, "u", 0),
+         ("s1", "v#age", "1", False, None, None, "u", 0)],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string, table_url string, "
+        "source_num long")
+    materialize(df1, root, "b1")
+    t0 = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime())
+    _time.sleep(1.1)
+    df2 = df1.selectExpr("'s2' as subj", "'v#name' as pred", "obj",
+                         "obj_is_iri", "obj_datatype", "obj_lang",
+                         "table_url", "source_num").limit(1)
+    materialize(df2, root, "b2")
+    s = query_main(["--store", root, "--schema-drift-since", t0])
+    assert s["n_changed_shapes"] == 1
+    assert s["top"][0]["cs"] == "name" and s["top"][0]["delta"] == 1
