@@ -878,3 +878,23 @@ def test_keyphrases_single_vocab_agg(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"text"}, f"scan reads too much: {cols}"
+
+
+def test_pred_profiles_single_vocab_agg(spark):
+    """Value profiling: one map-side-combined aggregation keyed on the
+    predicate local name — a single exchange."""
+    p = plan_of(Q.queries()["kg_pred_profiles"](spark, SF))
+    assert n_exchanges(p) == 1
+    assert p.count("HashAggregate") >= 2, "needs a map-side partial"
+
+
+def test_schema_drift_joins_summaries_not_triples(spark):
+    """Schema drift: the FULL-OUTER join (never broadcastable in Spark —
+    both sides need null-extension) must run on the two aggregated
+    characteristic-set summaries keyed on ``cs``, never on raw triple
+    rows: the join-side exchanges carry only the cs key."""
+    p = plan_of(Q.queries()["kg_schema_drift"](spark, SF))
+    assert "FullOuter" in p
+    assert "hashpartitioning(cs" in p, "join must key on the cs summary"
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", p):
+        assert "obj" not in keys, f"object column shuffled: {keys}"
