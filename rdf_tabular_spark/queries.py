@@ -5345,12 +5345,27 @@ from documents group by lang, {lid}
 """
 
 
+def _kg_star_estimate(spark, sf_dir):
+    """Characteristic sets USED as a planner statistic
+    (operators/graph.star_cardinality_estimate): estimate the subject
+    count of a {lang, n_chars} star from the vocabulary-sized summary
+    and verify it equals the exact semi-join count — the ICDE'11
+    cardinality-estimation loop closed."""
+    from .operators.graph import star_cardinality_estimate
+    return star_cardinality_estimate(_kg_pages_triples(spark, sf_dir),
+                                     ("lang", "n_chars"))
+
+
 def _profiling_sql() -> dict[str, str]:
-    from .operators.graph import pred_value_profiles_sql
+    from .operators.graph import (pred_value_profiles_sql,
+                                  star_cardinality_estimate_sql)
     return {
         "kg_schema_drift": _kg_schema_drift_sql(),
         "kg_pred_profiles": pred_value_profiles_sql(_KG_PAGES_TRIPLES_SQL),
         "corpus_lang_confusion": _corpus_lang_confusion_sql(),
+        "kg_star_estimate":
+            star_cardinality_estimate_sql(_KG_PAGES_TRIPLES_SQL,
+                                          ("lang", "n_chars")),
     }
 
 
@@ -5568,6 +5583,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_schema_drift": _kg_schema_drift,
     "kg_pred_profiles": _kg_pred_profiles,
     "corpus_lang_confusion": _corpus_lang_confusion,
+    "kg_star_estimate": _kg_star_estimate,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,

@@ -907,3 +907,19 @@ def test_query_job_schema_drift_since(spark, tmp_path):
     s = query_main(["--store", root, "--schema-drift-since", t0])
     assert s["n_changed_shapes"] == 1
     assert s["top"][0]["cs"] == "name" and s["top"][0]["delta"] == 1
+
+
+def test_star_cardinality_estimate_exact_for_distinct_stars(spark):
+    from rdf_tabular_spark.operators.graph import star_cardinality_estimate
+    t = spark.createDataFrame(
+        [("s1", "v#a", "1"), ("s1", "v#b", "2"),
+         ("s2", "v#a", "3"), ("s2", "v#b", "4"),
+         ("s3", "v#a", "5"),                      # a only
+         ("s4", "v#b", "6"), ("s4", "v#c", "7")],
+        "subj string, pred string, obj string")
+    r = star_cardinality_estimate(t, ("a", "b")).collect()[0]
+    assert r["props"] == "a b"
+    assert r["estimated"] == r["actual"] == 2
+    # a pattern nobody matches estimates (and counts) zero
+    r0 = star_cardinality_estimate(t, ("a", "zz")).collect()[0]
+    assert r0["estimated"] == r0["actual"] == 0
