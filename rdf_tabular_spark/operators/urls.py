@@ -113,3 +113,56 @@ def filter_blocked_domains(df, blocklist, key: str,
                     F.explode(domain_suffixes(host)).alias("domain"))
     blocked = sfx.join(F.broadcast(blocklist.select("domain")), "domain")
     return df.join(blocked.select(key), key, "left_anti")
+
+
+def url_templates(urls: DataFrame, url_col: str = "url",
+                  min_urls: int = 2) -> DataFrame:
+    """URL path-template mining → ``(host, template, n_urls)``: path
+    segments that are purely numeric (or hex ids ≥ 8 chars) generalize to
+    ``{id}``, so ``/product/483`` and ``/product/91`` collapse to
+    ``/product/{id}`` — the crawl-planning statistic that sizes a site
+    (how many page TYPES, not pages) and spots infinite URL spaces
+    (calendars, session ids) before the frontier drowns in them.
+
+    Pure regexp projection + one vocabulary-keyed count; ``min_urls``
+    drops singleton templates (they are just URLs).
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/[^?#]*)?", 1)
+    # boundary-keeping replace applied twice per pattern (RE2 — the
+    # oracle's engine — has no lookahead; using the identical chain on
+    # both sides keeps semantics engine-equal on ANY input, at the cost
+    # of 3+ ADJACENT generalizable segments not fully collapsing)
+    tmpl = path
+    for rx in (r"/\d+(/|$)", r"/\d+(/|$)",
+               r"/[0-9a-f]{8,}(/|$)", r"/[0-9a-f]{8,}(/|$)"):
+        tmpl = F.regexp_replace(tmpl, rx, "/{id}$1")
+    return (urls.select(host.alias("host"), tmpl.alias("template"))
+            .where(F.col("host") != "")
+            .groupBy("host", "template")
+            .agg(F.count("*").cast("long").alias("n_urls"))
+            .where(F.col("n_urls") >= min_urls))
+
+
+def url_templates_sql(urls_sql: str, url_expr: str = "url",
+                      min_urls: int = 2) -> str:
+    """DuckDB oracle for :func:`url_templates` (same RE2-safe patterns —
+    lookahead IS supported by RE2's PCRE-subset? No: RE2 lacks lookahead,
+    so the oracle spells the segment boundary with a capture-free
+    alternation replace applied twice to cover adjacent segments)."""
+    # NB: Spark uses (?=/|$) lookahead; RE2 cannot. The oracle instead
+    # replaces '/digits(/|end)' keeping the boundary, applied twice so
+    # '/1/2' (adjacent generalizable segments) converges identically.
+    num = r"/\d+(/|$)"
+    hexs = r"/[0-9a-f]{8,}(/|$)"
+    path = f"regexp_extract({url_expr}, '^[a-z]+://[^/]+(/[^?#]*)?', 1)"
+    t = path
+    for rx in (num, num, hexs, hexs):
+        t = f"regexp_replace({t}, '{rx}', '/{{id}}\\1', 'g')"
+    return f"""
+select regexp_extract({url_expr}, '^[a-z]+://([^/]+)', 1) as host,
+       {t} as template, count(*)::bigint as n_urls
+from ({urls_sql})
+where regexp_extract({url_expr}, '^[a-z]+://([^/]+)', 1) <> ''
+group by 1, 2 having count(*) >= {min_urls}
+"""

@@ -5356,6 +5356,30 @@ def _kg_star_estimate(spark, sf_dir):
                                      ("lang", "n_chars"))
 
 
+_CRAWL_URLS_SQL = """
+select 'http://' || source || '.example.org/doc/' || doc_id as url
+from documents
+union all
+select 'http://' || source || '.example.org/lang/' || lang from documents
+"""
+
+
+def _crawl_url_templates(spark, sf_dir):
+    """URL path-template mining (operators/urls.url_templates): numeric/
+    hex id segments generalize to {id}, so a host's page TYPES surface
+    from its page URLs — crawl-budget planning + infinite-space
+    detection; one vocabulary-keyed count."""
+    from .operators.urls import url_templates
+    d = _t(spark, sf_dir, "documents")
+    u = d.select(F.concat(F.lit("http://"), F.col("source"),
+                          F.lit(".example.org/doc/"),
+                          F.col("doc_id")).alias("url"))         .unionByName(d.select(
+            F.concat(F.lit("http://"), F.col("source"),
+                     F.lit(".example.org/lang/"),
+                     F.col("lang")).alias("url")))
+    return url_templates(u)
+
+
 def _profiling_sql() -> dict[str, str]:
     from .operators.graph import (pred_value_profiles_sql,
                                   star_cardinality_estimate_sql)
@@ -5366,7 +5390,13 @@ def _profiling_sql() -> dict[str, str]:
         "kg_star_estimate":
             star_cardinality_estimate_sql(_KG_PAGES_TRIPLES_SQL,
                                           ("lang", "n_chars")),
+        "crawl_url_templates": _url_templates_oracle(),
     }
+
+
+def _url_templates_oracle() -> str:
+    from .operators.urls import url_templates_sql
+    return url_templates_sql(_CRAWL_URLS_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -5584,6 +5614,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pred_profiles": _kg_pred_profiles,
     "corpus_lang_confusion": _corpus_lang_confusion,
     "kg_star_estimate": _kg_star_estimate,
+    "crawl_url_templates": _crawl_url_templates,
     "kg_characteristic_sets": _kg_characteristic_sets,
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,

@@ -220,3 +220,19 @@ def test_recrawl_schedule_null_content(spark):
     r = recrawl_schedule(df).first()
     # three failed fetches = one (empty) version: static, never negative
     assert (r.n_versions, r.change_rate, r.tier) == (1, 0.0, "static")
+
+
+def test_url_templates_generalization(spark):
+    from rdf_tabular_spark.operators.urls import url_templates
+    urls = spark.createDataFrame(
+        [("http://a.ex/product/12",), ("http://a.ex/product/95",),
+         ("http://a.ex/tag/red",), ("http://a.ex/tag/red",),
+         ("http://b.ex/x/deadbeef01/view",), ("http://b.ex/x/cafebabe22/view",),
+         ("http://c.ex/once/1",)],
+        "url string")
+    out = {(r["host"], r["template"]): r["n_urls"]
+           for r in url_templates(urls).collect()}
+    assert out[("a.ex", "/product/{id}")] == 2
+    assert out[("a.ex", "/tag/red")] == 2       # non-id segment survives
+    assert out[("b.ex", "/x/{id}/view")] == 2   # hex ids generalize
+    assert ("c.ex", "/once/{id}") not in out    # min_urls floor
