@@ -81,16 +81,32 @@ def _is_common_property(key: str) -> bool:
     return (":" in key and not key.startswith("@")) or key.startswith("http")
 
 
-def _normalize_jsonld(value: Any, lang: Optional[str]) -> Any:
+def _normalize_jsonld(value: Any, lang: Optional[str],
+                      base: Optional[str] = None) -> Any:
     """Common-property value → JSON-LD normal form
-    (reference: metadata.rb:1130-1173 normalize_jsonld)."""
+    (reference: metadata.rb:1130-1173 normalize_jsonld): strings become
+    @value objects carrying the default language; node objects recurse;
+    an ``@id`` is expanded documentRelative against the base (the
+    reference's ``context.expand_iri(v, documentRelative: true)``), and
+    an explicit blank-node @id raises, matching normalize_jsonld's
+    "Invalid use of explicit BNode on @id"."""
     if isinstance(value, list):
-        return [_normalize_jsonld(v, lang) for v in value]
+        return [_normalize_jsonld(v, lang, base) for v in value]
     if isinstance(value, dict):
         if "@value" in value:
             return dict(value)
-        return {k: (v if str(k).startswith("@") else _normalize_jsonld(v, lang))
-                for k, v in value.items()}
+        out_obj: dict[str, Any] = {}
+        for k, v in value.items():
+            if str(k) == "@id" and isinstance(v, str):
+                if v.startswith("_:"):
+                    raise ValueError(
+                        "Invalid use of explicit BNode on @id")
+                out_obj[k] = _urljoin(base, v) if base else v
+            elif str(k).startswith("@"):
+                out_obj[k] = v
+            else:
+                out_obj[k] = _normalize_jsonld(v, lang, base)
+        return out_obj
     if isinstance(value, str):
         out: dict[str, Any] = {"@value": value}
         if lang:
@@ -146,7 +162,7 @@ def normalize(doc: dict, lang: Optional[str] = None,
             out[key] = normalize_datatype_obj(value)
         elif key == "notes":
             items = value if isinstance(value, list) else [value]
-            out[key] = [_normalize_jsonld(v, lang) for v in items]
+            out[key] = [_normalize_jsonld(v, lang, base) for v in items]
         elif key == "foreignKeys":
             # FK entries are column *references* (strings/arrays), not column
             # descriptions — pass through untouched
@@ -158,7 +174,7 @@ def normalize(doc: dict, lang: Optional[str] = None,
         elif key in OBJECT_PROPS and isinstance(value, dict):
             out[key] = normalize(value, lang, base)
         elif _is_common_property(key):
-            out[key] = _normalize_jsonld(value, lang)
+            out[key] = _normalize_jsonld(value, lang, base)
         else:
             out[key] = copy.deepcopy(value)
     return out

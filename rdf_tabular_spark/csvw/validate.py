@@ -287,6 +287,39 @@ _DIALECT_PROPS = {"@type", "commentPrefix", "delimiter", "doubleQuote",
                   "skipRows", "trim"}
 
 
+def _common_property_errors(obj: dict, errors: list[str]) -> None:
+    """JSON-LD dialect checks on common-property VALUES (reference:
+    metadata.rb:1139-1163 normalize_jsonld raises): explicit blank-node
+    @id, @type+@language on one value object, and @-keys other than
+    @value/@type/@language/@id/@list/@set inside node objects."""
+    def walk(v):
+        if isinstance(v, list):
+            for x in v:
+                walk(x)
+        elif isinstance(v, dict):
+            if "@value" in v:
+                if "@type" in v and "@language" in v:
+                    errors.append(
+                        "Value object may not contain both @type and "
+                        "@language")
+                return
+            vid = v.get("@id")
+            if isinstance(vid, str) and vid.startswith("_:"):
+                errors.append("Invalid use of explicit BNode on @id")
+            for k, x in v.items():
+                if str(k).startswith("@") and k not in (
+                        "@id", "@type", "@language", "@value",
+                        "@list", "@set"):
+                    errors.append(f"Invalid use of {k} in JSON-LD content")
+                elif not str(k).startswith("@"):
+                    walk(x)
+    for k, v in obj.items():
+        if ":" in str(k) and not str(k).startswith("@"):
+            walk(v)
+        elif k == "notes":
+            walk(v)
+
+
 def _class_key_errors(obj: dict, type_name: str, errors: list[str]) -> None:
     """The generic key checks at the top of the reference's validate!
     (metadata.rb:463-470): only expected properties, required properties
@@ -365,6 +398,8 @@ def _column_name(c: dict, index: int) -> str:
 
 def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None:
     _class_key_errors(obj, type_name, errors)
+    if type_name != "Dialect":
+        _common_property_errors(obj, errors)
     own = {k: obj[k] for k in INHERITED if k in obj}
     for key, value in own.items():
         _check(type_name, key, value, inherited.get(key), errors)
