@@ -287,6 +287,10 @@ _DIALECT_PROPS = {"@type", "commentPrefix", "delimiter", "doubleQuote",
                   "skipRows", "trim"}
 
 
+_BCP47_RE = __import__("re").compile(
+    r"^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$")
+
+
 def _common_property_errors(obj: dict, errors: list[str]) -> None:
     """JSON-LD dialect checks on common-property VALUES (reference:
     metadata.rb:1139-1163 normalize_jsonld raises): explicit blank-node
@@ -302,6 +306,11 @@ def _common_property_errors(obj: dict, errors: list[str]) -> None:
                     errors.append(
                         "Value object may not contain both @type and "
                         "@language")
+                lv = v.get("@language")
+                if lv is not None and not _BCP47_RE.match(str(lv)):
+                    errors.append(
+                        "Value object with @language must use valid "
+                        f"language: {lv}")
                 return
             vid = v.get("@id")
             if isinstance(vid, str) and vid.startswith("_:"):
