@@ -28,6 +28,14 @@ _FRAGMENTS = st.sampled_from([
     '<span itemprop="name">n</span>', "</div>", "</span>",
     "\n", "  ", "é", "züm", "<h1>T</h1>", "<TABLE>", "</TABLE>",
     "<td >", "<p x=1 y=2>", "<p x>", "<p =>",
+    # RDFa-lite states: vocab/prefix declarations, typeof scopes,
+    # property values from attributes and text content, CURIEs
+    '<div vocab="http://schema.org/">', '<div prefix="ex: http://e/">',
+    '<div typeof="Article" resource="#a">', '<div typeof="Person">',
+    '<span property="name">N</span>', '<b property="ex:rank" content="3">',
+    '<link property="inLanguage" href="http://l/en">',
+    '<meta property="wordCount" content="9">',
+    '<i property="x">', "</i>", '<span typeof="A B">',
 ])
 
 
@@ -45,7 +53,8 @@ def _slow_parse(html: str) -> H.PageContent:
         jsonld=p.jsonld,
         title=p.title,
         canonical=p.canonical,
-        meta=p.meta)
+        meta=p.meta,
+        rdfa=p.rdfa)
 
 
 @settings(max_examples=300, deadline=None, derandomize=True)
@@ -65,6 +74,8 @@ def test_fast_tokenizer_parity_fuzz(parts):
     assert fast.title == slow.title, html
     assert fast.canonical == slow.canonical, html
     assert fast.meta == slow.meta, html
+    assert [(r.subject, r.types, r.props) for r in fast.rdfa] == \
+           [(r.subject, r.types, r.props) for r in slow.rdfa], html
 
 
 @settings(max_examples=300, deadline=None, derandomize=True)
