@@ -47,3 +47,40 @@ def test_prefix_modifier():
 
 def test_numeric_binding():
     assert expand("#row-{_row}", {"_row": 3}) == "#row-3"
+
+
+def test_rfc6570_spec_examples():
+    """The RFC 6570 §3.2 example corpus (Levels 1-3 subset the CSVW
+    processor uses) verbatim — one table, 22 expansions."""
+    from rdf_tabular_spark.csvw.uri_template import expand
+    cases = [
+        ("{var}", {"var": "value"}, "value"),
+        ("{hello}", {"hello": "Hello World!"}, "Hello%20World%21"),
+        ("{+var}", {"var": "value"}, "value"),
+        ("{+hello}", {"hello": "Hello World!"}, "Hello%20World!"),
+        ("{+path}/here", {"path": "/foo/bar"}, "/foo/bar/here"),
+        ("{#var}", {"var": "value"}, "#value"),
+        ("{#hello}", {"hello": "Hello World!"}, "#Hello%20World!"),
+        ("map?{x,y}", {"x": "1024", "y": "768"}, "map?1024,768"),
+        ("{x,hello,y}", {"x": "1024", "hello": "Hello World!", "y": "768"},
+         "1024,Hello%20World%21,768"),
+        ("{+x,hello,y}", {"x": "1024", "hello": "Hello World!", "y": "768"},
+         "1024,Hello%20World!,768"),
+        ("{#x,hello,y}", {"x": "1024", "hello": "Hello World!", "y": "768"},
+         "#1024,Hello%20World!,768"),
+        ("X{.var}", {"var": "value"}, "X.value"),
+        ("{/var}", {"var": "value"}, "/value"),
+        ("{/var,x}/here", {"var": "value", "x": "1024"}, "/value/1024/here"),
+        ("{;x,y}", {"x": "1024", "y": "768"}, ";x=1024;y=768"),
+        ("{;x,y,empty}", {"x": "1024", "y": "768", "empty": ""},
+         ";x=1024;y=768;empty"),
+        ("{?x,y}", {"x": "1024", "y": "768"}, "?x=1024&y=768"),
+        ("{?x,y,empty}", {"x": "1024", "y": "768", "empty": ""},
+         "?x=1024&y=768&empty="),
+        ("?fixed=yes{&x}", {"x": "1024"}, "?fixed=yes&x=1024"),
+        ("{var:3}", {"var": "value"}, "val"),
+        ("{semi}", {"semi": ";"}, "%3B"),
+        ("{semi:2}", {"semi": ";"}, "%3B"),
+    ]
+    for tmpl, binds, want in cases:
+        assert expand(tmpl, binds) == want, (tmpl, binds)
