@@ -347,7 +347,14 @@ def load_metadata(source: str | dict, base: str = "", resolver: Resolver = defau
         raw = source
     ctx = parse_context(raw.get("@context"))
     if base:
-        ctx.base = base
+        # CSVW §5.2: an @base in the local context OVERRIDES the document
+        # location as the base for resolving relative URLs, itself resolved
+        # against that location (relative @base allowed). Rebuild the
+        # Context rather than mutating .base — the fragment-join fast path
+        # (_base_defrag) is derived in __init__.
+        resolved = urljoin(base, ctx.base) if ctx.base else base
+        ctx = Context(base=resolved,
+                      default_language=ctx.default_language)
     kind = intuit_type(raw)
     if kind == "TableGroup":
         group_dialect = raw.get("dialect")
