@@ -183,7 +183,10 @@ def validate_shapes(triples: DataFrame,
             if prop.less_than is not None:
                 # sh:lessThan — every (v, w) pair across the two paths on
                 # one focus must satisfy v < w; numeric when both sides
-                # cast, else lexicographic (deterministic either way).
+                # cast, lexicographic when NEITHER does (string/string).
+                # A mixed pair (exactly one side numeric) is incomparable
+                # and therefore a violation per SHACL §4.5.3 — NOT
+                # compared as strings ('10' vs '9x' would pass).
                 # One focus-keyed join, fan-out bounded by per-focus
                 # value multiplicities (CSVW attributes: tiny).
                 other = (triples.filter(F.col("pred") == prop.less_than)
@@ -192,8 +195,11 @@ def validate_shapes(triples: DataFrame,
                 pairs = vals.join(other, on="focus")
                 va = F.col("obj").try_cast("double")
                 vb = F.col("_w").try_cast("double")
-                violates = F.when(va.isNotNull() & vb.isNotNull(),
-                                  ~(va < vb))                     .otherwise(~(F.col("obj") < F.col("_w")))
+                violates = (
+                    F.when(va.isNotNull() & vb.isNotNull(), ~(va < vb))
+                    .when(va.isNull() & vb.isNull(),
+                          ~(F.col("obj") < F.col("_w")))
+                    .otherwise(F.lit(True)))   # incomparable pair
                 bad = pairs.filter(violates)
                 reports.append(_report(bad, shape, prop, "lessThan",
                                        F.concat_ws(" !< ", "obj", "_w"),

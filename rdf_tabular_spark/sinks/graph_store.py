@@ -693,13 +693,25 @@ def fuse_retract_batch(spark: SparkSession, root: str, batch_id: str,
     rule-refresh machinery).  The retraction keys on the full RDF term
     (obj_is_iri/datatype/lang ride along), so two terms sharing a lexical
     form are retracted precisely.  Idempotent per ``batch_id``."""
-    from ..operators.fusion import fuse_majority
+    from pyspark.sql import Window
     g = read_graph(spark, root, batches=batches)
-    winners = (fuse_majority(g.select("subj", "pred", "obj"))
-               .where(F.col("n_values") > 1)
-               .select("subj", "pred", F.col("obj").alias("_win")))
-    losers = (g.join(winners, ["subj", "pred"])
-              .where(F.col("obj") != F.col("_win"))
+    # vote on the FULL term tuple (obj, obj_is_iri, obj_datatype, obj_lang)
+    # — '42'^^xsd:integer and '42'@en are distinct candidates, and a losing
+    # term whose lexical form equals the winner's is still retracted.
+    # Same vote/rank shape as operators/fusion.fuse_majority, with the
+    # tie-break extended over the term columns for determinism.
+    votes = (g.groupBy("subj", "pred", "obj", "obj_is_iri",
+                       "obj_datatype", "obj_lang")
+             .agg(F.count("*").alias("n_support")))
+    attr = Window.partitionBy("subj", "pred")
+    ranked = votes.select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "obj_lang",
+        F.row_number().over(attr.orderBy(
+            F.col("n_support").desc(), F.col("obj").asc(),
+            F.col("obj_is_iri").asc(),
+            F.coalesce("obj_datatype", F.lit("")).asc(),
+            F.coalesce("obj_lang", F.lit("")).asc())).alias("_rn"))
+    losers = (ranked.where(F.col("_rn") > 1)
               .select("subj", "pred", "obj", "obj_is_iri",
                       "obj_datatype", "obj_lang"))
     return retract_batch(spark, root, batch_id, losers,

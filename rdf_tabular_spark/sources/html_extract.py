@@ -98,7 +98,11 @@ class _PageParser(HTMLParser):
         self._cell: Optional[list[str]] = None
         self._cell_span: tuple[int, int] = (1, 1)
         self._item_stack: list[MicroItem] = []
-        self._prop_stack: list[tuple[str, list[str]]] = []
+        # text-content property capture entries are [prop, parts, depth]:
+        # `depth` counts open nested elements inside the property element
+        # so '<span itemprop=x>Doc <b>1</b> extra</span>' captures the
+        # full 'Doc 1 extra', not just the text before the first end tag
+        self._prop_stack: list[list] = []
         # RDFa-lite state: vocab/prefixes apply from their declaration
         # onward (document-order scoping — the crawl-practice shape is one
         # vocab per document; element-scoped shadowing is out of subset)
@@ -106,7 +110,7 @@ class _PageParser(HTMLParser):
         self._rdfa_vocab: str = ""
         self._rdfa_prefixes: dict[str, str] = {}
         self._rdfa_stack: list[RdfaItem] = []
-        self._rdfa_prop_stack: list[tuple[str, list[str]]] = []
+        self._rdfa_prop_stack: list[list] = []  # [prop, parts, depth]
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
@@ -159,6 +163,7 @@ class _PageParser(HTMLParser):
             if href:
                 self.links.append(href)
                 self._anchor_stack.append((href, []))
+        pushed_md = pushed_rdfa = False
         if "itemscope" in a:
             item = MicroItem(item_id=a.get("itemid", f"_:item{len(self.micro)}"),
                              itemtype=a.get("itemtype", ""))
@@ -169,7 +174,8 @@ class _PageParser(HTMLParser):
             if href is not None:
                 self._item_stack[-1].props.append((a["itemprop"], href))
             else:
-                self._prop_stack.append((a["itemprop"], []))
+                self._prop_stack.append([a["itemprop"], [], 0])
+                pushed_md = True
         # RDFa-lite (vocab / prefix / typeof / property / resource).
         # vocab+prefix are processed BEFORE typeof so the common
         # <div vocab=... typeof=...> shape expands its own types.
@@ -195,7 +201,17 @@ class _PageParser(HTMLParser):
             if value is not None:
                 self._rdfa_stack[-1].props.append((prop, value))
             else:
-                self._rdfa_prop_stack.append((prop, []))
+                self._rdfa_prop_stack.append([prop, [], 0])
+                pushed_rdfa = True
+        # depth tracking: any OTHER non-void element opening inside an open
+        # text-content property element bumps that capture's depth, so its
+        # end tag decrements instead of closing the capture — text after
+        # nested markup ('Doc <b>1</b> extra') is retained
+        if tag not in _VOID:
+            if self._prop_stack and not pushed_md:
+                self._prop_stack[-1][2] += 1
+            if self._rdfa_prop_stack and not pushed_rdfa:
+                self._rdfa_prop_stack[-1][2] += 1
 
     def _rdfa_expand(self, term: str) -> str:
         """CURIE/term → IRI: declared prefix ▷ absolute IRI kept ▷ vocab
@@ -239,12 +255,36 @@ class _PageParser(HTMLParser):
         if tag == "a" and self._anchor_stack:
             href, parts = self._anchor_stack.pop()
             self.anchors.append((href, "".join(parts).strip()))
-        if self._prop_stack:
-            prop, parts = self._prop_stack.pop()
+        # void end tags (only '<x/>' self-closing syntax produces one) were
+        # never counted on the start side, so they must not pop/decrement
+        if tag not in _VOID:
+            if self._prop_stack:
+                if self._prop_stack[-1][2] > 0:
+                    self._prop_stack[-1][2] -= 1
+                else:
+                    prop, parts, _ = self._prop_stack.pop()
+                    if self._item_stack:
+                        self._item_stack[-1].props.append(
+                            (prop, "".join(parts).strip()))
+            if self._rdfa_prop_stack:
+                if self._rdfa_prop_stack[-1][2] > 0:
+                    self._rdfa_prop_stack[-1][2] -= 1
+                else:
+                    prop, parts, _ = self._rdfa_prop_stack.pop()
+                    if self._rdfa_stack:
+                        self._rdfa_stack[-1].props.append(
+                            (prop, "".join(parts).strip()))
+
+    def finalize(self):
+        """Drain property captures left open by truncated/unbalanced crawl
+        HTML — an unclosed '<span itemprop=x>text' still yields its prop."""
+        while self._prop_stack:
+            prop, parts, _ = self._prop_stack.pop()
             if self._item_stack:
-                self._item_stack[-1].props.append((prop, "".join(parts).strip()))
-        if self._rdfa_prop_stack:
-            prop, parts = self._rdfa_prop_stack.pop()
+                self._item_stack[-1].props.append(
+                    (prop, "".join(parts).strip()))
+        while self._rdfa_prop_stack:
+            prop, parts, _ = self._rdfa_prop_stack.pop()
             if self._rdfa_stack:
                 self._rdfa_stack[-1].props.append(
                     (prop, "".join(parts).strip()))
@@ -306,10 +346,12 @@ class _PageParser(HTMLParser):
             return
         if self._cell is not None:
             self._cell.append(data)
-        if self._prop_stack:
-            self._prop_stack[-1][1].append(data)
-        if self._rdfa_prop_stack:
-            self._rdfa_prop_stack[-1][1].append(data)
+        # text flows into EVERY open capture (textContent semantics): a
+        # nested property element's text is part of its ancestors' values
+        for ent in self._prop_stack:
+            ent[1].append(data)
+        for ent in self._rdfa_prop_stack:
+            ent[1].append(data)
         if self._anchor_stack:
             self._anchor_stack[-1][1].append(data)
         stripped = data.strip()
@@ -404,6 +446,7 @@ def extract_page(html: str) -> PageContent:
         p = _PageParser()
         p.feed(html)
         p.close()
+    p.finalize()
     return PageContent(
         tables=p.tables,
         csvw_meta=p.csvw_meta.strip() if p.csvw_meta else None,
@@ -442,7 +485,9 @@ RDFA_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("subject", StringType(), False),
     StructField("typeof", StringType(), True),
-    StructField("prop", StringType(), False),
+    # prop is NULL on the sentinel row a property-less typeof scope emits
+    # (so its rdf:type triples survive the single-facet path)
+    StructField("prop", StringType(), True),
     StructField("value", StringType(), True),
 ])
 
@@ -526,6 +571,10 @@ def pages_to_rdfa(pages: DataFrame) -> DataFrame:
                         subj = f"_:ra-{uh}-{item.subject[2:]}"
                     for prop, value in item.props:
                         rows.append((url, subj, item.types, prop, value))
+                    if not item.props:
+                        # sentinel row: a typeof scope with no property
+                        # elements still carries its rdf:type triples
+                        rows.append((url, subj, item.types, None, None))
             yield pd.DataFrame(
                 rows, columns=["url", "subject", "typeof", "prop", "value"])
     from ..session import ensure_package_on_executors

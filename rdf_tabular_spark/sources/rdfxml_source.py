@@ -46,6 +46,14 @@ def _split_tag(tag: str) -> str:
 
 def _file_rows(path: str, text: str) -> list[tuple]:
     import xml.etree.ElementTree as ET
+    # stdlib etree expands internal entities, so a crafted document with a
+    # DTD can mount a billion-laughs / quadratic-blowup attack on an
+    # executor. The accepted RDF/XML subset never needs a DTD — reject any
+    # document that declares one before parsing (defusedxml-equivalent
+    # hardening without the dependency).
+    if "<!DOCTYPE" in text or "<!ENTITY" in text:
+        raise ValueError("documents with a DTD are rejected "
+                         "(entity-expansion hardening; out of subset)")
     root = ET.fromstring(text)
     if _split_tag(root.tag) != RDF_NS + "RDF":
         raise ValueError(f"root element is not rdf:RDF: {root.tag}")

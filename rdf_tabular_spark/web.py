@@ -285,7 +285,7 @@ def rdfa_to_triples(pages: DataFrame) -> DataFrame:
                   F.concat(F.col("url"), F.col("subject"))) \
         .otherwise(F.col("subject"))
     obj_is_iri = F.col("value").rlike("^https?://")
-    props = rd.select(
+    props = rd.filter(F.col("prop").isNotNull()).select(
         subj.alias("subj"), F.col("prop").alias("pred"),
         F.col("value").alias("obj"), obj_is_iri.alias("obj_is_iri"),
         F.lit(None).cast("string").alias("obj_datatype"),

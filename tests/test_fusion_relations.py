@@ -531,3 +531,38 @@ def test_fuse_retract_batch_maintenance(spark, tmp_path):
                      batches=snapshots_as_of(root, pre_fusion))
     assert ("e1", "xx") in {(r["subj"], r["obj"])
                             for r in pre.select("subj", "obj").collect()}
+
+
+def test_fuse_retract_batch_term_exact_vote(spark, tmp_path):
+    """Two RDF terms sharing a lexical form are distinct vote candidates,
+    and the losing term IS retracted even when its lexical form equals the
+    winner's (r5 advice: the vote previously conflated them)."""
+    from rdf_tabular_spark.sinks.graph_store import (fuse_retract_batch,
+                                                     materialize, read_graph)
+    root = str(tmp_path / "store")
+    rows = [
+        # winner: plain literal '42' ×2; loser: '42'^^xsd:integer ×1 —
+        # same lexical form, different term
+        ("e1", "p:v", "42", False, None, None, "u1", 0),
+        ("e1", "p:v", "42", False, None, None, "u2", 0),
+        ("e1", "p:v", "42", False, "http://www.w3.org/2001/XMLSchema#integer",
+         None, "u3", 0),
+        # lang-tagged vs untagged with different lexical forms too
+        ("e2", "p:v", "hi", False, None, "en", "u1", 0),
+        ("e2", "p:v", "hi", False, None, "en", "u2", 0),
+        ("e2", "p:v", "hi", False, None, "fr", "u3", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean, "
+              "obj_datatype string, obj_lang string, table_url string, "
+              "source_num long")
+    materialize(df, root, "b1")
+    m = fuse_retract_batch(spark, root, "fuse1")
+    assert m["kind"] == "retraction" and m["n_triples"] == 2
+    live = {(r["subj"], r["obj"], r["obj_datatype"], r["obj_lang"])
+            for r in read_graph(spark, root)
+            .select("subj", "obj", "obj_datatype", "obj_lang").collect()}
+    assert ("e1", "42", None, None) in live
+    assert all(not (s == "e1" and dt is not None) for s, _, dt, _ in live)
+    assert ("e2", "hi", None, "en") in live
+    assert ("e2", "hi", None, "fr") not in live

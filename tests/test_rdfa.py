@@ -83,6 +83,53 @@ def test_rdfa_triple_face_and_fused_parity(spark):
     assert frows == rows
 
 
+def test_rdfa_typeof_only_scope_keeps_type_triples(spark):
+    """A typeof scope with NO property elements must still yield its
+    rdf:type triples in BOTH the single-facet and fused paths (r5 advice:
+    the pages_to_rdfa kernel previously emitted no rows for such a scope,
+    silently dropping the types the fused path did emit)."""
+    from rdf_tabular_spark.web import pages_to_combined_triples, rdfa_to_triples
+    page = ('<div vocab="http://schema.org/" typeof="Person" '
+            'resource="#p"></div>')
+    pages = spark.createDataFrame(
+        [("http://x.org/t", page.encode())], "url string, html binary")
+    single = {(r["subj"], r["pred"], r["obj"], r["obj_is_iri"])
+              for r in rdfa_to_triples(pages).collect()}
+    fused = {(r["subj"], r["pred"], r["obj"], r["obj_is_iri"])
+             for r in pages_to_combined_triples(pages, minimal=True)
+             .select("subj", "pred", "obj", "obj_is_iri").collect()}
+    expect = {("http://x.org/t#p",
+               "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+               "http://schema.org/Person", True)}
+    assert single == expect
+    assert fused == expect
+
+
+def test_nested_markup_inside_property_element_keeps_tail_text():
+    """Depth-tracked capture: text after nested markup inside a
+    text-content property element is retained (r5 advice — previously the
+    first nested end tag closed the capture, dropping ' extra')."""
+    p = extract_page(
+        '<div vocab="http://s.org/" typeof="T">'
+        '<span property="name">Doc <b>1</b> extra</span></div>')
+    assert dict(p.rdfa[0].props) == {"http://s.org/name": "Doc 1 extra"}
+    # same rule for the microdata prop stack
+    m = extract_page(
+        '<div itemscope itemtype="http://s.org/T">'
+        '<span itemprop="name">Doc <i>2</i> tail</span></div>')
+    assert dict(m.microdata[0].props) == {"name": "Doc 2 tail"}
+    # nested property elements still close LIFO
+    n = extract_page(
+        '<div vocab="http://s.org/" typeof="T">'
+        '<span property="a">x <span property="b">y</span> z</span></div>')
+    assert dict(n.rdfa[0].props) == {"http://s.org/a": "x y z",
+                                     "http://s.org/b": "y"}
+    # truncated crawl page: unclosed capture still yields its prop
+    t = extract_page('<div itemscope itemtype="http://s.org/T">'
+                     '<span itemprop="name">cut off')
+    assert dict(t.microdata[0].props) == {"name": "cut off"}
+
+
 # --- entity disambiguation (stage 2c) ---------------------------------------
 
 def test_disambiguate_mentions_context_argmax(spark):

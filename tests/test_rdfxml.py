@@ -113,6 +113,24 @@ def test_rdfxml_typed_node_and_errors_view(spark, tmp_path):
         read_rdfxml(spark, str(tmp_path / "*.rdf"), strict=True).collect()
 
 
+def test_rdfxml_rejects_dtd_documents(spark, tmp_path):
+    """Entity-expansion hardening (r5 advice): a document declaring a DTD
+    is rejected BEFORE parsing (billion-laughs defense) and lands in the
+    errors view; entities never expand into triples."""
+    from rdf_tabular_spark.sources.rdfxml_source import (read_rdfxml,
+                                                         read_rdfxml_errors)
+    evil = tmp_path / "evil.rdf"
+    evil.write_text(
+        '<?xml version="1.0"?><!DOCTYPE rdf [<!ENTITY a "aaaaaaaa">'
+        '<!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;">]>'
+        f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:s="http://schema.org/">'
+        '<s:Person rdf:about="http://x.org/p"><s:name>&b;</s:name>'
+        '</s:Person></rdf:RDF>')
+    assert read_rdfxml(spark, str(evil)).count() == 0
+    errs = read_rdfxml_errors(spark, str(evil)).collect()
+    assert len(errs) == 1 and "DTD" in errs[0]["error"]
+
+
 def test_export_import_job_rdfxml(spark, tmp_path):
     """store → export --format rdfxml → import → identical statement set."""
     from rdf_tabular_spark.jobs.export import main as export_main

@@ -222,6 +222,22 @@ def test_less_than_numeric_not_lexical(spark):
     assert validate_shapes(t, shapes).count() == 0
 
 
+def test_less_than_mixed_pair_is_violation(spark):
+    """Exactly one side numeric → the pair is incomparable → violation
+    (r5 advice: the lexical fallback previously let '10' < '9x' pass)."""
+    from rdf_tabular_spark.operators.shacl import (NodeShape, PropertyShape,
+                                                   validate_shapes)
+    t = spark.createDataFrame(
+        [("e", "p:lo", "10"), ("e", "p:hi", "9x"),     # num vs non-num
+         ("f", "p:lo", "abc"), ("f", "p:hi", "7"),     # non-num vs num
+         ("g", "p:lo", "abc"), ("g", "p:hi", "abd")],  # string/string ok
+        "subj string, pred string, obj string")
+    shapes = [NodeShape("s", None,
+                        (PropertyShape(path="p:lo", less_than="p:hi"),))]
+    rep = {r["focus"] for r in validate_shapes(t, shapes).collect()}
+    assert rep == {"e", "f"}
+
+
 def test_shapes_from_json_new_keys(spark):
     from rdf_tabular_spark.operators.shacl import shapes_from_json
     shapes = shapes_from_json([
