@@ -1644,6 +1644,53 @@ from documents cross join (values (0), (1), (2), (3)) as f(i)
 """
 
 
+def _multimodal_decode(spark, sf_dir):
+    """REAL image decode→feature path (round 5 — the stub is gone):
+    deterministic 8×8 BMPs are synthesized per document (pixel formula in
+    operators/multimodal.synth_bmp_media), decoded by the stdlib 24-bit
+    BMP decoder inside the Arrow kernel, and reduced to channel means +
+    max luminance. The oracle aggregates the same pixel formula
+    relationally — exact doubles (integer sums / power-of-two counts)."""
+    from .operators.multimodal import image_stats, synth_bmp_media
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    media = synth_bmp_media(_t(spark, sf_dir, "documents"), 8, 8)
+    return image_stats(media)
+
+
+_MULTIMODAL_DECODE_SQL = """
+select d.doc_id as media_id, 8 as width, 8 as height,
+       avg((7*d.doc_id + 13*g.i) % 256) as mean_r,
+       avg((11*d.doc_id + 17*g.i) % 256) as mean_g,
+       avg((13*d.doc_id + 19*g.i) % 256) as mean_b,
+       max((7*d.doc_id + 13*g.i) % 256 + (11*d.doc_id + 17*g.i) % 256
+           + (13*d.doc_id + 19*g.i) % 256) as max_lum
+from documents d cross join generate_series(0, 63) g(i)
+group by d.doc_id
+"""
+
+
+def _multimodal_decode_audio(spark, sf_dir):
+    """REAL audio decode path: deterministic 16-bit PCM WAV per document
+    (sample formula in operators/multimodal.synth_wav_media), decoded by
+    the stdlib ``wave`` fallback, reduced to sample stats; oracle mirrors
+    the formula."""
+    from .operators.multimodal import audio_stats, synth_wav_media
+    from .session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
+    media = synth_wav_media(_t(spark, sf_dir, "documents"), 64, 8000)
+    return audio_stats(media)
+
+
+_MULTIMODAL_DECODE_AUDIO_SQL = """
+select d.doc_id as media_id, 8000 as sample_rate, 64 as n_samples,
+       avg((31*d.doc_id + 97*g.i) % 4001 - 2000) as mean_sample,
+       max(abs((31*d.doc_id + 97*g.i) % 4001 - 2000)) as max_abs
+from documents d cross join generate_series(0, 63) g(i)
+group by d.doc_id
+"""
+
+
 # --- KG pipeline (web path) -------------------------------------------------
 
 def _kg_pages(spark, sf_dir):
@@ -5526,6 +5573,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": _multimodal_features,
     "multimodal_resize": _multimodal_resize,
     "multimodal_frames": _multimodal_frames,
+    "multimodal_decode": _multimodal_decode,
+    "multimodal_decode_audio": _multimodal_decode_audio,
     "kg_entity_mentions": _kg_entity_mentions,
     "kg_comention_pmi": _kg_comention_pmi,
     "dedup_edit_verified_pairs": _dedup_edit_verified_pairs,
@@ -5669,6 +5718,8 @@ _ORACLES: dict[str, str] = {
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
+    "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "multimodal_decode_audio": _MULTIMODAL_DECODE_AUDIO_SQL,
     "kg_pages_triples": _KG_PAGES_TRIPLES_SQL,
     "kg_entity_mentions": _KG_ENTITY_MENTIONS_SQL,
     "kg_entity_mentions_join": _KG_ENTITY_MENTIONS_SQL,
