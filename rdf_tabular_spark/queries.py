@@ -1322,7 +1322,7 @@ _PQ_M, _PQ_K, _PQ_ITER = 4, 16, 2
 
 
 def _pq_topk_sql(m: int = None, k: int = None, n_iter: int = None,
-                 topk: int = 10, dim: int = EMB_DIM) -> str:
+                 topk: int = 10, dim: int = EMB_DIM, qid: int = 0) -> str:
     """DuckDB mirror of pq_fit_deterministic + pq_search, generated by the
     same loop structure per subspace (init → [means → argmin]×n_iter),
     then codes joined with per-subspace query-distance tables and summed
@@ -1365,7 +1365,7 @@ def _pq_topk_sql(m: int = None, k: int = None, n_iter: int = None,
         qsvec = (f"list_transform(range(1, {sub + 1}), d -> "
                  f"embedding[{s * sub} + d]::double)")
         ctes.append(f"q{s} as (select {qsvec} as qv from embeddings "
-                    f"where vec_id = 0)")
+                    f"where vec_id = {qid})")
         qdist = (f"list_sum(list_transform(range(1, {sub + 1}), d -> "
                  f"(q.qv[d] - c.cent[d]) * (q.qv[d] - c.cent[d])))")
         ctes.append(f"qd{s} as (select c.cell as code, {qdist} as dq "
@@ -1380,7 +1380,7 @@ def _pq_topk_sql(m: int = None, k: int = None, n_iter: int = None,
         total = f"({total} + d{s}.dq)"
     return (f"with {', '.join(ctes)}\n"
             f"select vec_id, round({total}, 4) as approx_dist\n"
-            f"from {joins} where vec_id <> 0\n"
+            f"from {joins} where vec_id <> {qid}\n"
             f"order by approx_dist, vec_id limit {topk}")
 
 
@@ -1407,10 +1407,14 @@ def _ann_pq_rerank_topk(spark, sf_dir):
     return exact.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(10)
 
 
-def _pq_rerank_sql(topk: int = 10, n_cands: int = 50) -> str:
-    return (f"with cands as ({_pq_topk_sql(topk=n_cands)}),\n"
+def _pq_rerank_sql(topk: int = 10, n_cands: int = 50, qid: int = 0,
+                   m: int = None, k: int = None) -> str:
+    # the candidate CTE nests its own WITH (DuckDB allows a full statement
+    # inside a derived table), so per-qid branches compose cleanly
+    inner = _pq_topk_sql(m=m, k=k, topk=n_cands, qid=qid)
+    return (f"with cands as (select * from ({inner})),\n"
             f"q as (select embedding as qv from embeddings "
-            f"where vec_id = 0)\n"
+            f"where vec_id = {qid})\n"
             f"select e.vec_id as vec_id, "
             f"round({_cos_sql('e.embedding', 'qv')}, 4) as sim\n"
             f"from embeddings e join cands using (vec_id), q\n"
@@ -4646,6 +4650,161 @@ from tot t left join hits h on t.query_id = h.query_id
 """
 
 
+def _recall_tail_sql(with_ctes: list[str], approx_branches: list[str],
+                     exact_branches: list[str]) -> str:
+    """Shared recall@k aggregation tail over per-qid approx/exact top-k
+    branches — one source of truth for the three ann_recall_* oracles."""
+    body = (",\n".join(with_ctes) + ",\n") if with_ctes else ""
+    return f"""
+with {body}
+approx as ({' union all '.join(approx_branches)}),
+exact as ({' union all '.join(exact_branches)}),
+tot as (select query_id, count(*) as n_exact from exact group by query_id),
+hits as (
+  select a.query_id, count(*) as n_hits
+  from approx a join exact e
+    on a.query_id = e.query_id and a.vec_id = e.vec_id
+  group by a.query_id)
+select t.query_id,
+       cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
+       cast(t.n_exact as bigint) as n_exact,
+       round(cast(coalesce(h.n_hits, 0) as double)
+             / cast(t.n_exact as double), 4) as recall
+from tot t left join hits h on t.query_id = h.query_id
+"""
+
+
+def _exact_recall_branch_sql(qid: int, topk: int = 10) -> str:
+    """Brute-force cosine top-k branch for the recall oracles."""
+    return (f"select {qid} as query_id, vec_id from ("
+            f"select e.vec_id, round({_cos_sql('e.embedding', 'qv')}, 4) "
+            f"as sim from embeddings e, (select embedding as qv from "
+            f"embeddings where vec_id = {qid}) q "
+            f"where e.vec_id <> {qid} "
+            f"order by sim desc, vec_id limit {topk})")
+
+
+_RECALL_IVF_NPROBE = 6
+
+
+def _ann_recall_ivf(spark, sf_dir):
+    """recall@10 of the trained-IVF probe tier (same fit as
+    ann_ivf_trained_topk) against brute-force cosine, over the fixed eval
+    set. Probe width is the QUALIFIED configuration: on these i.i.d.
+    synthetic vectors (hyperplane-LSH's and IVF's worst case — no cluster
+    structure) the measured sweep is n_probe 3→~0.60, 5→~0.80, 6→~0.95
+    recall, so the tier registers at n_probe=6 of 8 cells and pytest
+    gates mean recall ≥ 0.8 (test_similarity). On clustered production
+    data the same gate justifies a much smaller probe fraction — run it
+    per index build, that is what it is for."""
+    from functools import reduce
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = S.ivf_fit_deterministic(emb, k=8, n_iter=2,
+                                                  dim=EMB_DIM)
+    assigned = assigned.persist()
+    qvecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(
+                 F.col("vec_id").isin(list(_RECALL_QUERY_IDS))).collect()}
+    approx, exact = [], []
+    for qid in _RECALL_QUERY_IDS:
+        approx.append(
+            S.ivf_search(assigned.filter(F.col("vec_id") != qid), centroids,
+                         qvecs[qid], k=10, n_probe=_RECALL_IVF_NPROBE)
+            .select(F.lit(qid).cast("long").alias("query_id"), "vec_id"))
+        exact.append(
+            S.cosine_topk(emb, qid, k=10, extra_cols=())
+            .select(F.lit(qid).cast("long").alias("query_id"), "vec_id"))
+    return S.recall_at_k(reduce(lambda x, y: x.unionByName(y), approx),
+                         reduce(lambda x, y: x.unionByName(y), exact))
+
+
+def _ivf_recall_sql(qids=_RECALL_QUERY_IDS, k: int = 8, n_iter: int = 2,
+                    n_probe: int = _RECALL_IVF_NPROBE, topk: int = 10,
+                    dim: int = EMB_DIM) -> str:
+    """DuckDB mirror of _ann_recall_ivf: ONE shared fit-CTE replay
+    (_ivf_fit_ctes), per-qid probe + pruned top-k branches, recall tail."""
+    ctes, prev = _ivf_fit_ctes(k=k, n_iter=n_iter, dim=dim)
+    qdist = (f"list_sum(list_transform(range(1, {dim + 1}), d -> "
+             f"(q.qv[d]::double - c.cent[d]) * "
+             f"(q.qv[d]::double - c.cent[d])))")
+    approx_b, exact_b = [], []
+    for qid in qids:
+        ctes.append(f"q{qid} as (select embedding as qv from embeddings "
+                    f"where vec_id = {qid})")
+        ctes.append(f"p{qid} as (select c.cell from c{n_iter} c, q{qid} q "
+                    f"order by {qdist}, c.cell limit {n_probe})")
+        approx_b.append(
+            f"select {qid} as query_id, vec_id from ("
+            f"select s.vec_id, round({_cos_sql('s.embedding', 'qv')}, 4) "
+            f"as sim from {prev} s, q{qid} q where s.vec_id <> {qid} "
+            f"and s.cell in (select cell from p{qid}) "
+            f"order by sim desc, vec_id limit {topk})")
+        exact_b.append(_exact_recall_branch_sql(qid, topk))
+    return _recall_tail_sql(ctes, approx_b, exact_b)
+
+
+_RECALL_PQ_M, _RECALL_PQ_CANDS = 16, 100
+
+
+def _ann_recall_pq(spark, sf_dir):
+    """recall@10 of the PQ→exact-rerank cascade (ann_pq_rerank_topk's
+    construction) against brute-force cosine over the fixed eval set,
+    pytest-gated ≥ 0.8. The code budget matters and the gate measured it:
+    the demo tier's m=4×16-centroid books recall only ~0.33 with 50
+    candidates on these i.i.d. unit vectors, while the QUALIFIED
+    configuration registered here — m=16 subspaces (4 dims each, 16
+    bytes/vector) with 100 rerank candidates — measures ~0.97. The rerank
+    cascade at an adequately-sized code budget is the RECOMMENDED
+    approximate default; see operators/similarity.py's module docstring
+    for tier selection."""
+    from functools import reduce
+
+    from .operators.quantize import pq_fit_deterministic, pq_search
+    from .operators.similarity import _as_double, cosine_sim
+    emb = _t(spark, sf_dir, "embeddings").persist()
+    codes, books = pq_fit_deterministic(emb, m=_RECALL_PQ_M, k=_PQ_K,
+                                        n_iter=_PQ_ITER, dim=EMB_DIM)
+    codes = codes.persist()
+    qvecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(
+                 F.col("vec_id").isin(list(_RECALL_QUERY_IDS))).collect()}
+    approx, exact = [], []
+    for qid in _RECALL_QUERY_IDS:
+        qv = qvecs[qid]
+        cands = pq_search(codes, books, qv, topk=_RECALL_PQ_CANDS,
+                          exclude_id=qid).select("vec_id")
+        qlit = F.array(*[F.lit(x) for x in qv])
+        rer = (emb.join(F.broadcast(cands), "vec_id")
+               .select("vec_id",
+                       F.round(cosine_sim(_as_double(F.col("embedding")),
+                                          qlit), 4).alias("sim"))
+               .orderBy(F.col("sim").desc(), F.col("vec_id")).limit(10))
+        approx.append(rer.select(F.lit(qid).cast("long").alias("query_id"),
+                                 "vec_id"))
+        exact.append(
+            S.cosine_topk(emb, qid, k=10, extra_cols=())
+            .select(F.lit(qid).cast("long").alias("query_id"), "vec_id"))
+    return S.recall_at_k(reduce(lambda x, y: x.unionByName(y), approx),
+                         reduce(lambda x, y: x.unionByName(y), exact))
+
+
+def _pq_recall_sql(qids=_RECALL_QUERY_IDS, topk: int = 10,
+                   n_cands: int = _RECALL_PQ_CANDS,
+                   m: int = _RECALL_PQ_M) -> str:
+    """DuckDB mirror of _ann_recall_pq: each approx branch nests the full
+    per-qid PQ-rerank statement (_pq_rerank_sql) as a derived table."""
+    approx_b = [
+        f"select {qid} as query_id, vec_id from ("
+        f"{_pq_rerank_sql(topk=topk, n_cands=n_cands, qid=qid, m=m)})"
+        for qid in qids]
+    exact_b = [_exact_recall_branch_sql(qid, topk) for qid in qids]
+    return _recall_tail_sql([], approx_b, exact_b)
+
+
+_ANN_RECALL_IVF_SQL = _ivf_recall_sql()
+_ANN_RECALL_PQ_SQL = _pq_recall_sql()
+
+
 def _dedup_embedding_incremental(spark, sf_dir):
     """Incremental embedding near-dup: new batch (vec_id % 4 <> 0) against
     the stored signature table of the accumulated corpus (vec_id % 4 = 0)
@@ -5629,6 +5788,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_keep": _dedup_incremental_keep,
     "sample_mixture": _sample_mixture,
     "ann_recall_lsh": _ann_recall_lsh,
+    "ann_recall_ivf": _ann_recall_ivf,
+    "ann_recall_pq": _ann_recall_pq,
     "ann_cosine_batch_topk": _ann_cosine_batch_topk,
     "ann_ivf_batch_topk": _ann_ivf_batch_topk,
     "dedup_embedding_incremental": _dedup_embedding_incremental,
@@ -5791,6 +5952,8 @@ _ORACLES: dict[str, str] = {
     "dedup_incremental_keep": _DEDUP_INCREMENTAL_KEEP_SQL,
     "sample_mixture": _SAMPLE_MIXTURE_SQL,
     "ann_recall_lsh": _ANN_RECALL_LSH_SQL,
+    "ann_recall_ivf": _ANN_RECALL_IVF_SQL,
+    "ann_recall_pq": _ANN_RECALL_PQ_SQL,
     "ann_cosine_batch_topk": _ANN_COSINE_BATCH_TOPK_SQL,
     "ann_ivf_batch_topk": _ivf_batch_sql(),
     "dedup_embedding_incremental": _DEDUP_EMBEDDING_INCREMENTAL_SQL,
