@@ -171,6 +171,18 @@ def run_queries(spark, reps: int = 3) -> dict[str, float]:
     from rdf_tabular_spark import queries as Q
     reg = Q.queries()
     times: dict[str, float] = {}
+    # Session warm-up BEFORE the first measured query (r4 verdict task 4):
+    # the mix runs right after stage34 / a session rebuild, and the FIRST
+    # query's per-query warm run was absorbing one-time session costs
+    # (python-worker pool spawn for this phase's task shapes, codegen,
+    # lingering GC of the previous phase) that then bled into its timed
+    # runs — BENCH_r04 read the in-mix flagship 1.8x over its isolated
+    # warm median. One untimed full pass of the first mix query clears
+    # the session-level costs so its own warm+timed loop measures the
+    # query, and the committed artifact needs no adjudication footnote.
+    _release_all(spark)
+    reg[BENCH_QUERIES[0]](spark, SF_DIR).count()
+    _release_all(spark)
     for name in BENCH_QUERIES:
         reg[name](spark, SF_DIR).count()  # warm
         trials = []
@@ -317,6 +329,61 @@ def _stage34_once(spark, n_pages: int) -> dict:
             "total_sec": round(t3 - t0, 3)}
 
 
+def scale10_bench(spark, base_pages: int) -> dict:
+    """Data-linearity check at the NEXT decade (r4 verdict task 7): the
+    pages→triples pipeline at 10x the headline page count and the
+    incremental near-dedup tier at 10x the document count, each timed
+    once after a warm run. The claim under test is throughput(10x) ≈
+    throughput(1x) — pages/sec should hold within noise, surfacing any
+    canonicalization/shuffle knee before a real 100-TB run would."""
+    import statistics
+    n10 = base_pages * 10
+    pages_path = ensure_pages_parquet(spark, n10)
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    split = int(_dir_bytes(pages_path) / 256 * 1.02)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(split, 1)))
+    from rdf_tabular_spark.web import pages_to_triples
+
+    def run() -> int:
+        return pages_to_triples(spark.read.parquet(pages_path)).count()
+
+    n_triples = run()  # warm
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        times.append(round(time.perf_counter() - t0, 3))
+    med = statistics.median(times)
+    _release_all(spark)
+
+    # incremental dedup at 10x docs: union the sf documents table with 9
+    # salted copies (distinct doc_ids, shifted shingles via a suffix), so
+    # the band store and batch join carry 10x rows through the SAME plan
+    from pyspark.sql import functions as F
+
+    from rdf_tabular_spark.operators import dedup as D
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    big = (docs.crossJoin(F.broadcast(reps))
+           .select((F.col("doc_id") + F.col("rep") * (n_docs + 1))
+                   .alias("doc_id"),
+                   F.concat_ws(" ", "text", F.col("rep").cast("string"))
+                   .alias("text")))
+    t0 = time.perf_counter()
+    old_bands = D.minhash_md5_bands(big.filter(F.col("doc_id") % 4 == 0))
+    n_pairs = D.incremental_md5_pairs(
+        big.filter(F.col("doc_id") % 4 != 0), old_bands).count()
+    dedup_sec = round(time.perf_counter() - t0, 3)
+    _release_all(spark)
+    return {"n_pages": n10, "n_triples": n_triples, "times": times,
+            "sec": med, "pages_per_sec": round(n10 / med, 1),
+            "triples_per_sec": round(n_triples / med, 1),
+            "incremental_dedup": {"n_docs": n_docs * 10,
+                                  "n_pairs": n_pairs,
+                                  "sec": dedup_sec}}
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     t_start = time.perf_counter()
@@ -386,12 +453,17 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_STAGE34") != "1":
         stage34 = stage34_bench(spark)
     times = run_queries(spark)
+    # 10x data-scale check LAST (its 640k-page table and 10x dedup input
+    # must not pollute the phases the round-over-round artifacts track)
+    scale10 = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE10") != "1":
+        scale10 = scale10_bench(spark, N_PAGES)
     spark.stop()
 
     total = round(time.perf_counter() - t_start, 3)
     out = {"metric": "bench_total", "value": total, "unit": "sec",
            "sf": sf, "queries": times, "pages_pipeline": full,
-           "scaling": scaling, "stage34": stage34}
+           "scaling": scaling, "stage34": stage34, "scale10": scale10}
     print(json.dumps(out))
 
 

@@ -5617,7 +5617,7 @@ def _url_templates_oracle() -> str:
 # window_pinned): new queries are appended at the END — outside the
 # window — and covered by the pytest oracle mirror until a future round
 # rotates them in.
-_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SPARQL / BGP tier (round 3, first driver sweep this round)
     "kg_bgp_star": _kg_bgp_star,
     "kg_bgp_path": _kg_bgp_path,
@@ -5829,6 +5829,50 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pred_cooccurrence": _kg_pred_cooccurrence,
     "er_blocked_part_names": _er_blocked_part_names,
     "graph_skipgram_pairs": _graph_skipgram_pairs,
+}
+
+# --- driver sweep window (ROTATION POLICY, round 5) -------------------------
+# The driver's hard correctness signal covers exactly the FIRST 50 entries
+# of _QUERIES. Policy (r4 verdict, made mechanism): each round this list is
+# re-composed as ~10 long-green sentinels + the newest / never-driver-swept
+# tiers, so every tier earns a green CORRECTNESS row within a round of
+# landing. Rotating = editing THIS list only; the registry dict order is
+# irrelevant. tests/test_queries_oracle.py pins the composition.
+_DRIVER_WINDOW: list[str] = [
+    # sentinels — long-green across rounds 1-4, one per major tier
+    "csvw_triples_nation", "kg_pages_triples", "dedup_exact",
+    "agg_pricing_summary", "fk_orders_customer", "kg_microdata_triples",
+    "ann_cosine_topk",
+    # round-5 additions — never swept, newest first
+    "multimodal_decode", "multimodal_decode_audio",
+    "ann_recall_ivf", "ann_recall_pq",
+    # round-4 tiers that never had a driver row (r4 verdict task 1 list)
+    "webtables_type_profile", "webtables_typed_triples",
+    "webtables_header_triples", "webtables_subject_column",
+    "webtables_entity_triples", "webtables_schema_freq",
+    "webtables_pred_induction",
+    "kg_shacl_report", "kg_shacl_summary",
+    "dedup_incremental_pairs", "dedup_incremental_keep",
+    "dedup_winnow_fps", "dedup_winnow_pairs",
+    "dedup_semantic_pairs", "dedup_semantic_keep",
+    "kg_fused_triples", "kg_reified_triples", "kg_hearst_pairs",
+    "kg_rdfa_triples",
+    "graph_communities", "graph_kcore", "graph_hits", "graph_bfs_depths",
+    "graph_sage_features",
+    "crawl_frontier", "crawl_recrawl_schedule", "crawl_sitemap_frontier",
+    "text_bm25", "text_c4_lines", "text_tfidf_terms", "text_readability",
+    "ann_int8_topk", "ann_pq_rerank_topk", "ann_recall_lsh",
+    "ann_cosine_batch_topk",
+    "events_sessionize", "sample_mixture", "er_blocked_part_names",
+    "kg_void_description",
+]
+
+assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+assert len(set(_DRIVER_WINDOW)) == 50
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **{name: _REGISTRY[name] for name in _DRIVER_WINDOW},
+    **{k: v for k, v in _REGISTRY.items() if k not in set(_DRIVER_WINDOW)},
 }
 
 _ORACLES: dict[str, str] = {

@@ -97,29 +97,49 @@ def test_entry_smoke(spark):
 
 
 # The driver's correctness artifact sweeps exactly the FIRST 50 registry
-# entries in order (round-3 verdict: the whole SPARQL/OWL/graph/curation
-# tier once sat past the cutoff and had no hard-signal row). Pin the window
-# so an append or refactor can never silently evict the risky tiers from
-# the driver's gate — new queries belong PAST position 50.
+# entries in order. ROTATION POLICY (r4 verdict, made mechanism in r5):
+# queries.py composes _QUERIES from the explicit _DRIVER_WINDOW list —
+# ~10 long-green sentinels + the newest / never-driver-swept tiers — so
+# every tier earns a green CORRECTNESS row within a round of landing.
+# This pin asserts the ROUND-5 composition: rotating next round means
+# editing queries._DRIVER_WINDOW and this list together, consciously.
 _SWEEP_WINDOW = [
-    "kg_bgp_star", "kg_bgp_path", "kg_bgp_optional", "kg_bgp_filter",
-    "kg_bgp_union", "kg_bgp_minus", "kg_bgp_graph", "kg_bgp_having",
-    "kg_bgp_values", "kg_bgp_bind", "kg_bgp_exists", "kg_bgp_agg",
-    "kg_bgp_group_concat", "kg_bgp_subselect", "kg_sparql_select",
-    "kg_sparql_agg", "kg_sparql_funcs", "kg_describe_docs", "kg_term_lang",
-    "kg_term_datatype", "kg_term_sameterm", "graph_path_expr",
-    "graph_path_star", "graph_path_opt", "graph_closure_doubling",
-    "graph_closure_ancestors", "graph_pagerank", "kg_bgp_path_expr",
-    "kg_construct_derived", "kg_rdfs_derived", "kg_owl_derived",
-    "kg_sameas_mapping", "kg_sameas_canonical", "kg_entity_mentions_join",
-    "kg_microdata_triples", "kg_canonicalized_triples", "kg_canonical_dupes",
-    "kg_pred_stats", "kg_property_table", "text_pii_scrub",
-    "sample_stratified", "pack_sequences", "text_decontaminate",
-    "corpus_curated", "dedup_span_stats", "corpus_vocabulary",
-    "corpus_length_quantiles", "fk_group_integrity", "corpus_stats",
+    # sentinels (driver-green in earlier rounds)
+    "csvw_triples_nation", "kg_pages_triples", "dedup_exact",
+    "agg_pricing_summary", "fk_orders_customer", "kg_microdata_triples",
     "ann_cosine_topk",
+    # round-5 additions
+    "multimodal_decode", "multimodal_decode_audio",
+    "ann_recall_ivf", "ann_recall_pq",
+    # round-4 tiers never swept before round 5
+    "webtables_type_profile", "webtables_typed_triples",
+    "webtables_header_triples", "webtables_subject_column",
+    "webtables_entity_triples", "webtables_schema_freq",
+    "webtables_pred_induction",
+    "kg_shacl_report", "kg_shacl_summary",
+    "dedup_incremental_pairs", "dedup_incremental_keep",
+    "dedup_winnow_fps", "dedup_winnow_pairs",
+    "dedup_semantic_pairs", "dedup_semantic_keep",
+    "kg_fused_triples", "kg_reified_triples", "kg_hearst_pairs",
+    "kg_rdfa_triples",
+    "graph_communities", "graph_kcore", "graph_hits", "graph_bfs_depths",
+    "graph_sage_features",
+    "crawl_frontier", "crawl_recrawl_schedule", "crawl_sitemap_frontier",
+    "text_bm25", "text_c4_lines", "text_tfidf_terms", "text_readability",
+    "ann_int8_topk", "ann_pq_rerank_topk", "ann_recall_lsh",
+    "ann_cosine_batch_topk",
+    "events_sessionize", "sample_mixture", "er_blocked_part_names",
+    "kg_void_description",
 ]
 
 
 def test_driver_sweep_window_pinned():
     assert list(Q._QUERIES)[:50] == _SWEEP_WINDOW
+    # the window is the explicit rotation list, every entry oracle-backed
+    assert Q._DRIVER_WINDOW == _SWEEP_WINDOW
+    oracles = Q.oracle_sql()
+    assert all(name in oracles for name in _SWEEP_WINDOW)
+    # rotation must never DROP a query: the reordered view and the
+    # registry hold exactly the same entries
+    assert set(Q._QUERIES) == set(Q._REGISTRY)
+    assert len(Q._QUERIES) == len(Q._REGISTRY)
