@@ -84,6 +84,13 @@ _VALID_RES = {
     "hexBinary": re.compile(r"^([0-9a-fA-F]{2})*$"),
     "language": re.compile(r"^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$"),
     "boolean": re.compile(r"^(true|false|1|0)$"),
+    # XML Name family (ASCII productions; full-Unicode NameStartChar is
+    # out of subset): Name allows colons, NCName forbids them, QName is
+    # NCName(:NCName)?
+    "Name": re.compile(r"^[A-Za-z_:][A-Za-z0-9._:-]*$"),
+    "NCName": re.compile(r"^[A-Za-z_][A-Za-z0-9._-]*$"),
+    "QName": re.compile(
+        r"^[A-Za-z_][A-Za-z0-9._-]*(:[A-Za-z_][A-Za-z0-9._-]*)?$"),
 }
 
 _MONTH_DAYS = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]

@@ -381,6 +381,18 @@ def _validate_transformation(tr: dict, errors: list[str]) -> None:
     if present != list(_TRANSFORMATION_REQUIRED):
         listing = "[" + ", ".join(f'"{k}"' for k in present) + "]"
         errors.append(f"Transformation missing required keys: {listing}")
+    # W3C csvw-metadata §5.10.2: url is ALSO required (the reference's
+    # REQUIRED at metadata.rb:1353 omits it — divergence kept W3C-correct,
+    # same policy as the FK/length-facet fixes), and the three link
+    # properties must be strings
+    if "url" not in keys:
+        errors.append("Transformation missing required keys: [\"url\"]")
+    for lk in ("url", "targetFormat", "scriptFormat"):
+        v = tr.get(lk)
+        if lk in tr and not isinstance(v, str):
+            errors.append(
+                f"Transformation has invalid property '{lk}': {v!r}, "
+                f"expected a link (string)")
     src = tr.get("source")
     if src is not None and src not in ("json", "rdf"):
         # reference: metadata.rb:587-590
@@ -412,6 +424,14 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
     own = {k: obj[k] for k in INHERITED if k in obj}
     for key, value in own.items():
         _check(type_name, key, value, inherited.get(key), errors)
+    # boolean class properties (not inherited, so outside the _check loop):
+    # virtual/required on columns, suppressOutput on tables and columns
+    for key in ("virtual", "suppressOutput", "required"):
+        if key in obj and str(obj[key]).lower() not in ("true", "false",
+                                                        "1", "0"):
+            errors.append(
+                f"{type_name} has invalid property '{key}': {obj[key]!r}, "
+                f"expected boolean")
     dt = obj.get("datatype")
     if isinstance(dt, dict):
         _facet_errors(type_name, dt, errors)

@@ -212,11 +212,15 @@ def _read_rows_whole_file(spark: SparkSession, path: str,
     skipc = int(dialect.skipColumns) + int(dialect.headerColumnCount)
     skip_blank = bool(dialect.skipBlankRows)
     data: list[tuple[list, int, int]] = []
+    comment = dialect.commentPrefix
+
     def _consume(rows_iter):
         row_num = 0
         for row, row_idx, start_line in rows_iter:
             if row_idx <= skipped:
                 continue
+            if comment and row and (row[0] or "").startswith(comment):
+                continue     # data comment row (tabular-data-model §8)
             vals = row[skipc:] if skipc else row
             if skip_blank and not any((c or "").strip() for c in vals):
                 continue
@@ -298,6 +302,7 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
     skipc = int(dialect.skipColumns) + int(dialect.headerColumnCount)
     csv_kwargs = _csv_kwargs(dialect)
     skip_blank = bool(dialect.skipBlankRows)
+    comment = dialect.commentPrefix
 
     reader = spark.read
     if dialect.lineTerminator and dialect.lineTerminator != "auto":
@@ -320,6 +325,13 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             keep = pdf[pdf["source_num"] > skipped]
+            if comment:
+                # tabular-data-model §8: a data row whose source content
+                # begins with the comment prefix is a comment, not a row
+                # (the reference never implements this — metadata.rb only
+                # strips the prefix from skipRows notes at :752; the W3C
+                # behavior is kept here, like the FK/length-facet fixes)
+                keep = keep[~keep["line"].str.startswith(comment)]
             if keep.empty:
                 # dtype=object: an empty default-dtype (float64) ndarray
                 # cannot convert to Arrow list<string> — header-only
@@ -350,11 +362,11 @@ def read_rows(spark: SparkSession, path: str, dialect: Dialect) -> DataFrame:
     from ..session import ensure_package_on_executors
     ensure_package_on_executors(indexed.sparkSession)
     rows = indexed.mapInPandas(parse, schema=ROWS_SCHEMA)
-    if skip_blank:
-        # blank rows must not consume logical row numbers ({_row} templates):
-        # renumber survivors consecutively in file order (zipWithIndex keeps
-        # partition order = byte-offset order; one extra narrow pass, only
-        # when skipBlankRows is set)
+    if skip_blank or comment:
+        # blank/comment rows must not consume logical row numbers ({_row}
+        # templates): renumber survivors consecutively in file order
+        # (zipWithIndex keeps partition order = byte-offset order; one
+        # extra narrow pass, only when the dialect needs it)
         rows = (rows.rdd.zipWithIndex()
                 .map(lambda t: (list(t[0]["values"]), t[1] + 1,
                                 t[0]["source_num"]))
