@@ -277,11 +277,43 @@ def discover_metadata(url: str, resolver: Resolver,
     sibling = urljoin(url, "metadata.json") if "://" in url else \
         os.path.join(os.path.dirname(url), "metadata.json")
     candidates += [url + "-metadata.json", sibling]
+
+    def _resolve(meta_url: str, ref: str) -> str:
+        if "://" in meta_url:
+            return urljoin(meta_url, ref)
+        return os.path.normpath(os.path.join(os.path.dirname(meta_url), ref))
+
+    def _references(doc: dict, meta_url: str) -> bool:
+        """W3C tabular-data-model §5.2/§5.3: discovered metadata that does
+        not explicitly reference the requested tabular file MUST be
+        ignored (the reference skips this check — for_input at
+        metadata.rb:139-194 accepts any found doc; W3C behavior kept).
+        Table urls resolve against the metadata location, honoring a
+        @context @base when present (CSVW §5.2)."""
+        if not isinstance(doc, dict):
+            return False
+        base = meta_url
+        ctx = doc.get("@context")
+        if isinstance(ctx, list):
+            for part in ctx:
+                if isinstance(part, dict) and isinstance(part.get("@base"),
+                                                         str):
+                    base = _resolve(meta_url, part["@base"])
+        refs = []
+        if isinstance(doc.get("url"), str):
+            refs.append(doc["url"])
+        for t in (doc.get("tables") or doc.get("resources") or []):
+            if isinstance(t, dict) and isinstance(t.get("url"), str):
+                refs.append(t["url"])
+        return any(_resolve(base, r) == url for r in refs)
+
     for cand in candidates:
         try:
             path = resolver(cand)
             if os.path.exists(path):
-                out.append((load_json(cand, resolver), cand))
+                doc = load_json(cand, resolver)
+                if _references(doc, cand):
+                    out.append((doc, cand))
         except OSError:
             continue
     return out

@@ -5,8 +5,12 @@ partitioned Iceberg graph tables ... resumable from checkpoint with
 per-partition lineage + metrics". No Iceberg runtime jar ships in this
 container, so the store is parquet-dir + JSON manifest with Iceberg-like
 semantics (atomic snapshot commit via manifest rename, partition pruning via
-pred_bucket/subj_bucket columns); swapping ``format("parquet")`` for
-``format("iceberg")`` is the only change needed on a cluster with the runtime.
+pred_bucket/subj_bucket columns). The physical layer — manifest IO + file
+layout — is isolated behind the :mod:`.physical` StorageLayout seam (r5):
+``set_layout(IcebergLayout(...))`` is the integration point on a cluster
+with the Iceberg runtime; physical.py's docstring carries the full
+concept-to-Iceberg mapping (manifest↔snapshot, retraction↔equality-delete,
+compact↔rewrite_data_files, expire↔expire_snapshots, as-of↔time travel).
 
 Layout:
   <root>/data/batch=<batch_id>/pred_bucket=*/...parquet
@@ -60,19 +64,36 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
 
 
 def _manifest_dir(root: str) -> str:
-    return os.path.join(root, "_manifests")
+    # physical layer routed through the StorageLayout seam (physical.py):
+    # swap set_layout(IcebergLayout(...)) to commit snapshots instead of
+    # JSON manifests — the store logic above this line never changes
+    from .physical import get_layout
+    return get_layout().manifest_dir(root)
 
 
 def _manifests(root: str) -> list[dict]:
-    mdir = _manifest_dir(root)
-    if not os.path.isdir(mdir):
-        return []
-    out = []
-    for fn in os.listdir(mdir):
-        if fn.endswith(".json"):
-            with open(os.path.join(mdir, fn)) as f:
-                out.append(json.load(f))
-    return out
+    from .physical import get_layout
+    return get_layout().read_manifests(root)
+
+
+def _read_manifest(root: str, batch_id: str) -> dict:
+    from .physical import get_layout
+    return get_layout().read_manifest(root, batch_id)
+
+
+def _write_manifest(root: str, batch_id: str, manifest: dict) -> None:
+    from .physical import get_layout
+    get_layout().write_manifest(root, batch_id, manifest)
+
+
+def _data_path(root: str, batch_id: str) -> str:
+    from .physical import get_layout
+    return get_layout().data_path(root, batch_id)
+
+
+def _retraction_path(root: str, batch_id: str) -> str:
+    from .physical import get_layout
+    return get_layout().retraction_path(root, batch_id)
 
 
 def processed_batches(root: str) -> set[str]:
@@ -128,13 +149,12 @@ def materialize(triples: DataFrame, root: str, batch_id: str,
     rows, wall time) land in the manifest.
     """
     if batch_id in processed_batches(root):
-        with open(os.path.join(_manifest_dir(root), f"{batch_id}.json")) as f:
-            return json.load(f)
+        return _read_manifest(root, batch_id)
 
     t0 = time.time()
     df = dedup_triples(triples) if dedup else triples
     df = with_buckets(df, pred_buckets)
-    out_path = os.path.join(root, "data", f"batch={batch_id}")
+    out_path = _data_path(root, batch_id)
     # Align write tasks with the partition dirs: without this every shuffle
     # partition writes a sliver into every pred_bucket dir — up to
     # shuffle_partitions x pred_buckets tiny files per batch, the
@@ -173,12 +193,7 @@ def materialize(triples: DataFrame, root: str, batch_id: str,
     # write would open a crash window where the batch is visible without
     # its semantics
     manifest.update(extra_manifest or {})
-    mdir = _manifest_dir(root)
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".{batch_id}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2)
-    os.replace(tmp, os.path.join(mdir, f"{batch_id}.json"))  # atomic commit
+    _write_manifest(root, batch_id, manifest)  # atomic commit
     return manifest
 
 
@@ -275,7 +290,7 @@ def read_graph(spark: SparkSession, root: str,
         # explicit schema: schema inference cannot read a store whose
         # only live batches are empty (a legal state — a rule that
         # derived nothing, a fully-retracted compaction)
-        paths = [os.path.join(root, "data", f"batch={b}") for b in bs]
+        paths = [_data_path(root, b) for b in bs]
         return (spark.read
                 .option("basePath", os.path.join(root, "data"))
                 .schema(_store_schema())
@@ -742,11 +757,9 @@ def retract_batch(spark: SparkSession, root: str, batch_id: str,
     ``key_cols`` so :func:`read_graph` applies each batch with the
     arity it was written at."""
     if batch_id in processed_batches(root):
-        with open(os.path.join(_manifest_dir(root),
-                               f"{batch_id}.json")) as f:
-            return json.load(f)
+        return _read_manifest(root, batch_id)
     t0 = time.time()
-    out_path = os.path.join(root, "retractions", f"batch={batch_id}")
+    out_path = _retraction_path(root, batch_id)
     key_cols = (TERM_KEY_COLS
                 if set(TERM_KEY_COLS) <= set(triples.columns)
                 else LEXICAL_KEY_COLS)
@@ -766,12 +779,7 @@ def retract_batch(spark: SparkSession, root: str, batch_id: str,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "commit_ns": time.time_ns(),
     }
-    mdir = _manifest_dir(root)
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".{batch_id}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2)
-    os.replace(tmp, os.path.join(mdir, f"{batch_id}.json"))
+    _write_manifest(root, batch_id, manifest)
     return manifest
 
 
@@ -990,17 +998,12 @@ def expire_replaced(spark: SparkSession, root: str) -> list[str]:
     for m in ms:
         b = m["batch_id"]
         if m.get("status") == "committed" and b in shadowed:
-            shutil.rmtree(m.get("path",
-                                os.path.join(root, "data", f"batch={b}")),
+            shutil.rmtree(m.get("path", _data_path(root, b)),
                           ignore_errors=True)
             m["status"] = "expired"
             m["expired_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                             time.gmtime())
-            mpath = os.path.join(_manifest_dir(root), f"{b}.json")
-            tmp = mpath + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(m, f, indent=2)
-            os.replace(tmp, mpath)
+            _write_manifest(root, b, m)
             expired.append(b)
     return sorted(expired)
 
