@@ -283,7 +283,12 @@ class TripleKernel:
             cp = cc.plan
             if cp.suppress:
                 continue
-            b = dict(bindings)
+            # the templates only READ the bindings, and the _name/_column/
+            # _sourceColumn slots cannot collide with column names (NAME_
+            # SYNTAX forbids a leading underscore outside _col.N) — so
+            # mutate ONE dict per row instead of copying it per column
+            # (72k dict copies/batch measured on the web kernel)
+            b = bindings
             b["_name"] = cc.name_decoded
             b["_column"] = cp.number
             b["_sourceColumn"] = cp.source_number
