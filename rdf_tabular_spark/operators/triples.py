@@ -172,6 +172,15 @@ class TripleKernel:
         # auto Column.new has tableSchema as parent, metadata.rb:1665)
         self.extra_about_t = (URITemplate(mapping.row_about_template)
                               if mapping.row_about_template else None)
+        # (column, raw) → coercion result memo: web tables repeat cell
+        # values heavily (enums, codes, small-domain attributes) and the
+        # coercion is pure per (raw, column plan); results are immutable
+        # to every caller (CellValue tuples read-only, binding/errors
+        # never mutated). Capped so an adversarial all-distinct 100-TB
+        # column cannot grow executor memory: cleared when full.
+        self._cell_cache: dict = {}
+
+    _CELL_CACHE_MAX = 65536
 
     def _coerce_cell(self, raw: Optional[str], cp: ColumnPlan
                      ) -> tuple[list[coerce.CellValue], object, list[str]]:
@@ -179,6 +188,20 @@ class TripleKernel:
         errors). Errors mirror the reference Cell struct's ``errors``
         accumulation (metadata.rb:1576-1607): datatype mismatches from
         ``value_matching_datatype`` plus the ``required`` check."""
+        key = (cp.number, raw)
+        hit = self._cell_cache.get(key)
+        if hit is not None:
+            return hit
+        result = self._coerce_cell_uncached(raw, cp)
+        cache = self._cell_cache
+        if len(cache) >= self._CELL_CACHE_MAX:
+            cache.clear()
+        cache[key] = result
+        return result
+
+    def _coerce_cell_uncached(self, raw: Optional[str], cp: ColumnPlan
+                              ) -> tuple[list[coerce.CellValue], object,
+                                         list[str]]:
         value = raw if raw is not None else cp.null_values[0]
         if value == "":
             value = cp.default if cp.default is not None else ""

@@ -60,7 +60,9 @@ class JsonRowKernel(TripleKernel):
             cp = cc.plan
             if cp.virtual:  # reference: reader.rb:364 — virtual excluded from JSON
                 continue
-            b = dict(bindings)
+            # same single-dict discipline as TripleKernel.row_triples:
+            # templates only read, reserved slots cannot collide
+            b = bindings
             b["_name"] = cc.name_decoded
             b["_column"] = cp.number
             b["_sourceColumn"] = cp.source_number
