@@ -265,3 +265,32 @@ def test_unordered_list_one_triple_per_element():
     triples = tk.row_triples(["a;b;c"], 1, 2)
     objs = [t[2] for t in triples if t[1].endswith("#xs")]
     assert objs == ["a", "b", "c"]
+
+
+def test_cell_coercion_memo_identical_across_rows():
+    """r5 perf memo: repeated (column, raw) pairs return the cached result;
+    values, bindings, and error accumulation stay identical per row, and
+    the cap clears rather than grows."""
+    from rdf_tabular_spark.csvw.model import load_metadata
+    from rdf_tabular_spark.operators.triples import compile_mapping, TripleKernel
+
+    table = load_metadata({
+        "@context": "http://www.w3.org/ns/csvw", "url": "t.csv",
+        "tableSchema": {"columns": [
+            {"name": "n", "titles": "n", "datatype": "integer"}],
+            "aboutUrl": "#r{_row}"}},
+        base="http://x/t.csv", resolver=lambda u: u)
+    k = TripleKernel(compile_mapping(table, minimal=True))
+    t1 = k.row_triples(["42"], 1, 2)
+    t2 = k.row_triples(["42"], 2, 3)          # cache hit
+    assert [t[2] for t in t1] == [t[2] for t in t2] == ["42"]
+    assert (k.cols[0].plan.number, "42") in k._cell_cache
+    # invalid value: errors recomputed identically from the cache
+    _, _, e1 = k._coerce_cell("xx", k.cols[0].plan)
+    _, _, e2 = k._coerce_cell("xx", k.cols[0].plan)
+    assert e1 == e2 and e1 and "valid integer" in e1[0]
+    # cap: filling past the max clears instead of growing unboundedly
+    k._CELL_CACHE_MAX = 8
+    for i in range(20):
+        k._coerce_cell(str(i), k.cols[0].plan)
+    assert len(k._cell_cache) <= 8
