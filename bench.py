@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "text_langid",
     "ann_cosine_topk",
     "multimodal_features",
+    # round-5: REAL decode tier — synth BMP build + stdlib decode + pixel
+    # stats, one narrow Arrow stage (the throughput that matters for a
+    # multimodal curation pass)
+    "multimodal_decode",
     "text_pii_scrub",
     "pack_sequences",
     "corpus_curated",
