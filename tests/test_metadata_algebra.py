@@ -266,8 +266,15 @@ def test_transformation_validation():
     assert validate_metadata(missing) == [
         'Transformation missing required keys: ["targetFormat"]']
 
-    # common properties (prefixed keys) are exempt, like the reference's
-    # keys.reject {|k| k.include?(':')}
+    # common properties (prefixed keys) are exempt from the unexpected-key
+    # check, like the reference's keys.reject {|k| k.include?(':')} — but
+    # url is still required (r5: W3C metadata sec 5.10.2; the reference's
+    # REQUIRED at metadata.rb:1353 omits url, divergence kept W3C-correct)
     common = {"@type": "Table", "url": "t.csv", "transformations": [{
         "targetFormat": "f", "scriptFormat": "s", "dc:title": "x"}]}
-    assert validate_metadata(common) == []
+    assert validate_metadata(common) == [
+        'Transformation missing required keys: ["url"]']
+    with_url = {"@type": "Table", "url": "t.csv", "transformations": [{
+        "url": "t.xsl", "targetFormat": "f", "scriptFormat": "s",
+        "dc:title": "x"}]}
+    assert validate_metadata(with_url) == []
