@@ -1,8 +1,21 @@
 """Vendored CSVW conformance-suite subset (reference: spec/suite_spec.rb:10-74
-runs the W3C suite over the network; these 208 entries are local fixtures
+runs the W3C suite over the network; these 302 entries are local fixtures
 modeled on the same entry types — ToRdf eval, ToJson eval, normalization,
 discovery, positive/negative validation — authored from the CSVW spec
 semantics, in tests/suite/).
+
+test249-302 (r5): encoding x dialect combinations (utf-16, iso-8859-1,
+BOM+skipRows, tab delimiter, single-quote quoteChar, doubleQuote
+escapes), the XML Name datatype family (Name/NCName/QName lexical
+checks), fractional-second and exponent pictures, gMonthDay/gDay,
+negative dayTimeDuration, {+var} reserved expansion, commentPrefix DATA
+row semantics (W3C model sec 8 — implemented; the reference only strips
+note prefixes), JSON-mode serializations (custom datatypes, valueUrl,
+null/default, typed lexical strings, groups, fan-in, _col.N, ordered
+lists, boolean formats), normalization corners (@language/@base/nested
+node objects/notes), discovery precedence + the sec 5.3 ignore rule,
+transformation url-required (W3C 5.10.2), boolean class properties, and
+20 new negatives (101 total).
 
 test206-208 (r4 cont.): headerColumnCount column skipping, and custom
 lineTerminator support — distributed lineSep split for quote-free files,
