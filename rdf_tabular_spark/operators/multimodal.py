@@ -83,20 +83,23 @@ def decode_audio(blob: bytes) -> "object":
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     """24-bit BI_RGB BMP encoder (bottom-up rows, 4-byte row padding).
-    ``rgb`` is row-major top-down RGB — the inverse of :func:`decode_bmp`."""
+    ``rgb`` is row-major top-down RGB — the inverse of :func:`decode_bmp`.
+    Pixel shuffling is vectorized (numpy is a core dependency); the
+    container framing stays plain ``struct``."""
     import struct
+
+    import numpy as np
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length != width*height*3")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bgr = arr[::-1, :, ::-1]                   # bottom-up rows, BGR on disk
     pad = (-(width * 3)) % 4
-    rows = []
-    for y in range(height - 1, -1, -1):        # bottom-up storage order
-        row = bytearray()
-        off = y * width * 3
-        for x in range(width):
-            r, g, b = rgb[off + 3 * x: off + 3 * x + 3]
-            row += bytes((b, g, r))            # BGR on disk
-        rows.append(bytes(row) + b"\x00" * pad)
-    pixels = b"".join(rows)
+    if pad:
+        padded = np.zeros((height, width * 3 + pad), dtype=np.uint8)
+        padded[:, :width * 3] = bgr.reshape(height, width * 3)
+        pixels = padded.tobytes()
+    else:
+        pixels = bgr.tobytes()
     dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                       len(pixels), 2835, 2835, 0, 0)
     header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
@@ -106,8 +109,11 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
 def decode_bmp(blob: bytes) -> tuple[int, int, bytes]:
     """24-bit BI_RGB BMP → (width, height, row-major top-down RGB bytes).
     Handles both bottom-up (positive height) and top-down storage; rejects
-    compressed / non-24-bit variants (out of the stdlib subset)."""
+    compressed / non-24-bit variants (out of subset). Vectorized pixel
+    unshuffle — at curation scale the decode loop is the hot path."""
     import struct
+
+    import numpy as np
     if len(blob) < 54 or blob[:2] != b"BM":
         raise ValueError("not a BMP document")
     offset = struct.unpack_from("<I", blob, 10)[0]
@@ -120,14 +126,12 @@ def decode_bmp(blob: bytes) -> tuple[int, int, bytes]:
     stride = (width * 3 + 3) & ~3
     if offset + stride * height > len(blob):
         raise ValueError("truncated BMP pixel data")
-    out = bytearray(width * height * 3)
-    for y in range(height):
-        src = offset + (y if top_down else height - 1 - y) * stride
-        dst = y * width * 3
-        for x in range(width):
-            b, g, r = blob[src + 3 * x: src + 3 * x + 3]
-            out[dst + 3 * x: dst + 3 * x + 3] = bytes((r, g, b))
-    return width, height, bytes(out)
+    rows = np.frombuffer(blob, dtype=np.uint8,
+                         count=stride * height, offset=offset) \
+        .reshape(height, stride)[:, :width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return width, height, rows[:, :, ::-1].tobytes()   # BGR → RGB
 
 
 def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
@@ -466,17 +470,18 @@ def synth_bmp_media(docs: DataFrame, width: int = 8,
     n = width * height
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        i = np.arange(n, dtype=np.int64)
         for pdf in batches:
             ids, blobs = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                rgb = bytearray()
-                for i in range(n):
-                    rgb += bytes(((7 * d + 13 * i) % 256,
-                                  (11 * d + 17 * i) % 256,
-                                  (13 * d + 19 * i) % 256))
+                rgb = np.empty((n, 3), dtype=np.uint8)
+                rgb[:, 0] = (7 * d + 13 * i) % 256
+                rgb[:, 1] = (11 * d + 17 * i) % 256
+                rgb[:, 2] = (13 * d + 19 * i) % 256
                 ids.append(d)
-                blobs.append(encode_bmp(width, height, bytes(rgb)))
+                blobs.append(encode_bmp(width, height, rgb.tobytes()))
             yield pd.DataFrame({"media_id": ids, "content": blobs,
                                 "mime": ["image/bmp"] * len(ids),
                                 "meta_json": [None] * len(ids)})
@@ -493,12 +498,13 @@ def synth_wav_media(docs: DataFrame, n_samples: int = 64,
     ensure_package_on_executors(docs.sparkSession)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        i = np.arange(n_samples, dtype=np.int64)
         for pdf in batches:
             ids, blobs = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                samples = [((31 * d + 97 * i) % 4001) - 2000
-                           for i in range(n_samples)]
+                samples = ((31 * d + 97 * i) % 4001 - 2000).tolist()
                 ids.append(d)
                 blobs.append(encode_wav(samples, sample_rate))
             yield pd.DataFrame({"media_id": ids, "content": blobs,
