@@ -748,3 +748,95 @@ select l.{id_expr} as a, r.{id_expr} as b,
 from kept l join kept r on l.fp = r.fp and l.{id_expr} < r.{id_expr}
 group by a, b having count(*) >= {min_shared}
 """
+
+
+# --- exact repeated-substring dedup (round 5) --------------------------------
+# The "Deduplicating Training Data Makes Language Models Better" operation
+# (Lee et al. 2022), Spark-first: instead of a monolithic suffix array, a
+# k-token shingle table + one hash-keyed aggregation finds every token run
+# of length >= k repeated across >= min_docs documents; per-document island
+# merging (one window) collapses overlapping hits into maximal spans, and
+# the scrub tier rebuilds the text without them. Every step is a keyed
+# shuffle or a window — no all-pairs, no driver-side corpus state — and the
+# same relational plan runs verbatim in the DuckDB oracle.
+
+def repeated_substring_spans(docs: DataFrame, k: int = 8, min_docs: int = 2,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Maximal per-document token spans covered by any k-token shingle that
+    occurs in >= ``min_docs`` DISTINCT documents → (id, span_start,
+    span_end), 1-based inclusive token positions.
+
+    Plan: shingle explode (narrow, JVM transform/slice — no Python),
+    count-distinct per shingle hash (ONE aggregation, never a doc-list
+    materialization, so a boilerplate shingle shared by 10^8 pages costs a
+    counter, not a list), semi-join back, and the classic running-max
+    island merge per document (one window). Overlapping hits merge;
+    adjacent-but-disjoint spans stay separate (deterministic either way).
+    """
+    from pyspark.sql import Window
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.split(F.col(text_col), r"\s+").alias("t"))
+    sh = (toks.filter(F.size("t") >= k)
+          .select("id", F.explode(F.expr(
+              f"transform(sequence(1, size(t)-{k}+1), i -> "
+              f"struct(i as pos, array_join(slice(t, i, {k}), ' ') as s))"))
+              .alias("e"))
+          .select("id", F.col("e.pos").alias("pos"),
+                  F.md5(F.col("e.s")).alias("h")))
+    rep = (sh.groupBy("h")
+           .agg(F.countDistinct("id").alias("nd"))
+           .where(F.col("nd") >= min_docs).select("h"))
+    hits = (sh.join(rep, "h")
+            .select("id", F.col("pos").alias("start"),
+                    (F.col("pos") + F.lit(k - 1)).alias("end")))
+    prev = Window.partitionBy("id").orderBy("start", "end") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    run = Window.partitionBy("id").orderBy("start", "end") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    islands = (hits
+               .withColumn("prev_max", F.max("end").over(prev))
+               .withColumn("brk", F.when(
+                   F.col("prev_max").isNull()
+                   | (F.col("start") > F.col("prev_max")), 1).otherwise(0))
+               .withColumn("island", F.sum("brk").over(run)))
+    return (islands.groupBy("id", "island")
+            .agg(F.min("start").alias("span_start"),
+                 F.max("end").cast("long").alias("span_end"))
+            .select(F.col("id").alias(id_col),
+                    F.col("span_start").cast("long").alias("span_start"),
+                    F.col("span_end")))
+
+
+def scrub_repeated_substrings(docs: DataFrame, k: int = 8, min_docs: int = 2,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Remove every repeated-substring span from each document →
+    (id, clean_text, n_removed). Documents with no repeated span pass
+    through unchanged (n_removed = 0); a fully-covered document yields an
+    empty clean_text. One range-filtered equi-join on the doc id + one
+    ordered re-assembly aggregation."""
+    spans = repeated_substring_spans(docs, k=k, min_docs=min_docs,
+                                     id_col=id_col, text_col=text_col)
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.posexplode(F.split(F.col(text_col), r"\s+"))
+                        .alias("pos0", "tok"))
+            .select("id", (F.col("pos0") + 1).alias("pos"), "tok"))
+    cond = ((toks["id"] == spans[id_col])
+            & (toks["pos"] >= spans["span_start"])
+            & (toks["pos"] <= spans["span_end"]))
+    kept = toks.join(spans, cond, "left_anti")
+    rebuilt = (kept.groupBy("id")
+               .agg(F.array_join(
+                   F.expr("transform(array_sort(collect_list("
+                          "struct(pos, tok))), x -> x.tok)"), " ")
+                   .alias("clean_text"),
+                   F.count("*").alias("n_kept")))
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.size(F.split(F.col(text_col), r"\s+"))
+                       .alias("n_total"))
+    return (base.join(rebuilt, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))

@@ -5451,6 +5451,88 @@ def _dedup_winnow_pairs_sql() -> str:
                                     min_shared=2)
 
 
+_SUBSTR_K, _SUBSTR_MIN_DOCS = 8, 2
+
+
+def _dedup_substring_spans(spark, sf_dir):
+    """Exact repeated-substring detection (Lee et al. 2022's dedup target,
+    operators/dedup.repeated_substring_spans): maximal per-document token
+    spans covered by any 8-token shingle occurring in >= 2 documents —
+    shingle explode (JVM transform/slice), ONE count-distinct hash
+    aggregation (never a doc-list), semi-join back, and a per-document
+    running-max island merge. The oracle runs the identical relational
+    plan (same window SQL) over the same md5 shingle hashes."""
+    from .operators.dedup import repeated_substring_spans
+    return repeated_substring_spans(_t(spark, sf_dir, "documents"),
+                                    k=_SUBSTR_K, min_docs=_SUBSTR_MIN_DOCS)
+
+
+def _substr_spans_sql(k: int = _SUBSTR_K,
+                      min_docs: int = _SUBSTR_MIN_DOCS) -> str:
+    return f"""
+with toks as (select doc_id, string_split_regex(text, '\\s+') as t
+              from documents),
+sh as (select doc_id, r.i as pos,
+              md5(array_to_string(list_slice(t, r.i, r.i + {k - 1}), ' '))
+                as h
+       from toks, lateral (select unnest(range(1, len(t) - {k} + 2)) as i) r
+       where len(t) >= {k}),
+rep as (select h from sh group by h
+        having count(distinct doc_id) >= {min_docs}),
+hits as (select doc_id, pos as s, pos + {k - 1} as e from sh
+         join rep using (h)),
+marked as (select doc_id, s, e,
+           max(e) over (partition by doc_id order by s, e
+                        rows between unbounded preceding and 1 preceding)
+             as prev_max
+           from hits),
+islands as (select doc_id, s, e,
+            sum(case when prev_max is null or s > prev_max
+                     then 1 else 0 end)
+              over (partition by doc_id order by s, e
+                    rows between unbounded preceding and current row)
+              as island
+            from marked)
+select doc_id, cast(min(s) as bigint) as span_start,
+       cast(max(e) as bigint) as span_end
+from islands group by doc_id, island
+"""
+
+
+def _dedup_substring_scrub(spark, sf_dir):
+    """Scrub tier of the exact substring dedup: rebuild each document
+    without its repeated spans (operators/dedup.scrub_repeated_substrings)
+    — one range-filtered equi-join on the doc id + one ordered
+    re-assembly; untouched documents pass through with n_removed = 0."""
+    from .operators.dedup import scrub_repeated_substrings
+    return scrub_repeated_substrings(_t(spark, sf_dir, "documents"),
+                                     k=_SUBSTR_K,
+                                     min_docs=_SUBSTR_MIN_DOCS)
+
+
+def _substr_scrub_sql(k: int = _SUBSTR_K,
+                      min_docs: int = _SUBSTR_MIN_DOCS) -> str:
+    return f"""
+with spans as ({_substr_spans_sql(k, min_docs)}),
+toks as (select doc_id, string_split_regex(text, '\\s+') as t
+         from documents),
+pos_tok as (select doc_id, r.i as pos, t[r.i] as tok
+            from toks, lateral (select unnest(range(1, len(t) + 1)) as i) r),
+kept as (select p.doc_id, p.pos, p.tok from pos_tok p
+         where not exists (select 1 from spans s
+                           where s.doc_id = p.doc_id
+                             and p.pos between s.span_start
+                                           and s.span_end)),
+reb as (select doc_id, string_agg(tok, ' ' order by pos) as clean_text,
+               count(*) as n_kept
+        from kept group by doc_id)
+select d.doc_id, coalesce(r.clean_text, '') as clean_text,
+       cast(len(string_split_regex(d.text, '\\s+'))
+            - coalesce(r.n_kept, 0) as bigint) as n_removed
+from documents d left join reb r using (doc_id)
+"""
+
+
 def _multimodal_ann_topk(spark, sf_dir):
     """Multimodal → ANN bridge: binary blobs → deterministic pseudo-
     embeddings (operators/multimodal.pseudo_embeddings — real Arrow
@@ -5818,6 +5900,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunks": _text_chunks,
     "dedup_winnow_fps": _dedup_winnow_fps,
     "dedup_winnow_pairs": _dedup_winnow_pairs,
+    "dedup_substring_spans": _dedup_substring_spans,
+    "dedup_substring_scrub": _dedup_substring_scrub,
     "multimodal_ann_topk": _multimodal_ann_topk,
     "ann_int8_topk": _ann_int8_topk,
     "kg_schema_drift": _kg_schema_drift,
@@ -6015,6 +6099,8 @@ _ORACLES: dict[str, str] = {
     "text_chunks": _text_chunks_sql(),
     "dedup_winnow_fps": _dedup_winnow_sql(),
     "dedup_winnow_pairs": _dedup_winnow_pairs_sql(),
+    "dedup_substring_spans": _substr_spans_sql(),
+    "dedup_substring_scrub": _substr_scrub_sql(),
     "multimodal_ann_topk": _multimodal_ann_sql(),
     "ann_int8_topk": _ann_int8_sql(),
     **_profiling_sql(),

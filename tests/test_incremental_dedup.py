@@ -140,3 +140,47 @@ def test_dedup_stream_job(spark, tmp_path):
     kept = {r["doc_id"] for r in
             spark.read.parquet(os.path.join(tmp, "o")).collect()}
     assert kept == {1, 12}
+
+
+# --- exact repeated-substring dedup (round 5) -------------------------------
+
+def test_repeated_substring_spans_and_scrub(spark):
+    """Lee-et-al-style exact substring dedup: a shared 10-token run is
+    found as ONE merged span per document (overlapping shingles collapse),
+    unshared documents pass through untouched, and the scrub rebuilds
+    text without the span."""
+    from rdf_tabular_spark.operators.dedup import (
+        repeated_substring_spans, scrub_repeated_substrings)
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h unique one two three"),
+        (2, "x y a b c d e f g h z w q r s t"),
+        (3, "totally different words only here nothing shared at all ok"),
+        (4, "pad pad a b c d e f g h i j k l m n o p"),
+    ], "doc_id long, text string")
+    spans = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in repeated_substring_spans(docs, k=8).collect()}
+    assert spans == {(1, 1, 8), (2, 3, 10), (4, 3, 10)}
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in scrub_repeated_substrings(docs, k=8).collect()}
+    assert out[1] == ("unique one two three", 8)
+    assert out[2] == ("x y z w q r s t", 8)
+    assert out[3][1] == 0 and out[3][0].startswith("totally different")
+    assert out[4] == ("pad pad i j k l m n o p", 8)
+    # fully-covered document -> empty clean_text, everything removed
+    twin = spark.createDataFrame(
+        [(1, "p q r s t u v w"), (2, "p q r s t u v w")],
+        "doc_id long, text string")
+    scrubbed = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+                for r in scrub_repeated_substrings(twin, k=8).collect()}
+    assert scrubbed[1] == ("", 8) and scrubbed[2] == ("", 8)
+
+
+def test_repeated_substring_no_all_pairs_plan(spark):
+    """Plan audit: the detection is ONE count-distinct aggregation + a
+    semi-ish hash join + a window — no cartesian, no doc-list collect."""
+    from rdf_tabular_spark import queries as Q
+    from tests.test_plans import plan_of
+    p = plan_of(Q.queries()["dedup_substring_spans"](
+        spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p and "collect_list" not in p
+    assert "HashAggregate" in p and "Window" in p
