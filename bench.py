@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_minhash_scale_pairs",
     "dedup_simhash",
+    # round-5: exact repeated-substring detection (Lee-et-al dedup) —
+    # shingle explode + ONE count-distinct agg + island-merge window
+    "dedup_substring_spans",
     "text_quality",
     "text_langid",
     "ann_cosine_topk",
