@@ -70,3 +70,27 @@ def test_rewrite_triples_rewrites_iri_objects(spark):
         ("http://a/canon", "lit http://a/y"),    # literal obj untouched
         ("http://a/canon", "http://a/z"),        # subj rewritten
     }
+
+
+def test_signature_edges_broadcast_and_shuffle_paths_agree(spark):
+    """r5 size-adaptive verification: the broadcast tier (pairs <= cap)
+    and the shuffle tier (pairs > cap) produce the identical edge set."""
+    import rdf_tabular_spark.operators.minhash as M
+    docs = spark.createDataFrame(
+        [(f"s{i}", "tok0|tok1|tok2|tok3|" + (f"x{i}" if i % 2 else "x0"))
+         for i in range(30)],
+        "subj string, profile string")
+    sigs = M.minhash_signatures(docs, "subj", "profile", num_perm=16,
+                                token_sep="|").persist()
+    def edge_set():
+        return {(r["a"], r["b"]) for r in M.signature_similarity_edges(
+            sigs, num_bands=4, threshold=0.5).collect()}
+    bc = edge_set()
+    old = M.BROADCAST_PAIRS_MAX
+    M.BROADCAST_PAIRS_MAX = 0          # force the shuffle tier
+    try:
+        sh = edge_set()
+    finally:
+        M.BROADCAST_PAIRS_MAX = old
+    assert bc == sh and bc            # non-empty and identical
+    sigs.unpersist()
