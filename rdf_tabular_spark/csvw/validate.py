@@ -559,9 +559,29 @@ def _walk(obj: dict, type_name: str, inherited: dict, errors: list[str]) -> None
         _walk(col, "Column", scope, errors)
 
 
+_CSVW_CONTEXT = "http://www.w3.org/ns/csvw"
+
+
 def validate_metadata(doc: dict) -> list[str]:
     """→ list of error strings (empty = valid). Driver-side, O(metadata)."""
     errors: list[str] = []
+    # W3C csvw-metadata §5.2: a metadata document's @context MUST be the
+    # csvw namespace, or an array [csvw, {@base/@language object}]. A
+    # naked schema/dialect fragment (no @context key) is allowed — it is
+    # referenced FROM a contexted document. (The reference delegates to
+    # JSON::LD and accepts any context; kept strict per the spec.)
+    if "@context" in doc:
+        ctx = doc["@context"]
+        ok = (ctx == _CSVW_CONTEXT
+              or (isinstance(ctx, list) and len(ctx) in (1, 2)
+                  and ctx[0] == _CSVW_CONTEXT
+                  and all(isinstance(p, dict)
+                          and set(p) <= {"@base", "@language"}
+                          for p in ctx[1:])))
+        if not ok:
+            errors.append(
+                f"@context must be {_CSVW_CONTEXT!r} or "
+                f"[{_CSVW_CONTEXT!r}, {{@base/@language}}], got {ctx!r}")
     root_type = doc.get("@type")
     if root_type not in _CLASS_PROPS:
         if "resources" in doc or "tables" in doc:
