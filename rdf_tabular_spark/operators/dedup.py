@@ -810,14 +810,24 @@ def repeated_substring_spans(docs: DataFrame, k: int = 8, min_docs: int = 2,
 
 def scrub_repeated_substrings(docs: DataFrame, k: int = 8, min_docs: int = 2,
                               id_col: str = "doc_id",
-                              text_col: str = "text") -> DataFrame:
+                              text_col: str = "text",
+                              min_span_tokens: int | None = None
+                              ) -> DataFrame:
     """Remove every repeated-substring span from each document →
     (id, clean_text, n_removed). Documents with no repeated span pass
     through unchanged (n_removed = 0); a fully-covered document yields an
     empty clean_text. One range-filtered equi-join on the doc id + one
-    ordered re-assembly aggregation."""
+    ordered re-assembly aggregation.
+
+    ``min_span_tokens``: only scrub MERGED spans at least this long
+    (production pipelines remove long boilerplate runs — Lee et al. use
+    50 tokens — while keeping short incidental matches); default = ``k``
+    (every detected span)."""
     spans = repeated_substring_spans(docs, k=k, min_docs=min_docs,
                                      id_col=id_col, text_col=text_col)
+    if min_span_tokens is not None and min_span_tokens > k:
+        spans = spans.where(
+            F.col("span_end") - F.col("span_start") + 1 >= min_span_tokens)
     toks = (docs.select(F.col(id_col).alias("id"),
                         F.posexplode(F.split(F.col(text_col), r"\s+"))
                         .alias("pos0", "tok"))

@@ -184,3 +184,22 @@ def test_repeated_substring_no_all_pairs_plan(spark):
         spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in p and "collect_list" not in p
     assert "HashAggregate" in p and "Window" in p
+
+
+def test_scrub_min_span_tokens_keeps_short_matches(spark):
+    """Production knob: min_span_tokens only scrubs long merged runs —
+    a 10-token shared run survives a 12-token floor, and is removed at
+    the default floor."""
+    from rdf_tabular_spark.operators.dedup import scrub_repeated_substrings
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h i j tail1 x1"),
+        (2, "a b c d e f g h i j tail2 x2"),
+    ], "doc_id long, text string")
+    strict = {r["doc_id"]: r["n_removed"] for r in
+              scrub_repeated_substrings(docs, k=8).collect()}
+    assert strict == {1: 10, 2: 10}
+    lenient = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in
+               scrub_repeated_substrings(docs, k=8,
+                                         min_span_tokens=12).collect()}
+    assert lenient[1] == ("a b c d e f g h i j tail1 x1", 0)
+    assert lenient[2][1] == 0
