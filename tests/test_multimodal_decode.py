@@ -178,3 +178,40 @@ def test_pseudo_embeddings_deterministic_unit_range(spark):
     import hashlib
     d = hashlib.md5(b"hello world").hexdigest()
     assert e1[1] == [int(d[2 * i:2 * i + 2], 16) / 255.0 for i in range(8)]
+
+
+# --- hypothesis fuzz: decoders never crash, roundtrips are identity ---------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.binary(min_size=0,
+                                                         max_size=600))
+def test_bmp_roundtrip_property(w, h, blob):
+    need = w * h * 3
+    rgb = (blob * (need // max(len(blob), 1) + 1))[:need] if blob \
+        else b"\x00" * need
+    assert M.decode_bmp(M.encode_bmp(w, h, rgb)) == (w, h, rgb)
+    assert M.decode_ppm(M.encode_ppm(w, h, rgb)) == (w, h, rgb)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_decoders_reject_garbage_cleanly(blob):
+    """Arbitrary bytes either decode or raise ValueError — never any
+    other exception, never a hang (executors see crawl garbage)."""
+    for fn in (M.decode_bmp, M.decode_ppm, M.decode_wav):
+        try:
+            fn(blob)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_property(samples, rate):
+    got_rate, got = M.decode_wav(M.encode_wav(samples, rate))
+    assert got_rate == rate and got == samples
