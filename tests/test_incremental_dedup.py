@@ -203,3 +203,36 @@ def test_scrub_min_span_tokens_keeps_short_matches(spark):
                                          min_span_tokens=12).collect()}
     assert lenient[1] == ("a b c d e f g h i j tail1 x1", 0)
     assert lenient[2][1] == 0
+
+
+def test_substring_spans_invariants(spark):
+    """Structural invariants on real data (sf0.001 documents): merged
+    spans never overlap within a document, every span is at least k
+    tokens, and scrub token accounting is exact (n_removed = total
+    tokens - kept tokens, clean_text word count = kept)."""
+    from rdf_tabular_spark.operators.dedup import (
+        repeated_substring_spans, scrub_repeated_substrings)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    k = 8
+    spans = repeated_substring_spans(docs, k=k).collect()
+    by_doc = {}
+    for r in spans:
+        assert r["span_end"] - r["span_start"] + 1 >= k
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    assert by_doc, "fixture should contain repeated shingles"
+    for d, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1, (d, ss)     # strictly disjoint after merge
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = scrub_repeated_substrings(docs, k=k).collect()
+    assert {r["doc_id"] for r in out} == set(texts)
+    import re
+    for r in out:
+        total = len(re.split(r"\s+", texts[r["doc_id"]]))
+        kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert r["n_removed"] == total - kept
+        covered = sum(e - s + 1 for s, e in by_doc.get(r["doc_id"], []))
+        assert r["n_removed"] == covered
